@@ -1,13 +1,259 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+import graft.operators.{Analytics, Dedup, Fill}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator from SURVEY.md §2 is exposed as a named query over the
+  * driver's testdata, with an equivalent DuckDB oracle in [[oracleSql]].
+  * Determinism rules (SURVEY.md §7.5): explicit total ORDER BY on both
+  * sides, `row_number` tiebreaks for keep-first dedup, decimal-cast sums
+  * (exact + associative, so Spark's partial/final aggregation order can't
+  * perturb vs DuckDB's single-node sum), no uuid()/current_date() in
+  * compared output.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    graft.sources.Sources.table(spark, dir, name)
+
+  /** events with deterministically injected nulls (the testdata has none;
+    * fill/default operators need them — SURVEY.md FIXTURES.md §B).
+    */
+  private def eventsWithNulls(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .withColumn("value_n",
+        when(col("event_id") % 7 === 0, lit(null)).otherwise(col("value")))
+      .withColumn("type_n",
+        when(col("event_id") % 11 === 0, lit(null)).otherwise(col("event_type")))
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    starJoin(spark, "/root/testdata/sf0.001")
+
+  // -------------------------------------------------------------------
+  // Query implementations (composed from graft.operators / graft.functions)
+  // -------------------------------------------------------------------
+
+  /** J1-J3 flagship star join + grouped rollup: lineitem⋈orders⋈customer⋈
+    * nation⋈region. Dims are broadcast (no shuffle); the single exchange
+    * is lineitem⋈orders on the order key + the final partial/final agg.
+    */
+  private def starJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val o  = t(spark, dir, "orders")
+    val c  = t(spark, dir, "customer")
+    val n  = t(spark, dir, "nation")
+    val r  = t(spark, dir, "region")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"), month(col("o_orderdate")).as("order_month"))
+      .agg(
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(30,10)")).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"), col("n_name"), col("order_month"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S1 — predicate-pushdown scan: filter + projection reach the parquet
+    // reader (PushedFilters + pruned ReadSchema).
+    "q_scan_pushdown" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-01-01").cast("timestamp") &&
+          col("l_quantity") < 10)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // P1/P2/P3 — rename + existence-tolerant drop.
+    "q_rename_project" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumnRenamed("ts", "event_ts")
+        .drop("props", "not_a_column")
+        .orderBy("event_id")
+    }),
+
+    // P4 — compound boolean filter with null tests (transformation.py:149).
+    "q_filter_compound" -> ((s, dir) => {
+      val o = t(s, dir, "orders").withColumn("priority",
+        when(col("o_orderkey") % 5 === 0, lit(null))
+          .when(col("o_orderkey") % 7 === 0, lit(""))
+          .otherwise(col("o_orderpriority")))
+      o.filter(!(col("o_orderstatus") === "F" &&
+          (col("priority").isNull || col("priority") === "")))
+        .select("o_orderkey", "o_orderstatus", "priority")
+        .orderBy("o_orderkey")
+    }),
+
+    // F2/F3 — na.fill defaults + coalesce chain over injected nulls.
+    "q_null_defaults" -> ((s, dir) => {
+      eventsWithNulls(s, dir)
+        .na.fill(Map("value_n" -> 0.0, "type_n" -> "unknown"))
+        .select(col("event_id"), col("value_n").as("filled_value"),
+          col("type_n").as("filled_type"))
+        .orderBy("event_id")
+    }),
+
+    // F1 — clean_text_for_nlp regex chain (no UDF; codegen'd built-ins).
+    "q_clean_text" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), Text.cleanTextForNlp(col("text")).as("cleaned"))
+        .orderBy("doc_id")
+    }),
+
+    // F6/F12 — timestamp truncation, epoch seconds, date arithmetic.
+    "q_time_ops" -> ((s, dir) => {
+      t(s, dir, "events").select(
+        col("event_id"),
+        date_trunc("second", col("ts")).as("ts_sec"),
+        unix_timestamp(col("ts")).as("epoch_s"),
+        date_trunc("day", col("ts")).as("day_ts"),
+        date_add(col("ts").cast("date"), 2).as("d_plus2"))
+        .orderBy("event_id")
+    }),
+
+    // F5/F8 — string casts + numeric coercion with invalid→null (try_cast).
+    "q_cast_coerce" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("num_str",
+          when(col("event_id") % 5 === 0, lit("junk"))
+            .otherwise(concat(col("event_id").cast("string"), lit(".25"))))
+        .withColumn("int_str",
+          when(col("event_id") % 3 === 0, lit("x"))
+            .otherwise(col("event_id").cast("string")))
+        .select(col("event_id"), Text.coerceDouble(col("num_str")).as("parsed_d"),
+          col("int_str").try_cast("int").as("parsed_i"))
+        .orderBy("event_id")
+    }),
+
+    // D1 — order-deterministic keep-first dedup, single key.
+    "q_dedup_first" -> ((s, dir) => {
+      Dedup.keepFirst(t(s, dir, "orders"), Seq("o_custkey"), Seq(col("o_orderkey")))
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey")
+    }),
+
+    // D2 — keep-first dedup, composite key.
+    "q_dedup_composite" -> ((s, dir) => {
+      // tiebreak must be a TOTAL order: the data contains fully duplicated
+      // (orderkey, partkey, linenumber) rows that differ only in measures
+      Dedup.keepFirst(t(s, dir, "lineitem"), Seq("l_orderkey", "l_partkey"),
+          Seq(col("l_linenumber"), col("l_quantity"), col("l_extendedprice")))
+        .select("l_orderkey", "l_partkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_partkey")
+    }),
+
+    // D3/D4 — cross-batch dedup vs existing state (left-anti join).
+    "q_anti_join_new" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      Dedup.newRows(orders, orders.filter(col("o_orderkey") % 2 === 0), Seq("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
+    // K2 — idempotent append: existing ∪ (incoming ⟕anti existing).
+    "q_idempotent_append" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val existing = orders.filter(col("o_orderkey") % 2 === 0)
+      Dedup.idempotentAppend(existing, orders, Seq("o_orderkey"))
+        .select("o_orderkey", "o_custkey")
+        .orderBy("o_orderkey")
+    }),
+
+    // D5 — first-link-wins FK resolution with intra-batch memo.
+    "q_fk_resolve" -> ((s, dir) => {
+      val posts = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey").as("article_url"))
+      val existing = t(s, dir, "part")
+        .filter(col("p_partkey") % 3 === 0)
+        .select(col("p_partkey").as("article_url"),
+          concat(lit("E"), col("p_partkey").cast("string")).as("article_id"))
+      val newId = concat(lit("N"), col("article_url").cast("string"), lit("@"),
+        col("l_orderkey").cast("string"), lit(":"), col("l_linenumber").cast("string"))
+      Dedup.resolveFk(posts, existing, "article_url", "article_id",
+          Seq(col("l_orderkey"), col("l_linenumber")), newId)
+        .select("l_orderkey", "l_linenumber", "article_url", "article_id")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // J1-J3 — flagship star join + rollup.
+    "q_star_join" -> ((s, dir) => starJoin(s, dir)),
+
+    // W1/W2 — grouped ffill + bfill over injected nulls (the reference's
+    // signature window op, transformation.py:213-215).
+    "q_ffill_bfill" -> ((s, dir) => {
+      val e = eventsWithNulls(s, dir)
+      e.withColumn("value_filled",
+          Fill.ffillBfill(Seq(col("user_id")), Seq(col("ts"), col("event_id")))(col("value_n")))
+        .select("event_id", "user_id", "ts", "value_filled")
+        .orderBy("user_id", "ts", "event_id")
+    }),
+
+    // A6 — candle resampling (per-key daily OHLC + exact volume sum).
+    "q_candles" -> ((s, dir) => {
+      Analytics.candles(t(s, dir, "events"), col("user_id"), col("ts"),
+          col("event_id"), col("value"), date_trunc("day", col("ts")))
+        .select(col("key").as("user_id"), col("bucket").as("day"),
+          col("open"), col("high"), col("low"), col("close"), col("vsum"), col("n"))
+        .orderBy("user_id", "day")
+    }),
+
+    // O3 — top-k (TakeOrderedAndProject; no global sort).
+    "q_topk" -> ((s, dir) => {
+      Analytics.topK(t(s, dir, "events"), 100, col("ts").desc, col("event_id").desc)
+        .select("event_id", "ts", "event_type")
+        .orderBy("event_id")
+    }),
+
+    // A1 — distinct (hash aggregate).
+    "q_distinct" -> ((s, dir) =>
+      t(s, dir, "events").select("user_id").distinct().orderBy("user_id")),
+
+    // A3 — per-column null-fraction profile.
+    "q_null_profile" -> ((s, dir) =>
+      Analytics.nullProfile(eventsWithNulls(s, dir), Seq("value_n", "type_n"))),
+
+    // A4 — duplicate-detection profile.
+    "q_dup_profile" -> ((s, dir) => {
+      Analytics.dupProfile(t(s, dir, "lineitem"), Seq("l_partkey", "l_suppkey"))
+        .orderBy("l_partkey", "l_suppkey")
+    }),
+
+    // W3 — lag/delta per key.
+    "q_lag_delta" -> ((s, dir) => {
+      Analytics.lagDelta(t(s, dir, "events"), Seq(col("user_id")),
+          Seq(col("ts"), col("event_id")), col("value"))
+        .select("event_id", "user_id", "ts", "value", "prev_value", "delta")
+        .orderBy("user_id", "ts", "event_id")
+    }),
+
+    // Sessionization — gap-based session ids (lag + running sum, one window).
+    "q_sessions" -> ((s, dir) => {
+      Analytics.sessionize(t(s, dir, "events"), Seq(col("user_id")), col("ts"),
+          col("event_id"), gapSeconds = 1800)
+        .select("event_id", "user_id", "ts", "session_id")
+        .orderBy("user_id", "ts", "event_id")
+    }),
+
+    // J5 — as-of join (union + single window sort; no range-probe blowup).
+    "q_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val probe = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val quote = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value").as("view_value"))
+      Analytics.asOfJoin(probe, quote, "user_id", "ts", "event_id", Seq("view_value"))
+        .orderBy("user_id", "ts", "event_id")
+    }),
+  )
+
+  def oracleSql: Map[String, String] = OracleSql.sql
 }

@@ -1,0 +1,82 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Scalar text/column helpers (SURVEY.md §2.3).
+  *
+  * All pure `Column => Column` combinators over Spark built-ins — no UDFs,
+  * so every function stays inside whole-stage codegen and Catalyst can
+  * push/reorder around them.
+  *
+  * Reference semantics: /root/reference/data_pipeline/tasks/transformation.py
+  */
+object Text {
+
+  /** F1 — `clean_text_for_nlp` (transformation.py:278-291).
+    *
+    * null→""; lowercase; strip HTML tags; strip URLs; strip `[+N chars]`
+    * truncation markers; strip everything outside `[\w\s.!?]`; collapse
+    * whitespace; trim. Regex classes are ASCII (`\w`/`\s` in Java default
+    * mode) which matches the DuckDB RE2 oracle dialect.
+    */
+  def cleanTextForNlp(c: Column): Column = {
+    val lowered   = lower(coalesce(c, lit("")))
+    val noTags    = regexp_replace(lowered, "<[^>]+>", "")
+    val noUrls    = regexp_replace(noTags, "http\\S+|www\\S+|https\\S+", "")
+    val noTrunc   = regexp_replace(noUrls, "\\[\\+\\d+ chars\\]", "")
+    val alnumOnly = regexp_replace(noTrunc, "[^\\w\\s.!?]", "")
+    val collapsed = regexp_replace(alnumOnly, "\\s+", " ")
+    trim(collapsed)
+  }
+
+  /** F3 — content coalesce chain (transformation.py:268). */
+  def coalesceContent(content: Column, description: Column, title: Column): Column =
+    coalesce(content, description, title)
+
+  /** F4 (deterministic variant) — surrogate id stable across engines;
+    * replaces `uuid.uuid4()` (transformation.py:56) for oracle-comparable
+    * output. Key columns are joined with a non-printing separator so
+    * ("ab","c") != ("a","bc").
+    */
+  def deterministicId(keys: Column*): Column =
+    sha2(concat_ws("\u0001", keys: _*), 256)
+
+  /** F7 — epoch-seconds → timestamp (transformation.py:166-168). */
+  def fromEpochSeconds(c: Column): Column = timestamp_seconds(c.cast("long"))
+
+  /** F8 — numeric coercion, invalid→null (`pd.to_numeric(errors="coerce")`,
+    * transformation.py:198-202). `try_cast` semantics under ANSI mode.
+    */
+  def coerceDouble(c: Column): Column = c.try_cast("double")
+
+  /** F9 — array→string join (transformation.py:104-106). */
+  def joinCategories(c: Column): Column = concat_ws(", ", c)
+
+  // ---------------------------------------------------------------------
+  // Training-data text analysis (north-star ops; SURVEY.md §2.3 extras)
+  // ---------------------------------------------------------------------
+
+  /** Whitespace token count. */
+  def wsTokenCount(c: Column): Column =
+    size(split(trim(c), "\\s+"))
+
+  /** BPE-ish subword token count: words, numbers, and single punctuation
+    * marks each count as one token (GPT-2-style pre-tokenizer regex,
+    * simplified to the ASCII subset present in the corpus).
+    */
+  def bpeishTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Punctuation ratio: terminal-punctuation chars per char. */
+  def punctRatio(c: Column): Column =
+    size(regexp_extract_all(c, lit("[.!?]"), lit(0))).cast("double") /
+      greatest(length(c), lit(1)).cast("double")
+
+  /** Stopword ratio over whitespace tokens for a fixed stopword set. */
+  def stopwordRatio(c: Column, stopwords: Seq[String]): Column = {
+    val pat = stopwords.mkString("\\b(", "|", ")\\b")
+    size(regexp_extract_all(lower(c), lit(pat), lit(0))).cast("double") /
+      greatest(wsTokenCount(c), lit(1)).cast("double")
+  }
+}

@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Aggregation / window / ordering operators (SURVEY.md §2.6-2.8) plus the
+  * north-star time-series extensions (candle resampling A6, as-of join J5,
+  * lag returns W3).
+  *
+  * Numeric policy for oracle-compared sums: doubles are cast to
+  * DECIMAL before SUM so partial/final aggregation order (which differs
+  * between Spark's distributed partial aggregates and DuckDB's
+  * single-node sum) cannot perturb the result — decimal addition is
+  * exact and associative.
+  */
+object Analytics {
+
+  /** Exact, order-insensitive sum of a double column. */
+  def exactSum(c: Column): Column = sum(c.cast("decimal(30,10)"))
+
+  /** A3 — per-column null-percentage profile (transformation.py:240-260):
+    * one aggregate row, `round(avg(isnull)*100, 2)` per column.
+    */
+  def nullProfile(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.agg(
+      count(lit(1)).as("n_rows"),
+      cols.map(c =>
+        round(avg(col(c).isNull.cast("double")) * 100, 2).as(s"${c}_null_pct")): _*)
+
+  /** A4 — duplicate-detection profile (`data.duplicated()`,
+    * transformation.py:250-251): groups occurring more than once.
+    */
+  def dupProfile(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.groupBy(cols.map(col): _*).count().filter(col("count") > 1)
+
+  /** A6 — candle resampling: per key, per time bucket OHLC + volume.
+    * first/last are made deterministic via min_by/max_by over a
+    * (ts, tiebreak) struct — no second window pass needed, stays a single
+    * partial+final hash aggregate (map-side combine at scale).
+    */
+  def candles(
+      df: DataFrame,
+      key: Column,
+      ts: Column,
+      tiebreak: Column,
+      price: Column,
+      bucket: Column): DataFrame =
+    df.groupBy(key.as("key"), bucket.as("bucket"))
+      .agg(
+        min_by(price, struct(ts, tiebreak)).as("open"),
+        max(price).as("high"),
+        min(price).as("low"),
+        max_by(price, struct(ts, tiebreak)).as("close"),
+        exactSum(price).cast("double").as("vsum"),
+        count(lit(1)).as("n"))
+
+  /** O3 — source-side top-k (newest-N; extraction.py:115-119): plans as
+    * TakeOrderedAndProject — each partition keeps only k rows, the driver
+    * merges k·partitions rows, so no global sort at scale.
+    */
+  def topK(df: DataFrame, k: Int, order: Column*): DataFrame =
+    df.orderBy(order: _*).limit(k)
+
+  /** W3 — per-key lag-based change: previous value and delta over an
+    * ordered window.
+    */
+  def lagDelta(
+      df: DataFrame,
+      partitionBy: Seq[Column],
+      orderBy: Seq[Column],
+      value: Column): DataFrame = {
+    val w = Window.partitionBy(partitionBy: _*).orderBy(orderBy: _*)
+    df.withColumn("prev_value", lag(value, 1).over(w))
+      .withColumn("delta", value - col("prev_value"))
+  }
+
+  /** Sessionization: assign a session id per key from inactivity gaps —
+    * lag + cumulative sum of gap indicators in one window partitioning.
+    */
+  def sessionize(
+      df: DataFrame,
+      partitionBy: Seq[Column],
+      ts: Column,
+      tiebreak: Column,
+      gapSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(partitionBy: _*).orderBy(ts, tiebreak)
+    val prevTs = lag(ts, 1).over(w)
+    // gap measured in microseconds (µs is the native timestamp precision;
+    // second-floored arithmetic would disagree with the DuckDB oracle)
+    val isNew = when(
+      prevTs.isNull ||
+        unix_micros(ts) - unix_micros(prevTs) > gapSeconds * 1000000L, 1L)
+      .otherwise(0L)
+    df.withColumn("session_id",
+      sum(isNew).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** J5 — as-of join, union-window emulation: for each `probe` row, the
+    * latest `quote` row with the same key and quote.ts <= probe.ts.
+    *
+    * Implemented as union → single window sort → filter instead of a range
+    * join: cost is ONE shuffle on the key (same as the join would need)
+    * and no quadratic range-probe blowup, so it scales to 100 TB the same
+    * way a sort-merge join does.
+    *
+    * @param probe   rows to enrich; must contain keyCol and tsCol
+    * @param quote   rows providing values; must contain keyCol and tsCol
+    * @param valueCols columns of `quote` to carry (filled as-of)
+    */
+  def asOfJoin(
+      probe: DataFrame,
+      quote: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      tiebreakCol: String,
+      valueCols: Seq[String]): DataFrame = {
+    require(valueCols.forall(v => !probe.columns.contains(v)),
+      "probe and quote value columns must be disjoint")
+    val pCols = probe.columns
+    val q = quote.select(
+      (Seq(col(keyCol), col(tsCol), col(tiebreakCol), lit(0).as("__side")) ++
+        valueCols.map(col)): _*)
+    val p = probe.withColumn("__side", lit(1))
+    val unioned = q.unionByName(p, allowMissingColumns = true)
+    // quote rows sort before probe rows at equal ts (side 0 < 1), so a
+    // quote exactly at probe.ts is visible to it.
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col("__side"), col(tiebreakCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = valueCols.foldLeft(unioned) { (d, v) =>
+      d.withColumn(v, last(when(col("__side") === 0, col(v)), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__side") === 1).select(pCols.map(col) ++ valueCols.map(col): _*)
+  }
+}

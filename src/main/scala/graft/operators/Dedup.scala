@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators (SURVEY.md §2.4 — the reference's signature
+  * operation; /root/reference/data_pipeline/tasks/transformation.py:47-49,
+  * 108-112 and tasks/loading.py:150-224).
+  *
+  * Scale notes:
+  *  - `keepFirst` is a single hash-partition shuffle on the key columns;
+  *    at 100 TB the key shuffle is unavoidable for exact dedup, but the
+  *    window carries only the tiebreak columns and AQE coalesces small
+  *    post-shuffle partitions.
+  *  - `newRows` (anti join) broadcasts the existing-key side when small
+  *    (dimension-style), else Catalyst falls back to shuffled hash join.
+  */
+object Dedup {
+
+  /** D1/D2 — order-deterministic `drop_duplicates(keep="first")`
+    * (transformation.py:47-49,108-112). pandas keeps the first row in
+    * frame order; Spark's `dropDuplicates` keeps an arbitrary row, so we
+    * impose the explicit `order` tiebreak via `row_number`.
+    */
+  def keepFirst(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** D3/D4 — cross-batch dedup vs warehouse: keep only incoming rows whose
+    * key is absent from `existing` (loading.py:150-161,213-224 — the
+    * hash-map probe becomes a left-anti join; existing side reduced to its
+    * key columns so only keys shuffle/broadcast).
+    */
+  def newRows(incoming: DataFrame, existing: DataFrame, keys: Seq[String]): DataFrame =
+    incoming.join(
+      broadcast(existing.select(keys.map(col): _*).distinct()),
+      keys, "left_anti")
+
+  /** Same as [[newRows]] but without the broadcast hint, for when the
+    * existing side is large (let Catalyst/AQE choose the join strategy).
+    */
+  def newRowsLarge(incoming: DataFrame, existing: DataFrame, keys: Seq[String]): DataFrame =
+    incoming.join(existing.select(keys.map(col): _*).distinct(), keys, "left_anti")
+
+  /** K2 — idempotent append: the final table state after loading `incoming`
+    * into `existing` with insert-only-if-new semantics
+    * (loading.py:131-193). Loading the same batch twice adds zero rows.
+    */
+  def idempotentAppend(existing: DataFrame, incoming: DataFrame, keys: Seq[String]): DataFrame =
+    existing.unionByName(newRowsLarge(incoming, existing, keys))
+
+  /** D5 — dedup-aware FK resolution with first-link-wins creation
+    * (loading.py:245-292): posts reference an article by `urlCol`; articles
+    * already in `existingDim` are reused; for unseen urls, the FIRST post
+    * (by `order`) creates the article. Every post then resolves its
+    * `article_id`.
+    *
+    * @param posts       fact rows carrying `urlCol`
+    * @param existingDim dim rows with columns (`urlCol`, `idCol`)
+    * @param newIdFrom   how to mint the id of a created article from the
+    *                    creating post's row (deterministic for the oracle)
+    * @return posts + resolved `idCol` column
+    */
+  def resolveFk(
+      posts: DataFrame,
+      existingDim: DataFrame,
+      urlCol: String,
+      idCol: String,
+      order: Seq[Column],
+      newIdFrom: Column): DataFrame = {
+    val linked = posts.filter(col(urlCol).isNotNull)
+    // first post per unseen url creates the dim row (first-link-wins memo,
+    // loading.py:273-274)
+    val creators = keepFirst(linked, Seq(urlCol), order)
+      .join(broadcast(existingDim.select(urlCol)), Seq(urlCol), "left_anti")
+      .select(col(urlCol), newIdFrom.as(idCol))
+    val dim = existingDim.select(col(urlCol), col(idCol)).unionByName(creators)
+    posts.join(broadcast(dim), Seq(urlCol), "left")
+  }
+
+  /** Exact content dedup for document corpora: hash-groupBy on a
+    * normalized content digest, keeping the representative with the
+    * smallest `order`. Only the digest and tiebreak shuffle — at 100 TB
+    * the full document body never crosses the wire.
+    */
+  def exactDedup(df: DataFrame, contentDigest: Column, order: Seq[Column]): DataFrame =
+    keepFirst(df.withColumn("__digest", contentDigest), Seq("__digest"), order)
+      .drop("__digest")
+}
