@@ -224,5 +224,150 @@ object OracleSql {
         |SELECT event_id, user_id, ts, view_value
         |FROM f WHERE side = 1
         |ORDER BY user_id, ts, event_id""".stripMargin,
+
+    "q_pipeline_news" ->
+      s"""WITH raw AS (
+         |  SELECT doc_id,
+         |    'https://example.com/' || CAST(doc_id % 400 AS VARCHAR) AS url,
+         |    CASE WHEN doc_id % 5 = 0 THEN NULL
+         |         ELSE 'author_' || CAST(doc_id % 10 AS VARCHAR) END AS author,
+         |    CASE WHEN doc_id % 7 = 0 THEN NULL
+         |         ELSE 'Title ' || CAST(doc_id AS VARCHAR) END AS title,
+         |    CASE WHEN doc_id % 9 = 0 THEN NULL
+         |         ELSE substr(text, 1, 50) END AS description,
+         |    CASE WHEN doc_id % 3 = 0 THEN NULL ELSE text END AS content,
+         |    source AS source_name,
+         |    strftime(TIMESTAMP '2024-01-01' + INTERVAL (doc_id) MINUTE,
+         |      '%Y-%m-%d %H:%M:%S') AS published_str
+         |  FROM documents),
+         |defaulted AS (
+         |  SELECT doc_id, url, source_name, published_str,
+         |    coalesce(author, 'No Author') AS author,
+         |    coalesce(title, 'Untitled Article') AS title,
+         |    coalesce(content, description,
+         |      coalesce(title, 'Untitled Article')) AS content
+         |  FROM raw),
+         |dd AS (
+         |  SELECT *, row_number() OVER (PARTITION BY url ORDER BY doc_id) AS rn
+         |  FROM defaulted)
+         |SELECT doc_id, sha256(url) AS id, url, source_name, author, title,
+         |  content,
+         |  ${cleanExpr("title")} AS title_cleaned,
+         |  ${cleanExpr("content")} AS content_cleaned,
+         |  CAST(published_str AS TIMESTAMP) AS published_at
+         |FROM dd WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "q_pipeline_posts" ->
+      s"""WITH raw AS (
+         |  SELECT o_orderkey,
+         |    CASE WHEN o_orderkey % 97 = 0 THEN NULL
+         |         ELSE 'r' || CAST(o_orderkey % 1400 AS VARCHAR) END AS reddit_id,
+         |    CASE WHEN o_orderkey % 89 = 0 THEN NULL
+         |         ELSE 'sub' || CAST(o_custkey % 5 AS VARCHAR) END AS subreddit,
+         |    'Post about ' || CAST(o_custkey % 20 AS VARCHAR) AS title,
+         |    CASE WHEN o_orderkey % 3 = 0 THEN NULL
+         |         ELSE 'text ' || CAST(o_orderkey AS VARCHAR) END AS body_text,
+         |    CASE WHEN o_orderkey % 11 = 0 THEN NULL
+         |         ELSE o_orderkey % 1000 END AS score,
+         |    CASE WHEN o_orderkey % 13 = 0 THEN NULL
+         |         ELSE o_custkey % 100 END AS number_of_comments,
+         |    (o_orderkey % 2 = 0) AS is_text_post,
+         |    CASE WHEN o_orderkey % 2 = 0 THEN NULL
+         |         ELSE 'https://news/' || CAST(o_custkey % 50 AS VARCHAR) END
+         |      AS article_url,
+         |    CASE WHEN o_orderkey % 19 = 0 THEN NULL
+         |         ELSE 'flair' || CAST(o_orderkey % 3 AS VARCHAR) END
+         |      AS subreddit_category,
+         |    CASE WHEN o_orderkey % 23 = 0 THEN NULL
+         |         ELSE CAST(0.5 AS DOUBLE) +
+         |           CAST(o_orderkey % 50 AS DOUBLE) / CAST(100.0 AS DOUBLE) END
+         |      AS upvote_ratio,
+         |    'p' || CAST(o_orderkey % 1400 AS VARCHAR) AS reddit_post_url,
+         |    1700000000 + o_orderkey AS pub_epoch,
+         |    CASE WHEN o_orderkey % 29 = 0 THEN ''
+         |         WHEN o_orderkey % 31 = 0 THEN NULL
+         |         ELSE '2024-03-01 12:00:00' END AS article_published_at,
+         |    CASE WHEN o_orderkey % 37 = 0 THEN 'news, markets'
+         |         ELSE 'finance' END AS article_category,
+         |    CASE WHEN o_orderkey % 41 = 0 THEN NULL
+         |         ELSE 'Headline' END AS article_headline
+         |  FROM orders),
+         |dd AS (
+         |  SELECT *, row_number() OVER (PARTITION BY reddit_id, reddit_post_url
+         |    ORDER BY o_orderkey) AS rn FROM raw),
+         |req AS (
+         |  SELECT * FROM dd
+         |  WHERE rn = 1 AND reddit_id IS NOT NULL AND subreddit IS NOT NULL),
+         |def AS (
+         |  SELECT o_orderkey, reddit_id, subreddit, title,
+         |    coalesce(body_text, 'No text') AS body_text,
+         |    coalesce(score, 0) AS score,
+         |    coalesce(number_of_comments, 0) AS number_of_comments,
+         |    is_text_post, article_url,
+         |    coalesce(subreddit_category, 'No category') AS subreddit_category,
+         |    coalesce(upvote_ratio, 0.5) AS upvote_ratio,
+         |    reddit_post_url, pub_epoch, article_published_at, article_category,
+         |    coalesce(article_headline, 'No Title') AS article_headline
+         |  FROM req),
+         |flt AS (
+         |  SELECT * FROM def
+         |  WHERE NOT (is_text_post = false AND
+         |    (article_published_at IS NULL OR article_published_at = '')))
+         |SELECT sha256(reddit_id) AS id, reddit_id, subreddit, title,
+         |  ${cleanExpr("title")} AS title_cleaned,
+         |  body_text,
+         |  ${cleanExpr("body_text")} AS body_cleaned,
+         |  CAST(score AS INTEGER) AS score,
+         |  CAST(number_of_comments AS INTEGER) AS number_of_comments,
+         |  is_text_post, subreddit_category, upvote_ratio,
+         |  TIMESTAMP '1970-01-01' + INTERVAL (pub_epoch) SECOND AS published_at,
+         |  article_url,
+         |  CAST(NULLIF(article_published_at, '') AS TIMESTAMP)
+         |    AS article_published_at,
+         |  article_category, article_headline, reddit_post_url
+         |FROM flt ORDER BY reddit_id""".stripMargin,
+
+    "q_pipeline_bars" ->
+      """WITH raw AS (
+        |  SELECT 'S' || CAST(user_id AS VARCHAR) AS ticker, ts AS bar_ts,
+        |    event_id,
+        |    TRY_CAST(CASE WHEN event_id % 7 = 0 THEN NULL
+        |      ELSE CAST(value AS VARCHAR) END AS DOUBLE) AS open,
+        |    TRY_CAST(CASE WHEN event_id % 11 = 0 THEN 'junk'
+        |      ELSE CAST(value AS VARCHAR) END AS DOUBLE) AS high,
+        |    TRY_CAST(CASE WHEN event_id % 13 = 0 THEN NULL
+        |      ELSE CAST(value AS VARCHAR) END AS DOUBLE) AS low,
+        |    TRY_CAST(CAST(value AS VARCHAR) AS DOUBLE) AS close,
+        |    TRY_CAST(CASE WHEN event_id % 5 = 0 THEN NULL
+        |      ELSE CAST(value AS VARCHAR) END AS DOUBLE) AS vwap,
+        |    TRY_CAST(CASE WHEN event_id % 3 = 0 THEN NULL
+        |      ELSE CAST(event_id % 1000 AS VARCHAR) END AS DOUBLE) AS volume,
+        |    TRY_CAST(CASE WHEN event_id % 17 = 0 THEN 'x'
+        |      ELSE CAST(event_id % 50 AS VARCHAR) END AS DOUBLE) AS trade_count
+        |  FROM events),
+        |filled AS (
+        |  SELECT ticker, bar_ts, event_id,
+        |    coalesce(last_value(open IGNORE NULLS) OVER wp,
+        |             first_value(open IGNORE NULLS) OVER wf) AS open,
+        |    coalesce(last_value(high IGNORE NULLS) OVER wp,
+        |             first_value(high IGNORE NULLS) OVER wf) AS high,
+        |    coalesce(last_value(low IGNORE NULLS) OVER wp,
+        |             first_value(low IGNORE NULLS) OVER wf) AS low,
+        |    coalesce(last_value(close IGNORE NULLS) OVER wp,
+        |             first_value(close IGNORE NULLS) OVER wf) AS close,
+        |    coalesce(last_value(vwap IGNORE NULLS) OVER wp,
+        |             first_value(vwap IGNORE NULLS) OVER wf) AS vwap,
+        |    CAST(coalesce(volume, 0) AS BIGINT) AS volume,
+        |    CAST(coalesce(trade_count, 0) AS BIGINT) AS trade_count
+        |  FROM raw
+        |  WINDOW
+        |    wp AS (PARTITION BY ticker ORDER BY bar_ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wf AS (PARTITION BY ticker ORDER BY bar_ts
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT * FROM filled
+        |WHERE open IS NOT NULL AND high IS NOT NULL AND low IS NOT NULL
+        |  AND close IS NOT NULL AND vwap IS NOT NULL
+        |ORDER BY ticker, bar_ts""".stripMargin,
   )
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Text
-import graft.operators.{Analytics, Dedup, Fill}
+import graft.operators.{Analytics, Dedup, Fill, Transforms}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -252,6 +252,106 @@ object SparkEntry {
         .select(col("user_id"), col("ts"), col("event_id"), col("value").as("view_value"))
       Analytics.asOfJoin(probe, quote, "user_id", "ts", "event_id", Seq("view_value"))
         .orderBy("user_id", "ts", "event_id")
+    }),
+
+    // §3.1 — full news ETL pipeline (transformation.py:13-78) over a
+    // news-shaped frame derived from `documents`.
+    "q_pipeline_news" -> ((s, dir) => {
+      val raw = t(s, dir, "documents")
+        .withColumn("url", concat(lit("https://example.com/"),
+          (col("doc_id") % 400).cast("string")))
+        .withColumn("author",
+          when(col("doc_id") % 5 === 0, lit(null))
+            .otherwise(concat(lit("author_"), (col("doc_id") % 10).cast("string"))))
+        .withColumn("title",
+          when(col("doc_id") % 7 === 0, lit(null))
+            .otherwise(concat(lit("Title "), col("doc_id").cast("string"))))
+        .withColumn("description",
+          when(col("doc_id") % 9 === 0, lit(null)).otherwise(substring(col("text"), 1, 50)))
+        .withColumn("content",
+          when(col("doc_id") % 3 === 0, lit(null)).otherwise(col("text")))
+        .withColumn("urlToImage", concat(lit("http://img/"), col("doc_id").cast("string")))
+        .withColumn("source", struct(col("lang").as("id"), col("source").as("name")))
+        .withColumn("publishedAt", date_format(
+          expr("TIMESTAMP'2024-01-01' + make_interval(0,0,0,0,0,CAST(doc_id AS INT),0)"),
+          "yyyy-MM-dd HH:mm:ss"))
+      Transforms.transformNews(raw, col("doc_id"))
+        .select("doc_id", "id", "url", "source_name", "author", "title",
+          "content", "title_cleaned", "content_cleaned", "published_at")
+        .orderBy("doc_id")
+    }),
+
+    // §3.2 — full reddit-post ETL pipeline (transformation.py:81-181) over
+    // a post-shaped frame derived from `orders`.
+    "q_pipeline_posts" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val raw = o.select(
+        when(col("o_orderkey") % 97 === 0, lit(null))
+          .otherwise(concat(lit("r"), (col("o_orderkey") % 1400).cast("string")))
+          .as("reddit_id"),
+        when(col("o_orderkey") % 89 === 0, lit(null))
+          .otherwise(concat(lit("sub"), (col("o_custkey") % 5).cast("string")))
+          .as("subreddit"),
+        concat(lit("Post about "), (col("o_custkey") % 20).cast("string")).as("title"),
+        when(col("o_orderkey") % 3 === 0, lit(null))
+          .otherwise(concat(lit("text "), col("o_orderkey").cast("string")))
+          .as("selftext"),
+        when(col("o_orderkey") % 11 === 0, lit(null))
+          .otherwise((col("o_orderkey") % 1000).cast("long")).as("score"),
+        when(col("o_orderkey") % 13 === 0, lit(null))
+          .otherwise((col("o_custkey") % 100).cast("long")).as("num_comments"),
+        (col("o_orderkey") % 2 === 0).as("is_text_post"),
+        when(col("o_orderkey") % 2 === 0, lit(null))
+          .otherwise(concat(lit("https://news/"), (col("o_custkey") % 50).cast("string")))
+          .as("url"),
+        when(col("o_orderkey") % 19 === 0, lit(null))
+          .otherwise(concat(lit("flair"), (col("o_orderkey") % 3).cast("string")))
+          .as("link_flair_text"),
+        when(col("o_orderkey") % 23 === 0, lit(null))
+          .otherwise(lit(0.5) + (col("o_orderkey") % 50).cast("double") / lit(100.0))
+          .as("upvote_ratio"),
+        concat(lit("p"), (col("o_orderkey") % 1400).cast("string")).as("permalink"),
+        (lit(1700000000L) + col("o_orderkey")).cast("double").as("published_at"),
+        when(col("o_orderkey") % 29 === 0, lit(""))
+          .when(col("o_orderkey") % 31 === 0, lit(null))
+          .otherwise(lit("2024-03-01 12:00:00")).as("article_published_at"),
+        when(col("o_orderkey") % 37 === 0, array(lit("news"), lit("markets")))
+          .otherwise(array(lit("finance"))).as("article_category"),
+        when(col("o_orderkey") % 41 === 0, lit(null))
+          .otherwise(lit("Headline")).as("article_headline"),
+        col("o_orderkey"))
+      Transforms.transformPosts(raw, col("o_orderkey"))
+        .select("id", "reddit_id", "subreddit", "title", "title_cleaned",
+          "body_text", "body_cleaned", "score", "number_of_comments",
+          "is_text_post", "subreddit_category", "upvote_ratio", "published_at",
+          "article_url", "article_published_at", "article_category",
+          "article_headline", "reddit_post_url")
+        .orderBy("reddit_id")
+    }),
+
+    // §3.3 — full OHLCV bar ETL pipeline (transformation.py:184-231) over a
+    // bar-shaped frame derived from `events` (string prices w/ junk+nulls).
+    "q_pipeline_bars" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val vs = col("value").cast("string")
+      val raw = e.select(
+        concat(lit("S"), col("user_id").cast("string")).as("symbol"),
+        col("ts").as("timestamp"),
+        col("event_id"),
+        when(col("event_id") % 7 === 0, lit(null)).otherwise(vs).as("open"),
+        when(col("event_id") % 11 === 0, lit("junk")).otherwise(vs).as("high"),
+        when(col("event_id") % 13 === 0, lit(null)).otherwise(vs).as("low"),
+        vs.as("close"),
+        when(col("event_id") % 5 === 0, lit(null)).otherwise(vs).as("vwap"),
+        when(col("event_id") % 3 === 0, lit(null))
+          .otherwise((col("event_id") % 1000).cast("string")).as("volume"),
+        when(col("event_id") % 17 === 0, lit("x"))
+          .otherwise((col("event_id") % 50).cast("string")).as("trade_count"))
+      Transforms.transformBars(raw)
+        .select(col("ticker"), col("timestamp").as("bar_ts"), col("event_id"),
+          col("open"), col("high"), col("low"), col("close"), col("vwap"),
+          col("volume"), col("trade_count"))
+        .orderBy("ticker", "bar_ts")
     }),
   )
 

@@ -25,6 +25,18 @@ object Transforms {
       if (d.columns.contains(from)) d.withColumnRenamed(from, to) else d
     }
 
+  /** na.fill restricted to columns that exist (the reference's transforms
+    * are total over missing columns, transformation.py:37-43).
+    */
+  private def fillPresent(df: DataFrame, m: Map[String, Any]): DataFrame = {
+    // skip missing columns AND untyped (VOID) ones — a column that is
+    // all-NULL with no schema (e.g. from permissive JSON) can't be filled
+    val fillable = df.schema.fields
+      .filter(_.dataType != org.apache.spark.sql.types.NullType)
+      .map(_.name).toSet
+    df.na.fill(m.filter { case (k, _) => fillable.contains(k) })
+  }
+
   /** News pipeline (transformation.py:13-78): P1 struct projection →
     * F2 defaults → F3 coalesce content → null-content drop → P2/P3
     * rename/drop → D1 url dedup (keep first by `ingestOrder`) → F1 clean →
@@ -35,8 +47,8 @@ object Transforms {
       if (df.columns.contains("source"))
         df.withColumn("source_name", col("source.name")).drop("source")
       else df
-    val defaulted = withSource
-      .na.fill(Map("author" -> "No Author", "title" -> "Untitled Article"))
+    val defaulted = fillPresent(withSource,
+      Map("author" -> "No Author", "title" -> "Untitled Article"))
       .withColumn("content",
         Text.coalesceContent(col("content"), col("description"), col("title")))
       .filter(col("content").isNotNull)
@@ -70,8 +82,8 @@ object Transforms {
     val deduped =
       Dedup.keepFirst(joinedCats, Seq("reddit_id", "reddit_post_url"), Seq(ingestOrder))
     val required = deduped.na.drop("any", Seq("reddit_id", "subreddit", "published_at"))
-    val defaulted = required
-      .na.fill(Map(
+    val defaulted = fillPresent(required,
+      Map(
         "body_text" -> "No text", "score" -> 0, "number_of_comments" -> 0,
         "subreddit_category" -> "No category", "upvote_ratio" -> 0.5,
         "article_headline" -> "No Title", "article_author" -> "Unknown Author",
@@ -112,8 +124,8 @@ object Transforms {
     val zeroed = filled.na.fill(0, countCols)
       .na.fill(0.0, countCols)
     val dropped = zeroed.na.drop("any", priceCols)
-    renameIfPresent(dropped, "symbol" -> "ticker")
-      .withColumn("volume", col("volume").cast("long"))
-      .withColumn("trade_count", col("trade_count").cast("long"))
+    countCols.foldLeft(renameIfPresent(dropped, "symbol" -> "ticker")) {
+      (d, c) => d.withColumn(c, col(c).cast("long"))
+    }
   }
 }

@@ -1,0 +1,169 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Text
+import graft.operators.{Analytics, Dedup, Fill, Transforms}
+
+/** Unit specs for the §2 operator semantics over tiny in-memory frames,
+  * covering the edge cases the reference encodes (SURVEY.md §5.2):
+  * missing columns, empty input, all-null fill groups, text cleaning.
+  */
+class TransformsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  // --- F1 clean_text_for_nlp -------------------------------------------
+
+  test("cleanTextForNlp strips tags, urls, truncation markers, junk") {
+    val df = Seq(
+      ("<b>Hello</b> WORLD http://x.co/a?b=1 rest", "hello world rest"),
+      ("Truncated story [+1234 chars]", "truncated story"),
+      ("keep.words! and?  spaces,;#", "keep.words! and? spaces"),
+      (null.asInstanceOf[String], "")
+    ).toDF("in", "want")
+    val got = df.select(Text.cleanTextForNlp($"in").as("got"), $"want").collect()
+    got.foreach(r => assert(r.getString(0) === r.getString(1)))
+  }
+
+  // --- D1/D2 keep-first dedup ------------------------------------------
+
+  test("keepFirst keeps the row with the smallest order column") {
+    val df = Seq(("a", 2, "second"), ("a", 1, "first"), ("b", 5, "only"))
+      .toDF("k", "ord", "v")
+    val out = Dedup.keepFirst(df, Seq("k"), Seq($"ord")).orderBy("k")
+      .select("v").as[String].collect()
+    assert(out.toSeq === Seq("first", "only"))
+  }
+
+  test("keepFirst is idempotent") {
+    val df = Seq(("a", 2), ("a", 1), ("b", 3)).toDF("k", "ord")
+    val once = Dedup.keepFirst(df, Seq("k"), Seq($"ord"))
+    val twice = Dedup.keepFirst(once, Seq("k"), Seq($"ord"))
+    assert(once.orderBy("k").collect().toSeq === twice.orderBy("k").collect().toSeq)
+  }
+
+  // --- D3 anti-join / K2 idempotent append -----------------------------
+
+  test("idempotentAppend adds zero rows when reloading the same batch") {
+    val existing = Seq((1, "x"), (2, "y")).toDF("id", "v")
+    val once = Dedup.idempotentAppend(existing, existing, Seq("id"))
+    assert(once.count() === 2)
+    val incoming = Seq((2, "y2"), (3, "z")).toDF("id", "v")
+    val merged = Dedup.idempotentAppend(existing, incoming, Seq("id"))
+    assert(merged.count() === 3) // id=2 not duplicated, id=3 appended
+  }
+
+  // --- W1/W2 fill -------------------------------------------------------
+
+  test("ffillBfill: mid nulls take previous, leading take following, all-null stays null") {
+    val df = Seq(
+      ("g1", 1, Some(10.0)), ("g1", 2, None), ("g1", 3, Some(30.0)),
+      ("g2", 1, None), ("g2", 2, Some(5.0)),
+      ("g3", 1, None), ("g3", 2, None)
+    ).toDF("k", "t", "v")
+    val out = df.withColumn("f",
+        Fill.ffillBfill(Seq($"k"), Seq($"t"))($"v"))
+      .orderBy("k", "t").select("f").collect().map(r => Option(r.get(0)))
+    assert(out.toSeq === Seq(
+      Some(10.0), Some(10.0), Some(30.0), // g1: ffill
+      Some(5.0), Some(5.0),               // g2: bfill leading null
+      None, None))                        // g3: all-null untouched
+  }
+
+  // --- pipelines: totality ---------------------------------------------
+
+  test("transformNews: empty input yields empty output, not an error") {
+    val empty = Seq.empty[(String, String, String, String, String)]
+      .toDF("url", "title", "content", "description", "publishedAt")
+      .withColumn("author", lit(null.asInstanceOf[String]))
+    assert(Transforms.transformNews(empty, col("url")).count() === 0)
+  }
+
+  test("transformNews: missing optional columns tolerated (no source/urlToImage)") {
+    val df = Seq(("u1", "T", "body", "desc", "2024-01-01 00:00:00", "a"))
+      .toDF("url", "title", "content", "description", "publishedAt", "author")
+    val out = Transforms.transformNews(df, col("url"))
+    assert(out.count() === 1)
+    assert(out.columns.contains("title_cleaned"))
+  }
+
+  test("transformNews: content coalesce + defaults") {
+    val df = Seq(
+      ("u1", null, null, null, "2024-01-01 00:00:00", null),
+      ("u2", "T2", null, "D2", "2024-01-01 00:00:00", "A2"))
+      .toDF("url", "title", "content", "description", "publishedAt", "author")
+    val out = Transforms.transformNews(df, col("url")).orderBy("url")
+      .select("content", "author").collect()
+    assert(out(0).getString(0) === "Untitled Article") // content <- defaulted title
+    assert(out(0).getString(1) === "No Author")
+    assert(out(1).getString(0) === "D2") // content <- description
+  }
+
+  test("transformPosts: link posts without article timestamp are dropped") {
+    val df = Seq(
+      // (reddit_id, subreddit, title, selftext, score, num_comments,
+      //  is_text_post, url, link_flair_text, upvote_ratio, permalink,
+      //  published_at, article_published_at)
+      ("r1", "s", "t", "b", 1L, 1L, false, "http://a", "f", 0.9, "p1", 1.7e9, null),
+      ("r2", "s", "t", "b", 1L, 1L, false, "http://a", "f", 0.9, "p2", 1.7e9, "2024-01-01 00:00:00"),
+      ("r3", "s", "t", "b", 1L, 1L, true, null, "f", 0.9, "p3", 1.7e9, null))
+      .toDF("reddit_id", "subreddit", "title", "selftext", "score",
+        "num_comments", "is_text_post", "url", "link_flair_text",
+        "upvote_ratio", "permalink", "published_at", "article_published_at")
+    val out = Transforms.transformPosts(df, col("reddit_id"))
+    assert(out.select("reddit_id").as[String].collect().sorted.toSeq === Seq("r2", "r3"))
+  }
+
+  test("transformBars: junk coerces to null then fills; counts zero-filled") {
+    val df = Seq(
+      ("A", "2024-01-01 00:00:00", "junk", "10"),
+      ("A", "2024-01-01 00:01:00", "11.5", null),
+      ("A", "2024-01-01 00:02:00", null, "30"))
+      .toDF("symbol", "timestamp", "close", "volume")
+    val out = Transforms.transformBars(df).orderBy("timestamp")
+    assert(out.columns.contains("ticker"))
+    val rows = out.select("close", "volume").collect()
+    assert(rows.map(_.getDouble(0)).toSeq === Seq(11.5, 11.5, 11.5)) // bfill, raw, ffill
+    assert(rows.map(_.getLong(1)).toSeq === Seq(10L, 0L, 30L))
+  }
+
+  // --- as-of join -------------------------------------------------------
+
+  test("asOfJoin picks latest quote at-or-before probe ts") {
+    val probe = Seq((1L, "k", 100L), (2L, "k", 250L), (3L, "k", 50L))
+      .toDF("pid", "k", "t")
+    val quote = Seq(("k", 100L, 10L, 1.0), ("k", 200L, 11L, 2.0))
+      .toDF("k", "t", "qid", "px")
+    val out = Analytics.asOfJoin(
+        probe.withColumnRenamed("pid", "tb"), // tiebreak col shared name
+        quote.withColumnRenamed("qid", "tb"),
+        "k", "t", "tb", Seq("px"))
+      .orderBy("t").select("px").collect().map(r => Option(r.get(0)))
+    // t=50 -> no quote yet (null); t=100 -> quote@100; t=250 -> quote@200
+    assert(out.toSeq === Seq(None, Some(1.0), Some(2.0)))
+  }
+
+  // --- sessionize -------------------------------------------------------
+
+  test("sessionize splits on gaps greater than the threshold") {
+    val df = Seq(
+      (1L, "u", java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      (2L, "u", java.sql.Timestamp.valueOf("2024-01-01 00:10:00")),
+      (3L, "u", java.sql.Timestamp.valueOf("2024-01-01 02:00:00")))
+      .toDF("id", "u", "ts")
+    val out = Analytics.sessionize(df, Seq($"u"), $"ts", $"id", gapSeconds = 1800)
+      .orderBy("ts").select("session_id").as[Long].collect()
+    assert(out.toSeq === Seq(1L, 1L, 2L))
+  }
+}
