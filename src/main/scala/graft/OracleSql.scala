@@ -118,7 +118,7 @@ object OracleSql {
         |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin,
 
     "q_star_join" ->
-      """SELECT r_name, n_name, month(o_orderdate) AS order_month,
+      """SELECT r_name, n_name, CAST(month(o_orderdate) AS INTEGER) AS order_month,
         |  sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10)))
         |    AS revenue,
         |  count(*) AS n_items
@@ -369,5 +369,232 @@ object OracleSql {
         |WHERE open IS NOT NULL AND high IS NOT NULL AND low IS NOT NULL
         |  AND close IS NOT NULL AND vwap IS NOT NULL
         |ORDER BY ticker, bar_ts""".stripMargin,
+
+    "q_dedup_exact" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text, n_chars FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text, n_chars FROM documents),
+        |dd AS (
+        |  SELECT *, row_number() OVER (PARTITION BY md5(text)
+        |    ORDER BY doc_id) AS rn FROM corpus)
+        |SELECT doc_id, n_chars FROM dd WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "q_minhash_pairs" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id AS key, text AS t FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, substr(text, 1, length(text) - 10)
+         |  FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT key, substr(t, i, 8) AS shingle FROM (
+         |    SELECT key, t,
+         |      unnest(generate_series(1, greatest(length(t) - 7, 1))) AS i
+         |    FROM corpus)),
+         |mh AS (
+         |  SELECT key, seed,
+         |    min(md5(CAST(seed AS VARCHAR) || '#' || shingle)) AS mh
+         |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS seed)
+         |  GROUP BY key, seed),
+         |bands AS (
+         |  SELECT key, seed // 2 AS band,
+         |    min(CASE WHEN seed % 2 = 0 THEN mh END) || '|' ||
+         |    min(CASE WHEN seed % 2 = 1 THEN mh END) AS band_val
+         |  FROM mh GROUP BY key, seed // 2),
+         |cand AS (
+         |  SELECT DISTINCT a.key AS key_a, b.key AS key_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_val = b.band_val AND a.key < b.key),
+         |cnt AS (SELECT key, count(*) AS cnt FROM sh GROUP BY key),
+         |inter AS (
+         |  SELECT c.key_a, c.key_b, count(*) AS n_inter
+         |  FROM cand c
+         |  JOIN sh a ON a.key = c.key_a
+         |  JOIN sh b ON b.key = c.key_b AND b.shingle = a.shingle
+         |  GROUP BY c.key_a, c.key_b),
+         |jac AS (
+         |  SELECT i.key_a, i.key_b,
+         |    CAST(n_inter AS DOUBLE) /
+         |      CAST(ca.cnt + cb.cnt - n_inter AS DOUBLE) AS jacc
+         |  FROM inter i
+         |  JOIN cnt ca ON ca.key = i.key_a
+         |  JOIN cnt cb ON cb.key = i.key_b)
+         |SELECT key_a, key_b, jacc FROM jac WHERE jacc >= 0.5
+         |ORDER BY key_a, key_b""".stripMargin,
+
+    "q_simhash" -> {
+      val sums = (0 until 16).map(b =>
+        s"sum(CASE WHEN substr(h, ${b + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS s$b")
+        .mkString(",\n    ")
+      val bits = (0 until 16).map(b =>
+        s"CASE WHEN s$b > 0 THEN '1' ELSE '0' END").mkString(" || ")
+      s"""WITH tok AS (
+         |  SELECT doc_id AS key,
+         |    md5(unnest(string_split_regex(text, '\\s+'))) AS h
+         |  FROM documents),
+         |votes AS (
+         |  SELECT key,
+         |    $sums
+         |  FROM tok WHERE h IS NOT NULL GROUP BY key)
+         |SELECT key, $bits AS simhash FROM votes ORDER BY key""".stripMargin
+    },
+
+    "q_ngram_jaccard" ->
+      """WITH corpus AS (
+        |  SELECT doc_id AS key, text AS t FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, substr(text, 1, length(text) - 10)
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT key, substr(t, i, 8) AS shingle FROM (
+        |    SELECT key, t,
+        |      unnest(generate_series(1, greatest(length(t) - 7, 1))) AS i
+        |    FROM corpus)),
+        |pairs AS (
+        |  SELECT doc_id AS key_a, doc_id + 1000000 AS key_b FROM documents),
+        |cnt AS (SELECT key, count(*) AS cnt FROM sh GROUP BY key),
+        |inter AS (
+        |  SELECT p.key_a, p.key_b, count(*) AS n_inter
+        |  FROM pairs p
+        |  JOIN sh a ON a.key = p.key_a
+        |  JOIN sh b ON b.key = p.key_b AND b.shingle = a.shingle
+        |  GROUP BY p.key_a, p.key_b)
+        |SELECT i.key_a, i.key_b, n_inter,
+        |  CAST(n_inter AS DOUBLE) /
+        |    CAST(ca.cnt + cb.cnt - n_inter AS DOUBLE) AS jacc
+        |FROM inter i
+        |JOIN cnt ca ON ca.key = i.key_a
+        |JOIN cnt cb ON cb.key = i.key_b
+        |ORDER BY key_a""".stripMargin,
+
+    "q_cosine_topk" ->
+      """WITH n AS (
+        |  SELECT vec_id, embedding,
+        |    list_aggregate(list_transform(generate_series(1, 64),
+        |      i -> CAST(CAST(embedding[i] AS DOUBLE) *
+        |                CAST(embedding[i] AS DOUBLE) AS DECIMAL(30,12))),
+        |      'sum') AS n2
+        |  FROM embeddings),
+        |q AS (SELECT * FROM n WHERE vec_id < 10),
+        |p AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_aggregate(list_transform(generate_series(1, 64),
+        |      i -> CAST(CAST(q.embedding[i] AS DOUBLE) *
+        |                CAST(c.embedding[i] AS DOUBLE) AS DECIMAL(30,12))),
+        |      'sum') AS dot,
+        |    q.n2 AS qn2, c.n2 AS nn2
+        |  FROM q, n c WHERE c.vec_id <> q.vec_id),
+        |s AS (
+        |  SELECT query_id, neighbor_id,
+        |    CAST(dot AS DOUBLE) /
+        |      (sqrt(CAST(qn2 AS DOUBLE)) * sqrt(CAST(nn2 AS DOUBLE))) AS cos
+        |  FROM p),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos DESC, neighbor_id) AS rnk FROM s)
+        |SELECT query_id, neighbor_id, cos, CAST(rnk AS INTEGER) AS rnk
+        |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    "q_ann_bucketed" ->
+      """WITH n AS (
+        |  SELECT vec_id, embedding,
+        |    list_aggregate(list_transform(generate_series(1, 64),
+        |      i -> CAST(CAST(embedding[i] AS DOUBLE) *
+        |                CAST(embedding[i] AS DOUBLE) AS DECIMAL(30,12))),
+        |      'sum') AS n2,
+        |    (CASE WHEN CAST(embedding[1] AS DOUBLE) >= 0 THEN '1' ELSE '0' END ||
+        |     CASE WHEN CAST(embedding[2] AS DOUBLE) >= 0 THEN '1' ELSE '0' END ||
+        |     CASE WHEN CAST(embedding[3] AS DOUBLE) >= 0 THEN '1' ELSE '0' END ||
+        |     CASE WHEN CAST(embedding[4] AS DOUBLE) >= 0 THEN '1' ELSE '0' END)
+        |      AS bucket
+        |  FROM embeddings),
+        |q AS (SELECT * FROM n WHERE vec_id < 10),
+        |p AS (
+        |  SELECT q.vec_id AS query_id, q.bucket, c.vec_id AS neighbor_id,
+        |    list_aggregate(list_transform(generate_series(1, 64),
+        |      i -> CAST(CAST(q.embedding[i] AS DOUBLE) *
+        |                CAST(c.embedding[i] AS DOUBLE) AS DECIMAL(30,12))),
+        |      'sum') AS dot,
+        |    q.n2 AS qn2, c.n2 AS nn2
+        |  FROM q JOIN n c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id),
+        |s AS (
+        |  SELECT query_id, bucket, neighbor_id,
+        |    CAST(dot AS DOUBLE) /
+        |      (sqrt(CAST(qn2 AS DOUBLE)) * sqrt(CAST(nn2 AS DOUBLE))) AS cos
+        |  FROM p),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos DESC, neighbor_id) AS rnk FROM s)
+        |SELECT query_id, bucket, neighbor_id, cos, CAST(rnk AS INTEGER) AS rnk
+        |FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+
+    "q_lang_id" ->
+      """WITH m(cand_lang, pattern) AS (VALUES
+        |  ('en', '\b(the|a|and|of)\b'),
+        |  ('es', '\b(scan|row|data)\b'),
+        |  ('de', '\b(join|merge|hash)\b'),
+        |  ('fr', '\b(table|filter|sort)\b'),
+        |  ('zh', '\b(query|group|order)\b')),
+        |s AS (
+        |  SELECT doc_id AS key, cand_lang,
+        |    CAST(len(regexp_extract_all(lower(text), pattern)) AS INTEGER)
+        |      AS hits
+        |  FROM documents, m),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY key
+        |    ORDER BY hits DESC, cand_lang) AS rn FROM s)
+        |SELECT key, cand_lang AS pred_lang, hits FROM r WHERE rn = 1
+        |ORDER BY key""".stripMargin,
+
+    "q_quality_score" ->
+      """WITH f AS (
+        |  SELECT doc_id AS key,
+        |    CAST(length(text) AS INTEGER) AS n_chars,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER)
+        |      AS n_tokens,
+        |    CAST(len(regexp_extract_all(text, '[.!?]')) AS DOUBLE) /
+        |      CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio,
+        |    CAST(len(regexp_extract_all(lower(text),
+        |      '\b(the|a|and|of|to|in)\b')) AS DOUBLE) /
+        |      CAST(greatest(len(string_split_regex(trim(text), '\s+')), 1)
+        |        AS DOUBLE) AS stop_ratio
+        |  FROM documents)
+        |SELECT key, n_chars, n_tokens, punct_ratio, stop_ratio,
+        |  CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS avg_token_len,
+        |  least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5 +
+        |    stop_ratio * 0.25 + punct_ratio * 0.25 AS score
+        |FROM f ORDER BY key""".stripMargin,
+
+    "q_token_count" ->
+      """SELECT doc_id AS key,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER)
+        |    AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS n_bpe_tokens
+        |FROM documents ORDER BY key""".stripMargin,
+
+    "q_fingerprint" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT key, substr(t, i, 8) AS shingle FROM (
+        |    SELECT doc_id AS key, text AS t,
+        |      unnest(generate_series(1, greatest(length(text) - 7, 1))) AS i
+        |    FROM documents)),
+        |h AS (
+        |  SELECT key, md5(shingle) AS h,
+        |    row_number() OVER (PARTITION BY key ORDER BY md5(shingle)) AS rn
+        |  FROM sh)
+        |SELECT key, string_agg(h, '' ORDER BY h) AS fingerprint
+        |FROM h WHERE rn <= 4 GROUP BY key ORDER BY key""".stripMargin,
+
+    "q_multimodal" ->
+      """SELECT doc_id,
+        |  CASE WHEN n_chars % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt,
+        |  CAST(n_chars % 640 + 1 AS INTEGER) AS width,
+        |  CAST(n_chars % 480 + 1 AS INTEGER) AS height,
+        |  CAST((n_chars % 640 + 1) * (n_chars % 480 + 1) AS BIGINT)
+        |    AS n_pixels,
+        |  n_chars AS n_bytes,
+        |  md5(text) AS digest
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

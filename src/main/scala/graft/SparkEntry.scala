@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Text
-import graft.operators.{Analytics, Dedup, Fill, Transforms}
+import graft.operators.{Analytics, Dedup, Fill, Multimodal, NearDup, Similarity, TextAnalysis, Transforms}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -352,6 +352,106 @@ object SparkEntry {
           col("open"), col("high"), col("low"), col("close"), col("vwap"),
           col("volume"), col("trade_count"))
         .orderBy("ticker", "bar_ts")
+    }),
+
+    // ---------------------------------------------------------------
+    // Training-data pipeline operators (builder prompt: dedup /
+    // similarity / text analysis / multimodal)
+    // ---------------------------------------------------------------
+
+    // Exact content dedup: hash-groupBy on md5 digest, keep-min-id.
+    // Corpus = documents ∪ exact copies (ids offset) so real dups exist.
+    "q_dedup_exact" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id", "text", "n_chars")
+      val corpus = d.unionByName(
+        d.select((col("doc_id") + 1000000).as("doc_id"), col("text"), col("n_chars")))
+      Dedup.exactDedup(corpus, md5(col("text")), Seq(col("doc_id")))
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    }),
+
+    // MinHash + LSH near-dup pairs over documents ∪ truncated copies
+    // (last 10 chars cut — true near-dups the bands must catch).
+    "q_minhash_pairs" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val corpus = d.select(col("doc_id"), col("text")).unionByName(
+        d.select((col("doc_id") + 1000000).as("doc_id"),
+          col("text").substr(lit(1), length(col("text")) - 10).as("text")))
+      NearDup.minhashPairs(corpus, col("doc_id"), col("text"),
+          n = 8, k = 8, threshold = 0.5)
+        .orderBy("key_a", "key_b")
+    }),
+
+    // 16-bit SimHash fingerprints over whitespace tokens.
+    "q_simhash" -> ((s, dir) => {
+      NearDup.simhash16(t(s, dir, "documents"), col("doc_id"), col("text"))
+        .orderBy("key")
+    }),
+
+    // Brute-force n-gram Jaccard on known candidate pairs (LSH baseline).
+    "q_ngram_jaccard" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val corpus = d.select(col("doc_id"), col("text")).unionByName(
+        d.select((col("doc_id") + 1000000).as("doc_id"),
+          col("text").substr(lit(1), length(col("text")) - 10).as("text")))
+      val pairs = d.select(col("doc_id").as("key_a"),
+        (col("doc_id") + 1000000).as("key_b"))
+      NearDup.ngramJaccard(corpus, col("doc_id"), col("text"), pairs, n = 8)
+        .select("key_a", "key_b", "n_inter", "jacc")
+        .orderBy("key_a")
+    }),
+
+    // Brute-force cosine top-k ANN baseline (decimal-exact dot products).
+    "q_cosine_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.cosineTopK(emb.filter(col("vec_id") < 10), emb,
+          "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank").as("rnk"))
+        .orderBy("query_id", "rnk")
+    }),
+
+    // Sign-LSH bucketed ANN — the scale path (join on bucket, not cross).
+    "q_ann_bucketed" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bucketedTopK(emb.filter(col("vec_id") < 10), emb,
+          "vec_id", "embedding", nBits = 4, k = 3)
+        .select(col("query_id"), col("bucket"), col("neighbor_id"), col("cos"),
+          col("rank").as("rnk"))
+        .orderBy("query_id", "rnk")
+    }),
+
+    // Heuristic language id: marker-pattern scoring + per-doc argmax.
+    "q_lang_id" -> ((s, dir) => {
+      TextAnalysis.langId(t(s, dir, "documents"), col("doc_id"), col("text"))(s)
+        .orderBy("key")
+    }),
+
+    // Quality scoring: length/punct/stopword features + combined score.
+    "q_quality_score" -> ((s, dir) => {
+      TextAnalysis.qualityScore(t(s, dir, "documents"), col("doc_id"), col("text"))
+        .orderBy("key")
+    }),
+
+    // Token counting: whitespace + BPE-ish subword pre-tokenizer.
+    "q_token_count" -> ((s, dir) => {
+      TextAnalysis.tokenCounts(t(s, dir, "documents"), col("doc_id"), col("text"))
+        .orderBy("key")
+    }),
+
+    // Winnowing-lite fingerprints (4 smallest shingle hashes).
+    "q_fingerprint" -> ((s, dir) => {
+      TextAnalysis.fingerprint(t(s, dir, "documents"), col("doc_id"), col("text"),
+          n = 8, take = 4)
+        .orderBy("key")
+    }),
+
+    // Multimodal: binary payload + metadata struct + per-partition decode
+    // (stubbed deterministically; plumbing is real — see Multimodal).
+    "q_multimodal" -> ((s, dir) => {
+      Multimodal.decodeFeatures(
+        Multimodal.withPayload(t(s, dir, "documents"),
+          col("doc_id"), col("text"), col("n_chars")))
+        .orderBy("doc_id")
     }),
   )
 

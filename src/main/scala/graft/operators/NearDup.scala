@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection for document corpora — the operators a
+  * large-scale training-data pipeline needs (builder prompt; extends
+  * SURVEY.md §2.4 beyond the reference's exact dedup).
+  *
+  * All hashing is md5-hex over explicit seed-prefixed strings so the
+  * DuckDB oracle computes bit-identical signatures. Everything is
+  * built-in expressions (codegen'd) — no UDFs.
+  *
+  * Scale design (100 TB):
+  *  - shingling is a narrow per-row explode (no shuffle);
+  *  - minhash signatures are ONE hash-partition aggregate on doc key;
+  *  - LSH banding turns all-pairs O(n²) into a self-join on
+  *    (band, band-value) buckets — only docs sharing a band collide, so
+  *    the shuffle carries (key, 2·k hex strings) per doc, never the text;
+  *  - exact Jaccard verification runs only on surviving candidate pairs.
+  */
+object NearDup {
+
+  /** Distinct character n-gram shingles per key: (key, shingle) rows.
+    * Documents shorter than n contribute their whole text as one shingle
+    * (`greatest(…,1)` — DuckDB's generate_series would yield none, Spark's
+    * sequence would run descending; both sides use the same floor).
+    */
+  def shingles(df: DataFrame, key: Column, text: Column, n: Int): DataFrame =
+    df.select(key.as("key"), text.as("t"))
+      .withColumn("i",
+        explode(sequence(lit(1), greatest(length(col("t")) - (n - 1), lit(1)))))
+      .select(col("key"), col("t").substr(col("i"), lit(n)).as("shingle"))
+      .distinct()
+
+  /** MinHash signature: k independent hash functions h_i(s) =
+    * md5(i || '#' || s); signature element i is the minimum over the
+    * doc's shingles (hex-string order == unsigned numeric order).
+    */
+  def minhashSig(sh: DataFrame, k: Int): DataFrame =
+    sh.withColumn("seed", explode(array((0 until k).map(lit(_)): _*)))
+      .groupBy(col("key"), col("seed"))
+      .agg(min(md5(concat(col("seed").cast("string"), lit("#"), col("shingle"))))
+        .as("mh"))
+
+  /** LSH banding with 2 rows per band: band b = sig[2b] ++ '|' ++ sig[2b+1].
+    * One aggregate per (key, band); conditional min() picks each row of the
+    * band deterministically (the group holds exactly seeds 2b and 2b+1).
+    */
+  def lshBands(sig: DataFrame): DataFrame =
+    sig.groupBy(col("key"), (col("seed") / 2).cast("int").as("band"))
+      .agg(concat(
+        min(when(col("seed") % 2 === 0, col("mh"))), lit("|"),
+        min(when(col("seed") % 2 === 1, col("mh")))).as("band_val"))
+
+  /** Candidate pairs: keys sharing at least one (band, band_val) bucket. */
+  def candidatePairs(bands: DataFrame): DataFrame = {
+    val a = bands.select(col("key").as("key_a"), col("band"), col("band_val"))
+    val b = bands.select(col("key").as("key_b"), col("band"), col("band_val"))
+    a.join(b, Seq("band", "band_val"))
+      .filter(col("key_a") < col("key_b"))
+      .select("key_a", "key_b").distinct()
+  }
+
+  /** Exact Jaccard similarity over shingle sets for given candidate pairs.
+    * intersection via double join on shingle; |A∪B| = |A| + |B| − |A∩B|.
+    */
+  def jaccard(pairs: DataFrame, sh: DataFrame): DataFrame = {
+    val counts = sh.groupBy("key").agg(count(lit(1)).as("cnt"))
+    val a = sh.select(col("key").as("key_a"), col("shingle"))
+    val b = sh.select(col("key").as("key_b"), col("shingle"))
+    val inter = pairs.join(a, Seq("key_a")).join(b, Seq("key_b", "shingle"))
+      .groupBy("key_a", "key_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(counts.select(col("key").as("key_a"), col("cnt").as("cnt_a")), Seq("key_a"))
+      .join(counts.select(col("key").as("key_b"), col("cnt").as("cnt_b")), Seq("key_b"))
+      .withColumn("jacc",
+        col("n_inter").cast("double") /
+          (col("cnt_a") + col("cnt_b") - col("n_inter")).cast("double"))
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: shingle → sign → band → bucket
+    * join → exact-Jaccard verify → pairs above threshold.
+    */
+  def minhashPairs(
+      df: DataFrame, key: Column, text: Column,
+      n: Int, k: Int, threshold: Double): DataFrame = {
+    val sh = shingles(df, key, text, n)
+    val pairs = candidatePairs(lshBands(minhashSig(sh, k)))
+    jaccard(pairs, sh).filter(col("jacc") >= threshold)
+      .select("key_a", "key_b", "jacc")
+  }
+
+  /** 16-bit SimHash over whitespace tokens. Bit b of a token's hash is
+    * "hex digit b of md5(token) ≥ '8'" (the high bit of that nibble);
+    * the fingerprint bit is the sign of the ±1 vote sum. Returned as a
+    * 16-char '0'/'1' string (MSB-free representation, oracle-friendly).
+    */
+  def simhash16(df: DataFrame, key: Column, text: Column): DataFrame = {
+    val tok = df.select(key.as("key"), explode(split(text, "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+      .withColumn("h", md5(col("token")))
+    val votes = (0 until 16).map { b =>
+      sum(when(substring(col("h"), b + 1, 1) >= "8", 1).otherwise(-1)).as(s"s$b")
+    }
+    val bits = (0 until 16).map(b => when(col(s"s$b") > 0, "1").otherwise("0"))
+    tok.groupBy("key").agg(votes.head, votes.tail: _*)
+      .select(col("key"), concat(bits: _*).as("simhash"))
+  }
+
+  /** Exact n-gram Jaccard for explicitly supplied pairs (no LSH pruning) —
+    * the brute-force baseline for [[minhashPairs]]'s candidate stage.
+    */
+  def ngramJaccard(
+      df: DataFrame, key: Column, text: Column,
+      pairs: DataFrame, n: Int): DataFrame =
+    jaccard(pairs, shingles(df, key, text, n))
+}

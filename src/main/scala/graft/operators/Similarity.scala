@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search (builder prompt: ANN over an
+  * `Array[Float]` column — brute-force cosine as the correctness
+  * baseline, sign-LSH bucketing as the scale path).
+  *
+  * Determinism policy: dot products fold per-element double products into
+  * a DECIMAL(30,12) accumulator. Element products are single IEEE ops
+  * (identical everywhere); decimal addition is exact and associative, so
+  * Spark's evaluation equals DuckDB's regardless of order. The final
+  * cos = dot/(√n2a·√n2b) is then a fixed sequence of double ops on
+  * identical inputs — bit-identical across engines.
+  *
+  * Scale design: norms are precomputed per vector (one narrow pass);
+  * brute force is query-side-broadcast nested loop (fine for a bounded
+  * query set); the bucketed variant prunes candidates to equal sign
+  * patterns so the join is a hash join on the bucket key — at 1000
+  * executors the vector table stays partitioned, only buckets shuffle.
+  */
+object Similarity {
+
+  /** Exact decimal dot product of two float-array columns. */
+  def dotDecimal(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(BigDecimal(0)).cast("decimal(30,12)"),
+      (acc, x) => (acc + x.cast("decimal(30,12)")).cast("decimal(30,12)"))
+
+  /** Cosine from decimal dot/norms — fixed double op sequence. */
+  private def cosine(dot: Column, n2a: Column, n2b: Column): Column =
+    dot.cast("double") / (sqrt(n2a.cast("double")) * sqrt(n2b.cast("double")))
+
+  /** Attach squared-norm column `n2` (one pass, reused by every pair). */
+  def withNorm2(df: DataFrame, vec: Column): DataFrame =
+    df.withColumn("n2", dotDecimal(vec, vec))
+
+  /** Brute-force cosine top-k: for each query vector, the k most similar
+    * non-self vectors. `queries` and `corpus` must both carry
+    * (idCol, vecCol).
+    */
+  def cosineTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = withNorm2(queries, col(vecCol))
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("n2").as("qn2"))
+    val c = withNorm2(corpus, col(vecCol))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"), col("n2").as("nn2"))
+    val scored = broadcast(q).crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(dotDecimal(col("qv"), col("nv")), col("qn2"), col("nn2")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
+  /** Sign-LSH bucket: concatenated sign bits of the first `nBits`
+    * dimensions (axis-aligned random-hyperplane LSH with fixed planes —
+    * deterministic and oracle-expressible).
+    */
+  def signBucket(vec: Column, nBits: Int): Column =
+    concat((1 to nBits).map(i =>
+      when(element_at(vec, i) >= 0f, "1").otherwise("0")): _*)
+
+  /** Bucketed ANN: candidates limited to the query's sign bucket, then
+    * exact cosine top-k within the bucket. The scale path: the corpus
+    * never fully cross-joins; the join key is the bucket.
+    */
+  def bucketedTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, nBits: Int, k: Int): DataFrame = {
+    val q = withNorm2(queries, col(vecCol))
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("n2").as("qn2"),
+        signBucket(col(vecCol), nBits).as("bucket"))
+    val c = withNorm2(corpus, col(vecCol))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"), col("n2").as("nn2"),
+        signBucket(col(vecCol), nBits).as("bucket"))
+    val scored = broadcast(q).join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(dotDecimal(col("qv"), col("nv")), col("qn2"), col("nn2")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "bucket", "neighbor_id", "cos", "rank")
+  }
+}

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** Corpus text analysis for training-data curation (builder prompt):
+  * language id, quality scoring, token counting, fingerprinting. All
+  * built-in expressions; every op is embarrassingly parallel (no shuffle
+  * except the explicit per-doc aggregates), so they scale linearly with
+  * executors.
+  */
+object TextAnalysis {
+
+  /** Marker-token sets per language for the n-gram/stopword heuristic
+    * language-id. On real corpora these are per-language stopwords; the
+    * mechanism (pattern-hit scoring + argmax) is the operator under test.
+    */
+  val langMarkers: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|a|and|of)\\b",
+    "es" -> "\\b(scan|row|data)\\b",
+    "de" -> "\\b(join|merge|hash)\\b",
+    "fr" -> "\\b(table|filter|sort)\\b",
+    "zh" -> "\\b(query|group|order)\\b")
+
+  /** Language id: score each candidate language by marker-pattern hit
+    * count, pick the argmax (ties broken by language code). One cross
+    * join against a tiny literal dim (broadcast) + one window argmax.
+    */
+  def langId(df: DataFrame, key: Column, text: Column)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val markers = langMarkers.toDF("cand_lang", "pattern")
+    val scored = df.select(key.as("key"), text.as("t"))
+      .crossJoin(broadcast(markers))
+      .withColumn("hits", regexp_count(lower(col("t")), col("pattern")))
+    val w = Window.partitionBy(col("key")).orderBy(col("hits").desc, col("cand_lang"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("key"), col("cand_lang").as("pred_lang"), col("hits"))
+  }
+
+  /** Quality features + a combined score. Every ratio is a fixed double
+    * op sequence (oracle bit-parity); callers choose thresholds.
+    */
+  def qualityScore(df: DataFrame, key: Column, text: Column): DataFrame = {
+    val stops = Seq("the", "a", "and", "of", "to", "in")
+    df.select(key.as("key"), text.as("t"))
+      .withColumn("n_chars", length(col("t")))
+      .withColumn("n_tokens", Text.wsTokenCount(col("t")))
+      .withColumn("punct_ratio", Text.punctRatio(col("t")))
+      .withColumn("stop_ratio", Text.stopwordRatio(col("t"), stops))
+      .withColumn("avg_token_len",
+        col("n_chars").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("score",
+        least(col("n_tokens").cast("double") / lit(100.0), lit(1.0)) * lit(0.5) +
+          col("stop_ratio") * lit(0.25) + col("punct_ratio") * lit(0.25))
+      .drop("t")
+  }
+
+  /** Token counts: whitespace tokens + BPE-ish subword pre-tokens. */
+  def tokenCounts(df: DataFrame, key: Column, text: Column): DataFrame =
+    df.select(key.as("key"),
+      Text.wsTokenCount(text).as("n_ws_tokens"),
+      Text.bpeishTokenCount(text).as("n_bpe_tokens"))
+
+  /** Document fingerprint (winnowing-lite): the `take` lexicographically
+    * smallest md5 hashes of the doc's char n-gram shingles, concatenated
+    * in order. Robust to small edits anywhere outside the selected
+    * grams; only (key, fingerprint) leaves the doc's partition.
+    */
+  def fingerprint(df: DataFrame, key: Column, text: Column, n: Int, take: Int): DataFrame = {
+    val hashed = NearDup.shingles(df, key, text, n)
+      .withColumn("h", md5(col("shingle")))
+    val w = Window.partitionBy(col("key")).orderBy(col("h"))
+    val top = hashed.withColumn("rn", row_number().over(w)).filter(col("rn") <= take)
+    val slots = (1 to take).map(i => min(when(col("rn") === i, col("h"))).as(s"h$i"))
+    top.groupBy("key").agg(slots.head, slots.tail: _*)
+      .select(col("key"), concat_ws("", (1 to take).map(i => col(s"h$i")): _*).as("fingerprint"))
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{NearDup, Similarity, TextAnalysis}
+
+class NearDupSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again"),
+    (2L, "the quick brown fox jumps over the lazy dog again and agai"), // near-dup of 1
+    (3L, "completely different content about database query engines here"),
+    (4L, "another unrelated string with nothing shared at all zzz")
+  ).toDF("doc_id", "text")
+
+  test("minhashPairs finds the planted near-duplicate and nothing else") {
+    val pairs = NearDup.minhashPairs(docs, col("doc_id"), col("text"),
+        n = 8, k = 8, threshold = 0.5)
+      .select("key_a", "key_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
+  test("jaccard of identical docs is 1.0") {
+    val two = Seq((1L, "abcdefgh ijklmnop"), (2L, "abcdefgh ijklmnop"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("key_a", "key_b")
+    val j = NearDup.ngramJaccard(two, col("doc_id"), col("text"), pairs, 8)
+      .select("jacc").as[Double].head()
+    assert(j === 1.0)
+  }
+
+  test("simhash16 is equal for identical docs, 16 bits long") {
+    val two = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "totally other words here"))
+      .toDF("doc_id", "text")
+    val fp = NearDup.simhash16(two, col("doc_id"), col("text"))
+      .orderBy("key").select("simhash").as[String].collect()
+    assert(fp(0) === fp(1))
+    assert(fp.forall(s => s.length == 16 && s.forall(c => c == '0' || c == '1')))
+  }
+
+  test("cosineTopK ranks an identical vector first with cos 1.0") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f, 0.0f)),   // identical to 0
+      (2L, Array(0.0f, 1.0f, 0.0f)),   // orthogonal
+      (3L, Array(-1.0f, 0.0f, 0.0f))   // opposite
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.cosineTopK(emb.filter($"vec_id" === 0), emb,
+        "vec_id", "embedding", k = 3)
+      .orderBy("rank").select("neighbor_id", "cos").as[(Long, Double)].collect()
+    assert(top(0) === ((1L, 1.0)))
+    assert(top(1)._2 === 0.0)
+    assert(top(2) === ((3L, -1.0)))
+  }
+
+  test("bucketedTopK only returns neighbors from the same sign bucket") {
+    val emb = Seq(
+      (0L, Array(1.0f, 1.0f, 1.0f, 1.0f)),
+      (1L, Array(2.0f, 1.0f, 3.0f, 1.0f)),   // same bucket (all positive)
+      (2L, Array(-1.0f, 1.0f, 1.0f, 1.0f))   // different bucket
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.bucketedTopK(emb.filter($"vec_id" === 0), emb,
+        "vec_id", "embedding", nBits = 4, k = 5)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(got === Set(1L))
+  }
+
+  test("langId picks the language whose markers dominate") {
+    val d = Seq((1L, "the cat and the hat of the house"),
+      (2L, "scan row data scan row data")).toDF("doc_id", "text")
+    val got = TextAnalysis.langId(d, col("doc_id"), col("text"))(spark)
+      .orderBy("key").select("pred_lang").as[String].collect()
+    assert(got.toSeq === Seq("en", "es"))
+  }
+
+  test("fingerprint changes only when low-hash shingles change") {
+    val d = Seq((1L, "abcdefghijklmnopqrstuvwxyz0123456789"))
+      .toDF("doc_id", "text")
+    val fp = TextAnalysis.fingerprint(d, col("doc_id"), col("text"), 8, 4)
+      .select("fingerprint").as[String].head()
+    assert(fp.length === 4 * 32) // 4 concatenated md5 hex digests
+  }
+}
