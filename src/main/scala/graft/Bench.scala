@@ -13,6 +13,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm the JVM/codegen paths so the first measured query doesn't pay
+    // session-startup cost (classloading, codegen compiler init)
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    try SparkEntry.entry(spark).count() catch { case _: Throwable => }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -387,9 +387,11 @@ object OracleSql {
          |  SELECT doc_id + 1000000, substr(text, 1, length(text) - 10)
          |  FROM documents),
          |sh AS (
-         |  SELECT DISTINCT key, substr(t, i, 8) AS shingle FROM (
-         |    SELECT key, t,
-         |      unnest(generate_series(1, greatest(length(t) - 7, 1))) AS i
+         |  SELECT DISTINCT key, array_to_string(w[i:i+4], ' ') AS shingle
+         |  FROM (
+         |    SELECT key, string_split_regex(t, '\\s+') AS w,
+         |      unnest(generate_series(1,
+         |        greatest(len(string_split_regex(t, '\\s+')) - 4, 1))) AS i
          |    FROM corpus)),
          |mh AS (
          |  SELECT key, seed,
@@ -585,6 +587,58 @@ object OracleSql {
         |  FROM sh)
         |SELECT key, string_agg(h, '' ORDER BY h) AS fingerprint
         |FROM h WHERE rn <= 4 GROUP BY key ORDER BY key""".stripMargin,
+
+    "q_stream_candles" ->
+      """SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE) AS vsum,
+        |  min(value) AS vmin, max(value) AS vmax
+        |FROM events GROUP BY 1, 2 ORDER BY user_id, day""".stripMargin,
+
+    "q_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    "q_stream_ffill" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, ts,
+        |    CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+        |  FROM events)
+        |SELECT event_id, user_id, ts,
+        |  last_value(v IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled
+        |FROM e ORDER BY user_id, ts, event_id""".stripMargin,
+
+    "q_explode_flatten" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_custkey IN (
+        |  SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_set_ops" ->
+      """SELECT user_id, 'both' AS rel FROM (
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+        |  INTERSECT
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+        |UNION ALL
+        |SELECT user_id, 'click_only' AS rel FROM (
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+        |  EXCEPT
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+        |ORDER BY rel, user_id""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT event_type, CAST(month(ts) AS INTEGER) AS m, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE) AS vsum
+        |FROM events
+        |GROUP BY ROLLUP(event_type, CAST(month(ts) AS INTEGER))
+        |ORDER BY event_type ASC NULLS FIRST, m ASC NULLS FIRST""".stripMargin,
 
     "q_multimodal" ->
       """SELECT doc_id,

@@ -378,7 +378,7 @@ object SparkEntry {
         d.select((col("doc_id") + 1000000).as("doc_id"),
           col("text").substr(lit(1), length(col("text")) - 10).as("text")))
       NearDup.minhashPairs(corpus, col("doc_id"), col("text"),
-          n = 8, k = 8, threshold = 0.5)
+          n = 5, k = 8, threshold = 0.5)
         .orderBy("key_a", "key_b")
     }),
 
@@ -452,6 +452,77 @@ object SparkEntry {
         Multimodal.withPayload(t(s, dir, "documents"),
           col("doc_id"), col("text"), col("n_chars")))
         .orderBy("doc_id")
+    }),
+
+    // ---------------------------------------------------------------
+    // Structured Streaming (§2.10) — AvailableNow over the landing dir;
+    // deterministic, so these carry full oracles too.
+    // ---------------------------------------------------------------
+
+    "q_stream_candles" -> ((s, dir) =>
+      graft.streaming.Streaming.streamingCandles(s, dir)
+        .orderBy("user_id", "day")),
+
+    "q_stream_dedup" -> ((s, dir) =>
+      graft.streaming.Streaming.streamingDedup(s, dir)
+        .orderBy("user_id", "event_type")),
+
+    "q_stream_ffill" -> ((s, dir) =>
+      graft.streaming.Streaming.streamingFfill(s, dir, nullEvery = 7)
+        .orderBy("user_id", "ts", "event_id")),
+
+    // S5 — map-of-lists flatten via explode (the Alpaca bar flatten,
+    // extraction.py:215-222): rebuild a nested shape then explode it.
+    "q_explode_flatten" -> ((s, dir) => {
+      val nested = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_list(struct(col("l_linenumber"), col("l_partkey"),
+          col("l_quantity")))).as("bars"))
+      nested.select(col("l_orderkey"), explode(col("bars")).as("b"))
+        .select(col("l_orderkey"), col("b.l_linenumber").as("l_linenumber"),
+          col("b.l_partkey").as("l_partkey"), col("b.l_quantity").as("l_quantity"))
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+    }),
+
+    // S6 — warehouse lookup scan: key-set membership as a semi-join
+    // (services/*_service.py `WHERE url IN (...)`).
+    "q_semi_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val hot = t(s, dir, "customer").filter(col("c_acctbal") > 5000)
+      o.join(broadcast(hot), o("o_custkey") === hot("c_custkey"), "left_semi")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
+    // O5 — set ops: intersect + except over projected key sets.
+    "q_set_ops" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clickers = ev.filter(col("event_type") === "click").select("user_id")
+      val buyers = ev.filter(col("event_type") === "purchase").select("user_id")
+      clickers.intersect(buyers).withColumn("rel", lit("both"))
+        .unionByName(clickers.distinct().exceptAll(buyers.distinct())
+          .withColumn("rel", lit("click_only")))
+        .orderBy("rel", "user_id")
+    }),
+
+    // A6+ — multi-level rollup (daily/monthly candle hierarchy).
+    "q_rollup" -> ((s, dir) => {
+      t(s, dir, "events")
+        .rollup(col("event_type"), month(col("ts")).cast("int").as("m"))
+        .agg(count(lit(1)).as("n"),
+          Analytics.exactSum(col("value")).cast("double").as("vsum"))
+        .orderBy(col("event_type").asc_nulls_first, col("m").asc_nulls_first)
+    }),
+
+    // A6+ — cardinality sketch (approx_count_distinct / HLL++). No
+    // DuckDB oracle: sketch estimates are implementation-defined, so the
+    // driver records the weaker rows-only check for this one.
+    "q_approx_distinct" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
     }),
   )
 

@@ -34,25 +34,42 @@ object NearDup {
       .select(col("key"), col("t").substr(col("i"), lit(n)).as("shingle"))
       .distinct()
 
+  /** Distinct word n-gram shingles per key. Preferred over char shingles
+    * for minhash: ~n× fewer shingles per doc (cheaper signatures and
+    * verification joins) and far more distinctive values, so LSH buckets
+    * stay small even on vocabulary-limited corpora.
+    */
+  def wordShingles(df: DataFrame, key: Column, text: Column, n: Int): DataFrame =
+    df.select(key.as("key"), split(text, "\\s+").as("w"))
+      .withColumn("i",
+        explode(sequence(lit(1), greatest(size(col("w")) - (n - 1), lit(1)))))
+      .select(col("key"),
+        array_join(slice(col("w"), col("i"), lit(n)), " ").as("shingle"))
+      .distinct()
+
   /** MinHash signature: k independent hash functions h_i(s) =
     * md5(i || '#' || s); signature element i is the minimum over the
     * doc's shingles (hex-string order == unsigned numeric order).
+    *
+    * Wide form: ONE aggregation computes all k minima as columns — no
+    * seed-explode (which would multiply the shuffle k×) and no second
+    * banding aggregation. The shuffle carries each shingle row once.
     */
-  def minhashSig(sh: DataFrame, k: Int): DataFrame =
-    sh.withColumn("seed", explode(array((0 until k).map(lit(_)): _*)))
-      .groupBy(col("key"), col("seed"))
-      .agg(min(md5(concat(col("seed").cast("string"), lit("#"), col("shingle"))))
-        .as("mh"))
+  def minhashSig(sh: DataFrame, k: Int): DataFrame = {
+    val mins = (0 until k).map(i =>
+      min(md5(concat(lit(s"$i#"), col("shingle")))).as(s"mh$i"))
+    sh.groupBy(col("key")).agg(mins.head, mins.tail: _*)
+  }
 
-  /** LSH banding with 2 rows per band: band b = sig[2b] ++ '|' ++ sig[2b+1].
-    * One aggregate per (key, band); conditional min() picks each row of the
-    * band deterministically (the group holds exactly seeds 2b and 2b+1).
+  /** LSH banding with 2 rows per band over the wide signature: band b =
+    * mh(2b) ++ '|' ++ mh(2b+1), unpivoted to (key, band, band_val) rows.
     */
-  def lshBands(sig: DataFrame): DataFrame =
-    sig.groupBy(col("key"), (col("seed") / 2).cast("int").as("band"))
-      .agg(concat(
-        min(when(col("seed") % 2 === 0, col("mh"))), lit("|"),
-        min(when(col("seed") % 2 === 1, col("mh")))).as("band_val"))
+  def lshBands(sig: DataFrame, k: Int): DataFrame = {
+    val pairsExpr = (0 until k / 2)
+      .map(b => s"$b, concat(mh${2 * b}, '|', mh${2 * b + 1})")
+      .mkString(", ")
+    sig.selectExpr("key", s"stack(${k / 2}, $pairsExpr) as (band, band_val)")
+  }
 
   /** Candidate pairs: keys sharing at least one (band, band_val) bucket. */
   def candidatePairs(bands: DataFrame): DataFrame = {
@@ -86,8 +103,11 @@ object NearDup {
   def minhashPairs(
       df: DataFrame, key: Column, text: Column,
       n: Int, k: Int, threshold: Double): DataFrame = {
-    val sh = shingles(df, key, text, n)
-    val pairs = candidatePairs(lshBands(minhashSig(sh, k)))
+    // the shingle set feeds signatures + both jaccard sides + set sizes —
+    // persist it once instead of re-exploding the corpus four times
+    val sh = wordShingles(df, key, text, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = candidatePairs(lshBands(minhashSig(sh, k), k))
     jaccard(pairs, sh).filter(col("jacc") >= threshold)
       .select("key_a", "key_b", "jacc")
   }
@@ -115,5 +135,6 @@ object NearDup {
   def ngramJaccard(
       df: DataFrame, key: Column, text: Column,
       pairs: DataFrame, n: Int): DataFrame =
-    jaccard(pairs, shingles(df, key, text, n))
+    jaccard(pairs, shingles(df, key, text, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 }

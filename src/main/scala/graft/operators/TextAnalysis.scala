@@ -70,13 +70,13 @@ object TextAnalysis {
     * in order. Robust to small edits anywhere outside the selected
     * grams; only (key, fingerprint) leaves the doc's partition.
     */
-  def fingerprint(df: DataFrame, key: Column, text: Column, n: Int, take: Int): DataFrame = {
-    val hashed = NearDup.shingles(df, key, text, n)
+  def fingerprint(df: DataFrame, key: Column, text: Column, n: Int, take: Int): DataFrame =
+    // single aggregation (no window pass): collect the doc's shingle
+    // hashes, sort, keep the `take` smallest. Group size is bounded by
+    // doc length, so the per-group array is safe at any corpus scale.
+    NearDup.shingles(df, key, text, n)
       .withColumn("h", md5(col("shingle")))
-    val w = Window.partitionBy(col("key")).orderBy(col("h"))
-    val top = hashed.withColumn("rn", row_number().over(w)).filter(col("rn") <= take)
-    val slots = (1 to take).map(i => min(when(col("rn") === i, col("h"))).as(s"h$i"))
-    top.groupBy("key").agg(slots.head, slots.tail: _*)
-      .select(col("key"), concat_ws("", (1 to take).map(i => col(s"h$i")): _*).as("fingerprint"))
-  }
+      .groupBy("key")
+      .agg(concat_ws("",
+        slice(array_sort(collect_list(col("h"))), 1, take)).as("fingerprint"))
 }

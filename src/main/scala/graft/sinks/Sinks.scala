@@ -1,0 +1,53 @@
+package graft.sinks
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Sinks (SURVEY.md §2.9).
+  *
+  * K1 — Hive-style date-partitioned parquet lake write
+  * (load_to_s3.py:10-27): `partitionBy(ingestion_date)` replaces the
+  * hand-built `{flow}_data/ingestion_date={date}/...` S3 key layout, and
+  * downstream readers get partition pruning for free.
+  *
+  * K2 — idempotent warehouse append (loading.py:131-193): anti-join
+  * insert-only-if-new. See [[graft.operators.Dedup.idempotentAppend]]
+  * for the plan-level form; [[appendNew]] here is the write-side wrapper.
+  *
+  * Scale notes: the partition column should be low-cardinality
+  * (date, not timestamp) or small files explode; writers repartition on
+  * the partition column first so each task writes one file per
+  * partition value rather than `tasks × partitions` fragments.
+  */
+object Sinks {
+
+  /** K1: lake write partitioned by ingestion date. `ingestionDate` is a
+    * parameter, not `current_date()`, so replays are deterministic
+    * (SURVEY.md §7.5 trap 2).
+    */
+  def writePartitioned(df: DataFrame, path: String, ingestionDate: String): Unit =
+    df.withColumn("ingestion_date", lit(ingestionDate))
+      .repartition(col("ingestion_date"))
+      .write.mode("append")
+      .partitionBy("ingestion_date")
+      .parquet(path)
+
+  /** K2: append only rows whose key is absent from the existing table at
+    * `path`; returns the number of rows appended. Transactionality note:
+    * parquet append is not atomic — at deployment scale this is the
+    * foreachBatch body over a table format with MERGE semantics.
+    */
+  def appendNew(incoming: DataFrame, path: String, keys: Seq[String]): Long = {
+    val spark = incoming.sparkSession
+    val existing =
+      try spark.read.parquet(path)
+      catch { case _: Exception => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], incoming.schema) }
+    val fresh = Dedup.newRowsLarge(incoming, existing, keys)
+    val n = fresh.count()
+    if (n > 0) fresh.write.mode("append").parquet(path)
+    n
+  }
+}

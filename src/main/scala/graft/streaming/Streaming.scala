@@ -1,0 +1,120 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (SURVEY.md §2.10): replaces the
+  * reference's Prefect-schedule + S3-landing + Databricks-trigger chain
+  * (load_to_s3.py + trigger_databricks_job.py) with a file-source stream
+  * processed via `Trigger.AvailableNow` — the same "process whatever has
+  * landed, then stop" semantics, but exactly-once and incremental via
+  * checkpointing instead of hand-rolled idempotent upserts.
+  *
+  * Each entry runs the stream to completion synchronously and returns the
+  * result as a batch DataFrame so the driver's Verify can compare it
+  * against the DuckDB oracle (deterministic because AvailableNow over a
+  * static directory is one replayable batch).
+  */
+/** Row shapes for [[Streaming.streamingFfill]] — top-level (not nested
+  * private) so Spark's generated encoder code can access them.
+  */
+case class FillEvent(event_id: Long, user_id: Long, ts: java.sql.Timestamp, value: Option[Double])
+case class FilledEvent(event_id: Long, user_id: Long, ts: java.sql.Timestamp, value_filled: Option[Double])
+
+object Streaming {
+
+  /** events.parquet stores TIMESTAMP(NANOS): declare ts as epoch-nanos
+    * long in the stream schema (matching nanosAsLong) and rebuild µs.
+    */
+  private val eventsRawSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  private def eventsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventsRawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  private def runToCompletion(df: DataFrame, mode: OutputMode, table: String)(
+      implicit spark: SparkSession): DataFrame = {
+    // unique sink name per run — a second invocation in the same session
+    // must not collide with the finished query's memory table
+    val name = s"${table}_${System.nanoTime()}"
+    val q = df.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** Streaming candle aggregation: tumbling 1-day event-time windows per
+    * user with a watermark bounding state (the north-star §2.10 op). At
+    * scale: watermark evicts window state, partial aggregation happens
+    * map-side per micro-batch, only (user, window) partials shuffle.
+    */
+  def streamingCandles(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val agg = eventsStream(spark, dir)
+      .withWatermark("ts", "1 day")
+      .groupBy(col("user_id"), window(col("ts"), "1 day").as("w"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(30,10)")).cast("double").as("vsum"),
+        min(col("value")).as("vmin"),
+        max(col("value")).as("vmax"))
+      .select(col("user_id"), col("w.start").as("day"), col("n"),
+        col("vsum"), col("vmin"), col("vmax"))
+    runToCompletion(agg, OutputMode.Complete(), "stream_candles")
+  }
+
+  /** Streaming dedup with watermark-bounded state — the streaming form of
+    * the reference's cross-batch URL dedup (loading.py:150-161; the 2-day
+    * watermark mirrors its 2-day pull window).
+    */
+  def streamingDedup(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val dd = eventsStream(spark, dir)
+      .withWatermark("ts", "2 days")
+      .dropDuplicates("user_id", "event_type")
+      .select("user_id", "event_type")
+    runToCompletion(dd, OutputMode.Append(), "stream_dedup")
+  }
+
+  /** Stateful per-key forward fill via flatMapGroupsWithState — the one
+    * genuinely hard streaming op in the reference's surface (per-symbol
+    * gap fill, transformation.py:213, as a stream). State = last seen
+    * non-null value per key, carried across micro-batches; within a batch
+    * events are sorted by event time before filling.
+    */
+  def streamingFfill(spark: SparkSession, dir: String, nullEvery: Int): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val src = eventsStream(spark, dir)
+      .withColumn("value",
+        when(col("event_id") % nullEvery === 0, lit(null)).otherwise(col("value")))
+      .select("event_id", "user_id", "ts", "value").as[FillEvent]
+    val filled = src.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (user: Long, it: Iterator[FillEvent], state: GroupState[Double]) => {
+          var last: Option[Double] = state.getOption
+          // sort by full µs precision: getTime alone is ms and would tie
+          val out = it.toSeq.sortBy(e =>
+            (e.ts.toInstant.getEpochSecond * 1000000000L + e.ts.toInstant.getNano,
+              e.event_id)).map { e =>
+            val v = e.value.orElse(last)
+            if (e.value.isDefined) last = e.value
+            FilledEvent(e.event_id, e.user_id, e.ts, v)
+          }
+          last.foreach(state.update)
+          out.iterator
+        })
+    runToCompletion(filled.toDF(), OutputMode.Append(), "stream_ffill")
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sinks.Sinks
+import graft.streaming.Streaming
+
+class StreamingSinksSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("streamingCandles equals the batch aggregation") {
+    val streamed = Streaming.streamingCandles(spark, sf)
+      .orderBy("user_id", "day").collect()
+    val batch = graft.sources.Sources.table(spark, sf, "events")
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(30,10)")).cast("double").as("vsum"),
+        min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+      .orderBy("user_id", "day").collect()
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
+  test("streamingFfill carries last non-null value per user in ts order") {
+    val got = Streaming.streamingFfill(spark, sf, nullEvery = 7)
+    // every null must be filled unless it's a leading null for its user
+    val filled = got.filter(col("value_filled").isNull).count()
+    val leadingNulls = graft.sources.Sources.table(spark, sf, "events")
+      .withColumn("v", when(col("event_id") % 7 === 0, lit(null)).otherwise(col("value")))
+      .withColumn("any_before", count(col("v")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+          .orderBy("ts", "event_id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .filter(col("any_before") === 0).count()
+    assert(filled === leadingNulls)
+  }
+
+  test("writePartitioned lays out hive-style date partitions") {
+    val dir = Files.createTempDirectory("graft_sink").toString
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    Sinks.writePartitioned(df, dir, "2024-06-01")
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 2)
+    assert(back.select("ingestion_date").distinct().as[java.sql.Date].head().toString
+      === "2024-06-01")
+    assert(new java.io.File(dir).listFiles().exists(_.getName.startsWith("ingestion_date=")))
+  }
+
+  test("appendNew is idempotent across reloads") {
+    val dir = Files.createTempDirectory("graft_append").toString + "/t"
+    val batch1 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    assert(Sinks.appendNew(batch1, dir, Seq("id")) === 2L)
+    assert(Sinks.appendNew(batch1, dir, Seq("id")) === 0L) // same batch again
+    val batch2 = Seq((2L, "b"), (3L, "c")).toDF("id", "v")
+    assert(Sinks.appendNew(batch2, dir, Seq("id")) === 1L) // only id=3
+    assert(spark.read.parquet(dir).count() === 3)
+  }
+}
