@@ -610,6 +610,45 @@ object OracleSql {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled
         |FROM e ORDER BY user_id, ts, event_id""".stripMargin,
 
+    "q_embed_neardup" ->
+      """WITH pert AS (
+        |  SELECT vec_id + 100000 AS vec_id,
+        |    list_transform(generate_series(1, 64),
+        |      i -> CASE WHEN i = 1
+        |        THEN CAST(embedding[i] + CAST(0.01 AS FLOAT) AS FLOAT)
+        |        ELSE embedding[i] END) AS embedding
+        |  FROM embeddings),
+        |corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL SELECT vec_id, embedding FROM pert),
+        |n AS (
+        |  SELECT vec_id, embedding,
+        |    list_aggregate(list_transform(generate_series(1, 64),
+        |      i -> CAST(CAST(embedding[i] AS DOUBLE) *
+        |                CAST(embedding[i] AS DOUBLE) AS DECIMAL(30,12))),
+        |      'sum') AS n2,
+        |    (CASE WHEN CAST(embedding[1] AS DOUBLE) >= 0 THEN '1' ELSE '0' END ||
+        |     CASE WHEN CAST(embedding[2] AS DOUBLE) >= 0 THEN '1' ELSE '0' END ||
+        |     CASE WHEN CAST(embedding[3] AS DOUBLE) >= 0 THEN '1' ELSE '0' END ||
+        |     CASE WHEN CAST(embedding[4] AS DOUBLE) >= 0 THEN '1' ELSE '0' END)
+        |      AS bucket
+        |  FROM corpus),
+        |p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_aggregate(list_transform(generate_series(1, 64),
+        |      i -> CAST(CAST(a.embedding[i] AS DOUBLE) *
+        |                CAST(b.embedding[i] AS DOUBLE) AS DECIMAL(30,12))),
+        |      'sum') AS dot,
+        |    a.n2 AS n2a, b.n2 AS n2b
+        |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        |SELECT id_a, id_b,
+        |  CAST(dot AS DOUBLE) /
+        |    (sqrt(CAST(n2a AS DOUBLE)) * sqrt(CAST(n2b AS DOUBLE))) AS cos
+        |FROM p
+        |WHERE CAST(dot AS DOUBLE) /
+        |    (sqrt(CAST(n2a AS DOUBLE)) * sqrt(CAST(n2b AS DOUBLE))) >= 0.999
+        |ORDER BY id_a, id_b""".stripMargin,
+
     "q_explode_flatten" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
         |FROM lineitem

@@ -524,6 +524,40 @@ object SparkEntry {
           count(lit(1)).as("n"))
         .orderBy("l_returnflag")
     }),
+
+    // Embedding-cosine near-dup: planted perturbed copies (+0.01 on the
+    // first dimension) must pair with their originals at cos ≈ 1.
+    "q_embed_neardup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val perturbed = emb.select(
+        (col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(i === 0, (x + lit(0.01f)).cast("float")).otherwise(x)).as("embedding"))
+      val corpus = emb.unionByName(perturbed)
+      val a = Similarity.withNorm2(corpus, col("embedding"))
+        .select(col("vec_id").as("id_a"), col("embedding").as("va"), col("n2").as("n2a"),
+          Similarity.signBucket(col("embedding"), 4).as("bucket"))
+      val b = Similarity.withNorm2(corpus, col("embedding"))
+        .select(col("vec_id").as("id_b"), col("embedding").as("vb"), col("n2").as("n2b"),
+          Similarity.signBucket(col("embedding"), 4).as("bucket"))
+      a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+        .withColumn("cos",
+          Similarity.dotDecimal(col("va"), col("vb")).cast("double") /
+            (sqrt(col("n2a").cast("double")) * sqrt(col("n2b").cast("double"))))
+        .filter(col("cos") >= 0.999)
+        .select("id_a", "id_b", "cos")
+        .orderBy("id_a", "id_b")
+    }),
+
+    // MLlib prediction stage (BASELINE.json spark_approach): seeded
+    // logistic regression over the embedding features, deterministic
+    // id-based fold split. No SQL oracle (iterative optimizer output is
+    // not SQL-expressible) → driver rows-only check.
+    "q_ml_predict" -> ((s, dir) => {
+      graft.ml.Predict.classifyEmbeddings(
+          t(s, dir, "embeddings"), "vec_id", "embedding", "label")
+        .orderBy("vec_id")
+    }),
   )
 
   def oracleSql: Map[String, String] = OracleSql.sql

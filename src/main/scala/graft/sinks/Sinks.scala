@@ -34,6 +34,19 @@ object Sinks {
       .partitionBy("ingestion_date")
       .parquet(path)
 
+  /** Bucketed table write: co-locates rows by join key so repeated joins
+    * and aggregations on `bucketCol` skip the shuffle entirely (the
+    * sorted buckets satisfy the join's distribution requirement). The
+    * 100 TB pattern for fact↔fact joins that recur every batch.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+      numBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .format("parquet")
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(table)
+
   /** K2: append only rows whose key is absent from the existing table at
     * `path`; returns the number of rows appended. Transactionality note:
     * parquet append is not atomic — at deployment scale this is the

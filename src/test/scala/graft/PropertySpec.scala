@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Text
+import graft.operators.{Dedup, Fill, Skew}
+
+/** Property-style invariants over seeded random data (SURVEY.md §5.2 #3):
+  * dedup idempotence, anti-join-load idempotence, fill completeness,
+  * clean-text output alphabet, salted-agg equivalence.
+  */
+class PropertySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(42)
+
+  private def randomRows(n: Int) = (1 to n).map { i =>
+    (rnd.nextInt(20).toLong, i.toLong,
+      if (rnd.nextInt(4) == 0) None else Some(rnd.nextDouble() * 100))
+  }
+
+  test("property: keepFirst is idempotent and keeps one row per key") {
+    val df = randomRows(500).toDF("k", "ord", "v")
+    val once = Dedup.keepFirst(df, Seq("k"), Seq(col("ord")))
+    val twice = Dedup.keepFirst(once, Seq("k"), Seq(col("ord")))
+    assert(once.count() === df.select("k").distinct().count())
+    assert(once.orderBy("k", "ord").collect().toSeq ===
+      twice.orderBy("k", "ord").collect().toSeq)
+  }
+
+  test("property: loading the same batch twice adds zero rows") {
+    val batch = randomRows(300).toDF("k", "ord", "v")
+      .withColumn("id", concat(col("k"), lit(":"), col("ord")))
+    val loaded = Dedup.idempotentAppend(batch, batch, Seq("id"))
+    assert(loaded.count() === batch.count())
+  }
+
+  test("property: after ffill+bfill, a row is null iff its whole group is null") {
+    val df = randomRows(800).toDF("k", "ord", "v")
+    val filled = df.withColumn("f",
+      Fill.ffillBfill(Seq(col("k")), Seq(col("ord")))(col("v")))
+    val groupsAllNull = df.groupBy("k")
+      .agg((count(col("v")) === 0).as("all_null"))
+    val bad = filled.join(groupsAllNull, "k")
+      .filter(col("f").isNull =!= col("all_null")).count()
+    assert(bad === 0)
+  }
+
+  test("property: cleanTextForNlp output alphabet is [\\w\\s.!?] only") {
+    val texts = (1 to 200).map(_ => rnd.alphanumeric.take(30).mkString("", " ", "") +
+      "<tag>#$%^&* http://x.co [+12 chars]")
+    val out = texts.toDF("t").select(Text.cleanTextForNlp(col("t")).as("c"))
+      .filter(col("c").rlike("[^\\w\\s.!?]")).count()
+    assert(out === 0)
+  }
+
+  test("property: saltedAgg equals plain groupBy aggregation") {
+    val df = randomRows(1000).toDF("k", "ord", "v").na.fill(0.0, Seq("v"))
+    val plain = df.groupBy("k").agg(sum(col("v").cast("decimal(30,10)")).as("s"),
+        count(lit(1)).as("n"))
+      .orderBy("k").collect()
+    val salted = Skew.saltedAgg(df, Seq(col("k")), col("ord"), nSalts = 8,
+        sums = Map("s" -> col("v").cast("decimal(30,10)")))
+      .select("k", "s", "n").orderBy("k").collect()
+    assert(plain.map(r => (r.getLong(0), r.getDecimal(1), r.getLong(2))).toSeq ===
+      salted.map(r => (r.getLong(0), r.getDecimal(1), r.getLong(2))).toSeq)
+  }
+
+  test("property: bucketed tables join without a shuffle exchange") {
+    val a = (1 to 1000).map(i => (i.toLong % 100, i.toLong)).toDF("k", "va")
+    val b = (1 to 1000).map(i => (i.toLong % 100, i.toLong * 2)).toDF("k", "vb")
+    graft.sinks.Sinks.writeBucketed(a, "bucket_a", "k", 4)
+    graft.sinks.Sinks.writeBucketed(b, "bucket_b", "k", 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("bucket_a").join(spark.table("bucket_b"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"expected shuffle-free join, got:\n$plan")
+      assert(joined.count() === 10000) // 100 keys x 10 x 10
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
