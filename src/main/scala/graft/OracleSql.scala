@@ -630,7 +630,11 @@ object OracleSql {
         |    (CASE WHEN CAST(embedding[1] AS DOUBLE) >= 0 THEN '1' ELSE '0' END ||
         |     CASE WHEN CAST(embedding[2] AS DOUBLE) >= 0 THEN '1' ELSE '0' END ||
         |     CASE WHEN CAST(embedding[3] AS DOUBLE) >= 0 THEN '1' ELSE '0' END ||
-        |     CASE WHEN CAST(embedding[4] AS DOUBLE) >= 0 THEN '1' ELSE '0' END)
+        |     CASE WHEN CAST(embedding[4] AS DOUBLE) >= 0 THEN '1' ELSE '0' END ||
+        |     CASE WHEN CAST(embedding[5] AS DOUBLE) >= 0 THEN '1' ELSE '0' END ||
+        |     CASE WHEN CAST(embedding[6] AS DOUBLE) >= 0 THEN '1' ELSE '0' END ||
+        |     CASE WHEN CAST(embedding[7] AS DOUBLE) >= 0 THEN '1' ELSE '0' END ||
+        |     CASE WHEN CAST(embedding[8] AS DOUBLE) >= 0 THEN '1' ELSE '0' END)
         |      AS bucket
         |  FROM corpus),
         |p AS (

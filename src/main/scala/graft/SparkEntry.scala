@@ -534,12 +534,15 @@ object SparkEntry {
         transform(col("embedding"), (x, i) =>
           when(i === 0, (x + lit(0.01f)).cast("float")).otherwise(x)).as("embedding"))
       val corpus = emb.unionByName(perturbed)
+      // 8 sign bits: the perturbation only touches dim 1, so recall of
+      // planted pairs is identical to 4 bits while random bucket
+      // collisions (the quadratic term) drop ~16x
       val a = Similarity.withNorm2(corpus, col("embedding"))
         .select(col("vec_id").as("id_a"), col("embedding").as("va"), col("n2").as("n2a"),
-          Similarity.signBucket(col("embedding"), 4).as("bucket"))
+          Similarity.signBucket(col("embedding"), 8).as("bucket"))
       val b = Similarity.withNorm2(corpus, col("embedding"))
         .select(col("vec_id").as("id_b"), col("embedding").as("vb"), col("n2").as("n2b"),
-          Similarity.signBucket(col("embedding"), 4).as("bucket"))
+          Similarity.signBucket(col("embedding"), 8).as("bucket"))
       a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
         .withColumn("cos",
           Similarity.dotDecimal(col("va"), col("vb")).cast("double") /

@@ -23,20 +23,42 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Exact decimal dot product of two float-array columns. */
-  def dotDecimal(a: Column, b: Column): Column =
+  /** Exact decimal dot product via built-in higher-order functions —
+    * reference implementation; [[dotDecimal]] is the fast native form
+    * with identical semantics (asserted in SimilaritySpec).
+    */
+  def dotDecimalHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(BigDecimal(0)).cast("decimal(30,12)"),
       (acc, x) => (acc + x.cast("decimal(30,12)")).cast("decimal(30,12)"))
+
+  /** Session-scoped registration of the native [[graft.functions.DecimalDot]]
+    * expression (idempotent).
+    */
+  def registerNative(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_decimal_dot",
+      exprs => graft.functions.DecimalDot(exprs(0), exprs(1)),
+      "built-in")
+
+  /** Exact decimal dot product of two float-array columns (native
+    * Catalyst expression; falls back to SQL name resolution, so callers
+    * must have invoked [[registerNative]] on the session — every
+    * DataFrame-taking entry point here does).
+    */
+  def dotDecimal(a: Column, b: Column): Column =
+    call_function("graft_decimal_dot", a, b)
 
   /** Cosine from decimal dot/norms — fixed double op sequence. */
   private def cosine(dot: Column, n2a: Column, n2b: Column): Column =
     dot.cast("double") / (sqrt(n2a.cast("double")) * sqrt(n2b.cast("double")))
 
   /** Attach squared-norm column `n2` (one pass, reused by every pair). */
-  def withNorm2(df: DataFrame, vec: Column): DataFrame =
+  def withNorm2(df: DataFrame, vec: Column): DataFrame = {
+    registerNative(df.sparkSession)
     df.withColumn("n2", dotDecimal(vec, vec))
+  }
 
   /** Brute-force cosine top-k: for each query vector, the k most similar
     * non-self vectors. `queries` and `corpus` must both carry

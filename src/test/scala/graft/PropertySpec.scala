@@ -77,6 +77,18 @@ class PropertySpec extends AnyFunSuite {
   }
 
   test("property: bucketed tables join without a shuffle exchange") {
+    // a previous JVM's managed-table location survives the metastore;
+    // clear both the catalog entry and the orphaned directory
+    Seq("bucket_a", "bucket_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+        }
+        rm(loc)
+      }
+    }
     val a = (1 to 1000).map(i => (i.toLong % 100, i.toLong)).toDF("k", "va")
     val b = (1 to 1000).map(i => (i.toLong % 100, i.toLong * 2)).toDF("k", "vb")
     graft.sinks.Sinks.writeBucketed(a, "bucket_a", "k", 4)
