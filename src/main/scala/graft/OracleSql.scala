@@ -610,6 +610,43 @@ object OracleSql {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled
         |FROM e ORDER BY user_id, ts, event_id""".stripMargin,
 
+    "q_interval_join" ->
+      """SELECT v.event_id, v.user_id, v.ts,
+        |  p.event_id AS q_event_id, p.ts AS q_ts
+        |FROM events v
+        |JOIN events p ON p.user_id = v.user_id
+        |  AND v.event_type = 'view' AND p.event_type = 'purchase'
+        |  AND p.ts >= v.ts
+        |  AND epoch_us(p.ts) < epoch_us(v.ts) + 3600000000
+        |ORDER BY v.event_id, q_event_id""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT user_id,
+        |  count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |  count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |  count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_rank_funcs" ->
+      """WITH spend AS (
+        |  SELECT event_type, user_id,
+        |    CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE) AS spend
+        |  FROM events GROUP BY event_type, user_id)
+        |SELECT event_type, user_id, spend,
+        |  CAST(rank() OVER w AS INTEGER) AS rnk,
+        |  CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS tile
+        |FROM spend
+        |WINDOW w AS (PARTITION BY event_type ORDER BY spend DESC, user_id)
+        |ORDER BY event_type, rnk, user_id""".stripMargin,
+
+    "q_percentiles" ->
+      """SELECT event_type, quantile_cont(value, 0.5) AS p50,
+        |  quantile_cont(value, 0.9) AS p90, count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "q_embed_neardup" ->
       """WITH pert AS (
         |  SELECT vec_id + 100000 AS vec_id,

@@ -561,6 +561,56 @@ object SparkEntry {
           t(s, dir, "embeddings"), "vec_id", "embedding", "label")
         .orderBy("vec_id")
     }),
+
+    // J5+ — interval join in binned-equi-join form (purchases within 1h
+    // after each view; see Analytics.intervalJoinBinned scale notes).
+    "q_interval_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val views = ev.filter(col("event_type") === "view")
+        .select("event_id", "user_id", "ts")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      Analytics.intervalJoinBinned(views, purchases, "user_id", "ts", 3600)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("q_event_id"), col("q_ts"))
+        .orderBy("event_id", "q_event_id")
+    }),
+
+    // Pivot: per-user event-type count matrix (explicit value list →
+    // deterministic columns; a single partial+final aggregate).
+    "q_pivot" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("user_id")
+    }),
+
+    // W3+ — ranking family: rank/dense_rank/ntile over per-key spend.
+    "q_rank_funcs" -> ((s, dir) => {
+      val spend = t(s, dir, "events")
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(Analytics.exactSum(col("value")).cast("double").as("spend"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("spend").desc, col("user_id"))
+      spend
+        .withColumn("rnk", rank().over(w))
+        .withColumn("drnk", dense_rank().over(w))
+        .withColumn("tile", ntile(4).over(w))
+        .orderBy("event_type", "rnk", "user_id")
+    }),
+
+    // A6+ — exact interpolated percentiles (linear interpolation is
+    // bit-identical between Spark `percentile` and DuckDB quantile_cont).
+    "q_percentiles" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.5)").as("p50"),
+          expr("percentile(value, 0.9)").as("p90"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
   )
 
   def oracleSql: Map[String, String] = OracleSql.sql

@@ -133,4 +133,31 @@ object Analytics {
     }
     filled.filter(col("__side") === 1).select(pCols.map(col) ++ valueCols.map(col): _*)
   }
+
+  /** Interval join, binned-equi-join form: pairs (probe, quote) with the
+    * same key and quote.ts ∈ [probe.ts, probe.ts + windowSeconds).
+    *
+    * Instead of a raw range join (nested-loop or range-probe — quadratic
+    * on hot keys), each probe row is exploded to the 1-2 coarse time
+    * bins its window overlaps and the join becomes an EQUI-join on
+    * (key, bin) followed by an exact range filter. At 100 TB this
+    * shuffles on (key, bin) like any hash join; bin width = window width
+    * bounds the fan-out at 2×.
+    */
+  def intervalJoinBinned(
+      probe: DataFrame, quote: DataFrame,
+      keyCol: String, tsCol: String, windowSeconds: Long): DataFrame = {
+    val binUs = windowSeconds * 1000000L
+    val p = probe
+      .withColumn("__bin0", (unix_micros(col(tsCol)) / binUs).cast("long"))
+      .withColumn("__bin", explode(array(col("__bin0"), col("__bin0") + 1)))
+      .drop("__bin0")
+    val q = quote.columns.foldLeft(quote) { (d, c) =>
+      d.withColumnRenamed(c, s"q_$c")
+    }.withColumn("__bin", (unix_micros(col(s"q_$tsCol")) / binUs).cast("long"))
+    p.join(q, p("__bin") === q("__bin") && p.col(keyCol) === q(s"q_$keyCol"))
+      .filter(col(s"q_$tsCol") >= col(tsCol) &&
+        unix_micros(col(s"q_$tsCol")) < unix_micros(col(tsCol)) + binUs)
+      .drop("__bin")
+  }
 }
