@@ -647,6 +647,63 @@ object OracleSql {
         |  quantile_cont(value, 0.9) AS p90, count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    "q_salted_agg" ->
+      """SELECT l_returnflag,
+        |  sum(CAST(l_quantity AS DECIMAL(30,10))) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_ann_ivf" ->
+      """WITH n AS (
+        |  SELECT vec_id, embedding,
+        |    list_aggregate(list_transform(generate_series(1, 64),
+        |      i -> CAST(CAST(embedding[i] AS DOUBLE) *
+        |                CAST(embedding[i] AS DOUBLE) AS DECIMAL(30,12))),
+        |      'sum') AS n2
+        |  FROM embeddings),
+        |cents AS (SELECT vec_id AS cent_id, embedding AS cvec, n2 AS cn2
+        |  FROM n WHERE vec_id < 16),
+        |corpus_sc AS (
+        |  SELECT a.vec_id, a.embedding, a.n2, c.cent_id,
+        |    CAST(list_aggregate(list_transform(generate_series(1, 64),
+        |      i -> CAST(CAST(a.embedding[i] AS DOUBLE) *
+        |                CAST(c.cvec[i] AS DOUBLE) AS DECIMAL(30,12))),
+        |      'sum') AS DOUBLE) /
+        |      (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE)))
+        |      AS ccos
+        |  FROM n a, cents c),
+        |assigned AS (
+        |  SELECT vec_id AS neighbor_id, embedding AS nv, n2 AS nn2, cent_id
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY ccos DESC, cent_id) AS crn FROM corpus_sc)
+        |  WHERE crn = 1),
+        |probes AS (
+        |  SELECT vec_id AS query_id, embedding AS qv, n2 AS qn2, cent_id
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY ccos DESC, cent_id) AS crn FROM corpus_sc
+        |    WHERE vec_id < 10)
+        |  WHERE crn <= 2),
+        |scored AS (
+        |  SELECT p.query_id, a.neighbor_id,
+        |    CAST(list_aggregate(list_transform(generate_series(1, 64),
+        |      i -> CAST(CAST(p.qv[i] AS DOUBLE) *
+        |                CAST(a.nv[i] AS DOUBLE) AS DECIMAL(30,12))),
+        |      'sum') AS DOUBLE) /
+        |      (sqrt(CAST(p.qn2 AS DOUBLE)) * sqrt(CAST(a.nn2 AS DOUBLE)))
+        |      AS cos
+        |  FROM probes p JOIN assigned a ON a.cent_id = p.cent_id
+        |    AND a.neighbor_id <> p.query_id)
+        |SELECT query_id, neighbor_id, cos, CAST(rnk AS INTEGER) AS rnk
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |  ORDER BY cos DESC, neighbor_id) AS rnk FROM scored)
+        |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+
+    "q_stream_enrich" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE) AS vsum
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
     "q_embed_neardup" ->
       """WITH pert AS (
         |  SELECT vec_id + 100000 AS vec_id,

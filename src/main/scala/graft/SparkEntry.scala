@@ -611,6 +611,31 @@ object SparkEntry {
           count(lit(1)).as("n"))
         .orderBy("event_type")
     }),
+
+    // Skew path — two-stage salted aggregation over genuinely hot keys
+    // (3 return flags across all of lineitem); result must equal the
+    // plain groupBy, which is exactly what the oracle checks.
+    "q_salted_agg" -> ((s, dir) => {
+      graft.operators.Skew.saltedAgg(
+          t(s, dir, "lineitem"), Seq(col("l_returnflag")), col("l_orderkey"),
+          nSalts = 32, sums = Map("sum_qty" -> col("l_quantity").cast("decimal(30,10)")))
+        .orderBy("l_returnflag")
+    }),
+
+    // IVF ANN — coarse-quantizer posting lists, nProbe=2 (scale path #2
+    // alongside the sign-LSH bucketed variant).
+    "q_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb,
+          "vec_id", "embedding", nCentroids = 16, nProbe = 2, k = 3)
+        .orderBy("query_id", "rnk")
+    }),
+
+    // Stream-static enrichment join: the streaming fact joins a
+    // broadcast dim mid-stream, then aggregates by dim attribute.
+    "q_stream_enrich" -> ((s, dir) =>
+      graft.streaming.Streaming.streamingEnrich(s, dir)
+        .orderBy("c_mktsegment")),
   )
 
   def oracleSql: Map[String, String] = OracleSql.sql

@@ -89,6 +89,53 @@ object Similarity {
     concat((1 to nBits).map(i =>
       when(element_at(vec, i) >= 0f, "1").otherwise("0")): _*)
 
+  /** IVF (inverted-file) ANN: a coarse quantizer assigns every vector to
+    * its nearest centroid; queries probe only their `nProbe` nearest
+    * centroids' posting lists. Centroids here are the first `nCentroids`
+    * corpus vectors (deterministic "training" — replayable and
+    * oracle-expressible; swap for k-means offline at deployment).
+    *
+    * Scale: assignment is a broadcast (centroids) nested-loop over the
+    * corpus — one narrow pass; search joins query-probe lists to posting
+    * lists on the centroid id, so the corpus is never cross-joined.
+    */
+  def ivfTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String,
+      nCentroids: Int, nProbe: Int, k: Int): DataFrame = {
+    val cents = corpus.filter(col(idCol) < nCentroids)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("cvec"))
+    val cWithN2 = withNorm2(cents, col("cvec"))
+      .withColumnRenamed("n2", "cn2")
+    def assign(df: DataFrame, id: String, vec: String, n2: String, keep: Int) = {
+      val scored = df.crossJoin(broadcast(cWithN2))
+        .withColumn("ccos",
+          dotDecimal(col(vec), col("cvec")).cast("double") /
+            (sqrt(col(n2).cast("double")) * sqrt(col("cn2").cast("double"))))
+      val w = Window.partitionBy(col(id)).orderBy(col("ccos").desc, col("cent_id"))
+      scored.withColumn("crn", row_number().over(w)).filter(col("crn") <= keep)
+        .drop("cvec", "cn2", "ccos", "crn")
+    }
+    val corpusAssigned = assign(
+      withNorm2(corpus, col(vecCol))
+        .select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"), col("n2").as("nn2")),
+      "neighbor_id", "nv", "nn2", keep = 1)
+    val queryProbes = assign(
+      withNorm2(queries, col(vecCol))
+        .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("n2").as("qn2")),
+      "query_id", "qv", "qn2", keep = nProbe)
+    val scored = broadcast(queryProbes).join(corpusAssigned, Seq("cent_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", dotDecimal(col("qv"), col("nv")).cast("double") /
+        (sqrt(col("qn2").cast("double")) * sqrt(col("nn2").cast("double"))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "cos", "rnk")
+    // (query, neighbor) pairs are unique: each corpus vector lives in
+    // exactly one posting list, so no dedup pass is needed
+  }
+
   /** Bucketed ANN: candidates limited to the query's sign bucket, then
     * exact cosine top-k within the bucket. The scale path: the corpus
     * never fully cross-joins; the join key is the bucket.

@@ -87,6 +87,25 @@ object Streaming {
     runToCompletion(dd, OutputMode.Append(), "stream_dedup")
   }
 
+  /** Stream-static join: the event stream enriches against a static
+    * (broadcast) dimension mid-stream, then aggregates per dim attribute
+    * — the streaming form of the reference's ticker→company lookup
+    * (loading.py:93-108 built its dict cache once and probed per record;
+    * here the broadcast does that per micro-batch).
+    */
+  def streamingEnrich(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import org.apache.spark.sql.functions.broadcast
+    val dim = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val agg = eventsStream(spark, dir)
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(30,10)")).cast("double").as("vsum"))
+    runToCompletion(agg, OutputMode.Complete(), "stream_enrich")
+  }
+
   /** Stateful per-key forward fill via flatMapGroupsWithState — the one
     * genuinely hard streaming op in the reference's surface (per-symbol
     * gap fill, transformation.py:213, as a stream). State = last seen
