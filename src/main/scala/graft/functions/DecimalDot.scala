@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{DataType, Decimal, DecimalType}
 
@@ -20,14 +20,32 @@ import org.apache.spark.sql.types.{DataType, Decimal, DecimalType}
   * addition is associative, so evaluation order can't perturb results.
   */
 case class DecimalDot(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DecimalType(30, 12)
   override def nullable: Boolean = true
 
-  override protected def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData]
-    val b = r.asInstanceOf[ArrayData]
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    DecimalDot.compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  /** Codegen: stay inside whole-stage codegen (a CodegenFallback here
+    * would force the surrounding projection into interpreted mode); the
+    * loop itself lives in [[DecimalDot.compute]], one static call per row.
+    */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.DecimalDot.compute($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_decimal_dot"
+}
+
+object DecimalDot {
+  /** Shared by interpreted eval and generated code. */
+  def compute(a: ArrayData, b: ArrayData): Decimal = {
     val n = math.min(a.numElements(), b.numElements())
     var acc = java.math.BigDecimal.ZERO
     var i = 0
@@ -42,10 +60,4 @@ case class DecimalDot(left: Expression, right: Expression)
     }
     Decimal(acc, 30, 12)
   }
-
-  override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): Expression =
-    copy(left = newLeft, right = newRight)
-
-  override def prettyName: String = "graft_decimal_dot"
 }
