@@ -704,6 +704,13 @@ object OracleSql {
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
+    "q_json_extract" ->
+      """SELECT event_id,
+        |  CAST(props->>'k' AS INTEGER) AS k_struct,
+        |  CAST(props->>'k' AS INTEGER) AS k_path,
+        |  CAST(props->>'k' AS INTEGER) % 10 AS k_bucket
+        |FROM events ORDER BY event_id""".stripMargin,
+
     "q_embed_neardup" ->
       """WITH pert AS (
         |  SELECT vec_id + 100000 AS vec_id,

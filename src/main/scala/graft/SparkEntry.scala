@@ -636,6 +636,20 @@ object SparkEntry {
     "q_stream_enrich" -> ((s, dir) =>
       graft.streaming.Streaming.streamingEnrich(s, dir)
         .orderBy("c_mktsegment")),
+
+    // JSON column handling: schema-on-read via from_json + path
+    // extraction via get_json_object (the reference's API payloads are
+    // parsed upstream — SURVEY.md §2.3 notes the engine gets from_json
+    // for free at the source; `props` exercises it).
+    "q_json_extract" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("k_struct",
+          from_json(col("props"), lit("k INT")).getField("k"))
+        .withColumn("k_path", get_json_object(col("props"), "$.k").cast("int"))
+        .select(col("event_id"), col("k_struct"), col("k_path"),
+          (col("k_struct") % 10).as("k_bucket"))
+        .orderBy("event_id")
+    }),
   )
 
   def oracleSql: Map[String, String] = OracleSql.sql

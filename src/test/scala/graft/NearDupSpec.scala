@@ -85,6 +85,23 @@ class NearDupSpec extends AnyFunSuite {
     assert(got.toSeq === Seq("en", "es"))
   }
 
+  test("intervalJoinBinned matches exact window semantics at boundaries") {
+    import graft.operators.Analytics
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val probe = Seq((1L, "k", ts("2024-01-01 00:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val quote = Seq(
+      (10L, "k", ts("2024-01-01 00:00:00")),  // at probe ts  -> included
+      (11L, "k", ts("2024-01-01 00:59:59")),  // inside       -> included
+      (12L, "k", ts("2024-01-01 01:00:00")),  // at +1h bound -> excluded
+      (13L, "k", ts("2023-12-31 23:59:59")),  // before       -> excluded
+      (14L, "x", ts("2024-01-01 00:30:00")))  // other key    -> excluded
+      .toDF("event_id", "user_id", "ts")
+    val got = Analytics.intervalJoinBinned(probe, quote, "user_id", "ts", 3600)
+      .select("q_event_id").as[Long].collect().toSet
+    assert(got === Set(10L, 11L))
+  }
+
   test("fingerprint changes only when low-hash shingles change") {
     val d = Seq((1L, "abcdefghijklmnopqrstuvwxyz0123456789"))
       .toDF("doc_id", "text")
