@@ -704,6 +704,23 @@ object OracleSql {
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
+    "q_rolling_fingerprint" -> {
+      // ((…(0·B + c₁) % M)·B + c₂) % M … over the 8 shingle chars
+      val roll = (1 to 8).foldLeft("CAST(0 AS BIGINT)") { (acc, j) =>
+        s"(($acc * 257 + ascii(substr(shingle, $j, 1))) % 1000000007)"
+      }
+      s"""WITH sh AS (
+         |  SELECT DISTINCT key, substr(t, i, 8) AS shingle FROM (
+         |    SELECT doc_id AS key, text AS t,
+         |      unnest(generate_series(1, greatest(length(text) - 7, 1))) AS i
+         |    FROM documents)),
+         |h AS (SELECT key, $roll AS h FROM sh)
+         |SELECT key,
+         |  array_to_string(list_slice(list_sort(list(h)), 1, 4), ':')
+         |    AS fingerprint
+         |FROM h GROUP BY key ORDER BY key""".stripMargin
+    },
+
     "q_json_extract" ->
       """SELECT event_id,
         |  CAST(props->>'k' AS INTEGER) AS k_struct,

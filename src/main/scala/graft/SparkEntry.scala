@@ -637,6 +637,20 @@ object SparkEntry {
       graft.streaming.Streaming.streamingEnrich(s, dir)
         .orderBy("c_mktsegment")),
 
+    // Streaming session windows (append mode; rows-only check — the
+    // watermark emission cutoff isn't portably SQL-expressible).
+    "q_stream_sessions" -> ((s, dir) =>
+      graft.streaming.Streaming.streamingSessions(s, dir)
+        .orderBy("user_id", "s_start")),
+
+    // Rabin-Karp rolling-hash fingerprints (pure integer arithmetic —
+    // the incremental-hash form a streaming tokenizer maintains).
+    "q_rolling_fingerprint" -> ((s, dir) => {
+      TextAnalysis.rollingFingerprint(t(s, dir, "documents"),
+          col("doc_id"), col("text"), n = 8, take = 4)
+        .orderBy("key")
+    }),
+
     // JSON column handling: schema-on-read via from_json + path
     // extraction via get_json_object (the reference's API payloads are
     // parsed upstream — SURVEY.md §2.3 notes the engine gets from_json

@@ -70,6 +70,28 @@ object TextAnalysis {
     * in order. Robust to small edits anywhere outside the selected
     * grams; only (key, fingerprint) leaves the doc's partition.
     */
+  /** Rabin-Karp rolling-hash fingerprint: polynomial hash
+    * h = ((c₁·B + c₂)·B + …) mod M over each char n-gram, doc
+    * fingerprint = the `take` smallest hashes. Unlike [[fingerprint]]
+    * (md5-based), the hash is pure integer arithmetic — the form a
+    * streaming tokenizer would maintain incrementally. B=257,
+    * M=1e9+7; intermediate values stay ≤ M·B+255 < 2⁶³ with a mod per
+    * step, so bigint math is exact on every engine.
+    */
+  def rollingFingerprint(df: DataFrame, key: Column, text: Column, n: Int, take: Int): DataFrame = {
+    val B = 257L
+    val M = 1000000007L
+    val sh = NearDup.shingles(df, key, text, n)
+    val h = (1 to n).foldLeft(lit(0L)) { (acc, j) =>
+      (acc * B + ascii(substring(col("shingle"), j, 1))) % M
+    }
+    sh.withColumn("h", h)
+      .groupBy("key")
+      .agg(slice(array_sort(collect_list(col("h"))), 1, take).as("fp"))
+      .select(col("key"),
+        concat_ws(":", transform(col("fp"), _.cast("string"))).as("fingerprint"))
+  }
+
   def fingerprint(df: DataFrame, key: Column, text: Column, n: Int, take: Int): DataFrame =
     // single aggregation (no window pass): collect the doc's shingle
     // hashes, sort, keep the `take` smallest. Group size is bounded by

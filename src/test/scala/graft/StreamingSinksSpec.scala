@@ -49,6 +49,31 @@ class StreamingSinksSpec extends AnyFunSuite {
     assert(filled === leadingNulls)
   }
 
+  test("streamToWarehouse lands events idempotently via foreachBatch") {
+    val out = Files.createTempDirectory("graft_wh").toString + "/events"
+    Streaming.streamToWarehouse(spark, sf, out, Seq("event_id"))
+    val n1 = spark.read.parquet(out).count()
+    assert(n1 === 1000) // all sf0.001 events landed
+    // replay the whole stream from scratch — anti-join append adds nothing
+    Streaming.streamToWarehouse(spark, sf, out, Seq("event_id"))
+    assert(spark.read.parquet(out).count() === n1)
+  }
+
+  test("streamingSessions merges events within the 30-minute gap") {
+    val got = Streaming.streamingSessions(spark, sf)
+    assert(got.count() > 0)
+    // no two sessions of the same user may overlap or touch within gap
+    val sess = got.orderBy("user_id", "s_start").collect()
+      .groupBy(_.getLong(0)).values
+    sess.foreach { rows =>
+      rows.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(!b.getTimestamp(1).before(a.getTimestamp(2))) // start >= prev end
+        case _ =>
+      }
+    }
+  }
+
   test("writePartitioned lays out hive-style date partitions") {
     val dir = Files.createTempDirectory("graft_sink").toString
     val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
