@@ -704,6 +704,13 @@ object OracleSql {
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
+    "q_cube" ->
+      """SELECT event_type, user_id % 5 AS u_mod, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE) AS vsum
+        |FROM events
+        |GROUP BY CUBE(event_type, user_id % 5)
+        |ORDER BY event_type ASC NULLS FIRST, u_mod ASC NULLS FIRST""".stripMargin,
+
     "q_rolling_fingerprint" -> {
       // ((…(0·B + c₁) % M)·B + c₂) % M … over the 8 shingle chars
       val roll = (1 to 8).foldLeft("CAST(0 AS BIGINT)") { (acc, j) =>

@@ -514,6 +514,15 @@ object SparkEntry {
         .orderBy(col("event_type").asc_nulls_first, col("m").asc_nulls_first)
     }),
 
+    // A6+ — full cube over two grouping dims (all 4 grouping sets).
+    "q_cube" -> ((s, dir) => {
+      t(s, dir, "events")
+        .cube(col("event_type"), (col("user_id") % 5).as("u_mod"))
+        .agg(count(lit(1)).as("n"),
+          Analytics.exactSum(col("value")).cast("double").as("vsum"))
+        .orderBy(col("event_type").asc_nulls_first, col("u_mod").asc_nulls_first)
+    }),
+
     // A6+ — cardinality sketch (approx_count_distinct / HLL++). No
     // DuckDB oracle: sketch estimates are implementation-defined, so the
     // driver records the weaker rows-only check for this one.
