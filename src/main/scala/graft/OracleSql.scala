@@ -728,6 +728,57 @@ object OracleSql {
          |FROM h GROUP BY key ORDER BY key""".stripMargin
     },
 
+    "q_tfidf" ->
+      """WITH words AS (
+        |  SELECT doc_id AS key,
+        |    unnest(string_split_regex(text, '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT key, term, count(*) AS tf FROM words
+        |  WHERE term <> '' GROUP BY key, term),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+        |scored AS (
+        |  SELECT key, term, tf, df,
+        |    round(CAST(tf AS DOUBLE) *
+        |      ln(CAST((SELECT n FROM nd) AS DOUBLE) / CAST(df AS DOUBLE)), 9)
+        |      AS score
+        |  FROM tf JOIN dfreq USING (term)),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY key
+        |  ORDER BY score DESC, term) AS rnk FROM scored)
+        |SELECT key, term, tf, df, score, CAST(rnk AS INTEGER) AS rnk
+        |FROM r WHERE rnk <= 3 ORDER BY key, rnk""".stripMargin,
+
+    "q_histogram" ->
+      """SELECT CAST(least(greatest(floor((value - 0.0) / 25.0), 0.0), 23.0)
+        |    AS INTEGER) AS bucket,
+        |  count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q_moment_stats" ->
+      """WITH e AS (
+        |  SELECT event_type, value,
+        |    CAST(props->>'k' AS DOUBLE) AS k
+        |  FROM events),
+        |m AS (
+        |  SELECT event_type, count(*) AS n,
+        |    sum(CAST(value AS DECIMAL(38,12))) AS sx,
+        |    sum(CAST(k AS DECIMAL(38,12))) AS sy,
+        |    sum(CAST(value * value AS DECIMAL(38,12))) AS sxx,
+        |    sum(CAST(k * k AS DECIMAL(38,12))) AS syy,
+        |    sum(CAST(value * k AS DECIMAL(38,12))) AS sxy
+        |  FROM e GROUP BY event_type)
+        |SELECT event_type, n,
+        |  round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 8) AS mean_x,
+        |  round((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) /
+        |    CAST(n AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS var_x,
+        |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+        |    CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |    (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |     sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+        |      CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 10) AS corr_xy
+        |FROM m ORDER BY event_type""".stripMargin,
+
     "q_json_extract" ->
       """SELECT event_id,
         |  CAST(props->>'k' AS INTEGER) AS k_struct,

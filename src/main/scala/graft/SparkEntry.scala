@@ -660,6 +660,29 @@ object SparkEntry {
         .orderBy("key")
     }),
 
+    // TF-IDF top terms per document (two aggregates + broadcast df join).
+    "q_tfidf" -> ((s, dir) => {
+      TextAnalysis.tfidfTopTerms(t(s, dir, "documents"),
+          col("doc_id"), col("text"), k = 3)
+        .orderBy("key", "rnk")
+    }),
+
+    // Fixed-width histogram of event values (deterministic bucketing).
+    "q_histogram" -> ((s, dir) => {
+      Analytics.histogram(t(s, dir, "events"), col("value"),
+          lo = 0.0, width = 25.0, nBuckets = 24)
+        .orderBy("bucket")
+    }),
+
+    // Moment statistics with exact decimal accumulators: mean/var/corr
+    // per event type between value and the JSON `k` property.
+    "q_moment_stats" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("double"))
+      Analytics.momentStats(e, Seq(col("event_type")), col("value"), col("k"))
+        .orderBy("event_type")
+    }),
+
     // JSON column handling: schema-on-read via from_json + path
     // extraction via get_json_object (the reference's API payloads are
     // parsed upstream — SURVEY.md §2.3 notes the engine gets from_json

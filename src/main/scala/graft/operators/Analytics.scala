@@ -134,6 +134,49 @@ object Analytics {
     filled.filter(col("__side") === 1).select(pCols.map(col) ++ valueCols.map(col): _*)
   }
 
+  /** Fixed-width histogram: bucket = floor((x - lo) / width), clamped to
+    * [0, nBuckets-1]. Pure integer/double ops — deterministic; one
+    * partial+final aggregate.
+    */
+  def histogram(df: DataFrame, x: Column, lo: Double, width: Double, nBuckets: Int): DataFrame =
+    df.select(least(greatest(floor((x - lit(lo)) / lit(width)), lit(0.0)),
+        lit((nBuckets - 1).toDouble)).cast("int").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+
+  /** Moment statistics with exact decimal accumulation: mean, variance,
+    * and Pearson correlation computed from decimal Σx, Σx², Σxy — the
+    * sums are order-independent, so the final double arithmetic is a
+    * fixed op sequence on identical inputs (oracle bit-parity), unlike
+    * the built-in streaming variance/corr whose merge order varies with
+    * partitioning.
+    */
+  def momentStats(df: DataFrame, keys: Seq[Column], x: Column, y: Column): DataFrame = {
+    val d = "decimal(38,12)"
+    df.groupBy(keys: _*)
+      .agg(count(lit(1)).as("n"),
+        sum(x.cast(d)).as("sx"), sum(y.cast(d)).as("sy"),
+        sum((x * x).cast(d)).as("sxx"), sum((y * y).cast(d)).as("syy"),
+        sum((x * y).cast(d)).as("sxy"))
+      // outputs rounded: decimal→double casts of >17-significant-digit
+      // sums differ in the last ulp across engines (different but both
+      // near-correctly-rounded conversion paths); the statistics are
+      // stable far above these rounding scales
+      .withColumn("mean_x",
+        round(col("sx").cast("double") / col("n").cast("double"), 8))
+      .withColumn("var_x", round(
+        (col("sxx").cast("double") - col("sx").cast("double") *
+          col("sx").cast("double") / col("n").cast("double")) /
+          col("n").cast("double"), 6))
+      .withColumn("corr_xy", round(
+        (col("n").cast("double") * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")) /
+          (sqrt(col("n").cast("double") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")) *
+            sqrt(col("n").cast("double") * col("syy").cast("double") -
+              col("sy").cast("double") * col("sy").cast("double"))), 10))
+      .drop("sx", "sy", "sxx", "syy", "sxy")
+  }
+
   /** Interval join, binned-equi-join form: pairs (probe, quote) with the
     * same key and quote.ts ∈ [probe.ts, probe.ts + windowSeconds).
     *

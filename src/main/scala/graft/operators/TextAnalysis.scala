@@ -70,6 +70,31 @@ object TextAnalysis {
     * in order. Robust to small edits anywhere outside the selected
     * grams; only (key, fingerprint) leaves the doc's partition.
     */
+  /** TF-IDF top terms per document: tf = in-doc term count, idf =
+    * ln(N / df) with exact integer counts, score = tf·idf (one double
+    * multiply per term — deterministic). Two aggregates + one broadcast
+    * join on term; at corpus scale the df table is the only global
+    * state and it's tiny (vocabulary-sized).
+    */
+  def tfidfTopTerms(df: DataFrame, key: Column, text: Column, k: Int): DataFrame = {
+    val words = df.select(key.as("key"), explode(split(text, "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+    val tf = words.groupBy("key", "term").agg(count(lit(1)).as("tf"))
+    val nDocs = df.select(key).distinct().count()
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(dfreq), Seq("term"))
+      .withColumn("score",
+        col("tf").cast("double") * log(lit(nDocs.toDouble) / col("df").cast("double")))
+    val w = Window.partitionBy(col("key"))
+      .orderBy(col("score").desc, col("term"))
+    // output score rounded: ln() differs in the last ulp across engines;
+    // ranking is unaffected (equal (tf, df) ⇒ equal score within an
+    // engine, and distinct (tf, df) pairs are separated far above ulp)
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(col("key"), col("term"), col("tf"), col("df"),
+        round(col("score"), 9).as("score"), col("rnk").cast("int").as("rnk"))
+  }
+
   /** Rabin-Karp rolling-hash fingerprint: polynomial hash
     * h = ((c₁·B + c₂)·B + …) mod M over each char n-gram, doc
     * fingerprint = the `take` smallest hashes. Unlike [[fingerprint]]
