@@ -728,6 +728,36 @@ object OracleSql {
          |FROM h GROUP BY key ORDER BY key""".stripMargin
     },
 
+    "q_merge_upsert" ->
+      """WITH existing AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |  WHERE o_orderkey % 2 = 0),
+        |incoming AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice * 1.1 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 3 = 0)
+        |SELECT coalesce(i.o_orderkey, e.o_orderkey) AS o_orderkey,
+        |  CASE WHEN i.o_orderkey IS NOT NULL THEN i.o_custkey
+        |       ELSE e.o_custkey END AS o_custkey,
+        |  CASE WHEN i.o_orderkey IS NOT NULL THEN i.o_totalprice
+        |       ELSE e.o_totalprice END AS o_totalprice,
+        |  CASE WHEN i.o_orderkey IS NOT NULL AND e.o_orderkey IS NOT NULL
+        |         THEN 'updated'
+        |       WHEN i.o_orderkey IS NOT NULL THEN 'inserted'
+        |       ELSE 'kept' END AS merge_action
+        |FROM existing e FULL OUTER JOIN incoming i
+        |  ON e.o_orderkey = i.o_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_stream_interval_join" ->
+      """SELECT v.event_id, v.user_id, v.ts,
+        |  p.event_id AS q_event_id, p.ts AS q_ts
+        |FROM events v
+        |JOIN events p ON p.user_id = v.user_id
+        |  AND v.event_type = 'view' AND p.event_type = 'purchase'
+        |  AND p.ts >= v.ts
+        |  AND epoch_us(p.ts) < epoch_us(v.ts) + 3600000000
+        |ORDER BY v.event_id, q_event_id""".stripMargin,
+
     "q_tfidf" ->
       """WITH words AS (
         |  SELECT doc_id AS key,

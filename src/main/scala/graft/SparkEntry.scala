@@ -660,6 +660,30 @@ object SparkEntry {
         .orderBy("key")
     }),
 
+    // K2+ — MERGE-style upsert: incoming updates matching keys, inserts
+    // new ones, untouched rows survive with an action tag.
+    "q_merge_upsert" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+      val existing = o.filter(col("o_orderkey") % 2 === 0)
+      val incoming = o.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 1.1)
+      Dedup.mergeUpsert(existing, incoming, Seq("o_orderkey"))
+        .orderBy("o_orderkey")
+    }),
+
+    // §2.10+ — stream-stream interval join (same oracle as the batch
+    // form: inner matches all emit within the AvailableNow batch).
+    "q_stream_interval_join" -> ((s, dir) =>
+      graft.streaming.Streaming.streamingIntervalJoin(s, dir)
+        .orderBy("event_id", "q_event_id")),
+
+    // MLlib KMeans over embeddings (trained IVF quantizer; rows-only —
+    // cluster labels depend on float reduction order).
+    "q_ml_kmeans" -> ((s, dir) =>
+      graft.ml.Predict.clusterEmbeddings(t(s, dir, "embeddings"),
+          "vec_id", "embedding", k = 8)
+        .orderBy("vec_id")),
+
     // TF-IDF top terms per document (two aggregates + broadcast df join).
     "q_tfidf" -> ((s, dir) => {
       TextAnalysis.tfidfTopTerms(t(s, dir, "documents"),

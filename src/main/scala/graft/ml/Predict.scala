@@ -45,6 +45,21 @@ object Predict {
       .select(col("vec_id"), col("label"), col("prediction"))
   }
 
+  /** KMeans clustering of the embedding space (seeded; the trained form
+    * of the IVF coarse quantizer in
+    * [[graft.operators.Similarity.ivfTopK]]). Returns (vec_id, cluster).
+    */
+  def clusterEmbeddings(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
+    val prepared = emb.select(col(idCol).cast("long").as("vec_id"),
+      toVec(col(vecCol)).as("features"))
+    val km = new org.apache.spark.ml.clustering.KMeans()
+      .setK(k).setSeed(42L).setMaxIter(10)
+    km.fit(prepared).transform(prepared)
+      .select(col("vec_id"), col("prediction").as("cluster"))
+  }
+
   /** Fold-level accuracy summary (single row). */
   def accuracy(scored: DataFrame): DataFrame =
     scored.agg(

@@ -83,6 +83,27 @@ object Dedup {
     posts.join(broadcast(dim), Seq(urlCol), "left")
   }
 
+  /** MERGE-style upsert (table-format semantics on plain frames): the
+    * post-merge state where incoming rows update matching keys, insert
+    * new keys, and untouched existing rows survive. This is what
+    * [[idempotentAppend]] becomes once updates (not just inserts) matter
+    * — the `foreachBatch` body against a MERGE-capable table format at
+    * deployment. One full-outer shuffle join on the key.
+    */
+  def mergeUpsert(existing: DataFrame, incoming: DataFrame, keys: Seq[String]): DataFrame = {
+    val valueCols = existing.columns.filterNot(keys.contains)
+    val ex = existing.withColumn("__ex", lit(true))
+    val inc = valueCols.foldLeft(incoming) { (d, c) =>
+      d.withColumnRenamed(c, s"__inc_$c")
+    }.withColumn("__in", lit(true))
+    ex.join(inc, keys, "full_outer")
+      .select(keys.map(col) ++ valueCols.map(c =>
+        when(col("__in"), col(s"__inc_$c")).otherwise(col(c)).as(c)) :+
+        when(col("__in") && col("__ex"), "updated")
+          .when(col("__in"), "inserted")
+          .otherwise("kept").as("merge_action"): _*)
+  }
+
   /** Exact content dedup for document corpora: hash-groupBy on a
     * normalized content digest, keeping the representative with the
     * smallest `order`. Only the digest and tiebreak shuffle — at 100 TB

@@ -126,6 +126,30 @@ object Streaming {
     runToCompletion(agg, OutputMode.Append(), "stream_sessions")
   }
 
+  /** Stream-stream interval join: views joined to purchases of the same
+    * user within the following hour, both sides watermarked so join
+    * state is evicted. Inner-join matches emit as both sides arrive;
+    * for AvailableNow over a static dir the result equals the batch
+    * interval join, so it shares that oracle.
+    */
+  def streamingIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val ev = eventsStream(spark, dir)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .withWatermark("ts", "1 hour")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("q_event_id"), col("user_id").as("q_user_id"),
+        col("ts").as("q_ts"))
+      .withWatermark("q_ts", "1 hour")
+    val joined = views.join(purchases,
+      col("user_id") === col("q_user_id") &&
+        col("q_ts") >= col("ts") &&
+        col("q_ts") < col("ts") + expr("INTERVAL 1 HOUR"))
+      .select("event_id", "user_id", "ts", "q_event_id", "q_ts")
+    runToCompletion(joined, OutputMode.Append(), "stream_interval")
+  }
+
   /** Streaming → warehouse: foreachBatch applying the idempotent
     * anti-join append per micro-batch (the reference's S3→Databricks
     * handoff collapsed into one exactly-once-ish loop; K2+K3).
