@@ -29,6 +29,46 @@ object Sources {
   /** Columns that hold epoch-nanos when nanosAsLong is in effect. */
   private val nanoCols = Set("ts")
 
+  /** JSON source with declared schema, PERMISSIVE mode, and a corrupt
+    * record column — the shape of the reference's API-payload ingestion
+    * (raw `data["articles"]` rows, extraction.py:67): bad rows become
+    * nulls + captured raw text instead of failing the batch.
+    */
+  def readJson(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read
+      .schema(schema.add("_corrupt_record", org.apache.spark.sql.types.StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+
+  /** CSV source, schema-declared, permissive. */
+  def readCsv(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read
+      .schema(schema.add("_corrupt_record", org.apache.spark.sql.types.StringType))
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(path)
+
+  /** The reference's never-throw source contract (extraction.py:45-64
+    * returns [] on any API error): a missing/unreadable path yields an
+    * EMPTY frame with the declared schema, so downstream transforms
+    * no-op instead of failing the flow.
+    */
+  def tableOrEmpty(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    try {
+      val df = spark.read.schema(schema).parquet(path)
+      df.queryExecution.analyzed // force resolution
+      df
+    } catch {
+      case _: Exception =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     df.schema.fields.foldLeft(df) { (d, f) =>

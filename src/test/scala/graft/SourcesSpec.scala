@@ -1,0 +1,81 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+import graft.sources.Sources
+
+class SourcesSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private val newsSchema = StructType(Seq(
+    StructField("url", StringType), StructField("title", StringType),
+    StructField("score", LongType)))
+
+  test("readJson: corrupt rows captured, good rows parsed (PERMISSIVE)") {
+    val dir = Files.createTempDirectory("graft_json").toString
+    Files.writeString(java.nio.file.Path.of(dir, "a.json"),
+      """{"url": "u1", "title": "T1", "score": 5}
+        |this is not json at all
+        |{"url": "u2", "title": "T2", "score": "junk"}
+        |""".stripMargin)
+    // cache: Spark disallows querying only _corrupt_record off a raw scan
+    val df = Sources.readJson(spark, dir, newsSchema).cache()
+    assert(df.filter($"url" === "u1" && $"score" === 5).count() === 1)
+    assert(df.filter($"_corrupt_record".isNotNull).count() === 2)
+    assert(df.count() === 3) // nothing dropped, nothing thrown
+  }
+
+  test("readCsv: schema applied, malformed row captured") {
+    val dir = Files.createTempDirectory("graft_csv").toString
+    Files.writeString(java.nio.file.Path.of(dir, "a.csv"),
+      "url,title,score\nu1,T1,5\nu2,T2,notanumber\n")
+    val df = Sources.readCsv(spark, dir, newsSchema).cache()
+    assert(df.filter($"score".isNotNull).count() === 1)
+    assert(df.filter($"_corrupt_record".isNotNull).count() === 1)
+  }
+
+  test("tableOrEmpty: missing path yields empty frame with schema, not an error") {
+    val df = Sources.tableOrEmpty(spark, "/nonexistent/nowhere", newsSchema)
+    assert(df.count() === 0)
+    assert(df.schema.fieldNames.toSeq === Seq("url", "title", "score"))
+    // downstream transforms no-op (reference's empty-in empty-out contract)
+    assert(df.na.drop("any", Seq("url")).count() === 0)
+  }
+
+  test("mergeUpsert: merging the same incoming twice is idempotent") {
+    val existing = Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v")
+    val incoming = Seq((2L, 99.0), (3L, 30.0)).toDF("id", "v")
+    val once = Dedup.mergeUpsert(existing, incoming, Seq("id"))
+    val onceState = once.drop("merge_action")
+    val twice = Dedup.mergeUpsert(onceState, incoming, Seq("id"))
+    assert(once.orderBy("id").drop("merge_action").collect().toSeq ===
+      twice.orderBy("id").drop("merge_action").collect().toSeq)
+    val actions = once.orderBy("id").select("merge_action").as[String].collect()
+    assert(actions.toSeq === Seq("kept", "updated", "inserted"))
+  }
+
+  test("multimodal decode emits one feature row per document with real bytes") {
+    val docs = graft.sources.Sources.table(spark, "/root/testdata/sf0.001", "documents")
+    val feats = graft.operators.Multimodal.decodeFeatures(
+      graft.operators.Multimodal.withPayload(docs, $"doc_id", $"text", $"n_chars"))
+    assert(feats.count() === docs.count())
+    // payload length == n_chars for this ASCII corpus
+    val bad = feats.join(docs, "doc_id")
+      .filter($"n_bytes" =!= $"n_chars").count()
+    assert(bad === 0)
+  }
+}
