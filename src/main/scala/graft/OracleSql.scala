@@ -728,6 +728,16 @@ object OracleSql {
          |FROM h GROUP BY key ORDER BY key""".stripMargin
     },
 
+    "q_range_frame" ->
+      """SELECT event_id, user_id, ts,
+        |  CAST(sum(CAST(value AS DECIMAL(30,10))) OVER w AS DOUBLE)
+        |    AS trailing_1h_sum,
+        |  count(*) OVER w AS trailing_1h_n
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, ts, event_id""".stripMargin,
+
     "q_merge_upsert" ->
       """WITH existing AS (
         |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders

@@ -660,6 +660,22 @@ object SparkEntry {
         .orderBy("key")
     }),
 
+    // W3+ — RANGE window frame: per-user running aggregate over the
+    // trailing hour (event-time range, not row count). One window
+    // exchange; the frame bound rides the sort order.
+    "q_range_frame" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(-3600000000L, 0L)
+      t(s, dir, "events")
+        .withColumn("trailing_1h_sum",
+          sum(col("value").cast("decimal(30,10)")).over(w).cast("double"))
+        .withColumn("trailing_1h_n", count(lit(1)).over(w))
+        .select("event_id", "user_id", "ts", "trailing_1h_sum", "trailing_1h_n")
+        .orderBy("user_id", "ts", "event_id")
+    }),
+
     // K2+ — MERGE-style upsert: incoming updates matching keys, inserts
     // new ones, untouched rows survive with an action tag.
     "q_merge_upsert" -> ((s, dir) => {
