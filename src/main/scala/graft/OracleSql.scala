@@ -758,6 +758,30 @@ object OracleSql {
         |  ON e.o_orderkey = i.o_orderkey
         |ORDER BY o_orderkey""".stripMargin,
 
+    "q_scd2" ->
+      """WITH existing AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice,
+        |    TIMESTAMP '2024-01-01' AS valid_from,
+        |    CAST(NULL AS TIMESTAMP) AS valid_to, true AS is_current
+        |  FROM orders WHERE o_orderkey % 2 = 0),
+        |incoming AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice * 1.1 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |closed AS (
+        |  SELECT e.o_orderkey, e.o_custkey, e.o_totalprice, e.valid_from,
+        |    CASE WHEN i.o_orderkey IS NOT NULL THEN TIMESTAMP '2024-06-01'
+        |         ELSE e.valid_to END AS valid_to,
+        |    CASE WHEN i.o_orderkey IS NOT NULL THEN false
+        |         ELSE e.is_current END AS is_current
+        |  FROM existing e LEFT JOIN incoming i ON e.o_orderkey = i.o_orderkey),
+        |newv AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice,
+        |    TIMESTAMP '2024-06-01' AS valid_from,
+        |    CAST(NULL AS TIMESTAMP) AS valid_to, true AS is_current
+        |  FROM incoming)
+        |SELECT * FROM closed UNION ALL SELECT * FROM newv
+        |ORDER BY o_orderkey, valid_from""".stripMargin,
+
     "q_stream_interval_join" ->
       """SELECT v.event_id, v.user_id, v.ts,
         |  p.event_id AS q_event_id, p.ts AS q_ts

@@ -687,6 +687,22 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // K2++ — SCD2 history apply: changed keys close their open row and
+    // append a new version; history is append-only.
+    "q_scd2" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+      val existing = o.filter(col("o_orderkey") % 2 === 0)
+        .withColumn("valid_from", lit("2024-01-01").cast("timestamp"))
+        .withColumn("valid_to", lit(null).cast("timestamp"))
+        .withColumn("is_current", lit(true))
+      val incoming = o.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 1.1)
+      Dedup.scd2Apply(existing, incoming, Seq("o_orderkey"),
+          Seq("o_custkey", "o_totalprice"),
+          lit("2024-06-01").cast("timestamp"))
+        .orderBy("o_orderkey", "valid_from")
+    }),
+
     // §2.10+ — stream-stream interval join (same oracle as the batch
     // form: inner matches all emit within the AvailableNow batch).
     "q_stream_interval_join" -> ((s, dir) =>

@@ -104,6 +104,52 @@ object Dedup {
           .otherwise("kept").as("merge_action"): _*)
   }
 
+  /** SCD2 (type-2 slowly-changing dimension) apply: given the current
+    * history table (`valid_from`, `valid_to` null = open, `is_current`)
+    * and a batch of incoming versions effective at `effectiveTs`, close
+    * open rows whose key receives a changed value and append the new
+    * versions; unchanged keys are left untouched. The historical
+    * evolution of [[mergeUpsert]]: updates never overwrite, they
+    * version. Two shuffles (key join + union), no row ever rewritten in
+    * place — the append-only shape object stores need.
+    *
+    * `incoming` must carry (keys…, value columns of `existing` minus the
+    * SCD bookkeeping columns).
+    */
+  def scd2Apply(
+      existing: DataFrame, incoming: DataFrame,
+      keys: Seq[String], valueCols: Seq[String],
+      effectiveTs: Column): DataFrame = {
+    val inc = valueCols.foldLeft(incoming) { (d, c) =>
+      d.withColumnRenamed(c, s"__inc_$c")
+    }.withColumn("__in", lit(true))
+    val joined = existing.join(broadcast(inc), keys, "left")
+    // presence markers, not value-null probes: a legitimately-null value
+    // column must not masquerade as "no incoming row"
+    val changed = col("__in") &&
+      valueCols.map(c => !(col(c) <=> col(s"__inc_$c"))).reduce(_ || _)
+    // 1. existing rows: close open rows whose key got a CHANGED value
+    val updatedExisting = joined.select(
+      (keys ++ valueCols).map(col) ++ Seq(
+        col("valid_from"),
+        when(col("is_current") && changed, effectiveTs)
+          .otherwise(col("valid_to")).as("valid_to"),
+        when(col("is_current") && changed, lit(false))
+          .otherwise(col("is_current")).as("is_current")): _*)
+    // 2. new versions: incoming rows that differ from the key's current row
+    //    (or are entirely new keys)
+    val current = existing.filter(col("is_current")).withColumn("__cur", lit(true))
+    val newVersions = inc.join(broadcast(current), keys, "left")
+      .filter(col("__cur").isNull || // brand-new key
+        valueCols.map(c => !(col(c) <=> col(s"__inc_$c"))).reduce(_ || _))
+      .select(keys.map(col) ++
+        valueCols.map(c => col(s"__inc_$c").as(c)) ++ Seq(
+        effectiveTs.as("valid_from"),
+        lit(null).cast("timestamp").as("valid_to"),
+        lit(true).as("is_current")): _*)
+    updatedExisting.unionByName(newVersions)
+  }
+
   /** Exact content dedup for document corpora: hash-groupBy on a
     * normalized content digest, keeping the representative with the
     * smallest `order`. Only the digest and tiebreak shuffle — at 100 TB

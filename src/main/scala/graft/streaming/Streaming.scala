@@ -35,7 +35,7 @@ object Streaming {
 
   private def eventsStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(eventsRawSchema)
-      .option("pathGlobFilter", "events.parquet")
+      .option("pathGlobFilter", "events*.parquet")
       .parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
@@ -155,7 +155,7 @@ object Streaming {
     * handoff collapsed into one exactly-once-ish loop; K2+K3).
     */
   def streamToWarehouse(spark: SparkSession, dir: String, outPath: String,
-      keys: Seq[String]): Unit = {
+      keys: Seq[String], checkpoint: Option[String] = None): Unit = {
     val q = eventsStream(spark, dir)
       .select("event_id", "user_id", "ts", "event_type", "value")
       .writeStream
@@ -163,8 +163,8 @@ object Streaming {
         graft.sinks.Sinks.appendNew(batch, outPath, keys); ()
       }
       .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("graft_ck").toString)
+      .option("checkpointLocation", checkpoint.getOrElse(
+        java.nio.file.Files.createTempDirectory("graft_ck").toString))
       .start()
     q.awaitTermination()
   }

@@ -59,6 +59,30 @@ class StreamingSinksSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() === n1)
   }
 
+  test("checkpointed stream resumes incrementally: only new files process") {
+    // landing dir we can append to (testdata itself is read-only)
+    val land = Files.createTempDirectory("graft_land").toString
+    val ck = Files.createTempDirectory("graft_ckpt").toString
+    val out = Files.createTempDirectory("graft_out").toString + "/t"
+    Files.copy(java.nio.file.Path.of(s"$sf/events.parquet"),
+      java.nio.file.Path.of(s"$land/events.parquet"))
+    Streaming.streamToWarehouse(spark, land, out, Seq("event_id"), Some(ck))
+    assert(spark.read.parquet(out).count() === 1000)
+    // a second file lands: same rows but shifted ids (new keys); ts is
+    // written back as epoch-nanos long to match the raw landing schema
+    graft.sources.Sources.table(spark, sf, "events")
+      .withColumn("event_id", col("event_id") + 1000000)
+      .withColumn("ts", expr("unix_micros(ts) * 1000"))
+      .coalesce(1).write.parquet(s"$land/batch2")
+    val f2 = new java.io.File(s"$land/batch2").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    Files.move(f2.toPath, java.nio.file.Path.of(s"$land/events2.parquet"))
+    // resume with the SAME source config + checkpoint: the seen-file log
+    // skips events.parquet, only events2.parquet processes
+    Streaming.streamToWarehouse(spark, land, out, Seq("event_id"), Some(ck))
+    assert(spark.read.parquet(out).count() === 2000) // old file not re-landed
+  }
+
   test("streamingSessions merges events within the 30-minute gap") {
     val got = Streaming.streamingSessions(spark, sf)
     assert(got.count() > 0)
