@@ -792,6 +792,18 @@ object OracleSql {
         |  AND epoch_us(p.ts) < epoch_us(v.ts) + 3600000000
         |ORDER BY v.event_id, q_event_id""".stripMargin,
 
+    "q_sample_hash" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_topk_per_group" ->
+      """SELECT event_type, event_id, value, CAST(rnk AS INTEGER) AS rnk
+        |FROM (SELECT event_type, event_id, value,
+        |  row_number() OVER (PARTITION BY event_type
+        |    ORDER BY value DESC, event_id) AS rnk FROM events)
+        |WHERE rnk <= 5 ORDER BY event_type, rnk""".stripMargin,
+
     "q_tfidf" ->
       """WITH words AS (
         |  SELECT doc_id AS key,

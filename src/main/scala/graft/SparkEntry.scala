@@ -716,6 +716,30 @@ object SparkEntry {
           "vec_id", "embedding", k = 8)
         .orderBy("vec_id")),
 
+    // Deterministic systematic sampling: keep rows whose md5(key) falls
+    // under the rate threshold — replayable on any engine, unlike
+    // engine-native RNG sampling; the standard way to cut a reproducible
+    // slice of a training corpus.
+    "q_sample_hash" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 2) < "1a")
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    }),
+
+    // Top-k per group (row_number ≤ k): the per-key variant of O3.
+    "q_topk_per_group" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+        .orderBy(col("value").desc, col("event_id"))
+      t(s, dir, "events")
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("event_type"), col("event_id"), col("value"),
+          col("rnk").cast("int").as("rnk"))
+        .orderBy("event_type", "rnk")
+    }),
+
     // TF-IDF top terms per document (two aggregates + broadcast df join).
     "q_tfidf" -> ((s, dir) => {
       TextAnalysis.tfidfTopTerms(t(s, dir, "documents"),
