@@ -735,8 +735,7 @@ object SparkEntry {
       t(s, dir, "events")
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 5)
-        .select(col("event_type"), col("event_id"), col("value"),
-          col("rnk").cast("int").as("rnk"))
+        .select("event_type", "event_id", "value", "rnk")
         .orderBy("event_type", "rnk")
     }),
 
