@@ -792,6 +792,15 @@ object OracleSql {
         |  AND epoch_us(p.ts) < epoch_us(v.ts) + 3600000000
         |ORDER BY v.event_id, q_event_id""".stripMargin,
 
+    "q_regexp_extract" ->
+      """SELECT doc_id,
+        |  regexp_extract(text, '\b(\w+)\b', 1) AS first_word,
+        |  coalesce(array_to_string(regexp_extract_all(text, '\b(sc\w+)\b', 1),
+        |    ','), '') AS sc_words,
+        |  CAST(len(regexp_extract_all(text, '\bscan\b')) AS INTEGER)
+        |    AS n_scan
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "q_sample_hash" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'

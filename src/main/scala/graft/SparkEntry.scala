@@ -716,6 +716,18 @@ object SparkEntry {
           "vec_id", "embedding", k = 8)
         .orderBy("vec_id")),
 
+    // F1+ — regexp extract (group capture + extract_all; the reference
+    // only ever replaces — SURVEY.md §2.3 notes extract comes free).
+    "q_regexp_extract" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          regexp_extract(col("text"), "\\b(\\w+)\\b", 1).as("first_word"),
+          array_join(regexp_extract_all(col("text"), lit("\\b(sc\\w+)\\b"), lit(1)), ",")
+            .as("sc_words"),
+          regexp_count(col("text"), lit("\\bscan\\b")).as("n_scan"))
+        .orderBy("doc_id")
+    }),
+
     // Deterministic systematic sampling: keep rows whose md5(key) falls
     // under the rate threshold — replayable on any engine, unlike
     // engine-native RNG sampling; the standard way to cut a reproducible
