@@ -52,6 +52,24 @@ def compare():
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
     oracle = json.load(open(f"{OUT}/oracle_sql.json"))
     n_ok = n_bad = 0
+    # rows-only queries (no oracle entry): smoke-check rows > 0, mirroring
+    # the driver's weaker check, instead of silently ignoring them
+    for d in sorted(glob.glob(f"{OUT}/q_*")):
+        name = os.path.basename(d)
+        if name in oracle or (ONLY and name not in ONLY):
+            continue
+        try:
+            n = con.execute(
+                f"SELECT count(*) FROM read_parquet('{d}/*.parquet')").fetchone()[0]
+            if n > 0:
+                print(f"ok   {name} (rows-only, {n} rows)")
+                n_ok += 1
+            else:
+                print(f"FAIL {name}: rows-only query returned 0 rows")
+                n_bad += 1
+        except Exception as e:
+            print(f"FAIL {name}: rows-only read error: {e}")
+            n_bad += 1
     for name, sql in sorted(oracle.items()):
         if ONLY and name not in ONLY:
             continue
