@@ -119,8 +119,8 @@ object OracleSql {
 
     "q_star_join" ->
       """SELECT r_name, n_name, CAST(month(o_orderdate) AS INTEGER) AS order_month,
-        |  sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10)))
-        |    AS revenue,
+        |  CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10)))
+        |    AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
         |  count(*) AS n_items
         |FROM lineitem
         |JOIN orders   ON l_orderkey = o_orderkey
@@ -387,7 +387,7 @@ object OracleSql {
          |  SELECT doc_id + 1000000, substr(text, 1, length(text) - 10)
          |  FROM documents),
          |sh AS (
-         |  SELECT DISTINCT key, array_to_string(w[i:i+4], ' ') AS shingle
+         |  SELECT DISTINCT key, md5(array_to_string(w[i:i+4], ' ')) AS shingle
          |  FROM (
          |    SELECT key, string_split_regex(t, '\\s+') AS w,
          |      unnest(generate_series(1,
@@ -395,7 +395,7 @@ object OracleSql {
          |    FROM corpus)),
          |mh AS (
          |  SELECT key, seed,
-         |    min(md5(CAST(seed AS VARCHAR) || '#' || shingle)) AS mh
+         |    min(substr(shingle || shingle, 1 + 4 * seed, 16)) AS mh
          |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS seed)
          |  GROUP BY key, seed),
          |bands AS (
@@ -448,7 +448,7 @@ object OracleSql {
         |  SELECT doc_id + 1000000, substr(text, 1, length(text) - 10)
         |  FROM documents),
         |sh AS (
-        |  SELECT DISTINCT key, substr(t, i, 8) AS shingle FROM (
+        |  SELECT DISTINCT key, md5(substr(t, i, 8)) AS shingle FROM (
         |    SELECT key, t,
         |      unnest(generate_series(1, greatest(length(t) - 7, 1))) AS i
         |    FROM corpus)),
@@ -649,7 +649,8 @@ object OracleSql {
 
     "q_salted_agg" ->
       """SELECT l_returnflag,
-        |  sum(CAST(l_quantity AS DECIMAL(30,10))) AS sum_qty,
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(30,10))) AS DECIMAL(38,4))
+        |    AS DOUBLE) AS sum_qty,
         |  count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 

@@ -55,8 +55,17 @@ object SparkEntry {
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"), month(col("o_orderdate")).as("order_month"))
       .agg(
+        // Exact decimal sum internally; the COMPARED column is cast to
+        // double at the boundary (wide-decimal rendering is not portable
+        // across engines' hashers — every green sum does this). The
+        // intermediate DECIMAL(38,4) narrowing is exact (revenue has ≤4
+        // fractional digits) and keeps the scaled integer under 2^53, so
+        // the →double division rounds ONCE, identically on both engines;
+        // casting DECIMAL(38,10) straight to double double-rounds in
+        // DuckDB (int128→double, then ÷10^10) and diverges by 1 ULP.
         sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-          .cast("decimal(30,10)")).as("revenue"),
+          .cast("decimal(30,10)")).cast("decimal(38,4)").cast("double")
+          .as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy(col("r_name"), col("n_name"), col("order_month"))
   }
@@ -628,6 +637,8 @@ object SparkEntry {
       graft.operators.Skew.saltedAgg(
           t(s, dir, "lineitem"), Seq(col("l_returnflag")), col("l_orderkey"),
           nSalts = 32, sums = Map("sum_qty" -> col("l_quantity").cast("decimal(30,10)")))
+        .withColumn("sum_qty",
+          col("sum_qty").cast("decimal(38,4)").cast("double"))
         .orderBy("l_returnflag")
     }),
 

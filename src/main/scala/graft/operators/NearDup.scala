@@ -47,17 +47,48 @@ object NearDup {
         array_join(slice(col("w"), col("i"), lit(n)), " ").as("shingle"))
       .distinct()
 
-  /** MinHash signature: k independent hash functions h_i(s) =
-    * md5(i || '#' || s); signature element i is the minimum over the
-    * doc's shingles (hex-string order == unsigned numeric order).
+  /** Distinct char-n-gram shingle DIGESTS per key: shingles are hashed to
+    * a fixed-width md5 hex BEFORE the distinct, so the dedup shuffle
+    * carries 32-byte keys instead of arbitrary-width text. Set semantics
+    * are preserved (md5 is injective modulo 2⁻¹²⁸ collisions), so counts
+    * and joins over digests equal counts and joins over raw shingles.
+    */
+  def shingleDigests(df: DataFrame, key: Column, text: Column, n: Int): DataFrame =
+    df.select(key.as("key"), text.as("t"))
+      .withColumn("i",
+        explode(sequence(lit(1), greatest(length(col("t")) - (n - 1), lit(1)))))
+      .select(col("key"), md5(col("t").substr(col("i"), lit(n))).as("shingle"))
+      .distinct()
+
+  /** Distinct word n-gram shingle digests per key (see [[shingleDigests]]). */
+  def wordShingleDigests(df: DataFrame, key: Column, text: Column, n: Int): DataFrame =
+    df.select(key.as("key"), split(text, "\\s+").as("w"))
+      .withColumn("i",
+        explode(sequence(lit(1), greatest(size(col("w")) - (n - 1), lit(1)))))
+      .select(col("key"),
+        md5(array_join(slice(col("w"), col("i"), lit(n)), " ")).as("shingle"))
+      .distinct()
+
+  /** MinHash signature over shingle DIGESTS: ONE md5 per shingle (already
+    * paid in [[shingleDigests]]); the k per-seed hash values are rotated
+    * 16-hex-char windows of that digest — h_i(s) = substr(d‖d, 1+4i, 16)
+    * where d = md5(s). Each window's leading 4 nibbles are disjoint
+    * md5-output bits, so the k shingle orderings are decided by
+    * independent bits (ties beyond 4 nibbles at prob ≈ |set|/16⁴).
+    * Signature element i is the min over the doc's shingles (hex-string
+    * order == unsigned numeric order). This replaces k md5 calls per
+    * shingle per seed with k substrings — ~8× less digest work, and the
+    * pre-agg rows are fixed-width.
     *
     * Wide form: ONE aggregation computes all k minima as columns — no
     * seed-explode (which would multiply the shuffle k×) and no second
-    * banding aggregation. The shuffle carries each shingle row once.
+    * banding aggregation. The shuffle carries each digest row once.
     */
   def minhashSig(sh: DataFrame, k: Int): DataFrame = {
+    require(k <= 8, s"k=$k: only 8 disjoint 4-hex windows in one md5")
+    val d2 = concat(col("shingle"), col("shingle"))
     val mins = (0 until k).map(i =>
-      min(md5(concat(lit(s"$i#"), col("shingle")))).as(s"mh$i"))
+      min(substring(d2, 1 + 4 * i, 16)).as(s"mh$i"))
     sh.groupBy(col("key")).agg(mins.head, mins.tail: _*)
   }
 
@@ -103,9 +134,9 @@ object NearDup {
   def minhashPairs(
       df: DataFrame, key: Column, text: Column,
       n: Int, k: Int, threshold: Double): DataFrame = {
-    // the shingle set feeds signatures + both jaccard sides + set sizes —
-    // persist it once instead of re-exploding the corpus four times
-    val sh = wordShingles(df, key, text, n)
+    // the shingle-digest set feeds signatures + both jaccard sides + set
+    // sizes — persist it once instead of re-exploding the corpus four times
+    val sh = wordShingleDigests(df, key, text, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = candidatePairs(lshBands(minhashSig(sh, k), k))
     jaccard(pairs, sh).filter(col("jacc") >= threshold)
@@ -135,6 +166,6 @@ object NearDup {
   def ngramJaccard(
       df: DataFrame, key: Column, text: Column,
       pairs: DataFrame, n: Int): DataFrame =
-    jaccard(pairs, shingles(df, key, text, n)
+    jaccard(pairs, shingleDigests(df, key, text, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 }
