@@ -955,5 +955,27 @@ object OracleSql {
         |  n_chars AS n_bytes,
         |  md5(text) AS digest
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_typed_warehouse" ->
+      """WITH raw AS (
+        |  SELECT 'T' || CAST(user_id % 50 AS VARCHAR) AS ticker,
+        |    ts, event_id,
+        |    (event_id * 7 + user_id) % 9000000 AS cents,
+        |    CAST(event_id % 10000 AS INTEGER) AS volume,
+        |    CAST(event_id % 997 AS INTEGER) AS trade_count
+        |  FROM events),
+        |dedup AS (
+        |  SELECT *, row_number() OVER (
+        |      PARTITION BY ticker, ts ORDER BY event_id) AS rn
+        |  FROM raw)
+        |SELECT sha256(ticker) AS company_id, ts AS "timestamp",
+        |  CAST(CAST(CAST(cents      AS DOUBLE) / 100.0 AS DECIMAL(12,4)) AS DOUBLE) AS open_price,
+        |  CAST(CAST(CAST(cents + 50 AS DOUBLE) / 100.0 AS DECIMAL(12,4)) AS DOUBLE) AS high_price,
+        |  CAST(CAST(CAST(cents - 50 AS DOUBLE) / 100.0 AS DECIMAL(12,4)) AS DOUBLE) AS low_price,
+        |  CAST(CAST(CAST(cents + 7  AS DOUBLE) / 100.0 AS DECIMAL(12,4)) AS DOUBLE) AS close_price,
+        |  CAST(CAST(CAST(cents + 13 AS DOUBLE) / 100.0 AS DECIMAL(12,4)) AS DOUBLE) AS vwap,
+        |  volume, trade_count
+        |FROM dedup WHERE rn = 1
+        |ORDER BY company_id, "timestamp"""".stripMargin,
   )
 }

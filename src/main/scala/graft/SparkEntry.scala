@@ -798,6 +798,50 @@ object SparkEntry {
           (col("k_struct") % 10).as("k_bucket"))
         .orderBy("event_id")
     }),
+
+    // Typed warehouse boundary (models/stock_bar.py:17-58): synthesize
+    // raw double-priced bar rows from events, dedup to the
+    // uq_symbol_timestamp constraint, conform to the declared
+    // DecimalType(12,4) sink schema, round-trip through the typed
+    // Dataset[StockBar] encoder, and emit double-cast prices for the
+    // cross-engine compare. The conform/typed steps are pure projections
+    // — the only exchange is the constraint dedup.
+    "q_typed_warehouse" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      // exact integer cents → double dollars: parity-safe on both
+      // engines (the double sits ~1e-13 from a 2-decimal value, so the
+      // later DECIMAL(12,4) cast rounds identically)
+      def dollars(cents: Column) = cents.cast("double") / lit(100.0)
+      val cents = (col("event_id") * 7 + col("user_id")) % 9000000
+      val raw = e.select(
+        concat(lit("T"), (col("user_id") % 50).cast("string")).as("ticker"),
+        col("ts").as("timestamp"),
+        col("event_id"),
+        dollars(cents).as("open_price"),
+        dollars(cents + 50).as("high_price"),
+        dollars(cents - 50).as("low_price"),
+        dollars(cents + 7).as("close_price"),
+        dollars(cents + 13).as("vwap"),
+        (col("event_id") % 10000).cast("int").as("volume"),
+        (col("event_id") % 997).cast("int").as("trade_count"))
+      val withIds = raw
+        .withColumn("company_id", graft.functions.Text.deterministicId(col("ticker")))
+        .withColumn("id",
+          graft.functions.Text.deterministicId(col("ticker"), col("timestamp").cast("string")))
+      // uq_symbol_timestamp (stock_bar.py:20-22): keep-first by event id
+      val deduped = operators.Dedup.keepFirst(
+        withIds, Seq("company_id", "timestamp"), Seq(col("event_id")))
+      val typed = graft.schemas.Warehouse.asStockBars(deduped)
+      typed.toDF()
+        .select(col("company_id"), col("timestamp"),
+          col("open_price").cast("double").as("open_price"),
+          col("high_price").cast("double").as("high_price"),
+          col("low_price").cast("double").as("low_price"),
+          col("close_price").cast("double").as("close_price"),
+          col("vwap").cast("double").as("vwap"),
+          col("volume"), col("trade_count"))
+        .orderBy("company_id", "timestamp")
+    }),
   )
 
   def oracleSql: Map[String, String] = OracleSql.sql

@@ -1,0 +1,104 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.schemas.Warehouse
+import graft.schemas.Warehouse.StockBar
+
+/** Typed warehouse boundary (SURVEY.md §7.1; reference models package):
+  * conform casts
+  * to the declared sink types, missing-column behavior, uniqueness
+  * invariants, and the Dataset[StockBar] encoder round-trip.
+  */
+class WarehouseSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("conform casts prices to DECIMAL(12,4) at the sink boundary") {
+    val raw = Seq(
+      ("b1", "c1", "2024-01-02 09:30:00", 101.25, 102.0, 100.5, 101.9, 1000L, 42L, 101.7))
+      .toDF("id", "company_id", "timestamp", "open_price", "high_price",
+        "low_price", "close_price", "volume", "trade_count", "vwap")
+      .withColumn("timestamp", to_timestamp($"timestamp"))
+    val out = Warehouse.conform(raw, Warehouse.stockBarSchema)
+    assert(out.schema === Warehouse.stockBarSchema)
+    val r = out.collect()(0)
+    assert(r.getAs[java.math.BigDecimal]("open_price") ===
+      new java.math.BigDecimal("101.2500"))
+    assert(r.getAs[Int]("volume") === 1000)
+  }
+
+  test("conform nulls missing nullable columns, fails on missing required") {
+    val partial = Seq(("a1", "T", "tc", "cc", "2024-01-01 00:00:00", "src",
+        "https://u", "2024-01-01 00:00:00", "2024-01-01 00:00:00"))
+      .toDF("id", "title", "title_cleaned", "content_cleaned",
+        "published_at", "source_name", "url", "created_at", "updated_at")
+      .withColumn("published_at", to_timestamp($"published_at"))
+      .withColumn("created_at", to_timestamp($"created_at"))
+      .withColumn("updated_at", to_timestamp($"updated_at"))
+    val out = Warehouse.conform(partial, Warehouse.articleSchema)
+    val r = out.collect()(0)
+    assert(r.getAs[String]("author") === null) // nullable → NULL
+    assert(r.getAs[String]("content") === null)
+    val ex = intercept[IllegalArgumentException] {
+      Warehouse.conform(partial.drop("url"), Warehouse.articleSchema)
+    }
+    assert(ex.getMessage.contains("url"))
+  }
+
+  test("uniquenessViolations finds uq_symbol_timestamp breaches only") {
+    val df = Seq(
+      ("c1", "2024-01-02 09:30:00"),
+      ("c1", "2024-01-02 09:30:00"), // duplicate key
+      ("c1", "2024-01-02 09:31:00"),
+      ("c2", "2024-01-02 09:30:00"))
+      .toDF("company_id", "timestamp")
+    val v = Warehouse.uniquenessViolations(df, Seq("company_id", "timestamp")).collect()
+    assert(v.length === 1)
+    assert(v(0).getAs[Long]("multiplicity") === 2L)
+    val clean = operators.Dedup.keepFirst(
+      df.withColumn("ord", monotonically_increasing_id()),
+      Seq("company_id", "timestamp"), Seq(col("ord")))
+    assert(Warehouse.uniquenessViolations(
+      clean, Seq("company_id", "timestamp")).isEmpty)
+  }
+
+  test("Dataset[StockBar] encoder round-trips through the typed view") {
+    val bars = Seq(
+      StockBar("b1", "c1", ts("2024-01-02 09:30:00"),
+        BigDecimal("101.2500"), BigDecimal("102.0000"), BigDecimal("100.5000"),
+        BigDecimal("101.9000"), 1000, 42, BigDecimal("101.7000")),
+      StockBar("b2", "c1", ts("2024-01-02 09:31:00"),
+        BigDecimal("101.9000"), BigDecimal("103.0000"), BigDecimal("101.0000"),
+        BigDecimal("102.5000"), 500, 17, BigDecimal("102.2000")))
+    val ds = spark.createDataset(bars)(Warehouse.stockBarEncoder)
+    // typed field access on the deserialized objects
+    val spread = ds.collect().map(b => (b.high_price - b.low_price).doubleValue)
+    assert(spread.toSeq === Seq(1.5, 2.0))
+    // DataFrame → conform → typed view → back, schema authoritative
+    val typed = Warehouse.asStockBars(ds.toDF())
+    assert(typed.toDF().schema === Warehouse.stockBarSchema)
+    assert(typed.toDF().count() === 2)
+  }
+
+  test("declared unique keys cover all four tables") {
+    assert(Warehouse.uniqueKeys("stock_bars").contains(Seq("company_id", "timestamp")))
+    assert(Warehouse.uniqueKeys("articles").contains(Seq("url")))
+    assert(Warehouse.uniqueKeys("reddit_posts").contains(Seq("reddit_id")))
+    assert(Warehouse.uniqueKeys("companies").contains(Seq("ticker")))
+  }
+}
