@@ -4,6 +4,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // per-query repeat count; the recorded time is the MEDIAN of the runs
+    // so one GC pause / host-noise spike can't masquerade as a plan
+    // regression (round-2 lesson: two unchanged queries "regressed" 10×
+    // in a single-run bench)
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -17,19 +22,25 @@ object Bench {
     // session-startup cost (classloading, codegen compiler init)
     spark.range(1000000).selectExpr("sum(id)").collect()
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // release per-query persisted frames (e.g. near-dup shingle sets)
-      // so later queries don't inherit cache/GC pressure
-      spark.catalog.clearCache()
-      name -> dt
+    // FIXED sorted order: Map iteration order shifts whenever an entry is
+    // added, which reshuffles cache/GC inheritance between rounds and
+    // makes per-query times incomparable across BENCH_r{N} files
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // release per-query persisted frames (e.g. near-dup shingle sets)
+        // so later queries don't inherit cache/GC pressure
+        spark.catalog.clearCache()
+        dt
+      }.sorted
+      name -> times(times.length / 2)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":$runs}""")
     spark.stop()
   }
 }

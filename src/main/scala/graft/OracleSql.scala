@@ -31,6 +31,63 @@ object OracleSql {
         |  AND l_quantity < 10
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
+    // Mirrors the two-generation layout: even keys were written by the
+    // old schema (int32 key, FLOAT price — the float round-trip is IEEE
+    // single rounding, identical on both engines; no o_orderpriority →
+    // defensive 'LEGACY'), odd keys by the widened current schema.
+    "q_schema_evolution" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 2 = 0
+        |       THEN CAST(CAST(o_totalprice AS FLOAT) AS DOUBLE)
+        |       ELSE o_totalprice END AS o_totalprice,
+        |  CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority
+        |       ELSE 'LEGACY' END AS o_orderpriority
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_extract_article" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 13 = 0
+        |      THEN '<html><body><div>paywall</div></body></html>'
+        |      ELSE '<html><head><title>Doc ' || doc_id || ' (' || lang
+        |        || ')</title>'
+        |        || '<meta name="author" content="author-' || (doc_id % 7) || '">'
+        |        || '<meta property="og:site_name" content="' || source || '">'
+        |        || '<meta property="article:published_time" content="2024-03-'
+        |        || (doc_id % 28 + 1) || '">'
+        |        || '</head><body><p>'
+        |        || regexp_replace(text, '\. ', '.</p><p>', 'g')
+        |        || '</p></body></html>' END AS html
+        |  FROM documents),
+        |x AS (
+        |  SELECT doc_id AS key,
+        |    nullif(regexp_extract(html, '<title>(.*?)</title>', 1), '')
+        |      AS headline,
+        |    nullif(regexp_extract(html,
+        |      '<meta name="author" content="([^"]*)"', 1), '') AS author,
+        |    nullif(regexp_extract(html,
+        |      '<meta property="og:site_name" content="([^"]*)"', 1), '')
+        |      AS publisher,
+        |    nullif(array_to_string(
+        |      regexp_extract_all(html, '<p>(.*?)</p>', 1),
+        |      chr(10) || chr(10)), '') AS content,
+        |    nullif(regexp_extract(html,
+        |      '<meta property="article:published_time" content="([^"]*)"', 1),
+        |      '') AS published_at,
+        |    CAST(len(regexp_extract_all(html, '<p>(.*?)</p>', 1)) AS INTEGER)
+        |      AS n_paragraphs
+        |  FROM h)
+        |SELECT key,
+        |  CASE WHEN ok THEN headline END AS headline,
+        |  CASE WHEN ok THEN author END AS author,
+        |  CASE WHEN ok THEN publisher END AS publisher,
+        |  CASE WHEN ok THEN content END AS content,
+        |  CASE WHEN ok THEN published_at END AS published_at,
+        |  CASE WHEN ok THEN n_paragraphs END AS n_paragraphs
+        |FROM (SELECT *, content IS NOT NULL AND headline IS NOT NULL AS ok
+        |      FROM x)
+        |ORDER BY key""".stripMargin,
+
     "q_rename_project" ->
       """SELECT event_id, ts AS event_ts, user_id, event_type, value
         |FROM events ORDER BY event_id""".stripMargin,
@@ -448,7 +505,7 @@ object OracleSql {
         |  SELECT doc_id + 1000000, substr(text, 1, length(text) - 10)
         |  FROM documents),
         |sh AS (
-        |  SELECT DISTINCT key, md5(substr(t, i, 8)) AS shingle FROM (
+        |  SELECT DISTINCT key, substr(t, i, 8) AS shingle FROM (
         |    SELECT key, t,
         |      unnest(generate_series(1, greatest(length(t) - 7, 1))) AS i
         |    FROM corpus)),
@@ -598,6 +655,37 @@ object OracleSql {
     "q_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
+
+    // Session windows in Append mode emit only sessions closed before the
+    // FINAL watermark, which AvailableNow over a static dir makes
+    // expressible: watermark = max(ts) − 1 day, a session = a maximal run
+    // with gaps < 30 min (session_window merges on [ts, ts+gap) overlap,
+    // so a gap of exactly 30 min starts a new session), session end =
+    // last ts + 30 min, emitted iff end ≤ watermark.
+    "q_stream_sessions" ->
+      """WITH b AS (
+        |  SELECT event_id, user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (
+        |  SELECT user_id, ts, value,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM b),
+        |sess AS (
+        |  SELECT user_id,
+        |    min(ts) AS s_start,
+        |    max(ts) + INTERVAL 30 MINUTE AS s_end,
+        |    count(*) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE) AS vsum
+        |  FROM g GROUP BY user_id, sid)
+        |SELECT user_id, s_start, s_end, n, vsum FROM sess
+        |WHERE epoch_us(s_end) <=
+        |  (SELECT max(epoch_us(ts)) - 86400000000 FROM events)
+        |ORDER BY user_id, s_start""".stripMargin,
 
     "q_stream_ffill" ->
       """WITH e AS (

@@ -82,6 +82,61 @@ object SparkEntry {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // S-evolution — multi-generation parquet read under one target
+    // schema (the reference's Alembic history incl. a column widening,
+    // migrations/versions/e26643b1dbdd_.py:22-28): generation 1 writes
+    // narrow types (int32 key, float price) and predates the added
+    // column; generation 2 writes the widened/extended schema. One
+    // readEvolved scan + a defensive default survives both.
+    "q_schema_evolution" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val orders = t(s, dir, "orders")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_evo_").toString
+      orders.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey").cast("int").as("o_orderkey"),
+          col("o_custkey"),
+          col("o_totalprice").cast("float").as("o_totalprice"))
+        .write.mode("append").parquet(tmp)
+      orders.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("o_orderpriority"))
+        .write.mode("append").parquet(tmp)
+      val target = StructType(Seq(
+        StructField("o_orderkey", LongType),
+        StructField("o_custkey", LongType),
+        StructField("o_totalprice", DoubleType),
+        StructField("o_orderpriority", StringType)))
+      graft.sources.Sources.readEvolved(s, tmp, target)
+        .withColumn("o_orderpriority",
+          coalesce(col("o_orderpriority"), lit("LEGACY")))
+        .orderBy("o_orderkey")
+    }),
+
+    // S2/S4 — trafilatura stand-in: regex main-text + metadata→fields
+    // over raw HTML (extraction.py:341,361-374). The corpus is wrapped
+    // in deterministic pseudo-HTML (titles/meta from table columns,
+    // paragraphs split on sentence ends); every 13th doc is a
+    // paywall-shaped page with no article → the all-null default row.
+    "q_extract_article" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val html = when(col("doc_id") % 13 === 0,
+          lit("<html><body><div>paywall</div></body></html>"))
+        .otherwise(concat(
+          lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+          lit(" ("), col("lang"), lit(")</title>"),
+          lit("<meta name=\"author\" content=\"author-"),
+          (col("doc_id") % 7).cast("string"), lit("\">"),
+          lit("<meta property=\"og:site_name\" content=\""), col("source"), lit("\">"),
+          lit("<meta property=\"article:published_time\" content=\"2024-03-"),
+          (col("doc_id") % 28 + 1).cast("string"), lit("\">"),
+          lit("</head><body><p>"),
+          regexp_replace(col("text"), "\\. ", ".</p><p>"),
+          lit("</p></body></html>")))
+      graft.operators.Extraction.extractArticle(
+          d.withColumn("html", html), col("doc_id"), col("html"))
+        .orderBy("key")
+    }),
+
     // P1/P2/P3 — rename + existence-tolerant drop.
     "q_rename_project" -> ((s, dir) => {
       t(s, dir, "events")
@@ -657,8 +712,9 @@ object SparkEntry {
       graft.streaming.Streaming.streamingEnrich(s, dir)
         .orderBy("c_mktsegment")),
 
-    // Streaming session windows (append mode; rows-only check — the
-    // watermark emission cutoff isn't portably SQL-expressible).
+    // Streaming session windows (append mode). Oracled: under
+    // AvailableNow the final-watermark emission cutoff is a static
+    // expression (max ts − 1 day), so the oracle filters closed sessions.
     "q_stream_sessions" -> ((s, dir) =>
       graft.streaming.Streaming.streamingSessions(s, dir)
         .orderBy("user_id", "s_start")),

@@ -18,6 +18,13 @@ import org.apache.spark.sql.types.{DataType, Decimal, DecimalType}
   * DECIMAL(30,12) via Spark's own `Decimal.changePrecision` (the same
   * path `Cast(double → decimal)` uses), then summed exactly — decimal
   * addition is associative, so evaluation order can't perturb results.
+  * Edge cases follow the chain's non-ANSI (try_cast) form: mismatched
+  * lengths (zip_with pads with null), a null element (null product nulls
+  * the fold), and a product overflowing DECIMAL(30,12) all yield NULL.
+  * Under ANSI mode the built-in chain raises on overflow instead;
+  * DecimalDot deliberately stays total — a scorer evaluated across
+  * millions of candidate pairs must degrade a pathological vector to
+  * NULL, not abort the job.
   */
 case class DecimalDot(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -31,10 +38,15 @@ case class DecimalDot(left: Expression, right: Expression)
   /** Codegen: stay inside whole-stage codegen (a CodegenFallback here
     * would force the surrounding projection into interpreted mode); the
     * loop itself lives in [[DecimalDot.compute]], one static call per row.
+    * compute may return null (edge cases above), so the generated code
+    * re-checks the result instead of using defineCodeGen's non-null form.
     */
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.DecimalDot.compute($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |${ev.value} = graft.functions.DecimalDot.compute($a, $b);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
@@ -44,18 +56,23 @@ case class DecimalDot(left: Expression, right: Expression)
 }
 
 object DecimalDot {
-  /** Shared by interpreted eval and generated code. */
+  /** Shared by interpreted eval and generated code. Returns null exactly
+    * where `aggregate(zip_with(a,b,_*_), 0, _+_)` yields NULL: length
+    * mismatch (zip_with null padding), a null element, or a product that
+    * overflows DECIMAL(30,12) under the non-ANSI cast.
+    */
   def compute(a: ArrayData, b: ArrayData): Decimal = {
-    val n = math.min(a.numElements(), b.numElements())
+    if (a.numElements() != b.numElements()) return null
+    val n = a.numElements()
     var acc = java.math.BigDecimal.ZERO
     var i = 0
     while (i < n) {
-      if (!a.isNullAt(i) && !b.isNullAt(i)) {
-        val p = a.getFloat(i).toDouble * b.getFloat(i).toDouble
-        val d = Decimal(p)
-        // same rounding path as Cast(double AS DECIMAL(30,12))
-        if (d.changePrecision(30, 12)) acc = acc.add(d.toJavaBigDecimal)
-      }
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val p = a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      val d = Decimal(p)
+      // same rounding path as Cast(double AS DECIMAL(30,12))
+      if (!d.changePrecision(30, 12)) return null
+      acc = acc.add(d.toJavaBigDecimal)
       i += 1
     }
     Decimal(acc, 30, 12)

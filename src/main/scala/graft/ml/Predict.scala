@@ -1,7 +1,7 @@
 package graft.ml
 
 import org.apache.spark.ml.classification.LogisticRegression
-import org.apache.spark.ml.linalg.Vectors
+import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{DataFrame, Encoders}
 import org.apache.spark.sql.functions._
 
@@ -28,13 +28,10 @@ object Predict {
     */
   def classifyEmbeddings(emb: DataFrame, idCol: String, vecCol: String,
       labelCol: String): DataFrame = {
-    val spark = emb.sparkSession
-    val toVec = udf((a: Seq[Float]) =>
-      Vectors.dense(a.map(_.toDouble).toArray))
     val prepared = emb.select(
       col(idCol).cast("long").as("vec_id"),
       col(labelCol).cast("double").as("label"),
-      toVec(col(vecCol)).as("features"))
+      array_to_vector(col(vecCol)).as("features"))
     val train = prepared.filter(col("vec_id") % 5 =!= 0)
     val test = prepared.filter(col("vec_id") % 5 === 0)
     val lr = new LogisticRegression()
@@ -51,9 +48,8 @@ object Predict {
     */
   def clusterEmbeddings(emb: DataFrame, idCol: String, vecCol: String,
       k: Int): DataFrame = {
-    val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
     val prepared = emb.select(col(idCol).cast("long").as("vec_id"),
-      toVec(col(vecCol)).as("features"))
+      array_to_vector(col(vecCol)).as("features"))
     val km = new org.apache.spark.ml.clustering.KMeans()
       .setK(k).setSeed(42L).setMaxIter(10)
     km.fit(prepared).transform(prepared)

@@ -162,10 +162,19 @@ object NearDup {
 
   /** Exact n-gram Jaccard for explicitly supplied pairs (no LSH pruning) —
     * the brute-force baseline for [[minhashPairs]]'s candidate stage.
+    *
+    * Uses RAW char shingles, not digests: a char-n shingle with n ≤ 16 is
+    * already at most half the width of md5 hex (32 chars), so digesting
+    * would make every distinct/join key wider AND pay the digest CPU.
+    * Digest only when shingles are wide (the word shingles in
+    * [[minhashPairs]]).
     */
   def ngramJaccard(
       df: DataFrame, key: Column, text: Column,
-      pairs: DataFrame, n: Int): DataFrame =
-    jaccard(pairs, shingleDigests(df, key, text, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      pairs: DataFrame, n: Int): DataFrame = {
+    val sh =
+      if (n <= 16) shingles(df, key, text, n)
+      else shingleDigests(df, key, text, n)
+    jaccard(pairs, sh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
 }

@@ -112,9 +112,23 @@ object Similarity {
         .withColumn("ccos",
           dotDecimal(col(vec), col("cvec")).cast("double") /
             (sqrt(col(n2).cast("double")) * sqrt(col("cn2").cast("double"))))
-      val w = Window.partitionBy(col(id)).orderBy(col("ccos").desc, col("cent_id"))
-      scored.withColumn("crn", row_number().over(w)).filter(col("crn") <= keep)
-        .drop("cvec", "cn2", "ccos", "crn")
+      if (keep == 1) {
+        // argmax via partial/final max_by: the nCentroids×-amplified frame
+        // collapses map-side to one row per vector BEFORE the shuffle —
+        // the window variant would shuffle all amplified rows to sort an
+        // argmax. Tie-break (equal ccos → smallest cent_id) matches the
+        // window's ordering via the negated id in the ordering struct.
+        scored.groupBy(col(id))
+          .agg(max_by(
+            struct(col("cent_id"), col(vec), col(n2)),
+            struct(col("ccos"), (-col("cent_id")).as("tb"))).as("best"))
+          .select(col(id), col("best.cent_id").as("cent_id"),
+            col(s"best.$vec").as(vec), col(s"best.$n2").as(n2))
+      } else {
+        val w = Window.partitionBy(col(id)).orderBy(col("ccos").desc, col("cent_id"))
+        scored.withColumn("crn", row_number().over(w)).filter(col("crn") <= keep)
+          .drop("cvec", "cn2", "ccos", "crn")
+      }
     }
     val corpusAssigned = assign(
       withNorm2(corpus, col(vecCol))

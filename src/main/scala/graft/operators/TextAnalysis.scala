@@ -35,10 +35,14 @@ object TextAnalysis {
     val scored = df.select(key.as("key"), text.as("t"))
       .crossJoin(broadcast(markers))
       .withColumn("hits", regexp_count(lower(col("t")), col("pattern")))
-    val w = Window.partitionBy(col("key")).orderBy(col("hits").desc, col("cand_lang"))
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("key"), col("cand_lang").as("pred_lang"), col("hits"))
+    // argmax via partial/final min_by — the 5×-amplified frame collapses
+    // map-side instead of shuffling whole for a window sort. min of
+    // (-hits, cand_lang) = max hits, ties to smallest language code.
+    scored.groupBy(col("key"))
+      .agg(min_by(struct(col("cand_lang"), col("hits")),
+        struct((-col("hits")).as("nh"), col("cand_lang"))).as("best"))
+      .select(col("key"), col("best.cand_lang").as("pred_lang"),
+        col("best.hits").as("hits"))
   }
 
   /** Quality features + a combined score. Every ratio is a fixed double
@@ -80,11 +84,15 @@ object TextAnalysis {
     val words = df.select(key.as("key"), explode(split(text, "\\s+")).as("term"))
       .filter(col("term") =!= "")
     val tf = words.groupBy("key", "term").agg(count(lit(1)).as("tf"))
-    val nDocs = df.select(key).distinct().count()
+    // N as a broadcast one-row frame, not an eager .count(): no mid-plan
+    // driver action, the whole operator stays one lazily-planned DAG
+    val nDocs = df.agg(countDistinct(key).as("n_docs"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val scored = tf.join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(nDocs))
       .withColumn("score",
-        col("tf").cast("double") * log(lit(nDocs.toDouble) / col("df").cast("double")))
+        col("tf").cast("double") *
+          log(col("n_docs").cast("double") / col("df").cast("double")))
     val w = Window.partitionBy(col("key"))
       .orderBy(col("score").desc, col("term"))
     // output score rounded: ln() differs in the last ulp across engines;

