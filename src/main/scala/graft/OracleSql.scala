@@ -44,6 +44,15 @@ object OracleSql {
         |       ELSE 'LEGACY' END AS o_orderpriority
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
+    "q_partition_pruned" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(30,10)))
+        |    AS DECIMAL(38,4)) AS DOUBLE) AS sum_price,
+        |  count(*) AS n
+        |FROM orders
+        |WHERE strftime(o_orderdate, '%Y-%m') BETWEEN '1995-01' AND '1995-06'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_extract_article" ->
       """WITH h AS (
         |  SELECT doc_id,
@@ -742,6 +751,14 @@ object OracleSql {
         |  count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
+    "q_salted_join" ->
+      """SELECT o_orderpriority,
+        |  CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(30,10))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
     "q_ann_ivf" ->
       """WITH n AS (
         |  SELECT vec_id, embedding,
@@ -1043,6 +1060,17 @@ object OracleSql {
         |  n_chars AS n_bytes,
         |  md5(text) AS digest
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_frame_sample" ->
+      """WITH f AS (
+        |  SELECT doc_id, text,
+        |    CAST(n_chars % 120 + 30 AS INTEGER) AS n_frames,
+        |    unnest(generate_series(0,
+        |      CAST(n_chars % 120 + 30 AS INTEGER) - 1, 7)) AS fi
+        |  FROM documents)
+        |SELECT doc_id, CAST(fi AS INTEGER) AS frame_idx, n_frames,
+        |  md5(text || ':' || CAST(fi AS VARCHAR)) AS frame_digest
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
 
     "q_typed_warehouse" ->
       """WITH raw AS (

@@ -112,6 +112,29 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // K1+S1 — partition-pruned scan over the lake layout the sink
+    // writes: orders land Hive-partitioned by month
+    // (load_to_s3.py:16-27's ingestion_date= layout), and a reader
+    // filtering on the partition column touches only the matching
+    // directories — at 100 TB the filter prunes at the METADATA level,
+    // before any file is opened (inputFiles ⊂ partition dirs; asserted
+    // in SourcesSpec).
+    "q_partition_pruned" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_part_").toString
+      t(s, dir, "orders")
+        .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+        .repartition(col("o_month"))
+        .write.mode("overwrite").partitionBy("o_month").parquet(tmp)
+      s.read.parquet(tmp)
+        .filter(col("o_month").between("1995-01", "1995-06"))
+        .groupBy("o_month")
+        .agg(
+          sum(col("o_totalprice").cast("decimal(30,10)"))
+            .cast("decimal(38,4)").cast("double").as("sum_price"),
+          count(lit(1)).as("n"))
+        .orderBy("o_month")
+    }),
+
     // S2/S4 — trafilatura stand-in: regex main-text + metadata→fields
     // over raw HTML (extraction.py:341,361-374). The corpus is wrapped
     // in deterministic pseudo-HTML (titles/meta from table columns,
@@ -518,6 +541,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Multimodal #2 — video-ish frame sampling: narrow sequence+explode
+    // fan-out of sampled frame indexes, per-partition stub decode.
+    "q_frame_sample" -> ((s, dir) => {
+      Multimodal.sampleFrames(
+        Multimodal.withVideoMeta(t(s, dir, "documents"),
+          col("text"), col("n_chars")), stride = 7)
+        .orderBy("doc_id", "frame_idx")
+    }),
+
     // ---------------------------------------------------------------
     // Structured Streaming (§2.10) — AvailableNow over the landing dir;
     // deterministic, so these carry full oracles too.
@@ -695,6 +727,27 @@ object SparkEntry {
         .withColumn("sum_qty",
           col("sum_qty").cast("decimal(38,4)").cast("double"))
         .orderBy("l_returnflag")
+    }),
+
+    // Skew path #2 — salted JOIN: hot fact keys spread over 8 reducers,
+    // dim side replicated 8x (narrow fan-out of the small side only).
+    // Inner-join semantics are salt-invariant, which the oracle checks
+    // against the plain join.
+    "q_salted_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"), col("l_discount"))
+      val ord = t(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      graft.operators.Skew.saltedJoin(li, ord, "l_orderkey",
+          col("l_linenumber"), nSalts = 8)
+        .groupBy("o_orderpriority")
+        .agg(
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(30,10)")).cast("decimal(38,4)").cast("double")
+            .as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
     }),
 
     // IVF ANN — coarse-quantizer posting lists, nProbe=2 (scale path #2

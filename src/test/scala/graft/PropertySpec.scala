@@ -76,6 +76,20 @@ class PropertySpec extends AnyFunSuite {
       salted.map(r => (r.getLong(0), r.getDecimal(1), r.getLong(2))).toSeq)
   }
 
+  test("property: saltedJoin equals the plain inner join") {
+    // fact skewed 80% onto one key; dim has extra keys that match nothing
+    val fact = (1 to 2000).map { i =>
+      (if (rnd.nextInt(5) > 0) 7L else rnd.nextInt(30).toLong, i.toLong,
+        rnd.nextDouble() * 10)
+    }.toDF("k", "ord", "v")
+    val dim = (0 to 40).map(k => (k.toLong, s"dim_$k")).toDF("k", "name")
+    val plain = fact.join(dim, Seq("k"))
+      .select("k", "ord", "v", "name").orderBy("k", "ord").collect().toSeq
+    val salted = Skew.saltedJoin(fact, dim, "k", col("ord"), nSalts = 8)
+      .select("k", "ord", "v", "name").orderBy("k", "ord").collect().toSeq
+    assert(salted === plain)
+  }
+
   test("property: bucketed tables join without a shuffle exchange") {
     // a previous JVM's managed-table location survives the metastore;
     // clear both the catalog entry and the orphaned directory

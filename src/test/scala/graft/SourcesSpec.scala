@@ -90,6 +90,31 @@ class SourcesSpec extends AnyFunSuite {
     assert(actions.toSeq === Seq("kept", "updated", "inserted"))
   }
 
+  test("partition filter prunes directories at the metadata level") {
+    val dir = Files.createTempDirectory("graft_prune").toString
+    (1 to 300).map(i => (i.toLong, s"2024-0${i % 3 + 1}", i * 1.5))
+      .toDF("id", "month", "v")
+      .repartition(col("month"))
+      .write.mode("overwrite").partitionBy("month").parquet(dir)
+    val pruned = spark.read.parquet(dir).filter($"month" === "2024-02")
+    assert(pruned.collect().length === 100)
+    // the scan's numFiles metric counts files actually read after
+    // partition pruning: 3 partition dirs on disk, only month=2024-02
+    // opened (the 100 TB win: the filter is applied to metadata,
+    // before any file IO)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def findScan(p: SparkPlan): Option[FileSourceScanExec] = p match {
+      case f: FileSourceScanExec => Some(f)
+      case a: AdaptiveSparkPlanExec => findScan(a.executedPlan)
+      case _ => p.children.view.flatMap(findScan(_)).headOption
+    }
+    val scan = findScan(pruned.queryExecution.executedPlan)
+    assert(scan.isDefined)
+    assert(scan.get.metrics("numFiles").value === 1,
+      s"expected 1 pruned file, plan:\n${pruned.queryExecution.executedPlan}")
+  }
+
   test("multimodal decode emits one feature row per document with real bytes") {
     val docs = graft.sources.Sources.table(spark, "/root/testdata/sf0.001", "documents")
     val feats = graft.operators.Multimodal.decodeFeatures(

@@ -109,6 +109,21 @@ class StreamingSinksSpec extends AnyFunSuite {
     assert(new java.io.File(dir).listFiles().exists(_.getName.startsWith("ingestion_date=")))
   }
 
+  test("compact shrinks file count and preserves every row") {
+    val dir = Files.createTempDirectory("graft_compact").toString + "/t"
+    // simulate many tiny appends: 40 single-partition writes
+    val df = (1 to 400).map(i => (i.toLong, s"row_$i")).toDF("id", "v")
+    df.repartition(40).write.parquet(dir)
+    def parquetFiles = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles === 40)
+    val before = spark.read.parquet(dir).orderBy("id").collect().toSeq
+    val n = Sinks.compact(spark, dir) // 40 tiny files ≪ one 128MB target
+    assert(n === 1)
+    assert(parquetFiles === 1)
+    assert(spark.read.parquet(dir).orderBy("id").collect().toSeq === before)
+  }
+
   test("appendNew is idempotent across reloads") {
     val dir = Files.createTempDirectory("graft_append").toString + "/t"
     val batch1 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
