@@ -483,7 +483,7 @@ object SparkEntry {
           col("text").substr(lit(1), length(col("text")) - 10).as("text")))
       val pairs = d.select(col("doc_id").as("key_a"),
         (col("doc_id") + 1000000).as("key_b"))
-      NearDup.ngramJaccard(corpus, col("doc_id"), col("text"), pairs, n = 8)
+      NearDup.ngramJaccardSets(corpus, col("doc_id"), col("text"), pairs, n = 8)
         .select("key_a", "key_b", "n_inter", "jacc")
         .orderBy("key_a")
     }),

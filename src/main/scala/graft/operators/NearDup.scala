@@ -128,18 +128,40 @@ object NearDup {
           (col("cnt_a") + col("cnt_b") - col("n_inter")).cast("double"))
   }
 
+  /** Exact Jaccard over per-doc shingle SETS (see [[ngramJaccardSets]]
+    * for the plan rationale): `sets` is (key, sh: array) — one row per
+    * doc — and each candidate pair costs two set lookups plus an
+    * `array_intersect`.
+    */
+  def jaccardSets(pairs: DataFrame, sets: DataFrame): DataFrame =
+    pairs
+      .join(sets.select(col("key").as("key_a"), col("sh").as("sh_a")), Seq("key_a"))
+      .join(sets.select(col("key").as("key_b"), col("sh").as("sh_b")), Seq("key_b"))
+      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("jacc",
+        col("n_inter").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("n_inter")).cast("double"))
+      .select(col("key_a"), col("key_b"), col("n_inter"), col("jacc"))
+
   /** Full MinHash-LSH near-dup pipeline: shingle → sign → band → bucket
     * join → exact-Jaccard verify → pairs above threshold.
+    *
+    * The verify stage runs on per-doc digest SETS ([[jaccardSets]]):
+    * the row-level double join re-shuffled the full (key, digest) frame
+    * twice; collecting each doc's digests once (map-side partial
+    * collect_set) and intersecting arrays per candidate pair keeps the
+    * exchange at one row per doc.
     */
   def minhashPairs(
       df: DataFrame, key: Column, text: Column,
       n: Int, k: Int, threshold: Double): DataFrame = {
-    // the shingle-digest set feeds signatures + both jaccard sides + set
-    // sizes — persist it once instead of re-exploding the corpus four times
+    // the shingle-digest set feeds signatures + the verify sets —
+    // persist it once instead of re-exploding the corpus three times
     val sh = wordShingleDigests(df, key, text, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = candidatePairs(lshBands(minhashSig(sh, k), k))
-    jaccard(pairs, sh).filter(col("jacc") >= threshold)
+    val sets = sh.groupBy("key").agg(collect_set(col("shingle")).as("sh"))
+    jaccardSets(pairs, sets).filter(col("jacc") >= threshold)
       .select("key_a", "key_b", "jacc")
   }
 
@@ -176,5 +198,26 @@ object NearDup {
       if (n <= 16) shingles(df, key, text, n)
       else shingleDigests(df, key, text, n)
     jaccard(pairs, sh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
+  /** Exact n-gram Jaccard via per-doc shingle SETS: one `collect_set`
+    * aggregation (map-side partials dedup before the shuffle, so the one
+    * exchange carries each doc's set once) and the candidate pairs probe
+    * the sets with `array_intersect` per row. Versus [[jaccard]]'s
+    * row-level double join — which shuffles the full (key, shingle) set
+    * twice more and pays per-row overhead on every shingle — this moves
+    * the intersection to per-pair array CPU. Set size is bounded by doc
+    * length, so executor memory per row stays bounded at 100 TB; prefer
+    * [[jaccard]] only when single documents are pathologically large.
+    */
+  def ngramJaccardSets(
+      df: DataFrame, key: Column, text: Column,
+      pairs: DataFrame, n: Int): DataFrame = {
+    val sets = df.select(key.as("key"), text.as("t"))
+      .withColumn("i",
+        explode(sequence(lit(1), greatest(length(col("t")) - (n - 1), lit(1)))))
+      .select(col("key"), col("t").substr(col("i"), lit(n)).as("shingle"))
+      .groupBy("key").agg(collect_set(col("shingle")).as("sh"))
+    jaccardSets(pairs, sets)
   }
 }

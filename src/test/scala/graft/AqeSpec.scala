@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Adaptive Query Execution behaviors the 100 TB design leans on: the
+  * runtime skew-join split is the automatic counterpart of the manual
+  * salting in [[graft.operators.Skew]] — AQE re-plans a sort-merge join
+  * when one shuffle partition dwarfs the median, splitting the hot
+  * partition across tasks. (Manual salting remains for the cases AQE
+  * can't touch: skewed aggregations and bucketed joins.)
+  *
+  * All AQE thresholds used here are runtime-settable, so the shared test
+  * session is reconfigured and restored rather than rebuilt.
+  */
+class AqeSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  test("AQE splits a skewed sort-merge join partition at runtime") {
+    val keep = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      // shrink the thresholds so toy data exhibits "100 TB" skew: a
+      // partition is skewed if > factor × median AND > threshold bytes
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      // 90% of fact rows share one key; dim is uniform
+      val fact = (1 to 120000)
+        .map(i => (if (i % 10 != 0) 7L else i.toLong % 100, s"payload_$i"))
+        .toDF("k", "v")
+      val dim = (0L to 100L).map(k => (k, s"dim_$k")).toDF("k", "name")
+      val joined = fact.join(dim, "k")
+      // execute THIS df's plan (count() would build a separate query
+      // execution and leave joined's adaptive plan unfinalized)
+      assert(joined.collect().length === 120000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected a skew-split join in the final adaptive plan:\n$plan")
+    } finally keep.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+}

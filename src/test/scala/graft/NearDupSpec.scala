@@ -40,6 +40,22 @@ class NearDupSpec extends AnyFunSuite {
     assert(j === 1.0)
   }
 
+  test("ngramJaccardSets agrees with the row-join jaccard on random docs") {
+    val rnd = new scala.util.Random(7)
+    val corpus = (1L to 40L).map(i =>
+      (i, (1 to 50).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString))
+      .toDF("doc_id", "text")
+    val pairs = (1L to 20L).map(i => (i, i + 20L)).toDF("key_a", "key_b")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("key_a", "key_b", "n_inter", "jacc")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val viaJoin = rows(NearDup.ngramJaccard(
+      corpus, col("doc_id"), col("text"), pairs, 3))
+    val viaSets = rows(NearDup.ngramJaccardSets(
+      corpus, col("doc_id"), col("text"), pairs, 3))
+    assert(viaSets === viaJoin)
+  }
+
   test("simhash16 is equal for identical docs, 16 bits long") {
     val two = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
       (3L, "totally other words here"))
