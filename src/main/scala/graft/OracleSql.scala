@@ -898,6 +898,35 @@ object OracleSql {
         |  AND epoch_us(p.ts) < epoch_us(v.ts) + 3600000000
         |ORDER BY v.event_id, q_event_id""".stripMargin,
 
+    // Outer interval join: the stream null-extends a view only once the
+    // final watermark (min of the two sides' max event time, minus the
+    // 1h delay) proves no purchase can still match — i.e. strictly
+    // after view.ts + 1h. The inner matches are watermark-independent.
+    "q_stream_interval_outer" ->
+      """WITH v AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+        |p AS (
+        |  SELECT event_id AS q_event_id, user_id AS q_user_id, ts AS q_ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |wm AS (
+        |  SELECT least((SELECT max(ts) FROM v), (SELECT max(q_ts) FROM p))
+        |    - INTERVAL 1 HOUR AS w),
+        |matched AS (
+        |  SELECT v.event_id, v.user_id, v.ts, p.q_event_id, p.q_ts
+        |  FROM v JOIN p ON p.q_user_id = v.user_id AND p.q_ts >= v.ts
+        |    AND epoch_us(p.q_ts) < epoch_us(v.ts) + 3600000000),
+        |unmatched AS (
+        |  SELECT v.event_id, v.user_id, v.ts,
+        |    CAST(NULL AS BIGINT) AS q_event_id,
+        |    CAST(NULL AS TIMESTAMP) AS q_ts
+        |  FROM v, wm
+        |  WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.q_user_id = v.user_id
+        |      AND p.q_ts >= v.ts
+        |      AND epoch_us(p.q_ts) < epoch_us(v.ts) + 3600000000)
+        |    AND epoch_us(v.ts) + 3600000000 < epoch_us(wm.w))
+        |SELECT * FROM matched UNION ALL SELECT * FROM unmatched
+        |ORDER BY event_id, q_event_id""".stripMargin,
+
     "q_regexp_extract" ->
       """SELECT doc_id,
         |  regexp_extract(text, '\b(\w+)\b', 1) AS first_word,
@@ -1060,6 +1089,20 @@ object OracleSql {
         |  n_chars AS n_bytes,
         |  md5(text) AS digest
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_media_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(n_chars % 640 + 1 AS INTEGER) AS width,
+        |    CAST(n_chars % 480 + 1 AS INTEGER) AS height
+        |  FROM documents),
+        |s AS (
+        |  SELECT *, least(224.0/width, 224.0/height, 1.0) AS sc FROM m)
+        |SELECT doc_id, width, height,
+        |  CAST(floor(width * sc) AS INTEGER) AS out_w,
+        |  CAST(floor(height * sc) AS INTEGER) AS out_h,
+        |  sc < 1.0 AS resized
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     "q_frame_sample" ->
       """WITH f AS (

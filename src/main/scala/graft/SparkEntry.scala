@@ -122,6 +122,7 @@ object SparkEntry {
     "q_partition_pruned" -> ((s, dir) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_part_").toString
       t(s, dir, "orders")
+        .filter(year(col("o_orderdate")) === 1995) // one year's lake: 12 dirs
         .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
         .repartition(col("o_month"))
         .write.mode("overwrite").partitionBy("o_month").parquet(tmp)
@@ -541,7 +542,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // Multimodal #2 — video-ish frame sampling: narrow sequence+explode
+    // Multimodal #2 — resize planning: aspect-preserving fit-to-224
+    // geometry as codegen'd column arithmetic (the pixel work happens in
+    // the partition decoder; the geometry lets small-image skips push
+    // down before any payload decode).
+    "q_media_resize" -> ((s, dir) => {
+      Multimodal.resizePlan(
+        Multimodal.withPayload(t(s, dir, "documents"),
+          col("doc_id"), col("text"), col("n_chars")), target = 224)
+        .select(col("doc_id"), col("meta.width").as("width"),
+          col("meta.height").as("height"), col("out_w"), col("out_h"),
+          col("resized"))
+        .orderBy("doc_id")
+    }),
+
+    // Multimodal #3 — video-ish frame sampling: narrow sequence+explode
     // fan-out of sampled frame indexes, per-partition stub decode.
     "q_frame_sample" -> ((s, dir) => {
       Multimodal.sampleFrames(
@@ -831,6 +846,12 @@ object SparkEntry {
 
     // MLlib KMeans over embeddings (trained IVF quantizer; rows-only —
     // cluster labels depend on float reduction order).
+    // Stream-stream LEFT OUTER interval join — null-extension driven by
+    // watermark-proved absence (state eviction), not data arrival.
+    "q_stream_interval_outer" -> ((s, dir) =>
+      graft.streaming.Streaming.streamingIntervalJoinOuter(s, dir)
+        .orderBy("event_id", "q_event_id")),
+
     "q_ml_kmeans" -> ((s, dir) =>
       graft.ml.Predict.clusterEmbeddings(t(s, dir, "embeddings"),
           "vec_id", "embedding", k = 8)

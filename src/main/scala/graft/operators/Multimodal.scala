@@ -46,6 +46,25 @@ object Multimodal {
     MediaFeature(docId, fmt, w, h, w.toLong * h.toLong, payload.length.toLong, digest)
   }
 
+  /** Resize planning: aspect-preserving fit into `target`×`target`
+    * (the standard vision-model input prep). Pure integer/double column
+    * arithmetic — the actual pixel resample happens inside the
+    * per-partition decoder ([[decodeFeatures]]'s stub); planning the
+    * output geometry as columns keeps it in whole-stage codegen and lets
+    * a filter like "skip already-small images" push down BEFORE any
+    * payload is decoded.
+    */
+  def resizePlan(df: DataFrame, target: Int): DataFrame = {
+    val scale = least(
+      lit(target.toDouble) / col("meta.width"),
+      lit(target.toDouble) / col("meta.height"),
+      lit(1.0)) // never upscale
+    df.withColumn("scale", scale)
+      .withColumn("out_w", floor(col("meta.width") * col("scale")).cast("int"))
+      .withColumn("out_h", floor(col("meta.height") * col("scale")).cast("int"))
+      .withColumn("resized", col("scale") < 1.0)
+  }
+
   /** Sampled video frame (what a real frame decoder would emit). */
   case class FrameFeature(
       doc_id: Long, frame_idx: Int, n_frames: Int, frame_digest: String)

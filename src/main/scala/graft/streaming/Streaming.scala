@@ -167,6 +167,36 @@ object Streaming {
     runToCompletion(joined, OutputMode.Append(), "stream_interval")
   }
 
+  /** Stream-stream LEFT OUTER interval join: like
+    * [[streamingIntervalJoin]], but views with no purchase in the hour
+    * emit null-extended — and only once the watermark PROVES no match
+    * can still arrive (no purchase older than the watermark will be
+    * accepted, so a view is closed when watermark ≥ view.ts + 1 h).
+    * This is the streaming form of "label carts abandoned after the
+    * cutoff": emission is driven by state eviction, not data arrival.
+    * Over AvailableNow on a static dir the final watermark is
+    * min(max view ts, max purchase ts) − 1 h, making the null-extension
+    * cutoff SQL-expressible (the oracle replays it).
+    */
+  def streamingIntervalJoinOuter(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val ev = eventsStream(spark, dir)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .withWatermark("ts", "1 hour")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("q_event_id"), col("user_id").as("q_user_id"),
+        col("ts").as("q_ts"))
+      .withWatermark("q_ts", "1 hour")
+    val joined = views.join(purchases,
+      col("user_id") === col("q_user_id") &&
+        col("q_ts") >= col("ts") &&
+        col("q_ts") < col("ts") + expr("INTERVAL 1 HOUR"),
+      "left_outer")
+      .select("event_id", "user_id", "ts", "q_event_id", "q_ts")
+    runToCompletion(joined, OutputMode.Append(), "stream_interval_outer")
+  }
+
   /** Streaming → warehouse: foreachBatch applying the idempotent
     * anti-join append per micro-batch (the reference's S3→Databricks
     * handoff collapsed into one exactly-once-ish loop; K2+K3).

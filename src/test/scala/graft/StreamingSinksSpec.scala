@@ -35,6 +35,30 @@ class StreamingSinksSpec extends AnyFunSuite {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("outer interval join null-extends exactly the watermark-closed views") {
+    val out = Streaming.streamingIntervalJoinOuter(spark, sf).cache()
+    val ev = graft.sources.Sources.table(spark, sf, "events")
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("q_event_id"), col("user_id").as("q_user_id"),
+        col("ts").as("q_ts"))
+    val cond = col("user_id") === col("q_user_id") &&
+      col("q_ts") >= col("ts") && col("q_ts") < col("ts") + expr("INTERVAL 1 HOUR")
+    // final watermark = min of each side's max event time, minus 1h;
+    // a view is provably unmatched once view.ts + 1h < watermark
+    val wmMs = math.min(
+      v.agg(max("ts")).head().getTimestamp(0).getTime,
+      p.agg(max("q_ts")).head().getTimestamp(0).getTime) - 3600 * 1000L
+    val expectNull = v.join(p, cond, "left_anti")
+      .filter(unix_millis(col("ts")) + 3600 * 1000L < wmMs)
+      .select("event_id").as[Long].collect().toSet
+    val gotNull = out.filter(col("q_event_id").isNull)
+      .select("event_id").as[Long].collect().toSet
+    assert(gotNull === expectNull)
+    assert(out.filter(col("q_event_id").isNotNull).count() === v.join(p, cond).count())
+  }
+
   test("streamingFfill carries last non-null value per user in ts order") {
     val got = Streaming.streamingFfill(spark, sf, nullEvery = 7)
     // every null must be filled unless it's a leading null for its user
