@@ -1090,6 +1090,88 @@ object OracleSql {
         |  md5(text) AS digest
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // Composed CTE replay of the full cleaning pipeline; each stage is
+    // the same SQL as its standalone oracle (q_lang_id, q_quality_score,
+    // q_dedup_exact, q_minhash_pairs) over the previous stage's output.
+    "q_corpus_clean" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id AS key, text AS t FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, substr(text, 1, length(text) - 10)
+         |  FROM documents),
+         |m(cand_lang, pattern) AS (VALUES
+         |  ('en', '\\b(the|a|and|of)\\b'), ('es', '\\b(scan|row|data)\\b'),
+         |  ('de', '\\b(join|merge|hash)\\b'), ('fr', '\\b(table|filter|sort)\\b'),
+         |  ('zh', '\\b(query|group|order)\\b')),
+         |ls AS (
+         |  SELECT key, cand_lang,
+         |    CAST(len(regexp_extract_all(lower(t), pattern)) AS INTEGER) AS hits
+         |  FROM corpus, m),
+         |lr AS (SELECT *, row_number() OVER (PARTITION BY key
+         |  ORDER BY hits DESC, cand_lang) AS rn FROM ls),
+         |lang_keep AS (SELECT key FROM lr WHERE rn = 1 AND cand_lang = 'de'),
+         |q AS (
+         |  SELECT key,
+         |    CAST(len(string_split_regex(trim(t), '\\s+')) AS INTEGER) AS n_tokens,
+         |    CAST(len(regexp_extract_all(t, '[.!?]')) AS DOUBLE) /
+         |      CAST(greatest(length(t), 1) AS DOUBLE) AS punct_ratio,
+         |    CAST(len(regexp_extract_all(lower(t),
+         |      '\\b(the|a|and|of|to|in)\\b')) AS DOUBLE) /
+         |      CAST(greatest(len(string_split_regex(trim(t), '\\s+')), 1)
+         |        AS DOUBLE) AS stop_ratio
+         |  FROM corpus),
+         |qs AS (
+         |  SELECT key, n_tokens,
+         |    least(CAST(n_tokens AS DOUBLE)/100.0, 1.0)*0.5 +
+         |      stop_ratio*0.25 + punct_ratio*0.25 AS score
+         |  FROM q),
+         |filtered AS (
+         |  SELECT c.key, c.t, qs.score, qs.n_tokens FROM corpus c
+         |  JOIN lang_keep lk ON lk.key = c.key
+         |  JOIN qs ON qs.key = c.key AND qs.score >= 0.25),
+         |exact AS (
+         |  SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY md5(t)
+         |    ORDER BY key) AS rn FROM filtered) WHERE rn = 1),
+         |sh AS (
+         |  SELECT DISTINCT key, md5(array_to_string(w[i:i+4], ' ')) AS shingle
+         |  FROM (
+         |    SELECT key, string_split_regex(t, '\\s+') AS w,
+         |      unnest(generate_series(1,
+         |        greatest(len(string_split_regex(t, '\\s+')) - 4, 1))) AS i
+         |    FROM exact)),
+         |mh AS (
+         |  SELECT key, seed,
+         |    min(substr(shingle || shingle, 1 + 4 * seed, 16)) AS mh
+         |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS seed)
+         |  GROUP BY key, seed),
+         |bands AS (
+         |  SELECT key, seed // 2 AS band,
+         |    min(CASE WHEN seed % 2 = 0 THEN mh END) || '|' ||
+         |    min(CASE WHEN seed % 2 = 1 THEN mh END) AS band_val
+         |  FROM mh GROUP BY key, seed // 2),
+         |cand AS (
+         |  SELECT DISTINCT a.key AS key_a, b.key AS key_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_val = b.band_val AND a.key < b.key),
+         |cnt AS (SELECT key, count(*) AS cnt FROM sh GROUP BY key),
+         |inter AS (
+         |  SELECT c.key_a, c.key_b, count(*) AS n_inter
+         |  FROM cand c
+         |  JOIN sh a ON a.key = c.key_a
+         |  JOIN sh b ON b.key = c.key_b AND b.shingle = a.shingle
+         |  GROUP BY c.key_a, c.key_b),
+         |jac AS (
+         |  SELECT i.key_a, i.key_b,
+         |    CAST(n_inter AS DOUBLE) /
+         |      CAST(ca.cnt + cb.cnt - n_inter AS DOUBLE) AS jacc
+         |  FROM inter i
+         |  JOIN cnt ca ON ca.key = i.key_a
+         |  JOIN cnt cb ON cb.key = i.key_b),
+         |dropk AS (SELECT DISTINCT key_b AS key FROM jac WHERE jacc >= 0.5)
+         |SELECT e.key, e.score, e.n_tokens FROM exact e
+         |WHERE NOT EXISTS (SELECT 1 FROM dropk d WHERE d.key = e.key)
+         |ORDER BY e.key""".stripMargin,
+
     "q_media_resize" ->
       """WITH m AS (
         |  SELECT doc_id,

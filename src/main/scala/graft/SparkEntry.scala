@@ -542,6 +542,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Capstone: C4-style corpus cleaning — lang-id → quality filter →
+    // exact dedup → MinHash near-dup removal, one composed lazy plan.
+    "q_corpus_clean" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val d = t(s, dir, "documents")
+      val corpus = d.select(col("doc_id"), col("text")).unionByName(
+        d.select((col("doc_id") + 1000000).as("doc_id"),
+          col("text").substr(lit(1), length(col("text")) - 10).as("text")))
+      graft.operators.Corpus.cleanCorpus(corpus, col("doc_id"), col("text"),
+          targetLang = "de", minScore = 0.25, n = 5, k = 8,
+          jaccThreshold = 0.5)
+        .orderBy("key")
+    }),
+
     // Multimodal #2 — resize planning: aspect-preserving fit-to-224
     // geometry as codegen'd column arithmetic (the pixel work happens in
     // the partition decoder; the geometry lets small-image skips push

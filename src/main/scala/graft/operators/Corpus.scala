@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus curation — the C4-style cleaning pipeline a
+  * training-data engine exists to run, composed from the individual
+  * operators: language id ([[TextAnalysis.langId]]) → quality filter
+  * ([[TextAnalysis.qualityScore]]) → exact dedup (keep-first by key on
+  * the text digest) → MinHash-LSH near-dup removal
+  * ([[NearDup.minhashPairs]], dropping each pair's higher key).
+  *
+  * Plan shape at 100 TB: the two filter stages are embarrassingly
+  * parallel column work pruned at the scan; the exact dedup is one
+  * hash-partition window on the 16-byte digest; near-dup runs only on
+  * survivors (filters first — the cheapest stages cut the corpus before
+  * the shuffling stages see it). The near-dup "keep lowest key" rule is
+  * the standard greedy canonicalization: deterministic, one anti-join.
+  */
+object Corpus {
+
+  def cleanCorpus(df: DataFrame, key: Column, text: Column,
+      targetLang: String, minScore: Double,
+      n: Int, k: Int, jaccThreshold: Double)(
+      implicit spark: SparkSession): DataFrame = {
+    val corpus = df.select(key.as("key"), text.as("t"))
+    val langKeep = TextAnalysis.langId(corpus, col("key"), col("t"))
+      .filter(col("pred_lang") === targetLang).select("key")
+    val qs = TextAnalysis.qualityScore(corpus, col("key"), col("t"))
+      .filter(col("score") >= minScore).select("key", "score", "n_tokens")
+    val filtered = corpus
+      .join(langKeep, Seq("key"), "left_semi")
+      .join(qs, Seq("key"))
+    val exact = filtered.withColumn("rn",
+        row_number().over(Window.partitionBy(md5(col("t"))).orderBy(col("key"))))
+      .filter(col("rn") === 1).drop("rn")
+      // feeds both the near-dup pass and the final anti-join
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nearDup = NearDup.minhashPairs(exact, col("key"), col("t"),
+      n, k, jaccThreshold)
+    exact.join(nearDup.select(col("key_b").as("key")).distinct(),
+        Seq("key"), "left_anti")
+      .select(col("key"), col("score"), col("n_tokens"))
+  }
+}
