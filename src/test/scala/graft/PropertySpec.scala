@@ -76,6 +76,24 @@ class PropertySpec extends AnyFunSuite {
       salted.map(r => (r.getLong(0), r.getDecimal(1), r.getLong(2))).toSeq)
   }
 
+  test("property: corpus cleaning is idempotent") {
+    implicit val sp: SparkSession = spark
+    val d = graft.sources.Sources.table(spark, "/root/testdata/sf0.001", "documents")
+    val corpus = d.select(col("doc_id"), col("text")).unionByName(
+      d.select((col("doc_id") + 1000000).as("doc_id"),
+        col("text").substr(lit(1), length(col("text")) - 10).as("text")))
+    def clean(c: org.apache.spark.sql.DataFrame) =
+      graft.operators.Corpus.cleanCorpus(c, col("doc_id"), col("text"),
+        targetLang = "de", minScore = 0.25, n = 5, k = 8, jaccThreshold = 0.5)
+    val once = clean(corpus).cache()
+    val keptDocs = corpus.join(once.select(col("key").as("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val twice = clean(keptDocs)
+    assert(once.select("key").as[Long].collect().toSet ===
+      twice.select("key").as[Long].collect().toSet)
+    assert(once.count() > 0)
+  }
+
   test("property: saltedJoin equals the plain inner join") {
     // fact skewed 80% onto one key; dim has extra keys that match nothing
     val fact = (1 to 2000).map { i =>
