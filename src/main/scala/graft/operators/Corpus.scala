@@ -25,13 +25,15 @@ object Corpus {
       n: Int, k: Int, jaccThreshold: Double)(
       implicit spark: SparkSession): DataFrame = {
     val corpus = df.select(key.as("key"), text.as("t"))
-    val langKeep = TextAnalysis.langId(corpus, col("key"), col("t"))
-      .filter(col("pred_lang") === targetLang).select("key")
-    val qs = TextAnalysis.qualityScore(corpus, col("key"), col("t"))
-      .filter(col("score") >= minScore).select("key", "score", "n_tokens")
-    val filtered = corpus
-      .join(langKeep, Seq("key"), "left_semi")
-      .join(qs, Seq("key"))
+    // both filter stages are pure column work ([[TextAnalysis.langIdCol]]
+    // argmax + quality features inline) — the pipeline is NARROW until
+    // the dedup window: no join, no aggregation, filters evaluated in
+    // the scan stage at 100 TB
+    val filtered = TextAnalysis.withQualityFeatures(
+        corpus.withColumn("pred_lang", TextAnalysis.langIdCol(col("t")))
+          .filter(col("pred_lang") === targetLang), col("t"))
+      .filter(col("score") >= minScore)
+      .select("key", "t", "score", "n_tokens")
     val exact = filtered.withColumn("rn",
         row_number().over(Window.partitionBy(md5(col("t"))).orderBy(col("key"))))
       .filter(col("rn") === 1).drop("rn")

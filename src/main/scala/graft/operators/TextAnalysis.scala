@@ -45,23 +45,43 @@ object TextAnalysis {
         col("best.hits").as("hits"))
   }
 
-  /** Quality features + a combined score. Every ratio is a fixed double
-    * op sequence (oracle bit-parity); callers choose thresholds.
+  /** Column-wise language id: marker hits per candidate as expressions,
+    * argmax picked by sorting an array of (−hits, lang) structs — struct
+    * ordering compares fields left-to-right, so element 0 is max hits
+    * with ties to the smallest language code, exactly [[langId]]'s rule.
+    * Fully codegen'd: NO crossJoin, NO aggregation — for pipelines that
+    * need the prediction inline without a shuffle.
     */
-  def qualityScore(df: DataFrame, key: Column, text: Column): DataFrame = {
-    val stops = Seq("the", "a", "and", "of", "to", "in")
-    df.select(key.as("key"), text.as("t"))
-      .withColumn("n_chars", length(col("t")))
-      .withColumn("n_tokens", Text.wsTokenCount(col("t")))
-      .withColumn("punct_ratio", Text.punctRatio(col("t")))
-      .withColumn("stop_ratio", Text.stopwordRatio(col("t"), stops))
+  def langIdCol(text: Column): Column = {
+    val entries = langMarkers.map { case (lang, pat) =>
+      struct((-regexp_count(lower(text), lit(pat))).as("nh"),
+        lit(lang).as("lang"))
+    }
+    element_at(sort_array(array(entries: _*)), 1).getField("lang")
+  }
+
+  private val stopwords = Seq("the", "a", "and", "of", "to", "in")
+
+  /** Append quality feature + score columns to `df` (text column kept —
+    * for pipelines that filter and keep processing the text).
+    */
+  def withQualityFeatures(df: DataFrame, text: Column): DataFrame =
+    df.withColumn("n_chars", length(text))
+      .withColumn("n_tokens", Text.wsTokenCount(text))
+      .withColumn("punct_ratio", Text.punctRatio(text))
+      .withColumn("stop_ratio", Text.stopwordRatio(text, stopwords))
       .withColumn("avg_token_len",
         col("n_chars").cast("double") / col("n_tokens").cast("double"))
       .withColumn("score",
         least(col("n_tokens").cast("double") / lit(100.0), lit(1.0)) * lit(0.5) +
           col("stop_ratio") * lit(0.25) + col("punct_ratio") * lit(0.25))
+
+  /** Quality features + a combined score. Every ratio is a fixed double
+    * op sequence (oracle bit-parity); callers choose thresholds.
+    */
+  def qualityScore(df: DataFrame, key: Column, text: Column): DataFrame =
+    withQualityFeatures(df.select(key.as("key"), text.as("t")), col("t"))
       .drop("t")
-  }
 
   /** Token counts: whitespace tokens + BPE-ish subword pre-tokens. */
   def tokenCounts(df: DataFrame, key: Column, text: Column): DataFrame =

@@ -25,6 +25,44 @@ class AqeSpec extends AnyFunSuite {
 
   import spark.implicits._
 
+  test("runtime bloom filter is injected for a selective shuffle join") {
+    // the semi-join-reduction pattern at 100 TB: a selective filter on
+    // the dim side materializes a bloom filter that prunes the fact
+    // scan BEFORE the join shuffle — Catalyst injects it when the
+    // creation side is small and the application side scan is large
+    // (thresholds shrunk here so toy files qualify)
+    val keep = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloom").toString
+    try {
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10MB")
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.range(200000).select(col("id"), (col("id") % 10000).as("k"))
+        .write.mode("overwrite").parquet(s"$dir/fact")
+      spark.range(10000).select(col("id").as("k"), (col("id") * 2).as("attr"))
+        .write.mode("overwrite").parquet(s"$dir/dim")
+      val fact = spark.read.parquet(s"$dir/fact")
+      val dim = spark.read.parquet(s"$dir/dim").filter(col("k") % 100 === 0)
+      val joined = fact.join(dim, "k")
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain"),
+        s"expected an injected bloom-filter probe in:\n$optimized")
+      // 100 surviving dim keys × 20 fact rows per key
+      assert(joined.count() === 2000)
+    } finally keep.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("AQE splits a skewed sort-merge join partition at runtime") {
     val keep = Seq(
       "spark.sql.adaptive.enabled",

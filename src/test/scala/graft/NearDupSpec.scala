@@ -101,6 +101,16 @@ class NearDupSpec extends AnyFunSuite {
     assert(got.toSeq === Seq("en", "es"))
   }
 
+  test("langIdCol (no-shuffle argmax) matches the aggregate langId") {
+    val d = graft.sources.Sources.table(spark, "/root/testdata/sf0.001", "documents")
+    val agg = TextAnalysis.langId(d, col("doc_id"), col("text"))(spark)
+      .select(col("key"), col("pred_lang"))
+    val colwise = d.select(col("doc_id").as("key"),
+      TextAnalysis.langIdCol(col("text")).as("pred_lang"))
+    assert(agg.exceptAll(colwise).count() === 0)
+    assert(colwise.exceptAll(agg).count() === 0)
+  }
+
   test("intervalJoinBinned matches exact window semantics at boundaries") {
     import graft.operators.Analytics
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
