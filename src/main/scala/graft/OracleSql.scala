@@ -941,6 +941,15 @@ object OracleSql {
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
         |ORDER BY doc_id""".stripMargin,
 
+    "q_sample_stratified" ->
+      """SELECT event_id, event_type FROM events
+        |WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 2) <
+        |  CASE event_type
+        |    WHEN 'click' THEN '20' WHEN 'error' THEN '80'
+        |    WHEN 'purchase' THEN 'g0' WHEN 'signup' THEN 'g0'
+        |    WHEN 'view' THEN '10' ELSE '00' END
+        |ORDER BY event_id""".stripMargin,
+
     "q_topk_per_group" ->
       """SELECT event_type, event_id, value, CAST(rnk AS INTEGER) AS rnk
         |FROM (SELECT event_type, event_id, value,

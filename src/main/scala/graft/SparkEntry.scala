@@ -894,6 +894,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Stratified deterministic downsample — per-class keep rates for
+    // training-data balancing (hash threshold, not rng, so the oracle
+    // replays the exact draw).
+    "q_sample_stratified" -> ((s, dir) => {
+      graft.operators.Corpus.stratifiedSample(
+          t(s, dir, "events"), col("event_id"), col("event_type"),
+          Map("view" -> "10", "click" -> "20", "error" -> "80",
+            "purchase" -> "g0", "signup" -> "g0"))
+        .select("event_id", "event_type")
+        .orderBy("event_id")
+    }),
+
     // Top-k per group (row_number ≤ k): the per-key variant of O3.
     "q_topk_per_group" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window

@@ -20,6 +20,25 @@ import org.apache.spark.sql.functions._
   */
 object Corpus {
 
+  /** Deterministic stratified downsampling — per-class keep rates for
+    * training-data balancing (common classes downsampled, rare classes
+    * kept whole). The keep decision is a pure hash threshold per row
+    * (first 2 hex chars of md5(key) under the stratum's threshold), so
+    * it is reproducible across engines/retries, embarrassingly parallel,
+    * and replayed exactly by the SQL oracle — unlike rng-based
+    * `sampleBy`, whose draws are engine-private. Thresholds are 2-hex
+    * upper bounds: "10" keeps 1/16 of rows, "80" half, "g0" all.
+    */
+  def stratifiedSample(df: DataFrame, key: Column, stratum: Column,
+      thresholds: Map[String, String], default: String = "00"): DataFrame = {
+    val cases = thresholds.toSeq.sortBy(_._1)
+    val thr = cases.tail
+      .foldLeft(when(stratum === cases.head._1, lit(cases.head._2))) {
+        case (acc, (s, t)) => acc.when(stratum === s, lit(t))
+      }.otherwise(lit(default))
+    df.filter(substring(md5(key.cast("string")), 1, 2) < thr)
+  }
+
   def cleanCorpus(df: DataFrame, key: Column, text: Column,
       targetLang: String, minScore: Double,
       n: Int, k: Int, jaccThreshold: Double)(

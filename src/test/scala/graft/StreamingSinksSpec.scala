@@ -133,6 +133,20 @@ class StreamingSinksSpec extends AnyFunSuite {
     assert(new java.io.File(dir).listFiles().exists(_.getName.startsWith("ingestion_date=")))
   }
 
+  test("appendNew propagates a corrupt-table read failure (no silent re-append)") {
+    val dir = Files.createTempDirectory("graft_corrupt").toString + "/t"
+    val batch = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    assert(Sinks.appendNew(batch, dir, Seq("id")) === 2L)
+    // corrupt the table: truncate the parquet footer
+    val pq = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    Files.writeString(pq.toPath, "this is not parquet")
+    // K2 contract: a failed existing-table read must THROW — substituting
+    // an empty frame would re-append the whole batch and silently break
+    // idempotency
+    assertThrows[Exception] { Sinks.appendNew(batch, dir, Seq("id")) }
+  }
+
   test("compact shrinks file count and preserves every row") {
     val dir = Files.createTempDirectory("graft_compact").toString + "/t"
     // simulate many tiny appends: 40 single-partition writes
