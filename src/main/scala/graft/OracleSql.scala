@@ -22,6 +22,53 @@ object OracleSql {
       "'[^\\w\\s.!?]', '', 'g'), " +
       "'\\s+', ' ', 'g'))"
 
+  /** Shared MinHash-LSH CTE chain (corpus → word-shingle digests →
+    * signatures → bands → candidate pairs → exact jaccard) — reused by
+    * q_minhash_pairs and q_dedup_clusters so the two oracles cannot
+    * drift.
+    */
+  private val minhashCtes: String =
+    s"""corpus AS (
+       |  SELECT doc_id AS key, text AS t FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, substr(text, 1, length(text) - 10)
+       |  FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT key, md5(array_to_string(w[i:i+4], ' ')) AS shingle
+       |  FROM (
+       |    SELECT key, string_split_regex(t, '\\s+') AS w,
+       |      unnest(generate_series(1,
+       |        greatest(len(string_split_regex(t, '\\s+')) - 4, 1))) AS i
+       |    FROM corpus)),
+       |mh AS (
+       |  SELECT key, seed,
+       |    min(substr(shingle || shingle, 1 + 4 * seed, 16)) AS mh
+       |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS seed)
+       |  GROUP BY key, seed),
+       |bands AS (
+       |  SELECT key, seed // 2 AS band,
+       |    min(CASE WHEN seed % 2 = 0 THEN mh END) || '|' ||
+       |    min(CASE WHEN seed % 2 = 1 THEN mh END) AS band_val
+       |  FROM mh GROUP BY key, seed // 2),
+       |cand AS (
+       |  SELECT DISTINCT a.key AS key_a, b.key AS key_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_val = b.band_val AND a.key < b.key),
+       |cnt AS (SELECT key, count(*) AS cnt FROM sh GROUP BY key),
+       |inter AS (
+       |  SELECT c.key_a, c.key_b, count(*) AS n_inter
+       |  FROM cand c
+       |  JOIN sh a ON a.key = c.key_a
+       |  JOIN sh b ON b.key = c.key_b AND b.shingle = a.shingle
+       |  GROUP BY c.key_a, c.key_b),
+       |jac AS (
+       |  SELECT i.key_a, i.key_b,
+       |    CAST(n_inter AS DOUBLE) /
+       |      CAST(ca.cnt + cb.cnt - n_inter AS DOUBLE) AS jacc
+       |  FROM inter i
+       |  JOIN cnt ca ON ca.key = i.key_a
+       |  JOIN cnt cb ON cb.key = i.key_b)""".stripMargin
+
   val sql: Map[String, String] = Map(
     "q_scan_pushdown" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
@@ -447,48 +494,26 @@ object OracleSql {
         |SELECT doc_id, n_chars FROM dd WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "q_minhash_pairs" ->
-      s"""WITH corpus AS (
-         |  SELECT doc_id AS key, text AS t FROM documents
-         |  UNION ALL
-         |  SELECT doc_id + 1000000, substr(text, 1, length(text) - 10)
-         |  FROM documents),
-         |sh AS (
-         |  SELECT DISTINCT key, md5(array_to_string(w[i:i+4], ' ')) AS shingle
-         |  FROM (
-         |    SELECT key, string_split_regex(t, '\\s+') AS w,
-         |      unnest(generate_series(1,
-         |        greatest(len(string_split_regex(t, '\\s+')) - 4, 1))) AS i
-         |    FROM corpus)),
-         |mh AS (
-         |  SELECT key, seed,
-         |    min(substr(shingle || shingle, 1 + 4 * seed, 16)) AS mh
-         |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS seed)
-         |  GROUP BY key, seed),
-         |bands AS (
-         |  SELECT key, seed // 2 AS band,
-         |    min(CASE WHEN seed % 2 = 0 THEN mh END) || '|' ||
-         |    min(CASE WHEN seed % 2 = 1 THEN mh END) AS band_val
-         |  FROM mh GROUP BY key, seed // 2),
-         |cand AS (
-         |  SELECT DISTINCT a.key AS key_a, b.key AS key_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.band_val = b.band_val AND a.key < b.key),
-         |cnt AS (SELECT key, count(*) AS cnt FROM sh GROUP BY key),
-         |inter AS (
-         |  SELECT c.key_a, c.key_b, count(*) AS n_inter
-         |  FROM cand c
-         |  JOIN sh a ON a.key = c.key_a
-         |  JOIN sh b ON b.key = c.key_b AND b.shingle = a.shingle
-         |  GROUP BY c.key_a, c.key_b),
-         |jac AS (
-         |  SELECT i.key_a, i.key_b,
-         |    CAST(n_inter AS DOUBLE) /
-         |      CAST(ca.cnt + cb.cnt - n_inter AS DOUBLE) AS jacc
-         |  FROM inter i
-         |  JOIN cnt ca ON ca.key = i.key_a
-         |  JOIN cnt cb ON cb.key = i.key_b)
+      s"""WITH $minhashCtes
          |SELECT key_a, key_b, jacc FROM jac WHERE jacc >= 0.5
          |ORDER BY key_a, key_b""".stripMargin,
+
+    // Connected components over the near-dup pairs: the recursive
+    // closure (min reachable key per node) replays Spark's iterative
+    // min-label propagation exactly.
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |pr AS (SELECT key_a, key_b FROM jac WHERE jacc >= 0.5),
+         |edges AS (
+         |  SELECT key_a AS a, key_b AS b FROM pr
+         |  UNION SELECT key_b, key_a FROM pr),
+         |nodes AS (SELECT DISTINCT a AS n FROM edges),
+         |reach(src, dst) AS (
+         |  SELECT n, n FROM nodes
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst)
+         |SELECT src AS key, min(dst) AS cluster_id
+         |FROM reach GROUP BY src ORDER BY key""".stripMargin,
 
     "q_simhash" -> {
       val sums = (0 until 16).map(b =>

@@ -471,6 +471,19 @@ object SparkEntry {
     }),
 
     // 16-bit SimHash fingerprints over whitespace tokens.
+    // Near-dup clusters: connected components over the MinHash pair
+    // graph via iterative min-label propagation (join+agg per round,
+    // no driver-side graph).
+    "q_dedup_clusters" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val corpus = d.select(col("doc_id"), col("text")).unionByName(
+        d.select((col("doc_id") + 1000000).as("doc_id"),
+          col("text").substr(lit(1), length(col("text")) - 10).as("text")))
+      val pairs = NearDup.minhashPairs(corpus, col("doc_id"), col("text"),
+        n = 5, k = 8, threshold = 0.5)
+      NearDup.dedupClusters(pairs).orderBy("key")
+    }),
+
     "q_simhash" -> ((s, dir) => {
       NearDup.simhash16(t(s, dir, "documents"), col("doc_id"), col("text"))
         .orderBy("key")

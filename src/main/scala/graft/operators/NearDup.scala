@@ -200,6 +200,36 @@ object NearDup {
     jaccard(pairs, sh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
+  /** Connected components over a near-dup pair graph — what production
+    * dedup does with the pair list: union pairs into clusters, then keep
+    * one representative per cluster. Iterative min-label propagation
+    * (the scalable CC formulation — each round is one join + one
+    * aggregate, all hash-partitioned on the node key; no driver-side
+    * graph). `maxIter` bounds propagation distance: labels reach any
+    * node ≤ `maxIter` hops from its cluster's minimum, which covers
+    * near-dup clusters (tiny diameters) with the default; raise it for
+    * genuinely chained graphs. Returns (key, cluster_id = min key of
+    * the component) for every node that appears in `pairs`.
+    */
+  def dedupClusters(pairs: DataFrame, maxIter: Int = 8): DataFrame = {
+    // undirected edge list, both directions
+    val edges = pairs.select(col("key_a").as("src"), col("key_b").as("dst"))
+      .unionByName(pairs.select(col("key_b").as("src"), col("key_a").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("key")).distinct()
+      .withColumn("label", col("key"))
+    for (_ <- 1 to maxIter) {
+      // neighbor labels + own label, keep the minimum per node
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("key", "dst"), Seq("dst"))
+        .select(col("src").as("key"), col("label"))
+      labels = labels.unionByName(viaNeighbors)
+        .groupBy("key").agg(min(col("label")).as("label"))
+    }
+    labels.select(col("key"), col("label").as("cluster_id"))
+  }
+
   /** Exact n-gram Jaccard via per-doc shingle SETS: one `collect_set`
     * aggregation (map-side partials dedup before the shuffle, so the one
     * exchange carries each doc's set once) and the candidate pairs probe

@@ -40,6 +40,16 @@ class NearDupSpec extends AnyFunSuite {
     assert(j === 1.0)
   }
 
+  test("dedupClusters unions pairs into components labeled by min key") {
+    // chain 1-2-3-4, isolated pair 10-11, triangle 20-21-22
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("key_a", "key_b")
+    val got = NearDup.dedupClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
   test("ngramJaccardSets agrees with the row-join jaccard on random docs") {
     val rnd = new scala.util.Random(7)
     val corpus = (1L to 40L).map(i =>
