@@ -499,8 +499,8 @@ object OracleSql {
          |ORDER BY key_a, key_b""".stripMargin,
 
     // Connected components over the near-dup pairs: the recursive
-    // closure (min reachable key per node) replays Spark's iterative
-    // min-label propagation exactly.
+    // closure (min reachable key per node) equals Spark's min-label
+    // propagation run to convergence — both are exact CC labelings.
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE $minhashCtes,
          |pr AS (SELECT key_a, key_b FROM jac WHERE jacc >= 0.5),

@@ -120,7 +120,9 @@ object SparkEntry {
     // before any file is opened (inputFiles ⊂ partition dirs; asserted
     // in SourcesSpec).
     "q_partition_pruned" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_part_").toString
+      // fixed per-JVM demo dir, overwritten each run — repeated bench
+      // runs must not accumulate copies in /tmp
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_part_demo"
       t(s, dir, "orders")
         .filter(year(col("o_orderdate")) === 1995) // one year's lake: 12 dirs
         .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
@@ -470,10 +472,9 @@ object SparkEntry {
         .orderBy("key_a", "key_b")
     }),
 
-    // 16-bit SimHash fingerprints over whitespace tokens.
     // Near-dup clusters: connected components over the MinHash pair
-    // graph via iterative min-label propagation (join+agg per round,
-    // no driver-side graph).
+    // graph via min-label propagation to convergence (join+agg per
+    // round, no driver-side graph).
     "q_dedup_clusters" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       val corpus = d.select(col("doc_id"), col("text")).unionByName(
@@ -484,6 +485,7 @@ object SparkEntry {
       NearDup.dedupClusters(pairs).orderBy("key")
     }),
 
+    // 16-bit SimHash fingerprints over whitespace tokens.
     "q_simhash" -> ((s, dir) => {
       NearDup.simhash16(t(s, dir, "documents"), col("doc_id"), col("text"))
         .orderBy("key")
@@ -558,7 +560,6 @@ object SparkEntry {
     // Capstone: C4-style corpus cleaning — lang-id → quality filter →
     // exact dedup → MinHash near-dup removal, one composed lazy plan.
     "q_corpus_clean" -> ((s, dir) => {
-      implicit val sp: SparkSession = s
       val d = t(s, dir, "documents")
       val corpus = d.select(col("doc_id"), col("text")).unionByName(
         d.select((col("doc_id") + 1000000).as("doc_id"),
@@ -871,14 +872,14 @@ object SparkEntry {
       graft.streaming.Streaming.streamingIntervalJoin(s, dir)
         .orderBy("event_id", "q_event_id")),
 
-    // MLlib KMeans over embeddings (trained IVF quantizer; rows-only —
-    // cluster labels depend on float reduction order).
     // Stream-stream LEFT OUTER interval join — null-extension driven by
     // watermark-proved absence (state eviction), not data arrival.
     "q_stream_interval_outer" -> ((s, dir) =>
       graft.streaming.Streaming.streamingIntervalJoinOuter(s, dir)
         .orderBy("event_id", "q_event_id")),
 
+    // MLlib KMeans over embeddings (trained IVF quantizer; rows-only —
+    // cluster labels depend on float reduction order).
     "q_ml_kmeans" -> ((s, dir) =>
       graft.ml.Predict.clusterEmbeddings(t(s, dir, "embeddings"),
           "vec_id", "embedding", k = 8)

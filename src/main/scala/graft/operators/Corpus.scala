@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -31,18 +31,19 @@ object Corpus {
     */
   def stratifiedSample(df: DataFrame, key: Column, stratum: Column,
       thresholds: Map[String, String], default: String = "00"): DataFrame = {
-    val cases = thresholds.toSeq.sortBy(_._1)
-    val thr = cases.tail
-      .foldLeft(when(stratum === cases.head._1, lit(cases.head._2))) {
-        case (acc, (s, t)) => acc.when(stratum === s, lit(t))
-      }.otherwise(lit(default))
+    val thr = thresholds.toSeq.sortBy(_._1) match {
+      case (s0, t0) +: rest =>
+        rest.foldLeft(when(stratum === s0, lit(t0))) {
+          case (acc, (s, t)) => acc.when(stratum === s, lit(t))
+        }.otherwise(lit(default))
+      case _ => lit(default) // empty map: every stratum uses the default
+    }
     df.filter(substring(md5(key.cast("string")), 1, 2) < thr)
   }
 
   def cleanCorpus(df: DataFrame, key: Column, text: Column,
       targetLang: String, minScore: Double,
-      n: Int, k: Int, jaccThreshold: Double)(
-      implicit spark: SparkSession): DataFrame = {
+      n: Int, k: Int, jaccThreshold: Double): DataFrame = {
     val corpus = df.select(key.as("key"), text.as("t"))
     // both filter stages are pure column work ([[TextAnalysis.langIdCol]]
     // argmax + quality features inline) — the pipeline is NARROW until
@@ -56,7 +57,10 @@ object Corpus {
     val exact = filtered.withColumn("rn",
         row_number().over(Window.partitionBy(md5(col("t"))).orderBy(col("key"))))
       .filter(col("rn") === 1).drop("rn")
-      // feeds both the near-dup pass and the final anti-join
+      // feeds both the near-dup pass and the final anti-join; the cache
+      // lives until the caller's spark.catalog.clearCache() (the
+      // Verify/Bench harnesses clear per query) — release it in
+      // long-lived sessions once the result is materialized
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nearDup = NearDup.minhashPairs(exact, col("key"), col("t"),
       n, k, jaccThreshold)

@@ -202,16 +202,20 @@ object NearDup {
 
   /** Connected components over a near-dup pair graph — what production
     * dedup does with the pair list: union pairs into clusters, then keep
-    * one representative per cluster. Iterative min-label propagation
-    * (the scalable CC formulation — each round is one join + one
-    * aggregate, all hash-partitioned on the node key; no driver-side
-    * graph). `maxIter` bounds propagation distance: labels reach any
-    * node ≤ `maxIter` hops from its cluster's minimum, which covers
-    * near-dup clusters (tiny diameters) with the default; raise it for
-    * genuinely chained graphs. Returns (key, cluster_id = min key of
-    * the component) for every node that appears in `pairs`.
+    * one representative per cluster. Iterative min-label propagation to
+    * CONVERGENCE (the scalable CC formulation — each round is one join +
+    * one aggregate, all hash-partitioned on the node key; no driver-side
+    * graph). Each round is localCheckpoint-ed: labels_{i+1} references
+    * labels_i twice, so without lineage truncation the logical plan
+    * doubles per round (2^rounds subtrees — the classic iterative-
+    * algorithm trap). Convergence is detected on the label SUM, which
+    * strictly decreases until fixpoint (labels only ever decrease), so
+    * the result is exact for any diameter — matching the oracle's
+    * recursive closure. `maxRounds` is a runaway backstop, not a
+    * semantic bound. Returns (key, cluster_id = min key of the
+    * component) for every node appearing in `pairs`.
     */
-  def dedupClusters(pairs: DataFrame, maxIter: Int = 8): DataFrame = {
+  def dedupClusters(pairs: DataFrame, maxRounds: Int = 64): DataFrame = {
     // undirected edge list, both directions
     val edges = pairs.select(col("key_a").as("src"), col("key_b").as("dst"))
       .unionByName(pairs.select(col("key_b").as("src"), col("key_a").as("dst")))
@@ -219,14 +223,27 @@ object NearDup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("key")).distinct()
       .withColumn("label", col("key"))
-    for (_ <- 1 to maxIter) {
+      .localCheckpoint()
+    // decimal sum: exact and overflow-free even at huge node counts
+    def labelSum(df: DataFrame): BigDecimal =
+      BigDecimal(df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0))
+    var prevSum = labelSum(labels)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
       // neighbor labels + own label, keep the minimum per node
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("key", "dst"), Seq("dst"))
         .select(col("src").as("key"), col("label"))
       labels = labels.unionByName(viaNeighbors)
         .groupBy("key").agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      val s = labelSum(labels)
+      converged = s == prevSum
+      prevSum = s
+      round += 1
     }
+    edges.unpersist() // labels is materialized; the edge cache can go
     labels.select(col("key"), col("label").as("cluster_id"))
   }
 

@@ -48,14 +48,20 @@ object Sinks {
       .saveAsTable(table)
 
   /** Lake maintenance: rewrite an unpartitioned parquet directory into
-    * ~`targetFileBytes` files and atomically swap it in (write to a
-    * sibling dir, delete, rename). Streaming appends and idempotent
-    * micro-batch writes accumulate small files (every [[appendNew]] call
-    * adds at least one); at 100 TB unmanaged small files dominate task
+    * ~`targetFileBytes` files and swap it in (write to a sibling dir,
+    * delete, rename). Streaming appends and idempotent micro-batch
+    * writes accumulate small files (every [[appendNew]] call adds at
+    * least one); at 100 TB unmanaged small files dominate task
     * scheduling and NameNode/listing cost, so compaction is a standing
-    * background job. `coalesce` (narrow, no shuffle) — file-count
+    * maintenance job. `coalesce` (narrow, no shuffle) — file-count
     * reduction doesn't need row redistribution. For a partitioned lake,
     * run per partition directory. Returns the new file count.
+    *
+    * SINGLE-WRITER ONLY: the delete→rename swap is not atomic — a
+    * concurrent [[appendNew]] could write into the window (lost rows) or
+    * read PATH_NOT_FOUND mid-swap (full re-append). Schedule compaction
+    * when no writer runs; at deployment scale this job is a table
+    * format's transactional OPTIMIZE, which removes the constraint.
     */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
       targetFileBytes: Long = 128L * 1024 * 1024): Int = {

@@ -77,7 +77,6 @@ class PropertySpec extends AnyFunSuite {
   }
 
   test("property: corpus cleaning is idempotent") {
-    implicit val sp: SparkSession = spark
     val d = graft.sources.Sources.table(spark, "/root/testdata/sf0.001", "documents")
     val corpus = d.select(col("doc_id"), col("text")).unionByName(
       d.select((col("doc_id") + 1000000).as("doc_id"),
