@@ -227,7 +227,9 @@ object NearDup {
     // decimal sum: exact and overflow-free even at huge node counts
     def labelSum(df: DataFrame): BigDecimal =
       BigDecimal(df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0))
-    var prevSum = labelSum(labels)
+    // sentinel: no job spent summing the initial labels — round 1 always
+    // runs, and its sum seeds the comparison
+    var prevSum = BigDecimal(-1)
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
