@@ -1124,6 +1124,23 @@ object OracleSql {
         |  md5(text) AS digest
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "q_redact_pii" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN text || ' contact user' ||
+        |      CAST(doc_id AS VARCHAR) || '@example.com or +1 555-00' ||
+        |      CAST(doc_id % 100 AS VARCHAR) || '99 from 10.0.' ||
+        |      CAST(doc_id % 256 AS VARCHAR) || '.1'
+        |    ELSE text END AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\+?\d[\d\s().-]{7,}\d', '<PHONE>', 'g') AS clean,
+        |  doc_id % 3 = 0 AS had_pii
+        |FROM w ORDER BY doc_id""".stripMargin,
+
     // Composed CTE replay of the full cleaning pipeline; each stage is
     // the same SQL as its standalone oracle (q_lang_id, q_quality_score,
     // q_dedup_exact, q_minhash_pairs) over the previous stage's output.

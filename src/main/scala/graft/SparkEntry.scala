@@ -557,6 +557,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // PII redaction — emails / phone runs / IPv4 literals replaced with
+    // placeholder tokens (synthetic PII injected deterministically so
+    // the redaction is observable and the oracle replays it).
+    "q_redact_pii" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val withPii = d.withColumn("t",
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" contact user"),
+            col("doc_id").cast("string"),
+            lit("@example.com or +1 555-00"),
+            (col("doc_id") % 100).cast("string"),
+            lit("99 from 10.0."), (col("doc_id") % 256).cast("string"),
+            lit(".1")))
+          .otherwise(col("text")))
+      withPii.select(col("doc_id"),
+          graft.functions.Text.redactPii(col("t")).as("clean"),
+          (col("doc_id") % 3 === 0).as("had_pii"))
+        .orderBy("doc_id")
+    }),
+
     // Capstone: C4-style corpus cleaning — lang-id → quality filter →
     // exact dedup → MinHash near-dup removal, one composed lazy plan.
     "q_corpus_clean" -> ((s, dir) => {

@@ -57,6 +57,23 @@ object Text {
   // Training-data text analysis (north-star ops; SURVEY.md §2.3 extras)
   // ---------------------------------------------------------------------
 
+  /** PII redaction — the corpus-cleaning step between extraction and
+    * training: emails, phone-shaped number runs, and IPv4 literals are
+    * replaced with stable placeholder tokens (redact, don't drop — the
+    * surrounding text keeps its training value). Pure regexp_replace
+    * chain (codegen'd, embarrassingly parallel); patterns stay in the
+    * RE2-compatible subset so the DuckDB oracle matches byte-for-byte.
+    * Order matters: emails first (an email contains digits a phone
+    * pattern could partially claim), then IPs before general number runs.
+    */
+  def redactPii(c: Column): Column = {
+    val noEmail = regexp_replace(c,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val noIp = regexp_replace(noEmail,
+      "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>")
+    regexp_replace(noIp, "\\+?\\d[\\d\\s().-]{7,}\\d", "<PHONE>")
+  }
+
   /** Whitespace token count. */
   def wsTokenCount(c: Column): Column =
     size(split(trim(c), "\\s+"))

@@ -25,6 +25,19 @@ class TransformsSpec extends AnyFunSuite {
 
   // --- F1 clean_text_for_nlp -------------------------------------------
 
+  test("redactPii masks emails, IPs, and phone runs; plain text untouched") {
+    val rows = Seq(
+      "mail me at john.doe+x@sub.example.org today",
+      "server at 192.168.0.1 responded",
+      "call +44 (0)20 7946-0958 now",
+      "clean text with numbers 42 and 7 only").toDF("t")
+    val got = rows.select(Text.redactPii(col("t")).as("c")).as[String].collect()
+    assert(got(0) === "mail me at <EMAIL> today")
+    assert(got(1) === "server at <IP> responded")
+    assert(got(2) === "call <PHONE> now")
+    assert(got(3) === "clean text with numbers 42 and 7 only")
+  }
+
   test("cleanTextForNlp strips tags, urls, truncation markers, junk") {
     val df = Seq(
       ("<b>Hello</b> WORLD http://x.co/a?b=1 rest", "hello world rest"),
