@@ -621,6 +621,38 @@ object OracleSql {
         |SELECT query_id, bucket, neighbor_id, cos, CAST(rnk AS INTEGER) AS rnk
         |FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
 
+    "q_knn_graph" -> {
+      val bucket = (1 to 8).map(i =>
+        s"CASE WHEN CAST(embedding[$i] AS DOUBLE) >= 0 THEN '1' ELSE '0' END")
+        .mkString(" || ")
+      s"""WITH n AS (
+         |  SELECT vec_id, embedding,
+         |    list_aggregate(list_transform(generate_series(1, 64),
+         |      i -> CAST(CAST(embedding[i] AS DOUBLE) *
+         |                CAST(embedding[i] AS DOUBLE) AS DECIMAL(30,12))),
+         |      'sum') AS n2,
+         |    ($bucket) AS bucket
+         |  FROM embeddings),
+         |p AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    list_aggregate(list_transform(generate_series(1, 64),
+         |      i -> CAST(CAST(q.embedding[i] AS DOUBLE) *
+         |                CAST(c.embedding[i] AS DOUBLE) AS DECIMAL(30,12))),
+         |      'sum') AS dot,
+         |    q.n2 AS qn2, c.n2 AS nn2
+         |  FROM n q JOIN n c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id),
+         |s AS (
+         |  SELECT query_id, neighbor_id,
+         |    CAST(dot AS DOUBLE) /
+         |      (sqrt(CAST(qn2 AS DOUBLE)) * sqrt(CAST(nn2 AS DOUBLE))) AS cos
+         |  FROM p),
+         |r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, neighbor_id) AS rnk FROM s)
+         |SELECT query_id, neighbor_id, cos, CAST(rnk AS INTEGER) AS rnk
+         |FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
+    },
+
     "q_lang_id" ->
       """WITH m(cand_lang, pattern) AS (VALUES
         |  ('en', '\b(the|a|and|of)\b'),

@@ -523,6 +523,16 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    // Full k-NN graph: bucketed self-join — every vector a query, pair
+    // count Σ|bucket|² not n²; the edge list downstream graph passes eat.
+    "q_knn_graph" -> ((s, dir) => {
+      Similarity.knnGraph(t(s, dir, "embeddings"), "vec_id", "embedding",
+          nBits = 8, k = 3)
+        .select(col("query_id"), col("neighbor_id"), col("cos"),
+          col("rank").as("rnk"))
+        .orderBy("query_id", "rnk")
+    }),
+
     // Heuristic language id: marker-pattern scoring + per-doc argmax.
     "q_lang_id" -> ((s, dir) => {
       TextAnalysis.langId(t(s, dir, "documents"), col("doc_id"), col("text"))(s)

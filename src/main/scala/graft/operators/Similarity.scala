@@ -154,6 +154,34 @@ object Similarity {
     * exact cosine top-k within the bucket. The scale path: the corpus
     * never fully cross-joins; the join key is the bucket.
     */
+  /** Full k-NN graph within sign buckets: EVERY vector is a query.
+    * Unlike [[bucketedTopK]] (which broadcasts a small query set), both
+    * sides here are the whole corpus, so this is a plain hash self-join
+    * on the bucket key — pair count is Σ|bucket|², never n². More bits
+    * → smaller buckets → cheaper join but lower recall (the classic LSH
+    * dial). The edge list feeds graph passes downstream (e.g.
+    * [[NearDup.dedupClusters]] over edges above a cosine floor).
+    */
+  def knnGraph(corpus: DataFrame, idCol: String, vecCol: String,
+      nBits: Int, k: Int): DataFrame = {
+    val base = withNorm2(corpus, col(vecCol))
+      .select(col(idCol), col(vecCol), col("n2"),
+        signBucket(col(vecCol), nBits).as("bucket"))
+    val q = base.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      col("n2").as("qn2"), col("bucket"))
+    val c = base.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"),
+      col("n2").as("nn2"), col("bucket"))
+    val scored = q.join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos",
+        cosine(dotDecimal(col("qv"), col("nv")), col("qn2"), col("nn2")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
   def bucketedTopK(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, nBits: Int, k: Int): DataFrame = {
