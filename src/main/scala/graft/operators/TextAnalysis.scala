@@ -83,6 +83,34 @@ object TextAnalysis {
     withQualityFeatures(df.select(key.as("key"), text.as("t")), col("t"))
       .drop("t")
 
+  /** Repetition statistics — the Gopher/C4-style quality signals that
+    * catch boilerplate and spam which length/punctuation ratios miss:
+    * `top_word_frac` (most frequent word's share of all words) and
+    * `dup_2gram_frac` (fraction of word-2-gram occurrences that repeat an
+    * earlier gram in the doc). Two per-doc aggregates, each with map-side
+    * partials; group size is bounded by doc length, so both scale
+    * linearly with executors.
+    */
+  def repetitionStats(df: DataFrame, key: Column, text: Column): DataFrame = {
+    val base = df.select(key.as("key"),
+      filter(split(text, "\\s+"), w => w =!= "").as("ws"))
+    val words = base.select(col("key"), explode(col("ws")).as("w"))
+      .groupBy("key", "w").agg(count(lit(1)).as("c"))
+      .groupBy("key").agg(sum("c").as("n_words"), max("c").as("max_word_cnt"))
+    val grams = base
+      .withColumn("i", explode(sequence(lit(1), greatest(size(col("ws")) - 1, lit(1)))))
+      .select(col("key"), array_join(slice(col("ws"), col("i"), lit(2)), " ").as("g"))
+      .groupBy("key").agg(count(lit(1)).as("n_grams"),
+        countDistinct(col("g")).as("n_distinct_grams"))
+    words.join(grams, Seq("key"))
+      .select(col("key"),
+        col("n_words"),
+        (col("max_word_cnt").cast("double") / col("n_words").cast("double"))
+          .as("top_word_frac"),
+        (lit(1.0) - col("n_distinct_grams").cast("double") / col("n_grams").cast("double"))
+          .as("dup_2gram_frac"))
+  }
+
   /** Token counts: whitespace tokens + BPE-ish subword pre-tokens. */
   def tokenCounts(df: DataFrame, key: Column, text: Column): DataFrame =
     df.select(key.as("key"),

@@ -76,6 +76,43 @@ class NearDupSpec extends AnyFunSuite {
     assert(fp.forall(s => s.length == 16 && s.forall(c => c == '0' || c == '1')))
   }
 
+  test("simhashPairs finds every pair within maxHam (pigeonhole recall) and drops the rest") {
+    // synthetic 32-bit signatures: the banding join must find any pair at
+    // hamming ≤ 3 (≤ 3 of 4 bands touched ⇒ one band agrees exactly) and
+    // the exact verify must drop pairs beyond maxHam even when they share
+    // a band.
+    val zero = "0" * 32
+    def flip(s: String, idxs: Int*): String =
+      idxs.foldLeft(s)((acc, i) => acc.updated(i, if (acc(i) == '0') '1' else '0'))
+    val sigs = Seq(
+      1L -> zero,
+      2L -> flip(zero, 0, 8, 16),      // ham 3, spread over 3 bands → must be found
+      3L -> flip(zero, 31),            // ham 1 → found
+      4L -> flip(zero, 0, 1, 2, 3, 8)  // ham 5 vs key 1, shares bands 3+4 → dropped by verify
+    ).toDF("key", "simhash")
+    val got = NearDup.simhashPairs(sigs, nBits = 32, nBands = 4, maxHam = 3)
+      .select("key_a", "key_b", "hamming").as[(Long, Long, Int)].collect().toSet
+    assert(got.contains((1L, 2L, 3)))
+    assert(got.contains((1L, 3L, 1)))
+    assert(got.contains((2L, 3L, 4)) === false)  // ham 4 > maxHam
+    assert(!got.exists { case (a, b, _) => (a, b) == (1L, 4L) })
+  }
+
+  test("repetitionStats computes top-word share and duplicate 2-gram fraction") {
+    val d = Seq(
+      (1L, "a a b"),      // top word a: 2/3; grams "a a","a b" distinct → dup 0
+      (2L, "x x x x"),    // top 1.0; grams "x x"×3, 1 distinct → dup 2/3
+      (3L, "only")        // single word: 1 gram ("only"), dup 0
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.repetitionStats(d, col("doc_id"), col("text"))
+      .orderBy("key")
+      .select("key", "n_words", "top_word_frac", "dup_2gram_frac")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(rows(0) === ((1L, 3L, 2.0 / 3.0, 0.0)))
+    assert(rows(1) === ((2L, 4L, 1.0, 1.0 - 1.0 / 3.0)))
+    assert(rows(2) === ((3L, 1L, 1.0, 0.0)))
+  }
+
   test("cosineTopK ranks an identical vector first with cos 1.0") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),

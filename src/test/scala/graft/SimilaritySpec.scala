@@ -70,4 +70,39 @@ class SimilaritySpec extends AnyFunSuite {
       if (!r.isNullAt(1)) assert(r.getDecimal(1) === r.getDecimal(2))
     }
   }
+
+  test("quantizeInt8: max|x| maps to ±127, zero vector to zeros") {
+    val df = Seq(
+      (1L, Array(1.0f, -2.0f, 0.5f)),
+      (2L, Array(0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.quantizeInt8(df, "vec_id", "embedding")
+      .orderBy("vec_id").select("scale", "q")
+      .as[(Double, Seq[Long])].collect()
+    // amax=2 → scale=2/127; 1.0→⌊63.5+0.5⌋=64, −2.0→−127, 0.5→⌊31.75+0.5⌋=32
+    assert(got(0)._1 === 2.0 / 127.0)
+    assert(got(0)._2 === Seq(64L, -127L, 32L))
+    assert(got(1)._1 === 0.0)
+    assert(got(1)._2 === Seq(0L, 0L, 0L))
+  }
+
+  test("quantizedTopK ranks an identical vector first with approx_cos 1.0") {
+    val emb = Seq(
+      (0L, Array(0.3f, -0.7f, 0.1f, 0.9f)),
+      (1L, Array(0.3f, -0.7f, 0.1f, 0.9f)),  // identical to 0
+      (2L, Array(0.9f, 0.3f, -0.2f, 0.1f)),
+      (3L, Array(-0.3f, 0.7f, -0.1f, -0.9f)) // opposite of 0
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.quantizedTopK(emb.filter($"vec_id" === 0), emb,
+        "vec_id", "embedding", k = 3)
+      .orderBy("rank").select("neighbor_id", "approx_cos")
+      .as[(Long, Double)].collect()
+    // qdot = qn2 for identical ints, but sqrt(x)·sqrt(x) ≠ x exactly in
+    // IEEE doubles for non-perfect squares — so ≈, not ===
+    assert(top(0)._1 === 1L)
+    assert(math.abs(top(0)._2 - 1.0) < 1e-12)
+    assert(top(2)._1 === 3L)
+    assert(math.abs(top(2)._2 + 1.0) < 1e-12)
+    assert(top(1)._2 > -0.999 && top(1)._2 < 0.999)
+  }
 }
