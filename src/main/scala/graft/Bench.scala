@@ -25,7 +25,13 @@ object Bench {
     // FIXED sorted order: Map iteration order shifts whenever an entry is
     // added, which reshuffles cache/GC inheritance between rounds and
     // makes per-query times incomparable across BENCH_r{N} files
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional comma-separated subset (local iteration on one slow query
+    // without paying for the other 80) — driver runs leave it unset
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -538,9 +538,10 @@ object OracleSql {
         .mkString(",\n    ")
       val bits = (0 until 32).map(b =>
         s"CASE WHEN s$b > 0 THEN '1' ELSE '0' END").mkString(" || ")
-      val ham = (0 until 32).map(i =>
-        s"CASE WHEN substr(sig_a, ${i + 1}, 1) <> substr(sig_b, ${i + 1}, 1) THEN 1 ELSE 0 END")
-        .mkString(" + ")
+      // DuckDB hamming(VARCHAR, VARCHAR) counts differing positions of
+      // equal-length strings — on '0'/'1' fingerprints that is exactly
+      // Spark's bit_count(sig_a XOR sig_b) over the parsed integers
+      val ham = "hamming(sig_a, sig_b)"
       s"""WITH corpus AS (
          |  SELECT doc_id AS key, text AS t FROM documents
          |  UNION ALL
@@ -1371,6 +1372,32 @@ object OracleSql {
          |SELECT e.key, e.score, e.n_tokens FROM exact e
          |WHERE NOT EXISTS (SELECT 1 FROM dropk d WHERE d.key = e.key)
          |ORDER BY e.key""".stripMargin,
+
+    "q_line_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id AS key, text AS t FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, substr(text, 1, length(text) - 10)
+        |  FROM documents),
+        |base AS (
+        |  SELECT key,
+        |    list_filter(string_split_regex(t, '\s+'), x -> x <> '') AS ws
+        |  FROM corpus),
+        |lines AS (
+        |  SELECT key, li,
+        |    array_to_string(ws[li * 10 + 1 : li * 10 + 10], ' ') AS line
+        |  FROM (SELECT key, ws,
+        |      unnest(generate_series(0, greatest(
+        |        CAST(ceil(CAST(len(ws) AS DOUBLE) / 10.0) AS INTEGER) - 1, 0)))
+        |        AS li
+        |    FROM base)),
+        |kept AS (
+        |  SELECT key, li, line,
+        |    row_number() OVER (PARTITION BY line ORDER BY key, li) AS rn
+        |  FROM lines)
+        |SELECT key, CAST(count(*) AS BIGINT) AS n_lines_kept,
+        |  string_agg(line, ' ' ORDER BY li) AS clean_text
+        |FROM kept WHERE rn = 1 GROUP BY key ORDER BY key""".stripMargin,
 
     "q_media_resize" ->
       """WITH m AS (

@@ -642,6 +642,18 @@ object SparkEntry {
         .orderBy("key")
     }),
 
+    // C4-style cross-document line dedup: 10-word chunks, keep-first per
+    // duplicated chunk corpus-wide, rebuild surviving text in order.
+    "q_line_dedup" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val corpus = d.select(col("doc_id"), col("text")).unionByName(
+        d.select((col("doc_id") + 1000000).as("doc_id"),
+          col("text").substr(lit(1), length(col("text")) - 10).as("text")))
+      graft.operators.Corpus.lineDedup(corpus, col("doc_id"), col("text"),
+          lineWords = 10)
+        .orderBy("key")
+    }),
+
     // Multimodal #2 — resize planning: aspect-preserving fit-to-224
     // geometry as codegen'd column arithmetic (the pixel work happens in
     // the partition decoder; the geometry lets small-image skips push

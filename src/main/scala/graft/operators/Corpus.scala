@@ -41,6 +41,40 @@ object Corpus {
     df.filter(substring(md5(key.cast("string")), 1, 2) < thr)
   }
 
+  /** Cross-document line-level dedup — the C4 cleaning step that strips
+    * boilerplate repeated across documents (nav bars, license headers,
+    * templated intros). The corpus has no newline structure, so a "line"
+    * is a fixed `lineWords`-word chunk (deterministic chunking = same
+    * lines on every engine/run). Every line that occurs more than once
+    * CORPUS-WIDE keeps only its first occurrence (smallest (key, li) —
+    * C4 keeps one copy, here the earliest), and each doc's text is
+    * rebuilt from its surviving lines in order. Docs whose every line
+    * was seen earlier vanish from the output (fully-boilerplate docs).
+    *
+    * Plan shape at 100 TB: chunking is a narrow per-row explode; the
+    * keep-first rule is ONE window over the line hash-partitioning
+    * (row_number, no self-join); reconstruction is one per-doc
+    * aggregate whose group size is bounded by doc length. The shuffle
+    * carries (key, li, line) — line text is needed for the rebuild, so
+    * hashing the partition key would not narrow the rows.
+    */
+  def lineDedup(df: DataFrame, key: Column, text: Column, lineWords: Int): DataFrame = {
+    val base = df.select(key.as("key"),
+      filter(split(text, "\\s+"), w => w =!= "").as("ws"))
+    val lines = base
+      .withColumn("li", explode(sequence(lit(0), greatest(
+        ceil(size(col("ws")).cast("double") / lineWords).cast("int") - 1, lit(0)))))
+      .select(col("key"), col("li"),
+        array_join(slice(col("ws"), col("li") * lineWords + 1, lit(lineWords)), " ").as("line"))
+    val w = Window.partitionBy(col("line")).orderBy(col("key"), col("li"))
+    lines.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy("key")
+      .agg(count(lit(1)).as("n_lines_kept"),
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("li"), col("line")))),
+            x => x.getField("line"))).as("clean_text"))
+  }
+
   def cleanCorpus(df: DataFrame, key: Column, text: Column,
       targetLang: String, minScore: Double,
       n: Int, k: Int, jaccThreshold: Double): DataFrame = {

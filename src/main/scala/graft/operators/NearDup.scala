@@ -204,24 +204,32 @@ object NearDup {
     require(nBits % nBands == 0, s"nBands=$nBands must divide nBits=$nBits")
     require(maxHam < nBands, s"maxHam=$maxHam needs < nBands=$nBands for the recall guarantee")
     val w = nBits / nBands
+    // the fingerprint crosses the join as ONE parsed integer, not the
+    // bitstring: hamming is then a single bit_count(xor) per candidate
+    // instead of nBits substring compares — on a vocabulary-limited
+    // corpus the band buckets are fat (fingerprints cluster) and the
+    // candidate blowup is O(Σ|bucket|²), so per-candidate cost and row
+    // width are what decide whether the join stage is seconds or minutes
     val stackExpr = (0 until nBands)
       .map(b => s"$b, substring(simhash, ${1 + b * w}, $w)").mkString(", ")
-    val bands = sig.selectExpr("key", "simhash",
-      s"stack($nBands, $stackExpr) as (band, band_val)")
-    val a = bands.select(col("key").as("key_a"), col("simhash").as("sig_a"),
+    val bands = sig
+      .withColumn("sigint", conv(col("simhash"), 2, 10).cast("long"))
+      .selectExpr("key", "sigint",
+        s"stack($nBands, $stackExpr) as (band, band_val)")
+    val a = bands.select(col("key").as("key_a"), col("sigint").as("sig_a"),
       col("band"), col("band_val"))
-    val b = bands.select(col("key").as("key_b"), col("simhash").as("sig_b"),
+    val b = bands.select(col("key").as("key_b"), col("sigint").as("sig_b"),
       col("band"), col("band_val"))
-    val ham = (0 until nBits).map(i =>
-      when(substring(col("sig_a"), i + 1, 1) =!= substring(col("sig_b"), i + 1, 1),
-        1).otherwise(0)).reduce(_ + _)
     a.join(b, Seq("band", "band_val"))
       .filter(col("key_a") < col("key_b"))
+      // verify BEFORE the dedup exchange: only true near-dup pairs reach
+      // the distinct's shuffle; the millions of far pairs die join-side.
       // hamming is a function of the pair, so distinct on (pair, hamming)
-      // dedups band collisions without re-joining the signatures
-      .select(col("key_a"), col("key_b"), ham.cast("int").as("hamming"))
-      .distinct()
+      // dedups band collisions without re-joining the signatures.
+      .select(col("key_a"), col("key_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("int").as("hamming"))
       .filter(col("hamming") <= maxHam)
+      .distinct()
   }
 
   /** Exact n-gram Jaccard for explicitly supplied pairs (no LSH pruning) —
@@ -258,14 +266,22 @@ object NearDup {
     * component) for every node appearing in `pairs`.
     */
   def dedupClusters(pairs: DataFrame, maxRounds: Int = 64): DataFrame = {
+    val debug = sys.env.contains("SPARK_GRAFT_CC_DEBUG")
+    var tPrev = System.nanoTime()
+    def mark(what: String): Unit = if (debug) {
+      System.err.println(f"[cc] $what: ${(System.nanoTime() - tPrev) / 1e9}%.2fs")
+      tPrev = System.nanoTime()
+    }
     // undirected edge list, both directions
     val edges = pairs.select(col("key_a").as("src"), col("key_b").as("dst"))
       .unionByName(pairs.select(col("key_b").as("src"), col("key_a").as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (debug) { edges.count(); mark("edges materialized") }
     var labels = edges.select(col("src").as("key")).distinct()
       .withColumn("label", col("key"))
       .localCheckpoint()
+    mark("initial labels")
     // decimal sum: exact and overflow-free even at huge node counts
     def labelSum(df: DataFrame): BigDecimal =
       BigDecimal(df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0))
@@ -286,6 +302,7 @@ object NearDup {
       converged = s == prevSum
       prevSum = s
       round += 1
+      mark(s"round $round sum=$s")
     }
     edges.unpersist() // labels is materialized; the edge cache can go
     labels.select(col("key"), col("label").as("cluster_id"))

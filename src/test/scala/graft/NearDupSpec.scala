@@ -113,6 +113,19 @@ class NearDupSpec extends AnyFunSuite {
     assert(rows(2) === ((3L, 1L, 1.0, 0.0)))
   }
 
+  test("lineDedup keeps first occurrence of duplicated chunks and rebuilds text") {
+    val d = Seq(
+      (1L, "a b c d"), // chunks of 2: "a b", "c d"
+      (2L, "a b x y"), // "a b" already seen at (1,0) → keeps only "x y"
+      (3L, "c d")      // its only chunk seen at (1,1) → doc vanishes
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Corpus.lineDedup(d, col("doc_id"), col("text"),
+        lineWords = 2)
+      .orderBy("key").select("key", "n_lines_kept", "clean_text")
+      .as[(Long, Long, String)].collect()
+    assert(got === Array((1L, 2L, "a b c d"), (2L, 1L, "x y")))
+  }
+
   test("cosineTopK ranks an identical vector first with cos 1.0") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
