@@ -272,9 +272,16 @@ object NearDup {
       System.err.println(f"[cc] $what: ${(System.nanoTime() - tPrev) / 1e9}%.2fs")
       tPrev = System.nanoTime()
     }
-    // undirected edge list, both directions
-    val edges = pairs.select(col("key_a").as("src"), col("key_b").as("dst"))
-      .unionByName(pairs.select(col("key_b").as("src"), col("key_a").as("dst")))
+    // undirected edge list, both directions — via ONE explode per pair
+    // row, NOT union(pairs, pairs.reversed): the union form puts the
+    // (possibly expensive, un-persisted) pair-generation subtree into
+    // the plan twice, and a full near-dup pipeline feeding this runs
+    // its candidate join + verify twice over
+    val edges = pairs
+      .select(explode(array(
+        struct(col("key_a").as("src"), col("key_b").as("dst")),
+        struct(col("key_b").as("src"), col("key_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     if (debug) { edges.count(); mark("edges materialized") }
