@@ -532,6 +532,70 @@ object OracleSql {
          |SELECT key, $bits AS simhash FROM votes ORDER BY key""".stripMargin
     },
 
+    "q_dedup_incremental" ->
+      """WITH existing AS (SELECT doc_id AS key, text AS t FROM documents),
+        |incoming AS (
+        |  SELECT doc_id + 1000000 AS key,
+        |    CASE WHEN doc_id % 2 = 0 THEN substr(text, 1, length(text) - 10)
+        |         ELSE array_to_string(list_reverse(list_filter(
+        |           string_split_regex(text, '\s+'), x -> x <> '')), ' ')
+        |    END AS t
+        |  FROM documents),
+        |shE AS (
+        |  SELECT DISTINCT key, md5(array_to_string(w[i:i+4], ' ')) AS shingle
+        |  FROM (
+        |    SELECT key, string_split_regex(t, '\s+') AS w,
+        |      unnest(generate_series(1,
+        |        greatest(len(string_split_regex(t, '\s+')) - 4, 1))) AS i
+        |    FROM existing)),
+        |shI AS (
+        |  SELECT DISTINCT key, md5(array_to_string(w[i:i+4], ' ')) AS shingle
+        |  FROM (
+        |    SELECT key, string_split_regex(t, '\s+') AS w,
+        |      unnest(generate_series(1,
+        |        greatest(len(string_split_regex(t, '\s+')) - 4, 1))) AS i
+        |    FROM incoming)),
+        |mhE AS (
+        |  SELECT key, seed,
+        |    min(substr(shingle || shingle, 1 + 4 * seed, 16)) AS mh
+        |  FROM shE CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS seed)
+        |  GROUP BY key, seed),
+        |mhI AS (
+        |  SELECT key, seed,
+        |    min(substr(shingle || shingle, 1 + 4 * seed, 16)) AS mh
+        |  FROM shI CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS seed)
+        |  GROUP BY key, seed),
+        |bandsE AS (
+        |  SELECT key, seed // 2 AS band,
+        |    min(CASE WHEN seed % 2 = 0 THEN mh END) || '|' ||
+        |    min(CASE WHEN seed % 2 = 1 THEN mh END) AS band_val
+        |  FROM mhE GROUP BY key, seed // 2),
+        |bandsI AS (
+        |  SELECT key, seed // 2 AS band,
+        |    min(CASE WHEN seed % 2 = 0 THEN mh END) || '|' ||
+        |    min(CASE WHEN seed % 2 = 1 THEN mh END) AS band_val
+        |  FROM mhI GROUP BY key, seed // 2),
+        |cand AS (
+        |  SELECT DISTINCT i.key AS key_i, e.key AS key_e
+        |  FROM bandsI i JOIN bandsE e
+        |    ON i.band = e.band AND i.band_val = e.band_val),
+        |cntE AS (SELECT key, count(*) AS cnt FROM shE GROUP BY key),
+        |cntI AS (SELECT key, count(*) AS cnt FROM shI GROUP BY key),
+        |inter AS (
+        |  SELECT c.key_i, c.key_e, count(*) AS n_inter
+        |  FROM cand c
+        |  JOIN shI a ON a.key = c.key_i
+        |  JOIN shE b ON b.key = c.key_e AND b.shingle = a.shingle
+        |  GROUP BY c.key_i, c.key_e),
+        |dup AS (
+        |  SELECT DISTINCT i.key_i FROM inter i
+        |  JOIN cntI ci ON ci.key = i.key_i
+        |  JOIN cntE ce ON ce.key = i.key_e
+        |  WHERE CAST(n_inter AS DOUBLE) /
+        |    CAST(ci.cnt + ce.cnt - n_inter AS DOUBLE) >= 0.5)
+        |SELECT key FROM incoming
+        |WHERE key NOT IN (SELECT key_i FROM dup) ORDER BY key""".stripMargin,
+
     "q_simhash_pairs" -> {
       val sums = (0 until 32).map(b =>
         s"sum(CASE WHEN substr(h, ${b + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS s$b")
@@ -815,6 +879,17 @@ object OracleSql {
         |  1.0 - CAST(n_distinct_grams AS DOUBLE) / CAST(n_grams AS DOUBLE)
         |    AS dup_2gram_frac
         |FROM words JOIN grams USING (key) ORDER BY key""".stripMargin,
+
+    "q_bpe_pairs" ->
+      """WITH w AS (
+        |  SELECT unnest(string_split_regex(text, '\s+')) AS w
+        |  FROM documents),
+        |p AS (
+        |  SELECT substr(w, i, 2) AS pair FROM (
+        |    SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+        |    FROM w WHERE len(w) > 1))
+        |SELECT pair, CAST(count(*) AS BIGINT) AS cnt FROM p
+        |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 50""".stripMargin,
 
     "q_fingerprint" ->
       """WITH sh AS (

@@ -491,6 +491,21 @@ object SparkEntry {
         .orderBy("key")
     }),
 
+    // Incremental near-dup: new batch vs existing corpus (never
+    // existing×existing). Even ids arrive truncated (near-dups →
+    // dropped); odd ids arrive word-reversed (novel → survive).
+    "q_dedup_incremental" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val ws = filter(split(col("text"), "\\s+"), w => w =!= "")
+      val incoming = d.select((col("doc_id") + 1000000).as("doc_id"),
+        when(col("doc_id") % 2 === 0,
+          col("text").substr(lit(1), length(col("text")) - 10))
+          .otherwise(array_join(reverse(ws), " ")).as("text"))
+      NearDup.incrementalSurvivors(d.select(col("doc_id"), col("text")),
+          incoming, col("doc_id"), col("text"), n = 5, k = 8, threshold = 0.5)
+        .orderBy("key")
+    }),
+
     // SimHash near-dup pair mining: 32-bit fingerprints, 4 Hamming bands
     // (guaranteed recall for hamming ≤ 3), exact per-candidate verify.
     "q_simhash_pairs" -> ((s, dir) => {
@@ -591,6 +606,12 @@ object SparkEntry {
     "q_token_count" -> ((s, dir) => {
       TextAnalysis.tokenCounts(t(s, dir, "documents"), col("doc_id"), col("text"))
         .orderBy("key")
+    }),
+
+    // BPE tokenizer-training inner loop: corpus-wide adjacent char-pair
+    // counts inside words, top-50 merge candidates.
+    "q_bpe_pairs" -> ((s, dir) => {
+      TextAnalysis.bpePairCounts(t(s, dir, "documents"), col("text"), k = 50)
     }),
 
     // Winnowing-lite fingerprints (4 smallest shingle hashes).

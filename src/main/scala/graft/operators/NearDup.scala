@@ -315,6 +315,47 @@ object NearDup {
     labels.select(col("key"), col("label").as("cluster_id"))
   }
 
+  /** Incremental near-dup: filter an INCOMING batch against an EXISTING
+    * corpus — the production crawl-dedup scenario, where re-pairing the
+    * corpus with itself per batch would be absurd. Both sides get
+    * MinHash band signatures; candidates are incoming→existing bucket
+    * joins only (never existing×existing); exact Jaccard verifies each
+    * candidate; incoming docs with a verified near-dup in the existing
+    * corpus are dropped. Returns the surviving incoming keys.
+    *
+    * Scale: in production the existing side's (key, band, band_val)
+    * rows and shingle-digest sets are PRECOMPUTED once and stored
+    * alongside the corpus (both are outputs of plain aggregates here,
+    * so persisting them is a `write.partitionBy(band)` away); then each
+    * batch costs only its own shingling plus joins proportional to the
+    * batch's bucket overlap.
+    */
+  def incrementalSurvivors(
+      existing: DataFrame, incoming: DataFrame, key: Column, text: Column,
+      n: Int, k: Int, threshold: Double): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val shE = wordShingleDigests(existing, key, text, n).persist(lvl)
+    val shI = wordShingleDigests(incoming, key, text, n).persist(lvl)
+    val cand = lshBands(minhashSig(shI, k), k)
+      .select(col("key").as("key_i"), col("band"), col("band_val"))
+      .join(lshBands(minhashSig(shE, k), k)
+        .select(col("key").as("key_e"), col("band"), col("band_val")),
+        Seq("band", "band_val"))
+      .select("key_i", "key_e").distinct()
+    val setsE = shE.groupBy("key").agg(collect_set(col("shingle")).as("sh"))
+    val setsI = shI.groupBy("key").agg(collect_set(col("shingle")).as("sh"))
+    val dup = cand
+      .join(setsI.select(col("key").as("key_i"), col("sh").as("sh_a")), Seq("key_i"))
+      .join(setsE.select(col("key").as("key_e"), col("sh").as("sh_b")), Seq("key_e"))
+      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("jacc",
+        col("n_inter").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("n_inter")).cast("double"))
+      .filter(col("jacc") >= threshold)
+      .select(col("key_i").as("key")).distinct()
+    incoming.select(key.as("key")).join(dup, Seq("key"), "left_anti")
+  }
+
   /** Exact n-gram Jaccard via per-doc shingle SETS: one `collect_set`
     * aggregation (map-side partials dedup before the shuffle, so the one
     * exchange carries each doc's set once) and the candidate pairs probe

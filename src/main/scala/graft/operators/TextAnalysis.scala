@@ -151,6 +151,26 @@ object TextAnalysis {
         round(col("score"), 9).as("score"), col("rnk").cast("int").as("rnk"))
   }
 
+  /** BPE pair counting — the inner loop of byte-pair-encoding tokenizer
+    * training at corpus scale: count adjacent character pairs inside
+    * whitespace words, return the `k` most frequent (count desc, pair
+    * asc — the deterministic merge-candidate ranking). One narrow
+    * explode + ONE partial/final aggregate over 2-char keys; at 100 TB
+    * the pair vocabulary is tiny (≤ alphabet²), so the map-side combine
+    * collapses almost everything before the exchange. A full BPE
+    * trainer is this op iterated with a merge applied between rounds.
+    */
+  def bpePairCounts(df: DataFrame, text: Column, k: Int): DataFrame = {
+    val words = df.select(explode(split(text, "\\s+")).as("w"))
+      .filter(length(col("w")) > 1)
+    words
+      .withColumn("i", explode(sequence(lit(1), length(col("w")) - 1)))
+      .select(col("w").substr(col("i"), lit(2)).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(k)
+  }
+
   /** Rabin-Karp rolling-hash fingerprint: polynomial hash
     * h = ((c₁·B + c₂)·B + …) mod M over each char n-gram, doc
     * fingerprint = the `take` smallest hashes. Unlike [[fingerprint]]

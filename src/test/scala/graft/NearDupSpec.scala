@@ -113,6 +113,30 @@ class NearDupSpec extends AnyFunSuite {
     assert(rows(2) === ((3L, 1L, 1.0, 0.0)))
   }
 
+  test("incrementalSurvivors drops near-dups of the existing corpus, keeps novel docs") {
+    // 30-word doc; the incoming copy changes ONLY the last word, so 25 of
+    // 26 word-5-shingles are shared (jacc ≈ 0.93 ≥ 0.5 → dropped). The
+    // novel doc shares no shingles → survives (even on a band collision,
+    // the exact verify reads jacc 0).
+    val base = ('a' to 'z').map(_.toString) ++ Seq("aa", "bb", "cc", "dd")
+    val existing = Seq((1L, base.mkString(" "))).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, (base.init :+ "zz").mkString(" ")),
+      (11L, (1 to 30).map(i => s"n$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = NearDup.incrementalSurvivors(existing, incoming,
+        col("doc_id"), col("text"), n = 5, k = 8, threshold = 0.5)
+      .orderBy("key").as[Long].collect()
+    assert(got === Array(11L))
+  }
+
+  test("bpePairCounts ranks adjacent char pairs by corpus frequency, ties by pair") {
+    val d = Seq((1L, "abc abc ab"), (2L, "bc")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpePairCounts(d, col("text"), k = 2)
+      .as[(String, Long)].collect()
+    assert(got === Array(("ab", 3L), ("bc", 3L)))
+  }
+
   test("lineDedup keeps first occurrence of duplicated chunks and rebuilds text") {
     val d = Seq(
       (1L, "a b c d"), // chunks of 2: "a b", "c d"
