@@ -69,6 +69,21 @@ object OracleSql {
        |  JOIN cnt ca ON ca.key = i.key_a
        |  JOIN cnt cb ON cb.key = i.key_b)""".stripMargin
 
+  /** Shared by q_stream_ffill and q_stream_ffill_tws — the two engines'
+    * stateful-ffill implementations are semantics-identical, so one SQL
+    * oracles both.
+    */
+  private val streamFfillSql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, ts,
+      |    CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+      |  FROM events)
+      |SELECT event_id, user_id, ts,
+      |  last_value(v IGNORE NULLS) OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled
+      |FROM e ORDER BY user_id, ts, event_id""".stripMargin
+
   val sql: Map[String, String] = Map(
     "q_scan_pushdown" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
@@ -946,16 +961,10 @@ object OracleSql {
         |  (SELECT max(epoch_us(ts)) - 86400000000 FROM events)
         |ORDER BY user_id, s_start""".stripMargin,
 
-    "q_stream_ffill" ->
-      """WITH e AS (
-        |  SELECT event_id, user_id, ts,
-        |    CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
-        |  FROM events)
-        |SELECT event_id, user_id, ts,
-        |  last_value(v IGNORE NULLS) OVER (
-        |    PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled
-        |FROM e ORDER BY user_id, ts, event_id""".stripMargin,
+    "q_stream_ffill" -> streamFfillSql,
+
+    // transformWithState twin of q_stream_ffill: same semantics, same SQL
+    "q_stream_ffill_tws" -> streamFfillSql,
 
     "q_interval_join" ->
       """SELECT v.event_id, v.user_id, v.ts,

@@ -715,6 +715,12 @@ object SparkEntry {
       graft.streaming.Streaming.streamingFfill(s, dir, nullEvery = 7)
         .orderBy("user_id", "ts", "event_id")),
 
+    // Same stateful ffill on Spark 4's transformWithState (RocksDB state
+    // store, typed ValueState) — shares q_stream_ffill's oracle SQL.
+    "q_stream_ffill_tws" -> ((s, dir) =>
+      graft.streaming.Streaming.streamingFfillTws(s, dir, nullEvery = 7)
+        .orderBy("user_id", "ts", "event_id")),
+
     // S5 — map-of-lists flatten via explode (the Alpaca bar flatten,
     // extraction.py:215-222): rebuild a nested shape then explode it.
     "q_explode_flatten" -> ((s, dir) => {

@@ -2,7 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming surface (SURVEY.md §2.10): replaces the
@@ -22,6 +23,35 @@ import org.apache.spark.sql.types._
   */
 case class FillEvent(event_id: Long, user_id: Long, ts: java.sql.Timestamp, value: Option[Double])
 case class FilledEvent(event_id: Long, user_id: Long, ts: java.sql.Timestamp, value_filled: Option[Double])
+
+/** Per-key forward-fill processor for Spark 4's `transformWithState`
+  * arbitrary-state API — semantics identical to the
+  * `flatMapGroupsWithState` closure in [[Streaming.streamingFfill]]
+  * (asserted equal in StreamingSinksSpec, and oracled by the same SQL):
+  * state = last non-null value per key, rows sorted by (event time µs,
+  * event_id) within a batch. ValueState replaces GroupState; TTLConfig
+  * is the state-retention dial fmGWS lacks (NONE here — the batch twin).
+  */
+class FfillProcessor extends StatefulProcessor[Long, FillEvent, FilledEvent] {
+  @transient private var last: ValueState[Double] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    last = getHandle.getValueState[Double]("last", Encoders.scalaDouble, TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, rows: Iterator[FillEvent],
+      timerValues: TimerValues): Iterator[FilledEvent] = {
+    var lastOpt: Option[Double] = if (last.exists()) Some(last.get()) else None
+    val out = rows.toSeq.sortBy(e =>
+      (e.ts.toInstant.getEpochSecond * 1000000000L + e.ts.toInstant.getNano,
+        e.event_id)).map { e =>
+      val v = e.value.orElse(lastOpt)
+      if (e.value.isDefined) lastOpt = e.value
+      FilledEvent(e.event_id, e.user_id, e.ts, v)
+    }
+    lastOpt.foreach(last.update)
+    out.iterator
+  }
+}
 
 object Streaming {
 
@@ -222,6 +252,38 @@ object Streaming {
     * non-null value per key, carried across micro-batches; within a batch
     * events are sorted by event time before filling.
     */
+  /** [[streamingFfill]] re-expressed on Spark 4's `transformWithState`
+    * (the successor to flatMapGroupsWithState): typed [[FfillProcessor]]
+    * with named ValueState, running on the RocksDB state-store provider
+    * transformWithState requires — which is also the scale story: state
+    * lives off-heap with changelog checkpointing instead of in executor
+    * heap snapshots. Same output as [[streamingFfill]]; shares its
+    * oracle. The provider conf is restored afterwards so other queries
+    * in the session keep their configured store.
+    */
+  def streamingFfillTws(spark: SparkSession, dir: String, nullEvery: Int): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val src = eventsStream(spark, dir)
+        .withColumn("value",
+          when(col("event_id") % nullEvery === 0, lit(null)).otherwise(col("value")))
+        .select("event_id", "user_id", "ts", "value").as[FillEvent]
+      val filled = src.groupByKey(_.user_id)
+        .transformWithState(new FfillProcessor, TimeMode.None(), OutputMode.Append())
+      runToCompletion(filled.toDF(), OutputMode.Append(), "stream_ffill_tws")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(provKey, p)
+        case None => spark.conf.unset(provKey)
+      }
+    }
+  }
+
   def streamingFfill(spark: SparkSession, dir: String, nullEvery: Int): DataFrame = {
     implicit val s: SparkSession = spark
     import spark.implicits._

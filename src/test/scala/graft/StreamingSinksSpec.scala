@@ -73,6 +73,17 @@ class StreamingSinksSpec extends AnyFunSuite {
     assert(filled === leadingNulls)
   }
 
+  test("transformWithState ffill equals the flatMapGroupsWithState ffill row-for-row") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy("user_id", "ts", "event_id")
+      .select("event_id", "user_id", "value_filled")
+      .as[(Long, Long, Option[Double])].collect().toSeq
+    val viaFmgws = rows(Streaming.streamingFfill(spark, sf, nullEvery = 7))
+    val viaTws = rows(Streaming.streamingFfillTws(spark, sf, nullEvery = 7))
+    assert(viaTws === viaFmgws)
+    assert(viaTws.nonEmpty)
+  }
+
   test("streamToWarehouse lands events idempotently via foreachBatch") {
     val out = Files.createTempDirectory("graft_wh").toString + "/events"
     Streaming.streamToWarehouse(spark, sf, out, Seq("event_id"))
