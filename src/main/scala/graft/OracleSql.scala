@@ -1371,7 +1371,7 @@ object OracleSql {
         |  regexp_replace(regexp_replace(regexp_replace(t,
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
-        |    '\+?\d[\d\s().-]{7,}\d', '<PHONE>', 'g') AS clean,
+        |    '\+\d{1,3}[\s.-]?[\d\s().-]{5,}\d|(\(\d{3}\)[\s.-]?|\b\d{3}[\s.-])\d{3}[\s.-]\d{4}\b', '<PHONE>', 'g') AS clean,
         |  doc_id % 3 = 0 AS had_pii
         |FROM w ORDER BY doc_id""".stripMargin,
 
@@ -1492,8 +1492,8 @@ object OracleSql {
         |s AS (
         |  SELECT *, least(224.0/width, 224.0/height, 1.0) AS sc FROM m)
         |SELECT doc_id, width, height,
-        |  CAST(floor(width * sc) AS INTEGER) AS out_w,
-        |  CAST(floor(height * sc) AS INTEGER) AS out_h,
+        |  CAST(floor(width * sc + 0.5) AS INTEGER) AS out_w,
+        |  CAST(floor(height * sc + 0.5) AS INTEGER) AS out_h,
         |  sc < 1.0 AS resized
         |FROM s ORDER BY doc_id""".stripMargin,
 

@@ -21,6 +21,17 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     graft.sources.Sources.table(spark, dir, name)
 
+  /** documents ∪ truncated copies (ids +1,000,000; last 10 chars cut) —
+    * the shared synthetic near-dup corpus of the near-dup queries. Any
+    * change here must be mirrored in the `corpus` CTE of each of their
+    * oracles (q_minhash_pairs/minhashCtes, q_dedup_clusters,
+    * q_simhash_pairs, q_ngram_jaccard, q_corpus_clean, q_line_dedup).
+    */
+  private def dupCorpus(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), col("text")).unionByName(
+      d.select((col("doc_id") + 1000000).as("doc_id"),
+        col("text").substr(lit(1), length(col("text")) - 10).as("text")))
+
   /** events with deterministically injected nulls (the testdata has none;
     * fill/default operators need them — SURVEY.md FIXTURES.md §B).
     */
@@ -91,12 +102,15 @@ object SparkEntry {
     "q_schema_evolution" -> ((s, dir) => {
       import org.apache.spark.sql.types._
       val orders = t(s, dir, "orders")
-      val tmp = java.nio.file.Files.createTempDirectory("graft_evo_").toString
+      // fixed per-JVM demo dir — the first (old-generation) write
+      // OVERWRITES, so repeated bench runs neither accumulate temp dirs
+      // nor double the table by re-appending
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_evo_demo"
       orders.filter(col("o_orderkey") % 2 === 0)
         .select(col("o_orderkey").cast("int").as("o_orderkey"),
           col("o_custkey"),
           col("o_totalprice").cast("float").as("o_totalprice"))
-        .write.mode("append").parquet(tmp)
+        .write.mode("overwrite").parquet(tmp)
       orders.filter(col("o_orderkey") % 2 === 1)
         .select(col("o_orderkey"), col("o_custkey"),
           col("o_totalprice"), col("o_orderpriority"))
@@ -464,9 +478,7 @@ object SparkEntry {
     // (last 10 chars cut — true near-dups the bands must catch).
     "q_minhash_pairs" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      val corpus = d.select(col("doc_id"), col("text")).unionByName(
-        d.select((col("doc_id") + 1000000).as("doc_id"),
-          col("text").substr(lit(1), length(col("text")) - 10).as("text")))
+      val corpus = dupCorpus(d)
       NearDup.minhashPairs(corpus, col("doc_id"), col("text"),
           n = 5, k = 8, threshold = 0.5)
         .orderBy("key_a", "key_b")
@@ -477,9 +489,7 @@ object SparkEntry {
     // round, no driver-side graph).
     "q_dedup_clusters" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      val corpus = d.select(col("doc_id"), col("text")).unionByName(
-        d.select((col("doc_id") + 1000000).as("doc_id"),
-          col("text").substr(lit(1), length(col("text")) - 10).as("text")))
+      val corpus = dupCorpus(d)
       val pairs = NearDup.minhashPairs(corpus, col("doc_id"), col("text"),
         n = 5, k = 8, threshold = 0.5)
       NearDup.dedupClusters(pairs).orderBy("key")
@@ -510,9 +520,7 @@ object SparkEntry {
     // (guaranteed recall for hamming ≤ 3), exact per-candidate verify.
     "q_simhash_pairs" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      val corpus = d.select(col("doc_id"), col("text")).unionByName(
-        d.select((col("doc_id") + 1000000).as("doc_id"),
-          col("text").substr(lit(1), length(col("text")) - 10).as("text")))
+      val corpus = dupCorpus(d)
       NearDup.simhashPairs(
         NearDup.simhashBits(corpus, col("doc_id"), col("text"), nBits = 32),
         nBits = 32, nBands = 4, maxHam = 3)
@@ -522,9 +530,7 @@ object SparkEntry {
     // Brute-force n-gram Jaccard on known candidate pairs (LSH baseline).
     "q_ngram_jaccard" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      val corpus = d.select(col("doc_id"), col("text")).unionByName(
-        d.select((col("doc_id") + 1000000).as("doc_id"),
-          col("text").substr(lit(1), length(col("text")) - 10).as("text")))
+      val corpus = dupCorpus(d)
       val pairs = d.select(col("doc_id").as("key_a"),
         (col("doc_id") + 1000000).as("key_b"))
       NearDup.ngramJaccardSets(corpus, col("doc_id"), col("text"), pairs, n = 8)
@@ -654,9 +660,7 @@ object SparkEntry {
     // exact dedup → MinHash near-dup removal, one composed lazy plan.
     "q_corpus_clean" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      val corpus = d.select(col("doc_id"), col("text")).unionByName(
-        d.select((col("doc_id") + 1000000).as("doc_id"),
-          col("text").substr(lit(1), length(col("text")) - 10).as("text")))
+      val corpus = dupCorpus(d)
       graft.operators.Corpus.cleanCorpus(corpus, col("doc_id"), col("text"),
           targetLang = "de", minScore = 0.25, n = 5, k = 8,
           jaccThreshold = 0.5)
@@ -667,9 +671,7 @@ object SparkEntry {
     // duplicated chunk corpus-wide, rebuild surviving text in order.
     "q_line_dedup" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      val corpus = d.select(col("doc_id"), col("text")).unionByName(
-        d.select((col("doc_id") + 1000000).as("doc_id"),
-          col("text").substr(lit(1), length(col("text")) - 10).as("text")))
+      val corpus = dupCorpus(d)
       graft.operators.Corpus.lineDedup(corpus, col("doc_id"), col("text"),
           lineWords = 10)
         .orderBy("key")

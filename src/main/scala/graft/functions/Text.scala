@@ -71,7 +71,15 @@ object Text {
       "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
     val noIp = regexp_replace(noEmail,
       "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>")
-    regexp_replace(noIp, "\\+?\\d[\\d\\s().-]{7,}\\d", "<PHONE>")
+    // phone-SHAPED only: an international +CC prefix opens a loose tail,
+    // otherwise require the (xxx) xxx-xxxx / xxx-xxx-xxxx shape with
+    // separators. A bare "any 8+ digit run" rule would also redact ISO
+    // dates (2024-03-15), year sequences, and version/id strings —
+    // destroying exactly the text a training corpus needs to keep.
+    regexp_replace(noIp,
+      "\\+\\d{1,3}[\\s.-]?[\\d\\s().-]{5,}\\d" +
+        "|(\\(\\d{3}\\)[\\s.-]?|\\b\\d{3}[\\s.-])\\d{3}[\\s.-]\\d{4}\\b",
+      "<PHONE>")
   }
 
   /** Whitespace token count. */

@@ -59,9 +59,14 @@ object Multimodal {
       lit(target.toDouble) / col("meta.width"),
       lit(target.toDouble) / col("meta.height"),
       lit(1.0)) // never upscale
+    // floor(x + 0.5), not floor(x): the driving dimension computes
+    // w·(target/w), which IEEE rounds to 223.999… for many widths — bare
+    // floor would emit target−1 on exactly the dimension that must land
+    // on target. +0.5 is also the fixed op sequence both engines
+    // evaluate identically (round() rounding modes differ).
     df.withColumn("scale", scale)
-      .withColumn("out_w", floor(col("meta.width") * col("scale")).cast("int"))
-      .withColumn("out_h", floor(col("meta.height") * col("scale")).cast("int"))
+      .withColumn("out_w", floor(col("meta.width") * col("scale") + lit(0.5)).cast("int"))
+      .withColumn("out_h", floor(col("meta.height") * col("scale") + lit(0.5)).cast("int"))
       .withColumn("resized", col("scale") < 1.0)
   }
 

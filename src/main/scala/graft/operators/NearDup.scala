@@ -289,9 +289,13 @@ object NearDup {
       .withColumn("label", col("key"))
       .localCheckpoint()
     mark("initial labels")
-    // decimal sum: exact and overflow-free even at huge node counts
-    def labelSum(df: DataFrame): BigDecimal =
-      BigDecimal(df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0))
+    // decimal sum: exact and overflow-free even at huge node counts.
+    // SUM over zero rows is NULL — an empty pair graph (no near-dups
+    // found) must yield an empty cluster frame, not an NPE
+    def labelSum(df: DataFrame): BigDecimal = {
+      val d = df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+      if (d == null) BigDecimal(0) else BigDecimal(d)
+    }
     // sentinel: no job spent summing the initial labels — round 1 always
     // runs, and its sum seeds the comparison
     var prevSum = BigDecimal(-1)
@@ -312,6 +316,12 @@ object NearDup {
       mark(s"round $round sum=$s")
     }
     edges.unpersist() // labels is materialized; the edge cache can go
+    // hitting the backstop means a component's diameter exceeds
+    // maxRounds and the labeling is WRONG (one component, several
+    // labels) — fail loudly rather than hand wrong clusters downstream
+    if (!converged) throw new IllegalStateException(
+      s"dedupClusters did not converge within $maxRounds rounds — " +
+        "a component's diameter exceeds the backstop; raise maxRounds")
     labels.select(col("key"), col("label").as("cluster_id"))
   }
 
@@ -329,6 +339,12 @@ object NearDup {
     * so persisting them is a `write.partitionBy(band)` away); then each
     * batch costs only its own shingling plus joins proportional to the
     * batch's bucket overlap.
+    *
+    * Cache lifetime: both shingle-digest sets are persisted and feed the
+    * result lazily, so release is the CALLER's job once the survivors
+    * are materialized (the Verify/Bench harnesses clear per query); in a
+    * long-lived batch loop, unpersist between batches or the cached
+    * existing-corpus frames accumulate.
     */
   def incrementalSurvivors(
       existing: DataFrame, incoming: DataFrame, key: Column, text: Column,

@@ -74,8 +74,15 @@ object Sinks {
     val tmp = new org.apache.hadoop.fs.Path(path + "__compact_tmp")
     if (fs.exists(tmp)) fs.delete(tmp, true)
     spark.read.parquet(path).coalesce(nFiles).write.parquet(tmp.toString)
-    fs.delete(hPath, true)
-    fs.rename(tmp, hPath)
+    // the swap's two steps return success BOOLEANS, not exceptions — an
+    // unchecked false here either leaves tmp nested INSIDE the data dir
+    // (rename onto an existing dir → duplicate rows on recursive reads)
+    // or loses the table entirely (delete succeeded, rename failed)
+    if (!fs.delete(hPath, true))
+      throw new java.io.IOException(s"compact: failed to delete $hPath before swap")
+    if (!fs.rename(tmp, hPath))
+      throw new java.io.IOException(
+        s"compact: failed to rename $tmp to $hPath — compacted data left at $tmp")
     nFiles
   }
 

@@ -69,6 +69,36 @@ object Streaming {
       .parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
+  /** Per-JVM scratch root for stream outputs/checkpoints. DETERMINISTIC
+    * per (table, pid) and wiped before each use — repeated Verify/Bench
+    * runs inside one JVM reuse the same paths instead of accumulating
+    * orphan temp dirs (a 3-runs-each bench over ~12 streaming queries
+    * would otherwise leave ~72 of them per invocation). The pid segment
+    * keeps concurrent JVMs apart; the whole root dies with the JVM's
+    * shutdown hook.
+    */
+  private lazy val scratchRoot: java.nio.file.Path = {
+    val p = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_stream_${ProcessHandle.current().pid()}")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(p)))
+    p
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      val s = java.nio.file.Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+      finally s.close()
+    }
+
+  private def freshDir(name: String): String = {
+    val p = scratchRoot.resolve(name)
+    deleteRecursively(p)
+    java.nio.file.Files.createDirectories(p)
+    p.toString
+  }
+
   private def runToCompletion(df: DataFrame, mode: OutputMode, table: String)(
       implicit spark: SparkSession): DataFrame = {
     // foreachBatch → parquet, NOT format("memory"): the memory sink
@@ -76,8 +106,8 @@ object Streaming {
     // driver-heap scale. Here each micro-batch writes distributed files
     // (Complete mode overwrites with the latest full result; Append mode
     // accumulates emitted rows) and the caller reads them back lazily.
-    val out = java.nio.file.Files.createTempDirectory(s"graft_${table}_").toString
-    val ck = java.nio.file.Files.createTempDirectory(s"graft_${table}_ck_").toString
+    val out = freshDir(s"${table}_out")
+    val ck = freshDir(s"${table}_ck")
     val saveMode = if (mode == OutputMode.Complete()) "overwrite" else "append"
     val q = df.writeStream
       .outputMode(mode)

@@ -25,17 +25,35 @@ class TransformsSpec extends AnyFunSuite {
 
   // --- F1 clean_text_for_nlp -------------------------------------------
 
-  test("redactPii masks emails, IPs, and phone runs; plain text untouched") {
+  test("redactPii masks emails, IPs, and phone shapes; dates and years survive") {
     val rows = Seq(
       "mail me at john.doe+x@sub.example.org today",
       "server at 192.168.0.1 responded",
       "call +44 (0)20 7946-0958 now",
-      "clean text with numbers 42 and 7 only").toDF("t")
+      "or dial 555-123-4567 or (555) 123 4567 instead",
+      "clean text with numbers 42 and 7 only",
+      // phone-SHAPED only: dates/years/versions must keep training value
+      "released 2024-03-15 in 2012 2013 2014 as v1.2.3456").toDF("t")
     val got = rows.select(Text.redactPii(col("t")).as("c")).as[String].collect()
     assert(got(0) === "mail me at <EMAIL> today")
     assert(got(1) === "server at <IP> responded")
     assert(got(2) === "call <PHONE> now")
-    assert(got(3) === "clean text with numbers 42 and 7 only")
+    assert(got(3) === "or dial <PHONE> or <PHONE> instead")
+    assert(got(4) === "clean text with numbers 42 and 7 only")
+    assert(got(5) === "released 2024-03-15 in 2012 2013 2014 as v1.2.3456")
+  }
+
+  test("resizePlan lands the driving dimension exactly on target") {
+    // 277×100 → scale 224/277; bare floor(277·scale) is 223 in IEEE
+    // doubles — the driving dimension must be exactly 224
+    val df = Seq((277, 100), (640, 480), (100, 50)).toDF("w", "h")
+      .select(struct(col("w").as("width"), col("h").as("height")).as("meta"))
+    val got = graft.operators.Multimodal.resizePlan(df, target = 224)
+      .select("meta.width", "out_w", "out_h", "resized")
+      .as[(Int, Int, Int, Boolean)].collect().sortBy(_._1)
+    assert(got(0) === ((100, 100, 50, false)))   // already small: untouched
+    assert(got(1) === ((277, 224, 81, true)))    // 100·224/277 = 80.9 → 81
+    assert(got(2) === ((640, 224, 168, true)))   // 480·224/640 = 168
   }
 
   test("cleanTextForNlp strips tags, urls, truncation markers, junk") {
