@@ -133,7 +133,9 @@ object TextAnalysis {
       .filter(col("term") =!= "")
     val tf = words.groupBy("key", "term").agg(count(lit(1)).as("tf"))
     // N as a broadcast one-row frame, not an eager .count(): no mid-plan
-    // driver action, the whole operator stays one lazily-planned DAG
+    // driver action, the whole operator stays one lazily-planned DAG.
+    // countDistinct excludes NULL keys from N (as does the oracle's
+    // COUNT(DISTINCT)) — null-keyed rows contribute terms but not a doc
     val nDocs = df.agg(countDistinct(key).as("n_docs"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val scored = tf.join(broadcast(dfreq), Seq("term"))

@@ -113,6 +113,11 @@ class NearDupSpec extends AnyFunSuite {
     assert(rows(2) === ((3L, 1L, 1.0, 0.0)))
   }
 
+  test("dedupClusters on an empty pair graph returns an empty frame (no NPE)") {
+    val empty = Seq.empty[(Long, Long)].toDF("key_a", "key_b")
+    assert(NearDup.dedupClusters(empty).count() === 0)
+  }
+
   test("incrementalSurvivors drops near-dups of the existing corpus, keeps novel docs") {
     // 30-word doc; the incoming copy changes ONLY the last word, so 25 of
     // 26 word-5-shingles are shared (jacc ≈ 0.93 ≥ 0.5 → dropped). The
