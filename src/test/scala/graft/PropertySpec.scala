@@ -76,6 +76,71 @@ class PropertySpec extends AnyFunSuite {
       salted.map(r => (r.getLong(0), r.getDecimal(1), r.getLong(2))).toSeq)
   }
 
+  test("property: simhashPairs finds EVERY random pair within maxHam (pigeonhole recall)") {
+    // 60 random 32-bit fingerprints + 40 planted neighbors at hamming
+    // 1-3 of a random base: banding may not prune (that's recall-free
+    // pruning's job on real data), but it must NEVER lose a pair within
+    // maxHam — the brute-force ham≤3 pair set must be exactly reproduced
+    val sigs = (1L to 60L).map(k =>
+      k -> (0 until 32).map(_ => rnd.nextInt(2)).mkString) ++
+      (61L to 100L).map { k =>
+        val base = (0 until 32).map(_ => rnd.nextInt(2)).mkString
+        val nFlips = 1 + rnd.nextInt(3)
+        val flipped = (1 to nFlips).foldLeft(base) { (s, _) =>
+          val i = rnd.nextInt(32)
+          s.updated(i, if (s(i) == '0') '1' else '0')
+        }
+        k -> flipped
+      }
+    // include each planted neighbor's base as another doc so true close
+    // pairs exist; ids 101+
+    val all = sigs ++ sigs.drop(60).zipWithIndex.map { case ((_, s), i) =>
+      (101L + i) -> s.updated(0, if (s(0) == '0') '1' else '0')
+    }
+    def ham(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    val expect = (for {
+      (ka, sa) <- all; (kb, sb) <- all
+      if ka < kb && ham(sa, sb) <= 3
+    } yield (ka, kb)).toSet
+    val got = graft.operators.NearDup.simhashPairs(
+        all.toDF("key", "simhash"), nBits = 32, nBands = 4, maxHam = 3)
+      .select("key_a", "key_b").as[(Long, Long)].collect().toSet
+    assert(got === expect)
+    assert(expect.nonEmpty)
+  }
+
+  test("property: int8 quantization reconstructs within scale/2 per element") {
+    val rows = (1L to 100L).map(i =>
+      (i, Array.fill(16)((rnd.nextDouble() * 4 - 2).toFloat)))
+    val df = rows.toDF("vec_id", "embedding")
+    val bad = graft.operators.Similarity.quantizeInt8(df, "vec_id", "embedding")
+      .join(df, Seq("vec_id"))
+      .select(col("vec_id"), col("scale"),
+        expr("aggregate(zip_with(q, embedding, (qi, x) -> " +
+          "abs(qi * scale - cast(x as double))), 0.0D, (acc, e) -> greatest(acc, e))")
+          .as("max_err"))
+      .filter(col("max_err") > col("scale") * 0.5 + lit(1e-12))
+      .count()
+    assert(bad === 0)
+  }
+
+  test("property: lineDedup keeps exactly one occurrence of every distinct chunk") {
+    val docs = (1L to 50L).map(i =>
+      (i, (1 to 40).map(_ => s"w${rnd.nextInt(6)}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val kept = graft.operators.Corpus.lineDedup(docs, col("doc_id"), col("text"),
+        lineWords = 4)
+      .agg(sum("n_lines_kept")).as[Long].head()
+    // distinct chunks computed independently via the same chunking
+    val distinctChunks = docs
+      .select(col("doc_id"), split(col("text"), "\\s+").as("ws"))
+      .withColumn("li", explode(sequence(lit(0),
+        ceil(size(col("ws")).cast("double") / 4).cast("int") - 1)))
+      .select(array_join(slice(col("ws"), col("li") * 4 + 1, lit(4)), " ").as("line"))
+      .distinct().count()
+    assert(kept === distinctChunks)
+  }
+
   test("property: corpus cleaning is idempotent") {
     val d = graft.sources.Sources.table(spark, "/root/testdata/sf0.001", "documents")
     val corpus = d.select(col("doc_id"), col("text")).unionByName(
