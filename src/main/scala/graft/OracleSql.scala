@@ -860,6 +860,32 @@ object OracleSql {
         |    stop_ratio * 0.25 + punct_ratio * 0.25 AS score
         |FROM f ORDER BY key""".stripMargin,
 
+    "q_corpus_stats" ->
+      """WITH f AS (
+        |  SELECT lang, source,
+        |    CAST(length(text) AS INTEGER) AS n_chars,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER)
+        |      AS n_tokens,
+        |    CAST(len(regexp_extract_all(text, '[.!?]')) AS DOUBLE) /
+        |      CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio,
+        |    CAST(len(regexp_extract_all(lower(text),
+        |      '\b(the|a|and|of|to|in)\b')) AS DOUBLE) /
+        |      CAST(greatest(len(string_split_regex(trim(text), '\s+')), 1)
+        |        AS DOUBLE) AS stop_ratio
+        |  FROM documents),
+        |sc AS (
+        |  SELECT lang, source, n_chars, n_tokens,
+        |    least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5 +
+        |      stop_ratio * 0.25 + punct_ratio * 0.25 AS score
+        |  FROM f)
+        |SELECT lang, source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  round(CAST(sum(CAST(score AS DECIMAL(25,15))) AS DOUBLE) /
+        |    CAST(count(*) AS DOUBLE), 9) AS mean_score
+        |FROM sc GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
     "q_token_count" ->
       """SELECT doc_id AS key,
         |  CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER)

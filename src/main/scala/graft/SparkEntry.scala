@@ -608,6 +608,30 @@ object SparkEntry {
         .orderBy("key")
     }),
 
+    // Corpus health rollup — the daily per-(lang, source) stats query a
+    // curation pipeline runs: doc/token/char totals + mean quality. One
+    // partial/final aggregate over the quality features; mean via exact
+    // decimal sum then a single double division (oracle bit-parity).
+    "q_corpus_stats" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val feat = TextAnalysis.withQualityFeatures(
+        d.select(col("doc_id"), col("lang"), col("source"), col("text")), col("text"))
+      feat.groupBy("lang", "source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens").cast("long")).as("sum_tokens"),
+          sum(col("n_chars").cast("long")).as("sum_chars"),
+          // exact decimal sum, then ONE double cast + division, rounded
+          // to 9 digits: the wide-decimal→double cast diverges by 1 ULP
+          // across engines (≈1e-17), far below the rounding grain — the
+          // same compare contract tfidf's score column uses. (Narrowing
+          // the decimal first doesn't work here: the two engines round
+          // the scale-15→10 narrowing differently.)
+          round(sum(col("score").cast("decimal(25,15)")).cast("double") /
+            count(lit(1)).cast("double"), 9).as("mean_score"))
+        .orderBy("lang", "source")
+    }),
+
     // Token counting: whitespace + BPE-ish subword pre-tokenizer.
     "q_token_count" -> ((s, dir) => {
       TextAnalysis.tokenCounts(t(s, dir, "documents"), col("doc_id"), col("text"))
