@@ -28,7 +28,14 @@ object Bench {
     // optional comma-separated subset (local iteration on one slow query
     // without paying for the other 80) — driver runs leave it unset
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // a typo'd or stale name would otherwise bench zero queries and emit
+    // an empty results array that LOOKS like a (vacuously fast) success
+    only.foreach { o =>
+      val unknown = o -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names unknown queries: ${unknown.toSeq.sorted.mkString(",")}")
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>

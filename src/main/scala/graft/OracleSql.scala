@@ -679,7 +679,7 @@ object OracleSql {
     "q_cosine_topk" ->
       """WITH n AS (
         |  SELECT vec_id, embedding,
-        |    list_aggregate(list_transform(generate_series(1, 64),
+        |    list_aggregate(list_transform(generate_series(1, len(embedding)),
         |      i -> CAST(CAST(embedding[i] AS DOUBLE) *
         |                CAST(embedding[i] AS DOUBLE) AS DECIMAL(30,12))),
         |      'sum') AS n2
@@ -687,7 +687,7 @@ object OracleSql {
         |q AS (SELECT * FROM n WHERE vec_id < 10),
         |p AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |    list_aggregate(list_transform(generate_series(1, 64),
+        |    list_aggregate(list_transform(generate_series(1, len(q.embedding)),
         |      i -> CAST(CAST(q.embedding[i] AS DOUBLE) *
         |                CAST(c.embedding[i] AS DOUBLE) AS DECIMAL(30,12))),
         |      'sum') AS dot,
@@ -737,12 +737,12 @@ object OracleSql {
         |  FROM v),
         |n AS (
         |  SELECT vec_id, q,
-        |    CAST(list_aggregate(list_transform(generate_series(1, 64),
+        |    CAST(list_aggregate(list_transform(generate_series(1, len(q)),
         |      i -> q[i] * q[i]), 'sum') AS BIGINT) AS qn2
         |  FROM q8),
         |p AS (
         |  SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |    CAST(list_aggregate(list_transform(generate_series(1, 64),
+        |    CAST(list_aggregate(list_transform(generate_series(1, len(a.q)),
         |      i -> a.q[i] * c.q[i]), 'sum') AS BIGINT) AS qdot,
         |    a.qn2 AS qn2a, c.qn2 AS qn2b
         |  FROM n a, n c WHERE a.vec_id < 10 AND c.vec_id <> a.vec_id),
@@ -761,7 +761,7 @@ object OracleSql {
     "q_ann_bucketed" ->
       """WITH n AS (
         |  SELECT vec_id, embedding,
-        |    list_aggregate(list_transform(generate_series(1, 64),
+        |    list_aggregate(list_transform(generate_series(1, len(embedding)),
         |      i -> CAST(CAST(embedding[i] AS DOUBLE) *
         |                CAST(embedding[i] AS DOUBLE) AS DECIMAL(30,12))),
         |      'sum') AS n2,
@@ -774,7 +774,7 @@ object OracleSql {
         |q AS (SELECT * FROM n WHERE vec_id < 10),
         |p AS (
         |  SELECT q.vec_id AS query_id, q.bucket, c.vec_id AS neighbor_id,
-        |    list_aggregate(list_transform(generate_series(1, 64),
+        |    list_aggregate(list_transform(generate_series(1, len(q.embedding)),
         |      i -> CAST(CAST(q.embedding[i] AS DOUBLE) *
         |                CAST(c.embedding[i] AS DOUBLE) AS DECIMAL(30,12))),
         |      'sum') AS dot,
@@ -797,7 +797,7 @@ object OracleSql {
         .mkString(" || ")
       s"""WITH n AS (
          |  SELECT vec_id, embedding,
-         |    list_aggregate(list_transform(generate_series(1, 64),
+         |    list_aggregate(list_transform(generate_series(1, len(embedding)),
          |      i -> CAST(CAST(embedding[i] AS DOUBLE) *
          |                CAST(embedding[i] AS DOUBLE) AS DECIMAL(30,12))),
          |      'sum') AS n2,
@@ -805,7 +805,7 @@ object OracleSql {
          |  FROM embeddings),
          |p AS (
          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         |    list_aggregate(list_transform(generate_series(1, 64),
+         |    list_aggregate(list_transform(generate_series(1, len(q.embedding)),
          |      i -> CAST(CAST(q.embedding[i] AS DOUBLE) *
          |                CAST(c.embedding[i] AS DOUBLE) AS DECIMAL(30,12))),
          |      'sum') AS dot,
@@ -1047,7 +1047,7 @@ object OracleSql {
     "q_ann_ivf" ->
       """WITH n AS (
         |  SELECT vec_id, embedding,
-        |    list_aggregate(list_transform(generate_series(1, 64),
+        |    list_aggregate(list_transform(generate_series(1, len(embedding)),
         |      i -> CAST(CAST(embedding[i] AS DOUBLE) *
         |                CAST(embedding[i] AS DOUBLE) AS DECIMAL(30,12))),
         |      'sum') AS n2
@@ -1056,7 +1056,7 @@ object OracleSql {
         |  FROM n WHERE vec_id < 16),
         |corpus_sc AS (
         |  SELECT a.vec_id, a.embedding, a.n2, c.cent_id,
-        |    CAST(list_aggregate(list_transform(generate_series(1, 64),
+        |    CAST(list_aggregate(list_transform(generate_series(1, len(a.embedding)),
         |      i -> CAST(CAST(a.embedding[i] AS DOUBLE) *
         |                CAST(c.cvec[i] AS DOUBLE) AS DECIMAL(30,12))),
         |      'sum') AS DOUBLE) /
@@ -1076,7 +1076,7 @@ object OracleSql {
         |  WHERE crn <= 2),
         |scored AS (
         |  SELECT p.query_id, a.neighbor_id,
-        |    CAST(list_aggregate(list_transform(generate_series(1, 64),
+        |    CAST(list_aggregate(list_transform(generate_series(1, len(p.qv)),
         |      i -> CAST(CAST(p.qv[i] AS DOUBLE) *
         |                CAST(a.nv[i] AS DOUBLE) AS DECIMAL(30,12))),
         |      'sum') AS DOUBLE) /
@@ -1303,7 +1303,7 @@ object OracleSql {
     "q_embed_neardup" ->
       """WITH pert AS (
         |  SELECT vec_id + 100000 AS vec_id,
-        |    list_transform(generate_series(1, 64),
+        |    list_transform(generate_series(1, len(embedding)),
         |      i -> CASE WHEN i = 1
         |        THEN CAST(embedding[i] + CAST(0.01 AS FLOAT) AS FLOAT)
         |        ELSE embedding[i] END) AS embedding
@@ -1313,7 +1313,7 @@ object OracleSql {
         |  UNION ALL SELECT vec_id, embedding FROM pert),
         |n AS (
         |  SELECT vec_id, embedding,
-        |    list_aggregate(list_transform(generate_series(1, 64),
+        |    list_aggregate(list_transform(generate_series(1, len(embedding)),
         |      i -> CAST(CAST(embedding[i] AS DOUBLE) *
         |                CAST(embedding[i] AS DOUBLE) AS DECIMAL(30,12))),
         |      'sum') AS n2,
@@ -1329,7 +1329,7 @@ object OracleSql {
         |  FROM corpus),
         |p AS (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |    list_aggregate(list_transform(generate_series(1, 64),
+        |    list_aggregate(list_transform(generate_series(1, len(a.embedding)),
         |      i -> CAST(CAST(a.embedding[i] AS DOUBLE) *
         |                CAST(b.embedding[i] AS DOUBLE) AS DECIMAL(30,12))),
         |      'sum') AS dot,

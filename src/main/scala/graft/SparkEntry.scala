@@ -21,6 +21,30 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     graft.sources.Sources.table(spark, dir, name)
 
+  /** Per-JVM scratch dir for queries that demo a write+read round-trip
+    * (schema evolution, partition pruning). DETERMINISTIC per (name, pid):
+    * repeated runs in one JVM overwrite instead of accumulating, while the
+    * pid segment keeps concurrent JVMs (Bench and Verify at once) from
+    * racing on one path — mirrors Streaming.scratchRoot. Cleaned by a
+    * shutdown hook.
+    */
+  private lazy val scratchBase: java.nio.file.Path = {
+    val p = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_demo_${ProcessHandle.current().pid()}")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      if (java.nio.file.Files.exists(p)) {
+        val s = java.nio.file.Files.walk(p)
+        try s.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+        finally s.close()
+      }
+    }))
+    p
+  }
+
+  private def scratchDir(name: String): String =
+    scratchBase.resolve(name).toString
+
   /** documents ∪ truncated copies (ids +1,000,000; last 10 chars cut) —
     * the shared synthetic near-dup corpus of the near-dup queries. Any
     * change here must be mirrored in the `corpus` CTE of each of their
@@ -102,10 +126,11 @@ object SparkEntry {
     "q_schema_evolution" -> ((s, dir) => {
       import org.apache.spark.sql.types._
       val orders = t(s, dir, "orders")
-      // fixed per-JVM demo dir — the first (old-generation) write
+      // pid-scoped demo dir — the first (old-generation) write
       // OVERWRITES, so repeated bench runs neither accumulate temp dirs
-      // nor double the table by re-appending
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_evo_demo"
+      // nor double the table by re-appending; the pid segment keeps a
+      // concurrent Bench+Verify pair from overwrite/append racing
+      val tmp = scratchDir("evo_demo")
       orders.filter(col("o_orderkey") % 2 === 0)
         .select(col("o_orderkey").cast("int").as("o_orderkey"),
           col("o_custkey"),
@@ -134,9 +159,10 @@ object SparkEntry {
     // before any file is opened (inputFiles ⊂ partition dirs; asserted
     // in SourcesSpec).
     "q_partition_pruned" -> ((s, dir) => {
-      // fixed per-JVM demo dir, overwritten each run — repeated bench
-      // runs must not accumulate copies in /tmp
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_part_demo"
+      // pid-scoped demo dir, overwritten each run — repeated bench runs
+      // must not accumulate copies in /tmp, and concurrent JVMs must not
+      // race on one path
+      val tmp = scratchDir("part_demo")
       t(s, dir, "orders")
         .filter(year(col("o_orderdate")) === 1995) // one year's lake: 12 dirs
         .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))

@@ -203,6 +203,10 @@ object NearDup {
   def simhashPairs(sig: DataFrame, nBits: Int, nBands: Int, maxHam: Int): DataFrame = {
     require(nBits % nBands == 0, s"nBands=$nBands must divide nBits=$nBits")
     require(maxHam < nBands, s"maxHam=$maxHam needs < nBands=$nBands for the recall guarantee")
+    // the fingerprint is parsed into a signed long below; ≥ 64 bits would
+    // overflow conv(...).cast("long") to NULL and silently emit ZERO pairs
+    // (bit_count(NULL) fails every hamming filter) — fail loudly instead
+    require(nBits <= 63, s"nBits=$nBits exceeds the 63-bit signed-long fingerprint limit")
     val w = nBits / nBands
     // the fingerprint crosses the join as ONE parsed integer, not the
     // bitstring: hamming is then a single bit_count(xor) per candidate
