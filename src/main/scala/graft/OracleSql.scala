@@ -612,10 +612,18 @@ object OracleSql {
         |WHERE key NOT IN (SELECT key_i FROM dup) ORDER BY key""".stripMargin,
 
     "q_simhash_pairs" -> {
-      val sums = (0 until 32).map(b =>
-        s"sum(CASE WHEN substr(h, ${b + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS s$b")
-        .mkString(",\n    ")
-      val bits = (0 until 32).map(b =>
+      // bit b = bit-plane (3 − b/32) of md5 nibble (b mod 32) — mirrors
+      // NearDup.simhashBits exactly (first 32 bits ≡ the "digit ≥ '8'"
+      // high-bit test; planes below via bitwise AND on the nibble value)
+      val sums = (0 until 60).map { b =>
+        val plane = 3 - b / 32
+        val nib = b % 32
+        val isSet =
+          if (plane == 3) s"substr(h, ${nib + 1}, 1) >= '8'"
+          else s"((strpos('0123456789abcdef', substr(h, ${nib + 1}, 1)) - 1) & ${1 << plane}) <> 0"
+        s"sum(CASE WHEN $isSet THEN 1 ELSE -1 END) AS s$b"
+      }.mkString(",\n    ")
+      val bits = (0 until 60).map(b =>
         s"CASE WHEN s$b > 0 THEN '1' ELSE '0' END").mkString(" || ")
       // DuckDB hamming(VARCHAR, VARCHAR) counts differing positions of
       // equal-length strings — on '0'/'1' fingerprints that is exactly
@@ -637,7 +645,7 @@ object OracleSql {
          |  FROM tok GROUP BY key),
          |sig AS (SELECT key, $bits AS simhash FROM votes),
          |bands AS (
-         |  SELECT key, simhash, b, substr(simhash, 1 + 8 * b, 8) AS band_val
+         |  SELECT key, simhash, b, substr(simhash, 1 + 15 * b, 15) AS band_val
          |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b)),
          |cand AS (
          |  SELECT DISTINCT a.key AS key_a, c.key AS key_b,

@@ -542,14 +542,17 @@ object SparkEntry {
         .orderBy("key")
     }),
 
-    // SimHash near-dup pair mining: 32-bit fingerprints, 4 Hamming bands
+    // SimHash near-dup pair mining: 60-bit fingerprints, 4 Hamming bands
     // (guaranteed recall for hamming ≤ 3), exact per-candidate verify.
+    // 60 bits (not 32) because band width IS the candidate-volume dial:
+    // 15-bit bands split this corpus's fat fingerprint buckets ~10×
+    // finer than 8-bit bands (10.9M → 1.06M candidate pairs at sf0.1).
     "q_simhash_pairs" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       val corpus = dupCorpus(d)
       NearDup.simhashPairs(
-        NearDup.simhashBits(corpus, col("doc_id"), col("text"), nBits = 32),
-        nBits = 32, nBands = 4, maxHam = 3)
+        NearDup.simhashBits(corpus, col("doc_id"), col("text"), nBits = 60),
+        nBits = 60, nBands = 4, maxHam = 3)
         .orderBy("key_a", "key_b")
     }),
 
