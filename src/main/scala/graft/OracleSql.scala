@@ -1563,5 +1563,102 @@ object OracleSql {
         |  volume, trade_count
         |FROM dedup WHERE rn = 1
         |ORDER BY company_id, "timestamp"""".stripMargin,
+
+    "q_decontaminate" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id AS key, doc_id % 97 = 0 AS is_eval,
+        |    array_to_string(w[i:i+2], ' ') AS g
+        |  FROM (
+        |    SELECT doc_id, string_split_regex(text, '\s+') AS w,
+        |      unnest(generate_series(1,
+        |        greatest(len(string_split_regex(text, '\s+')) - 2, 1))) AS i
+        |    FROM documents))
+        |SELECT t.key, CAST(count(*) AS BIGINT) AS n_hits
+        |FROM sh t
+        |JOIN (SELECT DISTINCT g FROM sh WHERE is_eval) e ON t.g = e.g
+        |WHERE NOT t.is_eval
+        |GROUP BY t.key ORDER BY t.key""".stripMargin,
+
+    "q_mix_sample" ->
+      """WITH s AS (
+        |  SELECT source AS grp,
+        |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+        |      CASE WHEN CAST(regexp_extract(source, '(\d+)', 1) AS INTEGER) < 5
+        |             THEN '20'
+        |           WHEN CAST(regexp_extract(source, '(\d+)', 1) AS INTEGER) < 10
+        |             THEN '40'
+        |           WHEN CAST(regexp_extract(source, '(\d+)', 1) AS INTEGER) < 15
+        |             THEN '80'
+        |           ELSE 'zz' END AS keep
+        |  FROM documents)
+        |SELECT grp, CAST(count(*) AS BIGINT) AS n_in,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_out,
+        |  round(CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE) /
+        |    CAST(count(*) AS DOUBLE), 6) AS rate
+        |FROM s GROUP BY grp ORDER BY grp""".stripMargin,
+
+    "q_sentiment" ->
+      """WITH lex(token, weight) AS (VALUES
+        |  ('fast', 2), ('slow', -2), ('big', 1), ('small', -1),
+        |  ('merge', 1), ('dup', -3)),
+        |toks AS (
+        |  SELECT doc_id AS key,
+        |    unnest(string_split_regex(text, '\s+')) AS token
+        |  FROM documents),
+        |hits AS (
+        |  SELECT key, CAST(sum(weight) AS BIGINT) AS sentiment,
+        |    CAST(count(*) AS BIGINT) AS n_matched
+        |  FROM toks JOIN lex USING (token)
+        |  WHERE token <> '' GROUP BY key)
+        |SELECT d.doc_id AS key,
+        |  coalesce(h.sentiment, 0) AS sentiment,
+        |  coalesce(h.n_matched, 0) AS n_matched
+        |FROM documents d LEFT JOIN hits h ON h.key = d.doc_id
+        |ORDER BY key""".stripMargin,
+
+    "q_training_labels" ->
+      """WITH daily AS (
+        |  SELECT user_id AS entity,
+        |    CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |    CAST(count(*) AS BIGINT) AS n_events,
+        |    round(CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE) /
+        |      CAST(count(*) AS DOUBLE), 9) AS v_mean
+        |  FROM events GROUP BY 1, 2),
+        |led AS (
+        |  SELECT *, lead(v_mean, 1) OVER (
+        |      PARTITION BY entity ORDER BY day) AS v_next
+        |  FROM daily)
+        |SELECT entity, day, n_events, v_mean, v_next,
+        |  CASE WHEN v_next IS NULL THEN NULL
+        |       WHEN v_next > v_mean THEN 1 ELSE 0 END AS label
+        |FROM led ORDER BY entity, day""".stripMargin,
+
+    "q_outliers" ->
+      """WITH stats AS (
+        |  SELECT event_type AS grp, count(*) AS n,
+        |    sum(CAST(value AS DECIMAL(38,12))) AS sx,
+        |    sum(CAST(value * value AS DECIMAL(38,12))) AS sxx
+        |  FROM events GROUP BY 1),
+        |z AS (
+        |  SELECT e.event_id AS id, e.event_type AS grp, e.value AS v,
+        |    round((e.value - CAST(s.sx AS DOUBLE) / CAST(s.n AS DOUBLE)) /
+        |      sqrt((CAST(s.sxx AS DOUBLE) -
+        |            CAST(s.sx AS DOUBLE) * CAST(s.sx AS DOUBLE) /
+        |              CAST(s.n AS DOUBLE)) /
+        |           (CAST(s.n AS DOUBLE) - 1.0)), 6) AS z
+        |  FROM events e JOIN stats s ON s.grp = e.event_type)
+        |SELECT id, grp, v, z FROM z WHERE abs(z) > 2.5
+        |ORDER BY id""".stripMargin,
+
+    "q_winsorize" ->
+      """WITH bounds AS (
+        |  SELECT event_type AS grp,
+        |    round(quantile_cont(value, 0.05), 6) AS lo,
+        |    round(quantile_cont(value, 0.95), 6) AS hi
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_id AS id, b.grp, e.value AS v, b.lo, b.hi,
+        |  round(least(greatest(e.value, b.lo), b.hi), 6) AS v_clipped
+        |FROM events e JOIN bounds b ON b.grp = e.event_type
+        |ORDER BY id""".stripMargin,
   )
 }

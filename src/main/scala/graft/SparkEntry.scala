@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Text
-import graft.operators.{Analytics, Dedup, Fill, Multimodal, NearDup, Similarity, TextAnalysis, Transforms}
+import graft.operators.{Analytics, Curation, Dedup, Fill, Multimodal, NearDup, Similarity, TextAnalysis, Transforms}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -1177,6 +1177,62 @@ object SparkEntry {
           col("vwap").cast("double").as("vwap"),
           col("volume"), col("trade_count"))
         .orderBy("company_id", "timestamp")
+    }),
+
+    // Benchmark decontamination: training docs sharing any word 3-gram
+    // with the eval split (doc_id % 97 == 0). Eval shingles broadcast;
+    // only matched (key, 1) rows reach the hit-count aggregate.
+    "q_decontaminate" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Curation.decontaminate(
+          d.filter(col("doc_id") % 97 =!= 0),
+          d.filter(col("doc_id") % 97 === 0),
+          col("doc_id"), col("text"), n = 3)
+        .orderBy("key")
+    }),
+
+    // Deterministic mixture sampling: per-source hash-threshold rates
+    // (1/8, 1/4, 1/2, keep-all across the 20 sources); output is the
+    // realized mixture per source.
+    "q_mix_sample" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val srcNum = regexp_extract(col("source"), "(\\d+)", 1).cast("int")
+      val thr = when(srcNum < 5, "20").when(srcNum < 10, "40")
+        .when(srcNum < 15, "80").otherwise("zz")
+      Curation.mixtureSample(d, col("doc_id"), col("source"), thr)
+        .orderBy("grp")
+    }),
+
+    // Lexicon sentiment over the corpus vocabulary — the reference's
+    // news-tone signal, Spark-native (broadcast lexicon join).
+    "q_sentiment" -> ((s, dir) => {
+      Curation.sentimentScore(t(s, dir, "documents"), col("doc_id"), col("text"),
+          Seq("fast" -> 2, "slow" -> -2, "big" -> 1, "small" -> -1,
+            "merge" -> 1, "dup" -> -3))
+        .orderBy("key")
+    }),
+
+    // Label assembly: per-(user, day) mean value + next-day up/down label
+    // — the "news today, price move tomorrow" training-set builder.
+    "q_training_labels" -> ((s, dir) => {
+      Curation.trainingLabels(t(s, dir, "events"), col("user_id"), col("ts"),
+          col("value"))
+        .orderBy("entity", "day")
+    }),
+
+    // Distribution-based cleaning: per-type z-score outliers (|z| > 2.5)
+    // from exact-decimal moments, stats broadcast back over the data.
+    "q_outliers" -> ((s, dir) => {
+      Curation.zscoreOutliers(t(s, dir, "events"), col("event_id"),
+          col("event_type"), col("value"), zThreshold = 2.5)
+        .orderBy("id")
+    }),
+
+    // Winsorization to the per-type exact [p05, p95] band.
+    "q_winsorize" -> ((s, dir) => {
+      Curation.winsorize(t(s, dir, "events"), col("event_id"),
+          col("event_type"), col("value"), pLo = 0.05, pHi = 0.95)
+        .orderBy("id")
     }),
   )
 

@@ -1,0 +1,172 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a training-data pipeline runs between crawl
+  * and tokenizer: benchmark decontamination, mixture sampling, lexicon
+  * scoring, label assembly, and distribution-based cleaning. Extends the
+  * reference's curation surface (SURVEY.md §2.4/§2.8 — its pipeline
+  * cleans and dedups before load, data_pipeline/tasks/transformation.py)
+  * with the ops the builder prompt names as first-class.
+  *
+  * Oracle parity contract (same as Analytics.momentStats): every mean /
+  * variance-style statistic is an exact DECIMAL sum first, ONE double
+  * cast + arithmetic after, rounded to a fixed grain — so aggregation
+  * order can never change the compared value.
+  */
+object Curation {
+
+  /** Benchmark decontamination: flag training documents sharing at least
+    * one word n-gram with an evaluation set — the standard "remove eval
+    * overlap from the training corpus" pass (the n-gram-overlap method
+    * popularized by the GPT-3/PaLM appendices).
+    *
+    * Scale: the eval side is tiny (benchmarks are ~10³-10⁵ docs) so its
+    * distinct shingle set is BROADCAST; the 100 TB training side streams
+    * past it map-side — the only exchange is the per-doc hit-count
+    * aggregate, carrying (key, 1) rows for matched shingles only.
+    * Returns (key, n_hits) for contaminated training docs.
+    */
+  def decontaminate(train: DataFrame, eval_ : DataFrame,
+      key: Column, text: Column, n: Int): DataFrame = {
+    val evalShingles = NearDup.wordShingles(eval_, key, text, n)
+      .select("shingle").distinct()
+    NearDup.wordShingles(train, key, text, n)
+      .join(broadcast(evalShingles), Seq("shingle"))
+      // wordShingles is distinct per (key, shingle): count(*) == number
+      // of DISTINCT contaminated n-grams in the doc
+      .groupBy("key").agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** Deterministic mixture sampling: per-group hash-threshold sampling to
+    * hit target source proportions — how a training mix is downsampled
+    * ("keep 12% of CommonCrawl, all of Wikipedia") reproducibly. A row
+    * survives iff the first 2 hex chars of md5(key) are below the
+    * group's threshold, so membership is a pure function of the key:
+    * re-runs, retries, and different partitionings all agree, and no
+    * shuffle is needed for the sampling itself (the small per-group
+    * rollup here is for reporting).
+    *
+    * Returns (group, n_in, n_out, rate) — the realized mixture.
+    */
+  def mixtureSample(df: DataFrame, key: Column, group: Column,
+      thresholds: Column): DataFrame = {
+    val sampled = substring(md5(key.cast("string")), 1, 2) < thresholds
+    df.select(group.as("grp"), sampled.as("keep"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_in"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_out"))
+      .withColumn("rate",
+        round(col("n_out").cast("double") / col("n_in").cast("double"), 6))
+  }
+
+  /** Lexicon sentiment scoring — the Spark-native form of the reference's
+    * news-sentiment purpose (stonkWhisperer predicts stocks FROM news
+    * tone; the reference defers scoring to its Databricks ML stage).
+    * Tokens join a BROADCAST lexicon (lexicons are 10³-10⁵ terms — far
+    * under broadcast threshold even for real ones); per-doc score is one
+    * partial/final aggregate. Docs with no lexicon hit score 0 via the
+    * left join back to the doc spine.
+    *
+    * Returns (key, sentiment, n_matched) for every input doc.
+    */
+  def sentimentScore(df: DataFrame, key: Column, text: Column,
+      lexicon: Seq[(String, Int)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val lex = lexicon.toDF("token", "weight")
+    val hits = df.select(key.as("key"), explode(split(text, "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+      .join(broadcast(lex), Seq("token"))
+      .groupBy("key")
+      .agg(sum(col("weight").cast("long")).as("sentiment"),
+        count(lit(1)).as("n_matched"))
+    df.select(key.as("key")).distinct()
+      .join(hits, Seq("key"), "left")
+      .select(col("key"),
+        coalesce(col("sentiment"), lit(0L)).as("sentiment"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"))
+  }
+
+  /** Supervised label assembly: per (entity, day) value aggregate joined
+    * to the NEXT observed day's aggregate via a lead window — the
+    * "tomorrow up or down?" label generation at the heart of the
+    * reference's prediction goal (news today → price move tomorrow).
+    * One aggregate + one window, both hash-partitioned on the entity:
+    * no self-join, no driver loop. The mean is an exact decimal sum
+    * with one double division, rounded (oracle parity).
+    *
+    * Returns (entity, day, n_events, v_mean, v_next, label) where label
+    * is 1/0 for up/not-up and NULL on each entity's last day.
+    */
+  def trainingLabels(df: DataFrame, entity: Column, ts: Column,
+      value: Column): DataFrame = {
+    val daily = df
+      .select(entity.as("entity"), date_trunc("day", ts).as("day"),
+        value.as("v"))
+      .groupBy("entity", "day")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("v").cast("decimal(38,12)")).cast("double") /
+          count(lit(1)).cast("double"), 9).as("v_mean"))
+    val w = Window.partitionBy("entity").orderBy("day")
+    daily
+      .withColumn("v_next", lead(col("v_mean"), 1).over(w))
+      .withColumn("label",
+        when(col("v_next").isNull, lit(null).cast("int"))
+          .otherwise((col("v_next") > col("v_mean")).cast("int")))
+  }
+
+  /** Z-score outlier detection per group: rows whose value sits more than
+    * `zThreshold` sample standard deviations from their group mean — the
+    * distribution-based filter curation pipelines run on numeric columns
+    * (and the reference's bar data would need for bad ticks). Group
+    * moments come from ONE partial/final aggregate over exact decimal
+    * sums; the tiny per-group stats frame is BROADCAST back, so the data
+    * never re-shuffles. z is rounded to 6 digits BEFORE the threshold so
+    * both engines cut at identical values.
+    *
+    * Returns (row id, group, value, z) for flagged rows.
+    */
+  def zscoreOutliers(df: DataFrame, id: Column, group: Column,
+      value: Column, zThreshold: Double): DataFrame = {
+    val rows = df.select(id.as("id"), group.as("grp"), value.as("v"))
+    val stats = rows.groupBy("grp").agg(
+      count(lit(1)).as("n"),
+      sum(col("v").cast("decimal(38,12)")).as("sx"),
+      sum((col("v") * col("v")).cast("decimal(38,12)")).as("sxx"))
+    val withM = rows.join(broadcast(stats), Seq("grp"))
+      .withColumn("mean", col("sx").cast("double") / col("n").cast("double"))
+      .withColumn("sd", sqrt(
+        (col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double") /
+            col("n").cast("double")) /
+          (col("n").cast("double") - 1.0)))
+      .withColumn("z", round((col("v") - col("mean")) / col("sd"), 6))
+    withM.filter(abs(col("z")) > zThreshold)
+      .select(col("id"), col("grp"), col("v"), col("z"))
+  }
+
+  /** Winsorization: clip values to their group's [pLo, pHi] exact
+    * interpolated percentiles — the robust alternative to dropping
+    * outliers when the rows must survive (feature columns, reward
+    * signals). Percentiles come from one `percentile` aggregate (exact,
+    * linear interpolation — the same definition as DuckDB's
+    * quantile_cont); the per-group bounds frame is BROADCAST back.
+    * Bounds and the clipped value are rounded to 6 digits (the raw
+    * value passes through untouched).
+    *
+    * Returns (id, group, value, lo, hi, v_clipped).
+    */
+  def winsorize(df: DataFrame, id: Column, group: Column, value: Column,
+      pLo: Double, pHi: Double): DataFrame = {
+    val rows = df.select(id.as("id"), group.as("grp"), value.as("v"))
+    val bounds = rows.groupBy("grp").agg(
+      round(percentile(col("v"), lit(pLo)), 6).as("lo"),
+      round(percentile(col("v"), lit(pHi)), 6).as("hi"))
+    rows.join(broadcast(bounds), Seq("grp"))
+      .select(col("id"), col("grp"), col("v"), col("lo"), col("hi"),
+        round(least(greatest(col("v"), col("lo")), col("hi")), 6).as("v_clipped"))
+  }
+}

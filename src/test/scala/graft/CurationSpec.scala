@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Curation
+
+class CurationSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  test("decontaminate flags only train docs sharing an eval n-gram") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta"),    // shares "alpha beta gamma"
+      (2L, "delta epsilon zeta eta"),    // no shared 3-gram
+      (3L, "x alpha beta gamma y")       // shares it mid-doc
+    ).toDF("doc_id", "text")
+    val eval_ = Seq((100L, "alpha beta gamma omega")).toDF("doc_id", "text")
+    val out = Curation.decontaminate(train, eval_,
+        col("doc_id"), col("text"), n = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 1L, 3L -> 1L))
+  }
+
+  test("mixtureSample keep-all threshold keeps everything; rate is n_out/n_in") {
+    val df = (1L to 200L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "src")
+    val thr = when(col("src") === "a", "zz").otherwise("00")
+    val rows = Curation.mixtureSample(df, col("id"), col("src"), thr)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val a = rows.find(_._1 == "a").get
+    val b = rows.find(_._1 == "b").get
+    assert(a._2 === 100L && a._3 === 100L && a._4 === 1.0) // "zz" > any hex
+    assert(b._2 === 100L && b._3 === 0L && b._4 === 0.0)   // "00" < any hex
+  }
+
+  test("mixtureSample is a pure function of the key (repartition-invariant)") {
+    val df = (1L to 500L).map(i => (i, "s")).toDF("id", "src")
+    val r1 = Curation.mixtureSample(df, col("id"), col("src"), lit("80"))
+      .select("n_out").as[Long].head()
+    val r2 = Curation.mixtureSample(df.repartition(7), col("id"), col("src"), lit("80"))
+      .select("n_out").as[Long].head()
+    assert(r1 === r2 && r1 > 0 && r1 < 500)
+  }
+
+  test("sentimentScore sums weights and zero-fills docs with no hits") {
+    val docs = Seq(
+      (1L, "fast fast slow"),  // 2+2-2 = 2, 3 matches
+      (2L, "nothing matches here"),
+      (3L, "dup")              // -3
+    ).toDF("doc_id", "text")
+    val lex = Seq("fast" -> 2, "slow" -> -2, "dup" -> -3)
+    val out = Curation.sentimentScore(docs, col("doc_id"), col("text"), lex)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out === Set((1L, 2L, 3L), (2L, 0L, 0L), (3L, -3L, 1L)))
+  }
+
+  test("trainingLabels emits next-day comparison and null on the last day") {
+    val ts = (d: Int, h: Int) =>
+      java.sql.Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00")
+    val ev = Seq(
+      (1L, ts(1, 1), 10.0), (1L, ts(1, 2), 20.0), // day1 mean 15
+      (1L, ts(2, 1), 30.0),                       // day2 mean 30 -> label day1 = 1
+      (1L, ts(3, 1), 5.0)                         // day3 mean 5  -> label day2 = 0, day3 null
+    ).toDF("user_id", "ts", "value")
+    val out = Curation.trainingLabels(ev, col("user_id"), col("ts"), col("value"))
+      .orderBy("day")
+      .select("v_mean", "label")
+      .collect().map(r => (r.getDouble(0), if (r.isNullAt(1)) None else Some(r.getInt(1))))
+    assert(out.toSeq === Seq((15.0, Some(1)), (30.0, Some(0)), (5.0, None)))
+  }
+
+  test("zscoreOutliers flags exactly the planted extreme value") {
+    val base = (1L to 40L).map(i => (i, "g", 10.0 + (i % 5))) // values 10..14
+    val df = (base :+ ((99L, "g", 1000.0))).toDF("id", "grp", "v")
+    val out = Curation.zscoreOutliers(df, col("id"), col("grp"), col("v"), 2.5)
+      .select("id").as[Long].collect().toSet
+    assert(out === Set(99L))
+  }
+
+  test("winsorize clips to the percentile band and passes interior values through") {
+    val df = (1L to 100L).map(i => (i, "g", i.toDouble)).toDF("id", "grp", "v")
+    val out = Curation.winsorize(df, col("id"), col("grp"), col("v"), 0.05, 0.95)
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    // exact interpolated percentiles of 1..100: p05 = 5.95, p95 = 95.05
+    assert(out.forall { case (_, _, lo, hi, _) => lo === 5.95 && hi === 95.05 })
+    assert(out.forall { case (_, v, lo, hi, w) =>
+      w === math.min(math.max(v, lo), hi) })
+    val clippedLow = out.filter(_._2 < 5.95)
+    assert(clippedLow.nonEmpty && clippedLow.forall(_._5 === 5.95))
+  }
+}
