@@ -33,11 +33,13 @@ object Curation {
       key: Column, text: Column, n: Int): DataFrame = {
     val evalShingles = NearDup.wordShingles(eval_, key, text, n)
       .select("shingle").distinct()
-    NearDup.wordShingles(train, key, text, n)
+    // RAW train shingles: the broadcast probe drops ~everything map-side,
+    // so deduping per doc BEFORE the join would shuffle the full corpus
+    // shingle stream just to discard it; countDistinct dedups the tiny
+    // matched remainder inside the per-doc aggregate instead
+    NearDup.wordShinglesRaw(train, key, text, n)
       .join(broadcast(evalShingles), Seq("shingle"))
-      // wordShingles is distinct per (key, shingle): count(*) == number
-      // of DISTINCT contaminated n-grams in the doc
-      .groupBy("key").agg(count(lit(1)).as("n_hits"))
+      .groupBy("key").agg(countDistinct(col("shingle")).as("n_hits"))
   }
 
   /** Deterministic mixture sampling: per-group hash-threshold sampling to

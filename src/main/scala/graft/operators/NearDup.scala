@@ -47,6 +47,18 @@ object NearDup {
         array_join(slice(col("w"), col("i"), lit(n)), " ").as("shingle"))
       .distinct()
 
+  /** Word n-gram shingles per key WITHOUT the per-doc distinct — for
+    * callers that filter the shingle stream before any aggregation (e.g.
+    * a broadcast-set probe) and would otherwise pay a full shuffle just
+    * to dedup rows that are about to be discarded map-side.
+    */
+  def wordShinglesRaw(df: DataFrame, key: Column, text: Column, n: Int): DataFrame =
+    df.select(key.as("key"), split(text, "\\s+").as("w"))
+      .withColumn("i",
+        explode(sequence(lit(1), greatest(size(col("w")) - (n - 1), lit(1)))))
+      .select(col("key"),
+        array_join(slice(col("w"), col("i"), lit(n)), " ").as("shingle"))
+
   /** Distinct char-n-gram shingle DIGESTS per key: shingles are hashed to
     * a fixed-width md5 hex BEFORE the distinct, so the dedup shuffle
     * carries 32-byte keys instead of arbitrary-width text. Set semantics
