@@ -1660,5 +1660,18 @@ object OracleSql {
         |  round(least(greatest(e.value, b.lo), b.hi), 6) AS v_clipped
         |FROM events e JOIN bounds b ON b.grp = e.event_type
         |ORDER BY id""".stripMargin,
+
+    "q_domain_stats" ->
+      """WITH u AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    'https://' || source || '.example.com/' || lang || '/' ||
+        |      CAST(doc_id AS VARCHAR) AS url
+        |  FROM documents)
+        |SELECT regexp_extract(url, 'https?://([^/]+)', 1) AS host,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  min(regexp_extract(url, 'https?://[^/]+(/.*)', 1)) AS first_path
+        |FROM u GROUP BY 1 ORDER BY host""".stripMargin,
   )
 }

@@ -1234,6 +1234,26 @@ object SparkEntry {
           col("event_type"), col("value"), pLo = 0.05, pHi = 0.95)
         .orderBy("id")
     }),
+
+    // Per-domain corpus rollup: URL parsing (parse_url host/path — the
+    // C4/RefinedWeb domain-accounting pass, the unit blocklists and
+    // per-domain caps operate on) + one partial/final aggregate. URLs
+    // are synthesized deterministically from doc fields (the corpus
+    // carries none), like q_typed_warehouse's tickers.
+    "q_domain_stats" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"), col("lang"), col("n_chars"),
+          concat(lit("https://"), col("source"), lit(".example.com/"),
+            col("lang"), lit("/"), col("doc_id").cast("string")).as("url"))
+        .withColumn("host", parse_url(col("url"), lit("HOST")))
+        .withColumn("path", parse_url(col("url"), lit("PATH")))
+        .groupBy("host")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          countDistinct(col("lang")).as("n_langs"),
+          min(col("path")).as("first_path"))
+        .orderBy("host")
+    }),
   )
 
   def oracleSql: Map[String, String] = OracleSql.sql
