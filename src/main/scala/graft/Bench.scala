@@ -46,6 +46,13 @@ object Bench {
         // release per-query persisted frames (e.g. near-dup shingle sets)
         // so later queries don't inherit cache/GC pressure
         spark.catalog.clearCache()
+        // and actually RECLAIM them: Spark's ContextCleaner frees
+        // checkpoint blocks / broadcasts only when the JVM GCs their
+        // references, so without this, state accumulates across ~300
+        // timed runs and shuffles GC pressure onto whichever query runs
+        // late (measured: q_dedup_clusters 4s standalone vs 19s deep
+        // into a full bench). Runs OUTSIDE the timed window.
+        System.gc()
         dt
       }.sorted
       name -> times(times.length / 2)
