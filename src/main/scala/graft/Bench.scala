@@ -46,15 +46,19 @@ object Bench {
         // release per-query persisted frames (e.g. near-dup shingle sets)
         // so later queries don't inherit cache/GC pressure
         spark.catalog.clearCache()
-        // and actually RECLAIM them: Spark's ContextCleaner frees
-        // checkpoint blocks / broadcasts only when the JVM GCs their
-        // references, so without this, state accumulates across ~300
-        // timed runs and shuffles GC pressure onto whichever query runs
-        // late (measured: q_dedup_clusters 4s standalone vs 19s deep
-        // into a full bench). Runs OUTSIDE the timed window.
-        System.gc()
         dt
       }.sorted
+      // Reclaim accumulated state BETWEEN queries, not between the runs
+      // of one query: Spark's ContextCleaner frees checkpoint blocks /
+      // broadcasts only when the JVM GCs their references, and letting
+      // ~300 timed runs accumulate shifts GC pressure onto whichever
+      // query runs late (measured: q_dedup_clusters 4 s standalone vs
+      // 19 s deep into a full bench). But a full GC also unloads hot
+      // generated-code classes, so running it INSIDE a query's repeat
+      // loop forces micro-batch-heavy streaming queries to re-JIT every
+      // run (measured: q_stream_interval_outer 5.4 s → 12 s). Each query
+      // starts from an isolated heap; its repeats measure steady state.
+      System.gc()
       name -> times(times.length / 2)
     }
     val total = results.map(_._2).sum
