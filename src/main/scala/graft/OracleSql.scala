@@ -1661,6 +1661,22 @@ object OracleSql {
         |FROM events e JOIN bounds b ON b.grp = e.event_type
         |ORDER BY id""".stripMargin,
 
+    "q_seq_pack" ->
+      """WITH d AS (
+        |  SELECT doc_id AS key, lang AS shard,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |o AS (
+        |  SELECT key, shard, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY key
+        |      ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS "offset"
+        |  FROM d)
+        |SELECT key, shard, n_tokens, "offset",
+        |  CAST(floor("offset" / 512) AS BIGINT) AS block,
+        |  CAST(floor(("offset" + n_tokens - 1) / 512) -
+        |    floor("offset" / 512) + 1 AS BIGINT) AS n_blocks
+        |FROM o ORDER BY key""".stripMargin,
+
     "q_domain_stats" ->
       """WITH u AS (
         |  SELECT doc_id, lang, n_chars,

@@ -1235,6 +1235,17 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // Concat-then-chunk sequence packing: per-lang token offsets and
+    // 512-token block assignment — pre-training batch assembly as one
+    // hash-partitioned window.
+    "q_seq_pack" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("n_tokens", size(split(col("text"), "\\s+")).cast("long"))
+      Curation.packSequences(d, col("doc_id"), col("lang"), col("n_tokens"),
+          capacity = 512)
+        .orderBy("key")
+    }),
+
     // Per-domain corpus rollup: URL parsing (parse_url host/path — the
     // C4/RefinedWeb domain-accounting pass, the unit blocklists and
     // per-domain caps operate on) + one partial/final aggregate. URLs

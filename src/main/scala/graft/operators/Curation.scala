@@ -120,6 +120,32 @@ object Curation {
           .otherwise((col("v_next") > col("v_mean")).cast("int")))
   }
 
+  /** Sequence packing, concat-then-chunk style: documents are laid out
+    * end-to-end within a shard and split into fixed `capacity`-token
+    * blocks — GPT-style pre-training batch assembly, where documents
+    * straddle block boundaries rather than being padded. Each doc gets
+    * its token OFFSET within the shard (an exclusive running sum — one
+    * window, hash-partitioned on the shard key, scale-safe: no global
+    * ordering exists or is needed, packing is per-shard by design) and
+    * from it the first/last block it lands in.
+    *
+    * Returns (key, shard, n_tokens, offset, block, n_blocks) where
+    * block = floor(offset / capacity) and n_blocks is how many blocks
+    * the doc spans.
+    */
+  def packSequences(df: DataFrame, key: Column, shard: Column,
+      nTokens: Column, capacity: Int): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy("key")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(key.as("key"), shard.as("shard"), nTokens.as("n_tokens"))
+      .withColumn("offset",
+        sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("block", floor(col("offset") / capacity))
+      .withColumn("n_blocks",
+        floor((col("offset") + col("n_tokens") - 1) / capacity)
+          - col("block") + 1)
+  }
+
   /** Z-score outlier detection per group: rows whose value sits more than
     * `zThreshold` sample standard deviations from their group mean — the
     * distribution-based filter curation pipelines run on numeric columns

@@ -86,6 +86,23 @@ class CurationSpec extends AnyFunSuite {
     assert(out === Set(99L))
   }
 
+  test("packSequences assigns contiguous offsets and boundary-straddling blocks") {
+    val docs = Seq(
+      (1L, "s", 300L), (2L, "s", 300L), (3L, "s", 500L), (4L, "t", 100L)
+    ).toDF("doc_id", "shard", "n_tokens")
+    val out = Curation.packSequences(docs, col("doc_id"), col("shard"),
+        col("n_tokens"), capacity = 512)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .sortBy(_._1)
+    // doc1: offset 0, block 0, fits          (0..299)
+    // doc2: offset 300, straddles 0→1        (300..599)
+    // doc3: offset 600, block 1, fits        (600..1099) -> 1..2 spans 2
+    // doc4: own shard, offset 0, block 0
+    assert(out.toSeq === Seq(
+      (1L, 0L, 0L, 1L), (2L, 300L, 0L, 2L), (3L, 600L, 1L, 2L),
+      (4L, 0L, 0L, 1L)))
+  }
+
   test("winsorize clips to the percentile band and passes interior values through") {
     val df = (1L to 100L).map(i => (i, "g", i.toDouble)).toDF("id", "grp", "v")
     val out = Curation.winsorize(df, col("id"), col("grp"), col("v"), 0.05, 0.95)
