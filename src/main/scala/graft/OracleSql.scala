@@ -1661,6 +1661,29 @@ object OracleSql {
         |FROM events e JOIN bounds b ON b.grp = e.event_type
         |ORDER BY id""".stripMargin,
 
+    "q_validate" ->
+      """WITH c AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(CASE WHEN NOT coalesce(value >= 0, false)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS v_value_nonneg,
+        |    CAST(sum(CASE WHEN NOT coalesce(ts IS NOT NULL, false)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS v_ts_not_null,
+        |    CAST(sum(CASE WHEN NOT coalesce(event_type IN
+        |        ('click','view','purchase','signup','error'), false)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS v_type_known,
+        |    CAST(sum(CASE WHEN NOT coalesce(user_id > 0, false)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS v_user_positive,
+        |    CAST(sum(CASE WHEN NOT coalesce(props->>'k' IS NOT NULL, false)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS v_props_has_k
+        |  FROM events)
+        |SELECT rule, n_violations, n_rows FROM (
+        |  SELECT 'value_nonneg' AS rule, v_value_nonneg AS n_violations, n_rows FROM c
+        |  UNION ALL SELECT 'ts_not_null', v_ts_not_null, n_rows FROM c
+        |  UNION ALL SELECT 'type_known', v_type_known, n_rows FROM c
+        |  UNION ALL SELECT 'user_positive', v_user_positive, n_rows FROM c
+        |  UNION ALL SELECT 'props_has_k', v_props_has_k, n_rows FROM c)
+        |ORDER BY rule""".stripMargin,
+
     "q_seq_pack" ->
       """WITH d AS (
         |  SELECT doc_id AS key, lang AS shard,

@@ -1235,6 +1235,19 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // Declarative row validation: the reference's Pydantic field checks
+    // as ONE aggregate pass — (rule, n_violations, n_rows) per rule.
+    "q_validate" -> ((s, dir) => {
+      graft.schemas.Warehouse.validationReport(t(s, dir, "events"), Seq(
+          "value_nonneg" -> (col("value") >= 0),
+          "ts_not_null" -> col("ts").isNotNull,
+          "type_known" -> col("event_type")
+            .isin("click", "view", "purchase", "signup", "error"),
+          "user_positive" -> (col("user_id") > 0),
+          "props_has_k" -> get_json_object(col("props"), "$.k").isNotNull))
+        .orderBy("rule")
+    }),
+
     // Concat-then-chunk sequence packing: per-lang token offsets and
     // 512-token block assignment — pre-training batch assembly as one
     // hash-partitioned window.

@@ -2,7 +2,7 @@ package graft.schemas
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -198,6 +198,28 @@ object Warehouse {
     df.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("multiplicity"))
       .filter(col("multiplicity") > 1)
+
+  /** Declarative row-validation report — the Spark-native form of the
+    * reference's Pydantic field validators (models/article.py:15-81,
+    * stock_bar.py:17-58 reject rows field-by-field at load time). Each
+    * rule is (name, predicate-that-must-hold); the report is ONE
+    * partial/final aggregate over the whole frame — no per-rule pass,
+    * no shuffle of the data itself — emitting (rule, n_violations,
+    * n_rows). A 100 TB validation run costs one scan.
+    */
+  def validationReport(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    val counts = df.agg(
+      count(lit(1)).as("n_rows"),
+      rules.map { case (name, pred) =>
+        sum(when(!coalesce(pred, lit(false)), 1L).otherwise(0L)).as(s"v_$name")
+      }: _*)
+    val ruleNames = rules.map(_._1)
+    counts.select(
+      expr(s"stack(${ruleNames.length}, " +
+        ruleNames.map(n => s"'$n', v_$n").mkString(", ") +
+        ") as (rule, n_violations)"),
+      col("n_rows"))
+  }
 
   /** Typed views — analyzer-checked upcast from the conformed frame to
     * the case-class Dataset (no runtime conversion until an action

@@ -106,4 +106,18 @@ class WarehouseSpec extends AnyFunSuite {
     assert(Warehouse.uniqueKeys("reddit_posts").contains(Seq("reddit_id")))
     assert(Warehouse.uniqueKeys("companies").contains(Seq("ticker")))
   }
+
+  test("validationReport counts per-rule violations; NULL predicate = violation") {
+    import spark.implicits._
+    val df = Seq[(java.lang.Long, java.lang.Double)](
+      (1L, 10.0), (2L, -1.0), (3L, null), (null, 5.0)
+    ).toDF("id", "v")
+    val rep = Warehouse.validationReport(df, Seq(
+        "v_nonneg" -> (col("v") >= 0),
+        "id_set" -> col("id").isNotNull))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // v >= 0 is NULL for row 3 → counts as a violation (Pydantic would
+    // reject a missing field, so must the report)
+    assert(rep === Set(("v_nonneg", 2L, 4L), ("id_set", 1L, 4L)))
+  }
 }
