@@ -1661,6 +1661,17 @@ object OracleSql {
         |FROM events e JOIN bounds b ON b.grp = e.event_type
         |ORDER BY id""".stripMargin,
 
+    "q_feature_bins" ->
+      """WITH b AS (
+        |  SELECT event_type AS grp, value AS v,
+        |    ntile(10) OVER (PARTITION BY event_type
+        |      ORDER BY value, event_id) AS bin
+        |  FROM events)
+        |SELECT grp, CAST(bin AS INTEGER) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  min(v) AS v_min, max(v) AS v_max
+        |FROM b GROUP BY grp, bin ORDER BY grp, bin""".stripMargin,
+
     "q_validate" ->
       """WITH c AS (
         |  SELECT CAST(count(*) AS BIGINT) AS n_rows,

@@ -1235,6 +1235,15 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // Equi-depth feature binning: deciles per event type (ntile over a
+    // total order), per-bin count/min/max — the bin-boundary table.
+    "q_feature_bins" -> ((s, dir) => {
+      Curation.featureBins(t(s, dir, "events"), col("event_type"),
+          col("value"), col("event_id"), nBins = 10)
+        .withColumn("bin", col("bin").cast("int"))
+        .orderBy("grp", "bin")
+    }),
+
     // Declarative row validation: the reference's Pydantic field checks
     // as ONE aggregate pass — (rule, n_violations, n_rows) per rule.
     "q_validate" -> ((s, dir) => {

@@ -176,6 +176,23 @@ object Curation {
       .select(col("id"), col("grp"), col("v"), col("z"))
   }
 
+  /** Equi-depth feature binning: each group's values split into
+    * `nBins` equal-count bins (ntile over a TOTAL order — the tiebreak
+    * column makes bin assignment deterministic), reported as per-bin
+    * (count, min, max) — the bin-boundary table a feature-engineering
+    * pass ships to training. One window + one aggregate, both
+    * hash-partitioned on the group key.
+    */
+  def featureBins(df: DataFrame, group: Column, value: Column,
+      tiebreak: Column, nBins: Int): DataFrame = {
+    val w = Window.partitionBy("grp").orderBy(col("v"), col("tb"))
+    df.select(group.as("grp"), value.as("v"), tiebreak.as("tb"))
+      .withColumn("bin", ntile(nBins).over(w))
+      .groupBy("grp", "bin")
+      .agg(count(lit(1)).as("n"), min(col("v")).as("v_min"),
+        max(col("v")).as("v_max"))
+  }
+
   /** Winsorization: clip values to their group's [pLo, pHi] exact
     * interpolated percentiles — the robust alternative to dropping
     * outliers when the rows must survive (feature columns, reward

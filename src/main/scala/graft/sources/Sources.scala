@@ -96,4 +96,18 @@ object Sources {
       else d
     }
   }
+
+  /** The testdata table names (TESTDATA.md + the two corpus tables). */
+  val tableNames: Seq[String] = Seq("region", "nation", "customer",
+    "supplier", "part", "orders", "lineitem", "events", "documents",
+    "embeddings")
+
+  /** SQL surface: register every testdata table as a temp view (with the
+    * same nanos normalization [[table]] applies), so `spark.sql` users
+    * get the full catalog — `spark.sql("SELECT ... FROM lineitem")` —
+    * without touching the Scala API. Temp views are lazy logical plans:
+    * pushdown/pruning through them is identical to the DataFrame path.
+    */
+  def registerViews(spark: SparkSession, dir: String): Unit =
+    tableNames.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
 }

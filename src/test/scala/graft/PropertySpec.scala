@@ -172,6 +172,50 @@ class PropertySpec extends AnyFunSuite {
     assert(salted === plain)
   }
 
+  test("property: packSequences offsets tile each shard exactly") {
+    val docs = (1L to 500L).map(i => (i, s"sh${i % 7}", 1L + (i * 13) % 90))
+      .toDF("doc_id", "shard", "n_tokens")
+    val packed = graft.operators.Curation.packSequences(
+      docs, col("doc_id"), col("shard"), col("n_tokens"), capacity = 128)
+    // per shard: offsets are the exclusive prefix sums of token counts —
+    // max(offset + n_tokens) == sum(n_tokens), and no two docs overlap
+    val bad = packed
+      .withColumn("end", col("offset") + col("n_tokens"))
+      .groupBy("shard")
+      .agg(max(col("end")).as("maxEnd"),
+        sum(col("n_tokens")).as("total"),
+        count(lit(1)).as("n"),
+        countDistinct(col("offset")).as("nOff"))
+      .filter(col("maxEnd") =!= col("total") || col("n") =!= col("nOff"))
+      .count()
+    assert(bad === 0)
+    // block ids never exceed the shard's token-total bound
+    val overflow = packed
+      .filter(col("block") > floor((col("offset") + col("n_tokens")) / 128))
+      .count()
+    assert(overflow === 0)
+  }
+
+  test("property: decontaminate equals the brute-force shingle intersection") {
+    val d = graft.sources.Sources.table(spark, "/root/testdata/sf0.001", "documents")
+    val train = d.filter(col("doc_id") % 11 =!= 0)
+    val eval_ = d.filter(col("doc_id") % 11 === 0)
+    val fast = graft.operators.Curation.decontaminate(
+        train, eval_, col("doc_id"), col("text"), n = 3)
+      .as[(Long, Long)].collect().toMap
+    // brute force: distinct per-doc shingles, plain inner join, no
+    // broadcast/raw-probe structure — the semantics the operator claims
+    val trainSh = graft.operators.NearDup.wordShingles(
+      train, col("doc_id"), col("text"), 3)
+    val evalSh = graft.operators.NearDup.wordShingles(
+        eval_, col("doc_id"), col("text"), 3)
+      .select("shingle").distinct()
+    val brute = trainSh.join(evalSh, Seq("shingle"))
+      .groupBy("key").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(fast === brute && fast.nonEmpty)
+  }
+
   test("property: bucketed tables join without a shuffle exchange") {
     // a previous JVM's managed-table location survives the metastore;
     // clear both the catalog entry and the orphaned directory

@@ -115,6 +115,26 @@ class SourcesSpec extends AnyFunSuite {
       s"expected 1 pruned file, plan:\n${pruned.queryExecution.executedPlan}")
   }
 
+  test("registerViews exposes the full catalog to spark.sql with nanos normalized") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Sources.registerViews(spark, "/root/testdata/sf0.001")
+    // every table resolvable by name
+    Sources.tableNames.foreach { n =>
+      assert(spark.sql(s"SELECT * FROM $n LIMIT 1").count() === 1, n)
+    }
+    // the events view carries the µs TIMESTAMP (not raw epoch-nanos), so
+    // SQL users get date functions directly
+    val row = spark.sql(
+      "SELECT date_trunc('day', ts) AS d FROM events LIMIT 1").schema("d")
+    assert(row.dataType === org.apache.spark.sql.types.TimestampType)
+    // and a pure-SQL query over a view matches the DataFrame path
+    val viaSql = spark.sql(
+      "SELECT count(*) FROM lineitem WHERE l_quantity > 25").head().getLong(0)
+    val viaDf = Sources.table(spark, "/root/testdata/sf0.001", "lineitem")
+      .filter($"l_quantity" > 25).count()
+    assert(viaSql === viaDf && viaSql > 0)
+  }
+
   test("multimodal decode emits one feature row per document with real bytes") {
     val docs = graft.sources.Sources.table(spark, "/root/testdata/sf0.001", "documents")
     val feats = graft.operators.Multimodal.decodeFeatures(
