@@ -71,12 +71,18 @@ object Bench {
       .mkString("{", ",", "}")
     val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir","runs_per_query":$runs}"""
     val fullPath = java.nio.file.Paths.get("docs", "BENCH_last_full.json")
-    try {
-      java.nio.file.Files.createDirectories(fullPath.getParent)
-      java.nio.file.Files.write(fullPath, (fullLine + "\n").getBytes("UTF-8"))
-    } catch { case e: Exception =>
-      System.err.println(s"warn: could not write $fullPath: ${e.getMessage}")
-    }
+    // advertise the file in the stdout line only if THIS run's write
+    // succeeded — otherwise a consumer would resolve the path to a stale
+    // committed file and read a previous run's medians as this run's
+    val fullRef =
+      try {
+        java.nio.file.Files.createDirectories(fullPath.getParent)
+        java.nio.file.Files.write(fullPath, (fullLine + "\n").getBytes("UTF-8"))
+        s""""full":"${fullPath.toAbsolutePath}","""
+      } catch { case e: Exception =>
+        System.err.println(s"warn: could not write $fullPath: ${e.getMessage}")
+        ""
+      }
     def r3(d: Double): Double = math.rint(d * 1000) / 1000
     // largest top-N (by time) that keeps the printed line under budget
     val byTime = results.sortBy(-_._2)
@@ -84,7 +90,7 @@ object Bench {
       val qs = byTime.take(n).sortBy(_._1)
         .map { case (k, v) => s"\"" + k + "\":" + r3(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"n_queries":${results.length},"top_n":${math.min(n, results.length)},"full":"docs/BENCH_last_full.json","sf":"$sfDir","runs_per_query":$runs}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"n_queries":${results.length},"top_n":${math.min(n, results.length)},$fullRef"sf":"$sfDir","runs_per_query":$runs}"""
     }
     val out = (results.length to 1 by -1).view.map(line).find(_.length <= 1500).getOrElse(line(1))
     println(out)

@@ -1646,7 +1646,11 @@ object OracleSql {
         |            CAST(s.sx AS DOUBLE) * CAST(s.sx AS DOUBLE) /
         |              CAST(s.n AS DOUBLE)) /
         |           (CAST(s.n AS DOUBLE) - 1.0)), 6) AS z
-        |  FROM events e JOIN stats s ON s.grp = e.event_type)
+        |  FROM events e JOIN stats s ON s.grp = e.event_type
+        |  WHERE s.n > 1 AND
+        |    (CAST(s.sxx AS DOUBLE) - CAST(s.sx AS DOUBLE) *
+        |      CAST(s.sx AS DOUBLE) / CAST(s.n AS DOUBLE)) /
+        |     (CAST(s.n AS DOUBLE) - 1.0) > 0)
         |SELECT id, grp, v, z FROM z WHERE abs(z) > 2.5
         |ORDER BY id""".stripMargin,
 

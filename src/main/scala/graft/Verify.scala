@@ -23,7 +23,15 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      finally spark.catalog.clearCache()
+      finally {
+        spark.catalog.clearCache()
+        // localCheckpoint blocks (CC edge lists, per-round labels) are
+        // invisible to clearCache and reclaimed only when a GC lets the
+        // ContextCleaner run — over ~100 dumped queries they otherwise
+        // accumulate in storage memory (same failure mode Bench.scala
+        // documents between timed queries)
+        System.gc()
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

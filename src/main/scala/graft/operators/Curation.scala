@@ -31,7 +31,10 @@ object Curation {
     */
   def decontaminate(train: DataFrame, eval_ : DataFrame,
       key: Column, text: Column, n: Int): DataFrame = {
-    val evalShingles = NearDup.wordShingles(eval_, key, text, n)
+    // raw shingles + ONE global distinct (the per-doc dedup inside
+    // wordShingles would add a redundant (key, shingle) shuffle — only
+    // the global set matters here)
+    val evalShingles = NearDup.wordShinglesRaw(eval_, key, text, n)
       .select("shingle").distinct()
     // RAW train shingles: the broadcast probe drops ~everything map-side,
     // so deduping per doc BEFORE the join would shuffle the full corpus
@@ -166,13 +169,24 @@ object Curation {
       sum((col("v") * col("v")).cast("decimal(38,12)")).as("sxx"))
     val withM = rows.join(broadcast(stats), Seq("grp"))
       .withColumn("mean", col("sx").cast("double") / col("n").cast("double"))
-      .withColumn("sd", sqrt(
+      .withColumn("variance",
         (col("sxx").cast("double") -
           col("sx").cast("double") * col("sx").cast("double") /
             col("n").cast("double")) /
-          (col("n").cast("double") - 1.0)))
-      .withColumn("z", round((col("v") - col("mean")) / col("sd"), 6))
-    withM.filter(abs(col("z")) > zThreshold)
+          (col("n").cast("double") - 1.0))
+      .withColumn("z",
+        round((col("v") - col("mean")) / sqrt(col("variance")), 6))
+    // Degenerate-group guard: a single-row group has variance = 0/0 =
+    // NaN and a zero-variance group has sd = 0, so z is NaN either way —
+    // and NaN compares GREATER than any threshold in BOTH engines, so
+    // without a guard every row of such a group is flagged as its own
+    // outlier (and the oracle agrees, so the differential harness could
+    // never catch it). The guard tests n and the variance, not sd or z:
+    // NaN > 0 is TRUE under Spark SQL's NaN ordering, so a NaN-able
+    // column is itself unusable as a guard; variance cannot be NaN once
+    // n > 1 (finite numerator, positive denominator).
+    withM.filter(col("n") > 1 && col("variance") > 0 &&
+        abs(col("z")) > zThreshold)
       .select(col("id"), col("grp"), col("v"), col("z"))
   }
 

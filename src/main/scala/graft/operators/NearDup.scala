@@ -40,12 +40,7 @@ object NearDup {
     * stay small even on vocabulary-limited corpora.
     */
   def wordShingles(df: DataFrame, key: Column, text: Column, n: Int): DataFrame =
-    df.select(key.as("key"), split(text, "\\s+").as("w"))
-      .withColumn("i",
-        explode(sequence(lit(1), greatest(size(col("w")) - (n - 1), lit(1)))))
-      .select(col("key"),
-        array_join(slice(col("w"), col("i"), lit(n)), " ").as("shingle"))
-      .distinct()
+    wordShinglesRaw(df, key, text, n).distinct()
 
   /** Word n-gram shingles per key WITHOUT the per-doc distinct — for
     * callers that filter the shingle stream before any aggregation (e.g.

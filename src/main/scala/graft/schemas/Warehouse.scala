@@ -208,6 +208,15 @@ object Warehouse {
     * n_rows). A 100 TB validation run costs one scan.
     */
   def validationReport(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    // rule names are interpolated into a stack() SQL expression below —
+    // restrict them to identifier characters so a quote/space/dash can't
+    // inject or mis-parse, and reject the empty list (stack(0) is a
+    // parse error, and an empty report would read as "all rules pass")
+    require(rules.nonEmpty, "validationReport: no rules given")
+    rules.foreach { case (name, _) =>
+      require(name.matches("[A-Za-z0-9_]+"),
+        s"validationReport: rule name '$name' must match [A-Za-z0-9_]+")
+    }
     val counts = df.agg(
       count(lit(1)).as("n_rows"),
       rules.map { case (name, pred) =>
