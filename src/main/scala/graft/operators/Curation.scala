@@ -26,22 +26,34 @@ object Curation {
     * Scale: the eval side is tiny (benchmarks are ~10³-10⁵ docs) so its
     * distinct shingle set is BROADCAST; the 100 TB training side streams
     * past it map-side — the only exchange is the per-doc hit-count
-    * aggregate, carrying (key, 1) rows for matched shingles only.
+    * aggregate, carrying (key, 1) rows for matched shingles only. The
+    * broadcast is size-guarded: the eval shingle set is counted first
+    * (one cheap job over the SMALL side) and an eval split whose
+    * distinct shingles exceed `maxBroadcastShingles` falls back to a
+    * shuffle join instead of OOMing the driver.
     * Returns (key, n_hits) for contaminated training docs.
     */
   def decontaminate(train: DataFrame, eval_ : DataFrame,
-      key: Column, text: Column, n: Int): DataFrame = {
+      key: Column, text: Column, n: Int,
+      maxBroadcastShingles: Long = 50000000L): DataFrame = {
     // raw shingles + ONE global distinct (the per-doc dedup inside
     // wordShingles would add a redundant (key, shingle) shuffle — only
     // the global set matters here)
     val evalShingles = NearDup.wordShinglesRaw(eval_, key, text, n)
       .select("shingle").distinct()
+    // ~16 B per hashed shingle → the default cap is ~800 MB in the
+    // broadcast relation, the sane driver ceiling. Counting executes the
+    // eval-side plan once more than strictly needed, but eval is the
+    // small side by definition and the count is what proves it.
+    val evalIsSmall = evalShingles.count() <= maxBroadcastShingles
+    val probe =
+      if (evalIsSmall) broadcast(evalShingles) else evalShingles
     // RAW train shingles: the broadcast probe drops ~everything map-side,
     // so deduping per doc BEFORE the join would shuffle the full corpus
     // shingle stream just to discard it; countDistinct dedups the tiny
     // matched remainder inside the per-doc aggregate instead
     NearDup.wordShinglesRaw(train, key, text, n)
-      .join(broadcast(evalShingles), Seq("shingle"))
+      .join(probe, Seq("shingle"))
       .groupBy("key").agg(countDistinct(col("shingle")).as("n_hits"))
   }
 
@@ -134,10 +146,14 @@ object Curation {
     *
     * Returns (key, shard, n_tokens, offset, block, n_blocks) where
     * block = floor(offset / capacity) and n_blocks is how many blocks
-    * the doc spans.
+    * the doc spans. A zero-token document spans n_blocks = 0 (its
+    * `block` is still the block its offset falls in); without the
+    * guard the last-block formula would yield 0 or a spurious 1
+    * depending on where the offset lands.
     */
   def packSequences(df: DataFrame, key: Column, shard: Column,
       nTokens: Column, capacity: Int): DataFrame = {
+    require(capacity > 0, s"packSequences: capacity must be > 0, got $capacity")
     val w = Window.partitionBy("shard").orderBy("key")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.select(key.as("key"), shard.as("shard"), nTokens.as("n_tokens"))
@@ -145,8 +161,9 @@ object Curation {
         sum(col("n_tokens")).over(w) - col("n_tokens"))
       .withColumn("block", floor(col("offset") / capacity))
       .withColumn("n_blocks",
-        floor((col("offset") + col("n_tokens") - 1) / capacity)
-          - col("block") + 1)
+        when(col("n_tokens") <= 0, lit(0L)).otherwise(
+          floor((col("offset") + col("n_tokens") - 1) / capacity)
+            - col("block") + 1))
   }
 
   /** Z-score outlier detection per group: rows whose value sits more than

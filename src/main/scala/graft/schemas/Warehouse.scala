@@ -217,6 +217,16 @@ object Warehouse {
       require(name.matches("[A-Za-z0-9_]+"),
         s"validationReport: rule name '$name' must match [A-Za-z0-9_]+")
     }
+    // duplicate names would create two v_<name> aggregate aliases and an
+    // ambiguous column reference inside stack() — fail here with the
+    // offending names instead of an opaque AnalysisException later
+    locally {
+      val dups = rules.map(_._1).groupBy(identity).collect {
+        case (n, occ) if occ.size > 1 => n
+      }
+      require(dups.isEmpty,
+        s"validationReport: duplicate rule name(s): ${dups.mkString(", ")}")
+    }
     val counts = df.agg(
       count(lit(1)).as("n_rows"),
       rules.map { case (name, pred) =>

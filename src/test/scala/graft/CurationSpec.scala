@@ -30,6 +30,20 @@ class CurationSpec extends AnyFunSuite {
     assert(out === Map(1L -> 1L, 3L -> 1L))
   }
 
+  test("decontaminate over-cap eval set falls back to shuffle join, same result") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "delta epsilon zeta eta"),
+      (3L, "x alpha beta gamma y")
+    ).toDF("doc_id", "text")
+    val eval_ = Seq((100L, "alpha beta gamma omega")).toDF("doc_id", "text")
+    // cap of 0 forces the shuffle-join path; answers must be identical
+    val out = Curation.decontaminate(train, eval_,
+        col("doc_id"), col("text"), n = 3, maxBroadcastShingles = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 1L, 3L -> 1L))
+  }
+
   test("mixtureSample keep-all threshold keeps everything; rate is n_out/n_in") {
     val df = (1L to 200L).map(i => (i, if (i % 2 == 0) "a" else "b"))
       .toDF("id", "src")
@@ -101,6 +115,21 @@ class CurationSpec extends AnyFunSuite {
     assert(out.toSeq === Seq(
       (1L, 0L, 0L, 1L), (2L, 300L, 0L, 2L), (3L, 600L, 1L, 2L),
       (4L, 0L, 0L, 1L)))
+  }
+
+  test("packSequences: zero-token docs span 0 blocks, offsets unaffected") {
+    val docs = Seq(
+      (1L, "s", 512L),  // exactly fills block 0
+      (2L, "s", 0L),    // offset 512, block boundary → 0 blocks
+      (3L, "s", 100L),  // offset 512, block 1
+      (4L, "s", 0L)     // offset 612, mid-block → still 0 blocks
+    ).toDF("doc_id", "shard", "n_tokens")
+    val out = Curation.packSequences(docs, col("doc_id"), col("shard"),
+        col("n_tokens"), capacity = 512)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(5)))
+      .sortBy(_._1)
+    assert(out.toSeq === Seq(
+      (1L, 0L, 1L), (2L, 512L, 0L), (3L, 512L, 1L), (4L, 612L, 0L)))
   }
 
   test("winsorize clips to the percentile band and passes interior values through") {

@@ -120,4 +120,16 @@ class WarehouseSpec extends AnyFunSuite {
     // reject a missing field, so must the report)
     assert(rep === Set(("v_nonneg", 2L, 4L), ("id_set", 1L, 4L)))
   }
+
+  test("validationReport rejects duplicate rule names up front") {
+    import spark.implicits._
+    val df = Seq((1L, 1.0)).toDF("id", "v")
+    val ex = intercept[IllegalArgumentException] {
+      Warehouse.validationReport(df, Seq(
+        "nonneg" -> (col("v") >= 0),
+        "nonneg" -> col("id").isNotNull))
+    }
+    assert(ex.getMessage.contains("duplicate rule name"))
+    assert(ex.getMessage.contains("nonneg"))
+  }
 }
