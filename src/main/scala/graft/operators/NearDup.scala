@@ -275,85 +275,114 @@ object NearDup {
 
   /** Connected components over a near-dup pair graph — what production
     * dedup does with the pair list: union pairs into clusters, then keep
-    * one representative per cluster. Iterative min-label propagation to
-    * CONVERGENCE (the scalable CC formulation — each round is one join +
-    * one aggregate, all hash-partitioned on the node key; no driver-side
-    * graph). Each round is localCheckpoint-ed: labels_{i+1} references
-    * labels_i twice, so without lineage truncation the logical plan
-    * doubles per round (2^rounds subtrees — the classic iterative-
-    * algorithm trap). Convergence is detected on the label SUM, which
-    * strictly decreases until fixpoint (labels only ever decrease), so
-    * the result is exact for any diameter — matching the oracle's
-    * recursive closure. `maxRounds` is a runaway backstop, not a
-    * semantic bound. Returns (key, cluster_id = min key of the
-    * component) for every node appearing in `pairs`.
+    * one representative per cluster. Alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14): each operation rewires a node's neighbors to the
+    * minimum of its closed neighborhood, provably preserving components
+    * while collapsing them toward stars in O(log² n) rounds WORST CASE —
+    * versus O(diameter) sequential rounds for plain min-label
+    * propagation, whose barrier count is unbounded on a long dup chain
+    * (the round-4 audit's one weak spot). Each operation is ONE window
+    * aggregate (per-node min, hash-partitioned on the node) + a
+    * distinct; no driver-side graph, no join against a growing label
+    * frame. Rounds are localCheckpoint-ed: each round's edge set
+    * references the previous one's twice, so without lineage truncation
+    * the plan doubles per round (the classic iterative-algorithm trap).
+    *
+    * Convergence is an edge-set fixpoint — (count, Σ xxhash64(src,dst))
+    * unchanged across a round — at which point every component is a
+    * star centered on its minimum key, matching the oracle's recursive
+    * closure exactly. `maxRounds` is a runaway backstop, not a semantic
+    * bound. Returns (key, cluster_id = min key of the component) for
+    * every node appearing in `pairs`.
     */
-  def dedupClusters(pairs: DataFrame, maxRounds: Int = 64): DataFrame = {
+  def dedupClusters(pairs: DataFrame, maxRounds: Int = 32): DataFrame = {
     val debug = sys.env.contains("SPARK_GRAFT_CC_DEBUG")
     var tPrev = System.nanoTime()
     def mark(what: String): Unit = if (debug) {
       System.err.println(f"[cc] $what: ${(System.nanoTime() - tPrev) / 1e9}%.2fs")
       tPrev = System.nanoTime()
     }
-    // undirected edge list, both directions — via ONE explode per pair
-    // row, NOT union(pairs, pairs.reversed): the union form puts the
-    // (possibly expensive, un-persisted) pair-generation subtree into
-    // the plan twice, and a full near-dup pipeline feeding this runs
-    // its candidate join + verify twice over
     // localCheckpoint, NOT persist: a cached plan compiles WITHOUT AQE
     // (spark.sql.optimizer.canChangeCachedPlanOutputPartitioning), so a
     // persist here would run the whole upstream pair-generation subtree —
     // whose jaccard-verify joins rely on AQE's runtime broadcast — as
     // static sort-merge joins (measured 3.5× slower at sf0.1).
     // localCheckpoint executes it as a normal AQE job, materializes the
-    // small edge list, and truncates lineage for the CC loop below.
-    val edges = pairs
-      .select(explode(array(
-        struct(col("key_a").as("src"), col("key_b").as("dst")),
-        struct(col("key_b").as("src"), col("key_a").as("dst")))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    // small edge list, and truncates lineage for the loop below.
+    var edges = pairs
+      .select(col("key_a").as("src"), col("key_b").as("dst"))
+      .filter(col("src") =!= col("dst"))
       .distinct()
       .localCheckpoint()
     mark("edges materialized")
-    var labels = edges.select(col("src").as("key")).distinct()
-      .withColumn("label", col("key"))
-      .localCheckpoint()
-    mark("initial labels")
-    // decimal sum: exact and overflow-free even at huge node counts.
-    // SUM over zero rows is NULL — an empty pair graph (no near-dups
-    // found) must yield an empty cluster frame, not an NPE
-    def labelSum(df: DataFrame): BigDecimal = {
-      val d = df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
-      if (d == null) BigDecimal(0) else BigDecimal(d)
+
+    // large-star: for each node u (over the SYMMETRIC neighborhood),
+    // m = min(Γ(u) ∪ {u}); rewire every strictly LARGER neighbor to m.
+    // The symmetric view comes from one explode per edge row, not
+    // union(e, e.swap), so the (checkpointed) edge scan runs once.
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(explode(array(
+          struct(col("src"), col("dst")),
+          struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      val w = Window.partitionBy("src")
+      // no distinct here: duplicate (v, m) rows don't change smallStar's
+      // per-node min and its final distinct dedups them — dropping the
+      // exchange saves one shuffle per round
+      sym.withColumn("m", least(col("src"), min(col("dst")).over(w)))
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
     }
-    // sentinel: no job spent summing the initial labels — round 1 always
-    // runs, and its sum seeds the comparison
-    var prevSum = BigDecimal(-1)
-    var converged = false
+
+    // small-star: orient every edge so src > dst (all neighbors of u in
+    // this view are SMALLER); m = min of them; rewire the non-min
+    // neighbors and u itself to m.
+    def smallStar(e: DataFrame): DataFrame = {
+      val oriented = e.select(
+        greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      val w = Window.partitionBy("src")
+      val withM = oriented.withColumn("m", min(col("dst")).over(w))
+      withM.filter(col("dst") =!= col("m"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .unionByName(withM.select(col("src"), col("m").as("dst")))
+        .distinct()
+    }
+
+    // edge-set signature for the fixpoint test: exact decimal sums (no
+    // long overflow at any scale); empty graph sums are NULL → 0
+    def signature(e: DataFrame): (Long, BigDecimal) = {
+      val r = e.agg(count(lit(1)),
+        sum(xxhash64(col("src"), col("dst")).cast("decimal(38,0)"))).head()
+      val s = r.getDecimal(1)
+      (r.getLong(0), if (s == null) BigDecimal(0) else BigDecimal(s))
+    }
+
+    var prevSig = signature(edges)
+    mark(s"initial signature $prevSig")
+    var converged = prevSig._1 == 0L // empty pair graph: nothing to do
     var round = 0
     while (!converged && round < maxRounds) {
-      // neighbor labels + own label, keep the minimum per node
-      val viaNeighbors = edges
-        .join(labels.withColumnRenamed("key", "dst"), Seq("dst"))
-        .select(col("src").as("key"), col("label"))
-      labels = labels.unionByName(viaNeighbors)
-        .groupBy("key").agg(min(col("label")).as("label"))
-        .localCheckpoint()
-      val s = labelSum(labels)
-      converged = s == prevSum
-      prevSum = s
+      edges = smallStar(largeStar(edges)).localCheckpoint()
+      val sig = signature(edges)
+      converged = sig == prevSig
+      prevSig = sig
       round += 1
-      mark(s"round $round sum=$s")
+      mark(s"round $round sig=$sig")
     }
-    // (edges is a localCheckpoint — its blocks are reclaimed by the
-    // ContextCleaner once the reference drops; nothing to unpersist)
-    // hitting the backstop means a component's diameter exceeds
-    // maxRounds and the labeling is WRONG (one component, several
-    // labels) — fail loudly rather than hand wrong clusters downstream
+    // hitting the backstop means the contraction has not reached its
+    // star fixpoint and the labeling below would be WRONG (some node not
+    // yet pointing at its component min) — fail loudly rather than hand
+    // wrong clusters downstream
     if (!converged) throw new IllegalStateException(
       s"dedupClusters did not converge within $maxRounds rounds — " +
-        "a component's diameter exceeds the backstop; raise maxRounds")
-    labels.select(col("key"), col("label").as("cluster_id"))
+        "raise maxRounds (alternation needs O(log² n) rounds worst case)")
+    // fixpoint edges are stars (v, root): non-roots appear exactly once
+    // as src; each root appears only as dst, labeling itself
+    edges.select(col("src").as("key"), col("dst").as("cluster_id"))
+      .unionByName(edges.select(col("dst").as("key"), col("dst").as("cluster_id")))
+      .distinct()
   }
 
   /** Incremental near-dup: filter an INCOMING batch against an EXISTING

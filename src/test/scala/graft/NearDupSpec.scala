@@ -50,6 +50,23 @@ class NearDupSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("dedupClusters resolves a 2000-node chain within the log-round budget") {
+    // a path graph is the worst case for label propagation (diameter =
+    // n − 1 sequential rounds); the star-contraction alternation must
+    // finish it inside the default 32-round backstop — this would have
+    // thrown with the old O(diameter) loop
+    val pairs = (1L until 2000L).map(i => (i, i + 1)).toDF("key_a", "key_b")
+    val got = NearDup.dedupClusters(pairs)
+    assert(got.count() === 2000L)
+    assert(got.select("cluster_id").distinct().as[Long].collect().toSeq === Seq(1L))
+    // shuffled key order must give the same clustering (min is global)
+    val revPairs = (1L until 2000L).map(i => (2001L - i, 2000L - i))
+      .toDF("key_a", "key_b")
+    val rev = NearDup.dedupClusters(revPairs)
+    assert(rev.count() === 2000L)
+    assert(rev.select("cluster_id").distinct().as[Long].collect().toSeq === Seq(1L))
+  }
+
   test("ngramJaccardSets agrees with the row-join jaccard on random docs") {
     val rnd = new scala.util.Random(7)
     val corpus = (1L to 40L).map(i =>
