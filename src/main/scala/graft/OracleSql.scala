@@ -297,6 +297,32 @@ object OracleSql {
         |  ORDER BY ts DESC, event_id DESC LIMIT 100)
         |ORDER BY event_id""".stripMargin,
 
+    "q_flair_filter" ->
+      """WITH posts AS (
+        |  SELECT 'r' || CAST(o_orderkey AS VARCHAR) AS reddit_id,
+        |    CASE WHEN o_orderkey % 19 = 0 THEN NULL
+        |      ELSE 'flair' || CAST(o_orderkey % 7 AS VARCHAR) END AS link_flair_text,
+        |    CAST(1700000000 + o_orderkey AS BIGINT) AS published_at,
+        |    'Post ' || CAST(o_custkey % 20 AS VARCHAR) AS title
+        |  FROM orders)
+        |SELECT * FROM (
+        |  SELECT reddit_id, link_flair_text, published_at, title FROM posts
+        |  WHERE link_flair_text IN ('flair1', 'flair3')
+        |  ORDER BY published_at DESC, reddit_id DESC LIMIT 100)
+        |ORDER BY reddit_id""".stripMargin,
+
+    "q_flow_counts" ->
+      """WITH per_flow AS (
+        |  SELECT 'news' AS flow, CAST(count(*) AS BIGINT) AS n_records FROM documents
+        |  UNION ALL
+        |  SELECT 'praw', CAST(count(*) AS BIGINT) FROM orders
+        |  UNION ALL
+        |  SELECT 'alpaca', CAST(count(*) AS BIGINT) FROM events)
+        |SELECT flow, n_records FROM per_flow
+        |UNION ALL
+        |SELECT 'TOTAL', CAST(sum(n_records) AS BIGINT) FROM per_flow
+        |ORDER BY flow""".stripMargin,
+
     "q_distinct" ->
       """SELECT DISTINCT user_id FROM events ORDER BY user_id""",
 

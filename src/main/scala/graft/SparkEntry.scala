@@ -343,6 +343,48 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // S3 — flair-predicate scan (extraction.py:114-119 builds
+    // `flair:"A" OR flair:"B"` via prepare_reddit_query :325-327, then
+    // sort="new" + fetch limit): an isin predicate over the flair column
+    // plus newest-k — the predicate prunes at the scan (PushedFilters:
+    // In(link_flair_text, …)); the limit is TakeOrderedAndProject, no
+    // global sort. Posts-shaped frame derived from orders (offline
+    // stand-in for the PRAW response, same derivation family as
+    // q_pipeline_posts).
+    "q_flair_filter" -> ((s, dir) => {
+      val posts = t(s, dir, "orders").select(
+        concat(lit("r"), col("o_orderkey").cast("string")).as("reddit_id"),
+        when(col("o_orderkey") % 19 === 0, lit(null))
+          .otherwise(concat(lit("flair"), (col("o_orderkey") % 7).cast("string")))
+          .as("link_flair_text"),
+        (lit(1700000000L) + col("o_orderkey")).as("published_at"),
+        concat(lit("Post "), (col("o_custkey") % 20).cast("string")).as("title"))
+      Analytics.topK(
+          posts.filter(col("link_flair_text").isin("flair1", "flair3")),
+          100, col("published_at").desc, col("reddit_id").desc)
+        .orderBy("reddit_id")
+    }),
+
+    // A2 — per-flow record-count rollup (flows/main.py:20-29: news_count
+    // + praw_count + alpaca_count, then the summed total). Each modeled
+    // flow contributes one count-only aggregate over its source table
+    // (column-pruned scans — a count at 100 TB reads only footers/
+    // metadata); the grand total is a sum over the three-row frame, not
+    // a second pass over the data.
+    "q_flow_counts" -> ((s, dir) => {
+      val flows = Seq(
+        "news" -> t(s, dir, "documents"),
+        "praw" -> t(s, dir, "orders"),
+        "alpaca" -> t(s, dir, "events"))
+      val perFlow = flows.map { case (name, df) =>
+        df.agg(count(lit(1)).as("n_records")).select(lit(name).as("flow"), col("n_records"))
+      }.reduce(_.unionByName(_))
+      perFlow.unionByName(
+          perFlow.agg(sum(col("n_records")).as("n_records"))
+            .select(lit("TOTAL").as("flow"), col("n_records")))
+        .orderBy("flow")
+    }),
+
     // A1 — distinct (hash aggregate).
     "q_distinct" -> ((s, dir) =>
       t(s, dir, "events").select("user_id").distinct().orderBy("user_id")),
