@@ -101,6 +101,26 @@ object Streaming {
 
   private def runToCompletion(df: DataFrame, mode: OutputMode, table: String)(
       implicit spark: SparkSession): DataFrame = {
+    // Stateful operators allocate one state-store instance per shuffle
+    // partition per operator PER MICRO-BATCH (a stream-stream join keeps
+    // four stores per partition), so the partition count is a fixed
+    // per-batch tax independent of data volume. Batch queries want
+    // partitions ≈ cores; streaming state wants partitions ≈ state
+    // volume — so the harness dials it down separately via
+    // `graft.stream.shufflePartitions` (unset = session default). The
+    // partition count is baked into each checkpoint at first start;
+    // these scratch checkpoints are per-run, so re-dialing is safe here
+    // where a production resume would not be.
+    val partKey = "spark.sql.shuffle.partitions"
+    val prevParts = spark.conf.get(partKey)
+    spark.conf.getOption("graft.stream.shufflePartitions")
+      .foreach(n => spark.conf.set(partKey, n))
+    try runToCompletionInner(df, mode, table)
+    finally spark.conf.set(partKey, prevParts)
+  }
+
+  private def runToCompletionInner(df: DataFrame, mode: OutputMode, table: String)(
+      implicit spark: SparkSession): DataFrame = {
     // foreachBatch → parquet, NOT format("memory"): the memory sink
     // collects every result row onto the driver, which caps the stream at
     // driver-heap scale. Here each micro-batch writes distributed files
@@ -109,15 +129,21 @@ object Streaming {
     val out = freshDir(s"${table}_out")
     val ck = freshDir(s"${table}_ck")
     val saveMode = if (mode == OutputMode.Complete()) "overwrite" else "append"
+    val debug = sys.env.contains("SPARK_GRAFT_STREAM_DEBUG")
+    val t0 = System.nanoTime()
     val q = df.writeStream
       .outputMode(mode)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (debug) System.err.println(
+          f"[stream $table] batch $id at ${(System.nanoTime() - t0) / 1e9}%.2fs")
         batch.write.mode(saveMode).parquet(out); ()
       }
       .option("checkpointLocation", ck)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    if (debug) System.err.println(
+      f"[stream $table] done at ${(System.nanoTime() - t0) / 1e9}%.2fs")
     spark.read.parquet(out)
   }
 
