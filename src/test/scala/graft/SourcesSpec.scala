@@ -135,6 +135,63 @@ class SourcesSpec extends AnyFunSuite {
     assert(viaSql === viaDf && viaSql > 0)
   }
 
+  test("pure-SQL forms of representative operators match the DataFrame plans") {
+    // proves the registered catalog is a full query surface, not just
+    // scan-able: star join + rollup, keep-first dedup, and grouped
+    // ffill→bfill each run as ONE spark.sql string over the views and
+    // must return exactly the DataFrame operators' rows
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val sf = "/root/testdata/sf0.001"
+    Sources.registerViews(spark, sf)
+    def assertSame(viaSql: org.apache.spark.sql.DataFrame,
+        viaDf: org.apache.spark.sql.DataFrame, what: String): Unit = {
+      assert(viaDf.count() > 0, s"$what: empty DataFrame result")
+      assert(viaSql.exceptAll(viaDf).count() === 0 &&
+        viaDf.exceptAll(viaSql).count() === 0, what)
+    }
+
+    // J3/A6 — star join + grouped revenue rollup (decimal-exact sum)
+    val sqlStar = spark.sql(
+      """SELECT r_name, n_name, month(o_orderdate) AS order_month,
+        |  CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(30,10))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name, month(o_orderdate)""".stripMargin)
+    val dfStar = SparkEntry.queries("q_star_join")(spark, sf)
+    assertSame(sqlStar, dfStar, "star join")
+
+    // D1 — keep-first dedup via row_number
+    val sqlDedup = spark.sql(
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn = 1""".stripMargin)
+    val dfDedup = SparkEntry.queries("q_dedup_first")(spark, sf)
+    assertSame(sqlDedup, dfDedup, "keep-first dedup")
+
+    // W1/W2 — grouped forward-fill then backward-fill over injected nulls
+    val sqlFill = spark.sql(
+      """SELECT event_id, user_id, ts,
+        |  coalesce(
+        |    last(value_n, true) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    first(value_n, true) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) AS value_filled
+        |FROM (SELECT event_id, user_id, ts,
+        |    CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS value_n
+        |  FROM events)""".stripMargin)
+    val dfFill = SparkEntry.queries("q_ffill_bfill")(spark, sf)
+    assertSame(sqlFill, dfFill, "ffill/bfill")
+  }
+
   test("multimodal decode emits one feature row per document with real bytes") {
     val docs = graft.sources.Sources.table(spark, "/root/testdata/sf0.001", "documents")
     val feats = graft.operators.Multimodal.decodeFeatures(
