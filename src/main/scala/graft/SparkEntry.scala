@@ -366,22 +366,20 @@ object SparkEntry {
     }),
 
     // A2 — per-flow record-count rollup (flows/main.py:20-29: news_count
-    // + praw_count + alpaca_count, then the summed total). Each modeled
-    // flow contributes one count-only aggregate over its source table
-    // (column-pruned scans — a count at 100 TB reads only footers/
-    // metadata); the grand total is a sum over the three-row frame, not
-    // a second pass over the data.
+    // + praw_count + alpaca_count, then the summed total). ONE pass:
+    // each source contributes a 1-column (flow) stream and a single
+    // rollup aggregate produces both grouping levels — per-flow and
+    // grand total — from the same scan (a union + re-aggregate of the
+    // per-flow frame would put the un-materialized source subtree into
+    // the plan twice and re-scan every table for the total row).
     "q_flow_counts" -> ((s, dir) => {
-      val flows = Seq(
-        "news" -> t(s, dir, "documents"),
-        "praw" -> t(s, dir, "orders"),
-        "alpaca" -> t(s, dir, "events"))
-      val perFlow = flows.map { case (name, df) =>
-        df.agg(count(lit(1)).as("n_records")).select(lit(name).as("flow"), col("n_records"))
-      }.reduce(_.unionByName(_))
-      perFlow.unionByName(
-          perFlow.agg(sum(col("n_records")).as("n_records"))
-            .select(lit("TOTAL").as("flow"), col("n_records")))
+      Seq("news" -> t(s, dir, "documents"),
+          "praw" -> t(s, dir, "orders"),
+          "alpaca" -> t(s, dir, "events"))
+        .map { case (name, df) => df.select(lit(name).as("flow")) }
+        .reduce(_.unionByName(_))
+        .rollup("flow").agg(count(lit(1)).as("n_records"))
+        .select(coalesce(col("flow"), lit("TOTAL")).as("flow"), col("n_records"))
         .orderBy("flow")
     }),
 
