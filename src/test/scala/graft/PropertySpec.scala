@@ -196,6 +196,41 @@ class PropertySpec extends AnyFunSuite {
     assert(overflow === 0)
   }
 
+  test("property: dedupClusters equals driver-side union-find on random graphs") {
+    // the star-contraction algorithm must agree with a textbook
+    // union-find on arbitrary random topologies — chains, cliques,
+    // forests, self-contained blobs — across several densities
+    for (trial <- 1 to 5) {
+      val n = 200 + trial * 100
+      val nEdges = n / 2 + rnd.nextInt(2 * n)
+      val edges = (1 to nEdges).map { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+      }.filter { case (a, b) => a != b }
+      if (edges.nonEmpty) {
+        // driver-side union-find with path compression
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val nodes = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+        // min key per component — the operator's cluster_id contract
+        val expect = nodes.groupBy(find).flatMap { case (_, members) =>
+          val m = members.min
+          members.map(_ -> m)
+        }.toMap
+        val got = graft.operators.NearDup.dedupClusters(
+            edges.toDF("key_a", "key_b"))
+          .as[(Long, Long)].collect().toMap
+        assert(got === expect, s"trial $trial: n=$n edges=${edges.size}")
+      }
+    }
+  }
+
   test("property: decontaminate equals the brute-force shingle intersection") {
     val d = graft.sources.Sources.table(spark, "/root/testdata/sf0.001", "documents")
     val train = d.filter(col("doc_id") % 11 =!= 0)
