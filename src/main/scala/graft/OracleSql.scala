@@ -875,6 +875,25 @@ object OracleSql {
         |SELECT key, cand_lang AS pred_lang, hits FROM r WHERE rn = 1
         |ORDER BY key""".stripMargin,
 
+    "q_bigram_lm" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS key, string_split_regex(lower(text), '\s+') AS w
+        |  FROM documents
+        |  WHERE len(string_split_regex(lower(text), '\s+')) >= 2),
+        |bg AS (
+        |  SELECT key, w[i] AS w1, w[i + 1] AS w2
+        |  FROM (SELECT key, w,
+        |      unnest(generate_series(1, len(w) - 1)) AS i
+        |    FROM toks)),
+        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1)
+        |SELECT key, count(*) AS n_bigrams,
+        |  round(CAST(sum(CAST(CAST(c2.c2 AS DOUBLE) / CAST(c1.c1 AS DOUBLE)
+        |      AS DECIMAL(38,12))) AS DOUBLE) / CAST(count(*) AS DOUBLE), 9)
+        |    AS lm_score
+        |FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+        |GROUP BY key ORDER BY key""".stripMargin,
+
     "q_quality_score" ->
       """WITH f AS (
         |  SELECT doc_id AS key,

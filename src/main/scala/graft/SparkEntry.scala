@@ -677,6 +677,15 @@ object SparkEntry {
         .orderBy("key")
     }),
 
+    // Corpus bigram-LM fluency score (CCNet/KenLM-style filter,
+    // self-trained on the corpus): mean conditional bigram probability
+    // per doc — the cross-document quality signal alongside the per-doc
+    // q_quality_score/q_repetition family.
+    "q_bigram_lm" -> ((s, dir) => {
+      TextAnalysis.bigramLmScore(t(s, dir, "documents"), col("doc_id"), col("text"))
+        .orderBy("key")
+    }),
+
     // Corpus health rollup — the daily per-(lang, source) stats query a
     // curation pipeline runs: doc/token/char totals + mean quality. One
     // partial/final aggregate over the quality features; mean via exact

@@ -204,4 +204,49 @@ object TextAnalysis {
       .groupBy("key")
       .agg(concat_ws("",
         slice(array_sort(collect_list(col("h"))), 1, take)).as("fingerprint"))
+
+  /** Corpus bigram-LM fluency score — the CCNet/KenLM-style filter pass
+    * of a curation pipeline, self-trained on the corpus it scores: a
+    * document's score is the mean conditional probability
+    * p(w₂|w₁) = c(w₁,w₂)/c(w₁) of its word bigrams under the corpus
+    * bigram counts. Gibberish (bigrams the corpus has never or rarely
+    * seen in that context) scores low; formulaic text scores high.
+    * Unlike [[repetitionStats]]/[[qualityScore]] (pure per-doc
+    * signals), this is a CROSS-document statistic.
+    *
+    * Oracle parity: each p is one IEEE double division of two exact
+    * counts (identical in any engine); the mean is the exact-decimal-
+    * sum-then-one-division pattern, rounded to 9 digits. No
+    * transcendentals (a log-likelihood variant would hit libm ULP
+    * divergence across engines; the mean-probability form ranks
+    * fluency the same way without it).
+    *
+    * Scale: token bigrams are a narrow explode; counts are two
+    * partial/final aggregates (bigram key, then context key); scoring
+    * re-joins the bigram stream to the count tables on those same keys
+    * — hash joins, AQE-broadcastable when the vocabulary is small —
+    * and one per-doc aggregate. No windows, no driver state; the count
+    * tables are plain aggregates, precomputable and reusable across
+    * scoring runs.
+    *
+    * Returns (key, n_bigrams, lm_score) for docs with ≥ 1 bigram.
+    */
+  def bigramLmScore(df: DataFrame, key: Column, text: Column): DataFrame = {
+    val toks = df.select(key.as("key"), split(lower(text), "\\s+").as("w"))
+      .filter(size(col("w")) >= 2)
+    val bg = toks
+      .select(col("key"),
+        explode(sequence(lit(1), size(col("w")) - 1)).as("i"), col("w"))
+      .select(col("key"),
+        element_at(col("w"), col("i")).as("w1"),
+        element_at(col("w"), col("i") + 1).as("w2"))
+    val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    bg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .withColumn("p", col("c2").cast("double") / col("c1").cast("double"))
+      .groupBy("key")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("p").cast("decimal(38,12)")).cast("double") /
+          count(lit(1)).cast("double"), 9).as("lm_score"))
+  }
 }

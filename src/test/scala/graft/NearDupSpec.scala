@@ -130,6 +130,38 @@ class NearDupSpec extends AnyFunSuite {
     assert(rows(2) === ((3L, 1L, 1.0, 0.0)))
   }
 
+  test("bigramLmScore ranks corpus-typical text above one-off gibberish") {
+    // "the cat sat" repeated across docs → its bigrams dominate the
+    // corpus counts; doc 4's bigrams each occur once in unique contexts
+    val d = Seq(
+      (1L, "the cat sat"),
+      (2L, "the cat sat"),
+      (3L, "the cat sat"),
+      (4L, "zq blorp wug"),
+      (5L, "solo")          // < 2 tokens → excluded
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.bigramLmScore(d, col("doc_id"), col("text"))
+      .orderBy("key")
+      .as[(Long, Long, Double)].collect()
+    assert(rows.map(_._1).toSeq === Seq(1L, 2L, 3L, 4L))
+    // fluent docs: p(cat|the)=1, p(sat|cat)=1 → mean 1.0
+    assert(rows.take(3).forall(_._3 === 1.0))
+    // gibberish: each bigram 1/1 in its own context → also 1.0? no —
+    // contexts are unique so c2=c1=1 per bigram; plant a shared context
+    // with divergent continuations instead:
+    val d2 = Seq(
+      (1L, "the cat sat"), (2L, "the cat sat"), (3L, "the cat sat"),
+      (4L, "the dog ran")  // p(dog|the)=1/4, p(ran|dog)=1
+    ).toDF("doc_id", "text")
+    val r2 = TextAnalysis.bigramLmScore(d2, col("doc_id"), col("text"))
+      .orderBy("key").as[(Long, Long, Double)].collect()
+    // typical docs: mean(p(cat|the)=3/4, p(sat|cat)=1) = 0.875
+    assert(r2.take(3).forall(_._3 === 0.875))
+    // divergent doc scores below them: mean(1/4, 1) = 0.625
+    assert(r2(3)._3 === 0.625)
+    assert(r2(3)._3 < r2(0)._3)
+  }
+
   test("dedupClusters on an empty pair graph returns an empty frame (no NPE)") {
     val empty = Seq.empty[(Long, Long)].toDF("key_a", "key_b")
     assert(NearDup.dedupClusters(empty).count() === 0)
