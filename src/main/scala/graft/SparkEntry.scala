@@ -975,6 +975,21 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // A6+ — APPROXIMATE percentiles (GK sketch): the 100 TB path next to
+    // q_percentiles — exact interpolated percentiles need each group's
+    // values assembled for the continuous interpolation, while the
+    // sketch merges bounded-size summaries map-side. Estimates are
+    // implementation-defined → rows-only for the driver; MLSpec bounds
+    // the rank error against the exact values.
+    "q_approx_percentiles" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(expr("approx_percentile(value, 0.5, 1000)").as("p50_approx"),
+          expr("approx_percentile(value, 0.9, 1000)").as("p90_approx"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
+
     // Skew path — two-stage salted aggregation over genuinely hot keys
     // (3 return flags across all of lineitem); result must equal the
     // plain groupBy, which is exactly what the oracle checks.

@@ -21,6 +21,7 @@ class MLSpec extends AnyFunSuite {
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
@@ -116,6 +117,25 @@ class MLSpec extends AnyFunSuite {
     val a = Predict.clusterEmbeddings(emb, "vec_id", "embedding", k = 8)
     val b = Predict.clusterEmbeddings(emb, "vec_id", "embedding", k = 8)
     assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0)
+  }
+
+  test("approx_percentile rank error stays within the sketch accuracy bound") {
+    // GK sketch with accuracy N guarantees rank error ≤ n/N; verify via
+    // the RANK of the approximate value among the group's exact values
+    val ev = Sources.table(spark, sf, "events")
+    val approx = ev.groupBy("event_type")
+      .agg(expr("approx_percentile(value, 0.5, 1000)").as("p50"),
+        count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    assert(approx.nonEmpty)
+    approx.foreach { case (et, p50, n) =>
+      val below = ev.filter(col("event_type") === et && col("value") <= p50).count()
+      val rank = below.toDouble / n.toDouble
+      info(s"$et: approx p50=$p50 realized rank=$rank (n=$n)")
+      // target rank 0.5, permitted error 1/1000 plus discreteness slack
+      assert(math.abs(rank - 0.5) <= 0.001 + 1.0 / n,
+        s"$et rank $rank outside 0.5 ± ${0.001 + 1.0 / n}")
+    }
   }
 
   test("approx_count_distinct stays within 5% of exact per group") {
