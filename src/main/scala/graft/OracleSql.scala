@@ -875,6 +875,18 @@ object OracleSql {
         |SELECT key, cand_lang AS pred_lang, hits FROM r WHERE rn = 1
         |ORDER BY key""".stripMargin,
 
+    "q_shard_shuffle" ->
+      """WITH s AS (
+        |  SELECT doc_id AS key,
+        |    md5('r5:' || CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents)
+        |SELECT key,
+        |  CAST(concat('0x', substr(h, 1, 15)) AS BIGINT) % 8 AS shard,
+        |  CAST(row_number() OVER (
+        |    PARTITION BY CAST(concat('0x', substr(h, 1, 15)) AS BIGINT) % 8
+        |    ORDER BY h, key) AS BIGINT) AS pos
+        |FROM s ORDER BY key""".stripMargin,
+
     "q_bigram_lm" ->
       """WITH toks AS (
         |  SELECT doc_id AS key, string_split_regex(lower(text), '\s+') AS w

@@ -677,6 +677,15 @@ object SparkEntry {
         .orderBy("key")
     }),
 
+    // Deterministic shard shuffle — the global-permutation step before
+    // q_seq_pack's packing (shard by seeded hash, order within shard by
+    // hash; no global sort / single-partition window).
+    "q_shard_shuffle" -> ((s, dir) => {
+      Curation.shuffleIntoShards(t(s, dir, "documents"), col("doc_id"),
+          seed = "r5", nShards = 8)
+        .orderBy("key")
+    }),
+
     // Corpus bigram-LM fluency score (CCNet/KenLM-style filter,
     // self-trained on the corpus): mean conditional bigram probability
     // per doc — the cross-document quality signal alongside the per-doc

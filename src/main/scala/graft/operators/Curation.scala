@@ -166,6 +166,34 @@ object Curation {
             - col("block") + 1))
   }
 
+  /** Deterministic corpus shuffle into training shards — the "global
+    * shuffle" step before sequence packing: each key hashes (seeded) to
+    * a shard, and its position within the shard is the hash order. A
+    * true global permutation would need a global sort + global
+    * row_number (one partition — a driver-scale bottleneck); the
+    * shard-then-order form is how production pipelines do it: the
+    * cross-shard placement is uniform by the hash, in-shard order is
+    * deterministic, and every window is hash-partitioned on the shard
+    * key. Re-runs, retries, and different input partitionings all
+    * produce the identical permutation; changing `seed` produces a
+    * fresh one.
+    *
+    * Returns (key, shard, pos) with pos = 1-based rank within shard.
+    */
+  def shuffleIntoShards(df: DataFrame, key: Column, seed: String,
+      nShards: Int): DataFrame = {
+    require(nShards > 0, s"shuffleIntoShards: nShards must be > 0, got $nShards")
+    // 15 hex chars = 60 bits — fits a signed long with headroom, so the
+    // conv→cast can't overflow-wrap before the modulo
+    df.select(key.as("key"))
+      .withColumn("h", md5(concat_ws(":", lit(seed), col("key").cast("string"))))
+      .withColumn("shard",
+        pmod(conv(substring(col("h"), 1, 15), 16, 10).cast("long"), lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("h"), col("key"))))
+      .select("key", "shard", "pos")
+  }
+
   /** Z-score outlier detection per group: rows whose value sits more than
     * `zThreshold` sample standard deviations from their group mean — the
     * distribution-based filter curation pipelines run on numeric columns

@@ -132,6 +132,25 @@ class CurationSpec extends AnyFunSuite {
       (1L, 0L, 1L), (2L, 512L, 0L), (3L, 512L, 1L), (4L, 612L, 0L)))
   }
 
+  test("shuffleIntoShards: deterministic permutation, contiguous in-shard positions") {
+    val docs = (1L to 500L).map(i => Tuple1(i)).toDF("doc_id")
+    val a = Curation.shuffleIntoShards(docs, col("doc_id"), "s1", 8)
+    // positions tile 1..|shard| within every shard
+    val badTiling = a.groupBy("shard")
+      .agg(count(lit(1)).as("n"), max("pos").as("mx"), min("pos").as("mn"),
+        countDistinct("pos").as("np"))
+      .filter(col("mx") =!= col("n") || col("mn") =!= 1 || col("np") =!= col("n"))
+      .count()
+    assert(badTiling === 0)
+    assert(a.count() === 500)
+    // repartitioning the input does not change the permutation
+    val b = Curation.shuffleIntoShards(docs.repartition(13), col("doc_id"), "s1", 8)
+    assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0)
+    // a different seed produces a different permutation
+    val c = Curation.shuffleIntoShards(docs, col("doc_id"), "s2", 8)
+    assert(a.exceptAll(c).count() > 0)
+  }
+
   test("winsorize clips to the percentile band and passes interior values through") {
     val df = (1L to 100L).map(i => (i, "g", i.toDouble)).toDF("id", "grp", "v")
     val out = Curation.winsorize(df, col("id"), col("grp"), col("v"), 0.05, 0.95)
