@@ -875,6 +875,37 @@ object OracleSql {
         |SELECT key, cand_lang AS pred_lang, hits FROM r WHERE rn = 1
         |ORDER BY key""".stripMargin,
 
+    "q_interpolate" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, ts, epoch_us(ts) AS tm,
+        |    CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+        |  FROM events),
+        |w AS (
+        |  SELECT event_id, user_id, ts, tm, v,
+        |    last_value(v IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |    last_value(CASE WHEN v IS NOT NULL THEN tm END IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+        |    first_value(v IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |    first_value(CASE WHEN v IS NOT NULL THEN tm END IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+        |  FROM e)
+        |SELECT event_id, user_id, ts,
+        |  CASE
+        |    WHEN v IS NOT NULL THEN v
+        |    WHEN pv IS NULL THEN nv
+        |    WHEN nv IS NULL THEN pv
+        |    WHEN nt = pt THEN pv
+        |    ELSE pv + (nv - pv) *
+        |      (CAST(tm - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
+        |  END AS value_interp
+        |FROM w ORDER BY user_id, ts, event_id""".stripMargin,
+
     "q_shard_shuffle" ->
       """WITH s AS (
         |  SELECT doc_id AS key,

@@ -327,6 +327,17 @@ object SparkEntry {
         .orderBy("user_id", "ts", "event_id")
     }),
 
+    // W1/W2+ — grouped linear time interpolation (pandas
+    // interpolate(method="time") over the bar gaps ffill only steps).
+    "q_interpolate" -> ((s, dir) => {
+      val e = eventsWithNulls(s, dir)
+      e.withColumn("value_interp",
+          Fill.interpolateLinear(Seq(col("user_id")), Seq(col("ts"), col("event_id")))(
+            col("value_n"), unix_micros(col("ts"))))
+        .select("event_id", "user_id", "ts", "value_interp")
+        .orderBy("user_id", "ts", "event_id")
+    }),
+
     // A6 — candle resampling (per-key daily OHLC + exact volume sum).
     "q_candles" -> ((s, dir) => {
       Analytics.candles(t(s, dir, "events"), col("user_id"), col("ts"),

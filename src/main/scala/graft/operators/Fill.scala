@@ -49,4 +49,41 @@ object Fill {
     cols.foldLeft(df) { (d, name) =>
       d.withColumn(name, ffillBfill(partitionBy, orderBy)(col(name)))
     }
+
+  /** W1/W2+ — grouped LINEAR interpolation in time (pandas
+    * `interpolate(method="time")`, the step up from ffill/bfill for bar
+    * data): an interior null takes the time-weighted blend of its
+    * nearest non-null neighbors,
+    * v = v_prev + (v_next − v_prev) · (t − t_prev)/(t_next − t_prev);
+    * leading nulls backward-fill, trailing nulls forward-fill.
+    *
+    * Plan shape: FOUR window projections (prev/next value and the
+    * timestamps they occurred at) over the SAME partitioning/ordering —
+    * one sort+exchange, one WindowExec, no self-joins. `timeMicros`
+    * must be an integral epoch column (exact on both engines; a
+    * timestamp→double cast would round differently at the µs digit).
+    * The blend is a fixed IEEE double op sequence on exact integer
+    * deltas — bit-identical in any engine that evaluates the same
+    * parenthesization, which is what the oracle SQL mirrors.
+    */
+  def interpolateLinear(partitionBy: Seq[Column], orderBy: Seq[Column])(
+      value: Column, timeMicros: Column): Column = {
+    val before = Window.partitionBy(partitionBy: _*).orderBy(orderBy: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val after = Window.partitionBy(partitionBy: _*).orderBy(orderBy: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val prevV = last(value, ignoreNulls = true).over(before)
+    val prevT = last(when(value.isNotNull, timeMicros), ignoreNulls = true).over(before)
+    val nextV = first(value, ignoreNulls = true).over(after)
+    val nextT = first(when(value.isNotNull, timeMicros), ignoreNulls = true).over(after)
+    when(value.isNotNull, value)
+      .when(prevV.isNull, nextV) // leading nulls → bfill
+      .when(nextV.isNull, prevV) // trailing nulls → ffill
+      // degenerate zero-gap guard is unreachable when (orderBy) is a
+      // total order containing the time column, but 0/0 must not leak
+      .when(nextT === prevT, prevV)
+      .otherwise(prevV +
+        (nextV - prevV) *
+          ((timeMicros - prevT).cast("double") / (nextT - prevT).cast("double")))
+  }
 }

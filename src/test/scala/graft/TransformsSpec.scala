@@ -112,6 +112,25 @@ class TransformsSpec extends AnyFunSuite {
       None, None))                        // g3: all-null untouched
   }
 
+  test("interpolateLinear: time-weighted blend interior, ffill/bfill at edges") {
+    val df = Seq(
+      // g1: gap of 2 nulls between 10.0@t=0 and 40.0@t=30 → blend at 10, 20
+      ("g1", 0L, Some(10.0)), ("g1", 10L, None), ("g1", 20L, None),
+      ("g1", 30L, Some(40.0)),
+      // uneven spacing: null at t=25 between 0.0@t=20... reuse g2:
+      ("g2", 0L, Some(0.0)), ("g2", 5L, None), ("g2", 20L, Some(8.0)),
+      // g3: leading + trailing nulls
+      ("g3", 0L, None), ("g3", 1L, Some(7.0)), ("g3", 2L, None)
+    ).toDF("k", "t", "v")
+    val out = df.withColumn("f",
+        Fill.interpolateLinear(Seq($"k"), Seq($"t"))($"v", $"t"))
+      .orderBy("k", "t").select("f").collect().map(r => Option(r.get(0)))
+    assert(out.toSeq === Seq(
+      Some(10.0), Some(20.0), Some(30.0), Some(40.0), // g1 even blend
+      Some(0.0), Some(2.0), Some(8.0),                // g2: 8 * 5/20
+      Some(7.0), Some(7.0), Some(7.0)))               // g3 edge fills
+  }
+
   // --- pipelines: totality ---------------------------------------------
 
   test("transformNews: empty input yields empty output, not an error") {
