@@ -875,6 +875,35 @@ object OracleSql {
         |SELECT key, cand_lang AS pred_lang, hits FROM r WHERE rn = 1
         |ORDER BY key""".stripMargin,
 
+    "q_sma_crossover" ->
+      """WITH w AS (
+        |  SELECT event_id, user_id, ts,
+        |    round(CAST(sum(CAST(value AS DECIMAL(30,10))) OVER (
+        |        PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE) /
+        |      CAST(count(*) OVER (
+        |        PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE), 9)
+        |      AS sma_short,
+        |    round(CAST(sum(CAST(value AS DECIMAL(30,10))) OVER (
+        |        PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS DOUBLE) /
+        |      CAST(count(*) OVER (
+        |        PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS DOUBLE), 9)
+        |      AS sma_long
+        |  FROM events),
+        |s AS (
+        |  SELECT event_id, user_id, ts, sma_short, sma_long,
+        |    sma_short > sma_long AS signal
+        |  FROM w)
+        |SELECT event_id, user_id, ts, sma_short, sma_long, signal,
+        |  CASE WHEN lag(signal) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN NULL
+        |    ELSE signal <> lag(signal) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) END AS crossed
+        |FROM s ORDER BY user_id, ts, event_id""".stripMargin,
+
     "q_interpolate" ->
       """WITH e AS (
         |  SELECT event_id, user_id, ts, epoch_us(ts) AS tm,

@@ -327,6 +327,17 @@ object SparkEntry {
         .orderBy("user_id", "ts", "event_id")
     }),
 
+    // W3+ domain capstone — SMA crossover signals over the event series
+    // (the feature family the reference's prediction model consumes).
+    "q_sma_crossover" -> ((s, dir) => {
+      Analytics.smaCrossover(t(s, dir, "events"),
+          Seq(col("user_id")), Seq(col("ts"), col("event_id")),
+          col("value"), shortN = 5, longN = 20)
+        .select("event_id", "user_id", "ts", "sma_short", "sma_long",
+          "signal", "crossed")
+        .orderBy("user_id", "ts", "event_id")
+    }),
+
     // W1/W2+ — grouped linear time interpolation (pandas
     // interpolate(method="time") over the bar gaps ffill only steps).
     "q_interpolate" -> ((s, dir) => {

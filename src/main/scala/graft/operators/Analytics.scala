@@ -203,4 +203,40 @@ object Analytics {
         unix_micros(col(s"q_$tsCol")) < unix_micros(col(tsCol)) + binUs)
       .drop("__bin")
   }
+
+  /** SMA crossover signal — the reference's DOMAIN capstone (stock
+    * signals from bar series; its model consumes exactly this feature
+    * family): short/long simple moving averages per key over trailing
+    * row frames, `signal` = short above long, `crossed` = the signal
+    * flipped versus the previous row (the classic golden/death cross).
+    *
+    * Plan: every column — two frame sums, two counts, one lag — shares
+    * ONE window partitioning/ordering, so the data is sorted and
+    * exchanged once; Spark stacks one WindowExec per distinct frame
+    * over that single sort (verified in docs/PLANS_r5.txt). Means are
+    * exact decimal sums with one double division, rounded to 9 (oracle
+    * parity). Rows earlier than `longN − 1` in their partition average
+    * over what exists (pandas `rolling(min_periods=1)` semantics).
+    *
+    * Returns the input keys/order plus (sma_short, sma_long, signal,
+    * crossed); `crossed` is NULL on each partition's first row.
+    */
+  def smaCrossover(
+      df: DataFrame, partitionBy: Seq[Column], orderBy: Seq[Column],
+      value: Column, shortN: Int, longN: Int): DataFrame = {
+    require(0 < shortN && shortN < longN,
+      s"smaCrossover: need 0 < shortN < longN, got $shortN, $longN")
+    def frame(n: Int) = Window.partitionBy(partitionBy: _*)
+      .orderBy(orderBy: _*).rowsBetween(-(n - 1), Window.currentRow)
+    def sma(n: Int): Column =
+      round(sum(value.cast("decimal(30,10)")).over(frame(n)).cast("double") /
+        count(lit(1)).over(frame(n)).cast("double"), 9)
+    val ordered = Window.partitionBy(partitionBy: _*).orderBy(orderBy: _*)
+    df.withColumn("sma_short", sma(shortN))
+      .withColumn("sma_long", sma(longN))
+      .withColumn("signal", col("sma_short") > col("sma_long"))
+      .withColumn("crossed",
+        when(lag(col("signal"), 1).over(ordered).isNull, lit(null).cast("boolean"))
+          .otherwise(col("signal") =!= lag(col("signal"), 1).over(ordered)))
+  }
 }
