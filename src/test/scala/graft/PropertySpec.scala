@@ -196,6 +196,35 @@ class PropertySpec extends AnyFunSuite {
     assert(overflow === 0)
   }
 
+  test("property: interpolateLinear anchors exact, interiors bounded, partition-invariant") {
+    val rows = (1L to 600L).map { i =>
+      val v = if (rnd.nextInt(3) == 0) None else Some(rnd.nextDouble() * 100)
+      (s"g${i % 7}", i, v)
+    }
+    val df = rows.toDF("k", "t", "v")
+    val out = df.withColumn("f",
+        graft.operators.Fill.interpolateLinear(Seq(col("k")), Seq(col("t")))(col("v"), col("t")))
+      .select("k", "t", "v", "f")
+    // anchors: non-null inputs pass through untouched
+    assert(out.filter(col("v").isNotNull && col("v") =!= col("f")).count() === 0)
+    // interiors: every filled value lies within [min, max] of SOME pair of
+    // group values (weaker global bound — exact neighbor check is the
+    // unit test's job); no filled value escapes the group's value range
+    val bounds = df.filter(col("v").isNotNull)
+      .groupBy("k").agg(min("v").as("lo"), max("v").as("hi"))
+    val escaped = out.join(bounds, "k")
+      .filter(col("f") < col("lo") || col("f") > col("hi")).count()
+    assert(escaped === 0)
+    // a group with at least one non-null leaves no nulls behind
+    val stillNull = out.join(bounds, "k").filter(col("f").isNull).count()
+    assert(stillNull === 0)
+    // repartitioning the input changes nothing
+    val out2 = df.repartition(11).withColumn("f",
+        graft.operators.Fill.interpolateLinear(Seq(col("k")), Seq(col("t")))(col("v"), col("t")))
+      .select("k", "t", "v", "f")
+    assert(out.exceptAll(out2).count() === 0 && out2.exceptAll(out).count() === 0)
+  }
+
   test("property: dedupClusters equals driver-side union-find on random graphs") {
     // the star-contraction algorithm must agree with a textbook
     // union-find on arbitrary random topologies — chains, cliques,
