@@ -875,6 +875,32 @@ object OracleSql {
         |SELECT key, cand_lang AS pred_lang, hits FROM r WHERE rn = 1
         |ORDER BY key""".stripMargin,
 
+    "q_snapshot_diff" ->
+      """WITH old_s AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+        |new_s AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1.0
+        |      ELSE o_totalprice END AS o_totalprice,
+        |    o_orderstatus
+        |  FROM orders WHERE o_orderkey % 17 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_totalprice, o_orderstatus
+        |  FROM orders WHERE o_orderkey % 19 = 0)
+        |SELECT
+        |  coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |  CASE
+        |    WHEN o.o_orderkey IS NULL THEN 'added'
+        |    WHEN n.o_orderkey IS NULL THEN 'removed'
+        |    WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+        |      OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+        |      THEN 'changed'
+        |    ELSE 'unchanged' END AS diff_status,
+        |  o.o_totalprice AS old_o_totalprice,
+        |  n.o_totalprice AS new_o_totalprice
+        |FROM old_s o FULL OUTER JOIN new_s n USING (o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
     "q_sma_crossover" ->
       """WITH w AS (
         |  SELECT event_id, user_id, ts,

@@ -327,6 +327,28 @@ object SparkEntry {
         .orderBy("user_id", "ts", "event_id")
     }),
 
+    // K2+ audit — snapshot reconciliation between two loads: old = all
+    // orders, new = orders with deterministic drops (%17), price
+    // mutations (%13), and a shifted-key insert block. Full-outer join
+    // on the key, null-safe value compare.
+    "q_snapshot_diff" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val oldSnap = o.select("o_orderkey", "o_totalprice", "o_orderstatus")
+      val newSnap = o
+        .filter(col("o_orderkey") % 17 =!= 0) // removed
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 13 === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")).as("o_totalprice"), // changed
+          col("o_orderstatus"))
+        .unionByName(o.filter(col("o_orderkey") % 19 === 0)
+          .select((col("o_orderkey") + 10000000).as("o_orderkey"),
+            col("o_totalprice"), col("o_orderstatus"))) // added
+      Dedup.snapshotDiff(oldSnap, newSnap, Seq("o_orderkey"),
+          Seq("o_totalprice", "o_orderstatus"))
+        .select("o_orderkey", "diff_status", "old_o_totalprice", "new_o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
     // W3+ domain capstone — SMA crossover signals over the event series
     // (the feature family the reference's prediction model consumes).
     "q_sma_crossover" -> ((s, dir) => {

@@ -158,4 +158,36 @@ object Dedup {
   def exactDedup(df: DataFrame, contentDigest: Column, order: Seq[Column]): DataFrame =
     keepFirst(df.withColumn("__digest", contentDigest), Seq("__digest"), order)
       .drop("__digest")
+
+  /** Snapshot reconciliation — the warehouse diff run between two loads
+    * (did yesterday's batch drop/duplicate/mutate anything?): classify
+    * every key across two snapshots as added / removed / changed /
+    * unchanged. One full-outer join on the key; value comparison is
+    * null-safe (`<=>`) so a legitimately-NULL column can't masquerade
+    * as a change. Returns (keys…, diff_status, old/new value columns).
+    *
+    * Unlike [[mergeUpsert]] this MUTATES nothing — it is the audit
+    * query, not the apply step; `filter(diff_status != 'unchanged')` is
+    * the anomaly report, and an aggregate over diff_status is the load
+    * health check.
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+      keys: Seq[String], valueCols: Seq[String]): DataFrame = {
+    val o = valueCols.foldLeft(oldSnap.select((keys ++ valueCols).map(col): _*)) {
+      (d, c) => d.withColumnRenamed(c, s"old_$c")
+    }.withColumn("__old", lit(true))
+    val n = valueCols.foldLeft(newSnap.select((keys ++ valueCols).map(col): _*)) {
+      (d, c) => d.withColumnRenamed(c, s"new_$c")
+    }.withColumn("__new", lit(true))
+    val changed = valueCols
+      .map(c => !(col(s"old_$c") <=> col(s"new_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    o.join(n, keys, "full_outer")
+      .withColumn("diff_status",
+        when(col("__old").isNull, "added")
+          .when(col("__new").isNull, "removed")
+          .when(changed, "changed")
+          .otherwise("unchanged"))
+      .drop("__old", "__new")
+  }
 }
