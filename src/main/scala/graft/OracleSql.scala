@@ -875,6 +875,44 @@ object OracleSql {
         |SELECT key, cand_lang AS pred_lang, hits FROM r WHERE rn = 1
         |ORDER BY key""".stripMargin,
 
+    "q_url_canon" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END) ||
+        |    (CASE WHEN doc_id % 4 = 0 THEN upper(source) ELSE source END) ||
+        |    '.Example.COM' ||
+        |    (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END) ||
+        |    '/' || lang || '/' || CAST(doc_id % 100 AS VARCHAR) ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&utm_medium=rss'
+        |          WHEN doc_id % 3 = 1 THEN '?id=7&utm_campaign=x#frag'
+        |          ELSE '#section' END) AS url
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, url,
+        |    regexp_replace(url, '#.*', '', 'g') AS nofrag
+        |  FROM m),
+        |q AS (
+        |  SELECT doc_id, url,
+        |    lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+        |      AS scheme,
+        |    regexp_replace(
+        |      lower(regexp_extract(nofrag, '^[^:]+://([^/?#]*)', 1)),
+        |      ':(80|443)$', '') AS host,
+        |    regexp_extract(nofrag, '^[^:]+://[^/?#]*(.*)', 1) AS rest
+        |  FROM p),
+        |r AS (
+        |  SELECT doc_id, url, scheme, host,
+        |    regexp_replace(regexp_replace(regexp_replace(
+        |      rest, '(utm_[A-Za-z]*|fbclid|gclid)=[^&]*&?', '', 'g'),
+        |      '\?&', '?', 'g'), '[?&]+$', '', 'g') AS tidy
+        |  FROM q)
+        |SELECT scheme || '://' || host ||
+        |  regexp_replace(regexp_extract(tidy, '^([^?]*)', 1), '/+$', '', 'g') ||
+        |  regexp_extract(tidy, '(\?.*)$', 1) AS url_canon,
+        |  CAST(count(*) AS BIGINT) AS n_raw_urls,
+        |  CAST(count(DISTINCT url) AS BIGINT) AS n_raw_forms
+        |FROM r GROUP BY 1 ORDER BY url_canon""".stripMargin,
+
     "q_snapshot_diff" ->
       """WITH old_s AS (
         |  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),

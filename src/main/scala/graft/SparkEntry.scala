@@ -327,6 +327,29 @@ object SparkEntry {
         .orderBy("user_id", "ts", "event_id")
     }),
 
+    // F+ crawl hygiene — URL canonicalization before URL-keyed dedup:
+    // messy synthesized URLs (case, tracking params, fragments, default
+    // ports) normalize to a canonical form; the count-per-canonical
+    // shows the dedup merge the raw key would have missed.
+    "q_url_canon" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val messy = d.select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 2 === 0, lit("HTTPS://")).otherwise(lit("https://")),
+          when(col("doc_id") % 4 === 0, upper(col("source"))).otherwise(col("source")),
+          lit(".Example.COM"),
+          when(col("doc_id") % 5 === 0, lit(":443")).otherwise(lit("")),
+          lit("/"), col("lang"), lit("/"), (col("doc_id") % 100).cast("string"),
+          when(col("doc_id") % 3 === 0, lit("?utm_source=feed&utm_medium=rss"))
+            .when(col("doc_id") % 3 === 1, lit("?id=7&utm_campaign=x#frag"))
+            .otherwise(lit("#section"))).as("url"))
+      messy.withColumn("url_canon", graft.functions.Text.canonicalizeUrl(col("url")))
+        .groupBy("url_canon")
+        .agg(count(lit(1)).as("n_raw_urls"),
+          countDistinct(col("url")).as("n_raw_forms"))
+        .orderBy("url_canon")
+    }),
+
     // K2+ audit — snapshot reconciliation between two loads: old = all
     // orders, new = orders with deterministic drops (%17), price
     // mutations (%13), and a shifted-key insert block. Full-outer join

@@ -57,6 +57,37 @@ object Text {
   // Training-data text analysis (north-star ops; SURVEY.md §2.3 extras)
   // ---------------------------------------------------------------------
 
+  /** URL canonicalization — the normalization crawl pipelines run BEFORE
+    * URL-keyed dedup (the reference dedups articles by exact URL,
+    * loading.py:150-161; raw crawl URLs disagree on case, tracking
+    * params, fragments, and default ports, so exact-match dedup without
+    * this pass under-merges): lowercase scheme and host, drop the
+    * fragment, strip `utm_*`/`fbclid`/`gclid` tracking params, drop
+    * `:80`/`:443` default ports, and trim dangling `?`/`&` and trailing
+    * slashes. Extraction-based rebuild (scheme/host/rest) rather than
+    * backreference replaces — `$1` vs `\1` syntax differs across
+    * engines, group EXTRACTION is portable. Pure codegen'd expressions;
+    * narrow, no shuffle.
+    */
+  def canonicalizeUrl(c: Column): Column = {
+    val noFrag = regexp_replace(c, "#.*", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostPort = lower(regexp_extract(noFrag, "^[^:]+://([^/?#]*)", 1))
+    val host = regexp_replace(hostPort, ":(80|443)$", "")
+    val rest = regexp_extract(noFrag, "^[^:]+://[^/?#]*(.*)", 1)
+    // strip tracking params wherever they sit in the query string, then
+    // mop up the separators the removal leaves behind
+    val noTrack = regexp_replace(rest,
+      "(utm_[A-Za-z]*|fbclid|gclid)=[^&]*&?", "")
+    val tidyQ = regexp_replace(regexp_replace(noTrack, "\\?&", "?"), "[?&]+$", "")
+    // trailing slashes come off the PATH, not the string — "/path/?id=9"
+    // must canonicalize to "/path?id=9"; split on the first "?" (both
+    // engines return "" for a non-matching extract, so concat is safe)
+    val path = regexp_replace(regexp_extract(tidyQ, "^([^?]*)", 1), "/+$", "")
+    val query = regexp_extract(tidyQ, "(\\?.*)$", 1)
+    concat(scheme, lit("://"), host, path, query)
+  }
+
   /** PII redaction — the corpus-cleaning step between extraction and
     * training: emails, phone-shaped number runs, and IPv4 literals are
     * replaced with stable placeholder tokens (redact, don't drop — the

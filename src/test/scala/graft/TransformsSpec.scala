@@ -43,6 +43,23 @@ class TransformsSpec extends AnyFunSuite {
     assert(got(5) === "released 2024-03-15 in 2012 2013 2014 as v1.2.3456")
   }
 
+  test("canonicalizeUrl normalizes case/ports/tracking/fragments, keeps real params") {
+    val rows = Seq(
+      "HTTPS://News.Example.COM:443/a/1?utm_source=x&utm_medium=y#top",
+      "http://example.com:80/path/?id=9&utm_campaign=z",
+      "https://example.com/a/1",
+      "https://example.com/",
+      "http://Example.com/p?fbclid=abc&keep=1",
+      "https://example.com/p?keep=1&gclid=tag").toDF("t")
+    val got = rows.select(Text.canonicalizeUrl(col("t")).as("c")).as[String].collect()
+    assert(got(0) === "https://news.example.com/a/1")
+    assert(got(1) === "http://example.com/path?id=9")
+    assert(got(2) === "https://example.com/a/1")
+    assert(got(3) === "https://example.com")
+    assert(got(4) === "http://example.com/p?keep=1")
+    assert(got(5) === "https://example.com/p?keep=1")
+  }
+
   test("resizePlan lands the driving dimension exactly on target") {
     // 277×100 → scale 224/277; bare floor(277·scale) is 223 in IEEE
     // doubles — the driving dimension must be exactly 224
