@@ -49,6 +49,14 @@ object Bench {
       // heap discipline below intact.
       try { fn(spark, sfDir).count() } catch { case _: Throwable => }
       spark.catalog.clearCache()
+      // free the warm-up's localCheckpoint/broadcast blocks before timing
+      // starts: clearCache doesn't see them, only a GC lets the
+      // ContextCleaner reclaim them, and without this the timed runs of
+      // checkpoint-heavy queries (dedupClusters checkpoints every round)
+      // execute under the warm-up's storage-memory pressure. Codegen'd
+      // classes for this query's plan stay referenced by the codegen
+      // cache, so the JIT warm-up survives the GC.
+      System.gc()
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

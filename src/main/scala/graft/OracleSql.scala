@@ -895,20 +895,22 @@ object OracleSql {
         |  SELECT doc_id, url,
         |    lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
         |      AS scheme,
-        |    regexp_replace(
-        |      lower(regexp_extract(nofrag, '^[^:]+://([^/?#]*)', 1)),
-        |      ':(80|443)$', '') AS host,
+        |    lower(regexp_extract(nofrag, '^[^:]+://([^/?#]*)', 1)) AS hostport,
         |    regexp_extract(nofrag, '^[^:]+://[^/?#]*(.*)', 1) AS rest
         |  FROM p),
         |r AS (
-        |  SELECT doc_id, url, scheme, host,
+        |  SELECT doc_id, url, scheme,
+        |    CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+        |      WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+        |      ELSE hostport END AS host,
+        |    regexp_extract(rest, '^([^?]*)', 1) AS rawpath,
         |    regexp_replace(regexp_replace(regexp_replace(
-        |      rest, '(utm_[A-Za-z]*|fbclid|gclid)=[^&]*&?', '', 'g'),
-        |      '\?&', '?', 'g'), '[?&]+$', '', 'g') AS tidy
+        |      regexp_extract(rest, '(\?.*)$', 1),
+        |      '[?&](utm_[A-Za-z]*|fbclid|gclid)=[^&]*', '', 'g'),
+        |      '^&', '?', 'g'), '[?&]+$', '', 'g') AS query
         |  FROM q)
         |SELECT scheme || '://' || host ||
-        |  regexp_replace(regexp_extract(tidy, '^([^?]*)', 1), '/+$', '', 'g') ||
-        |  regexp_extract(tidy, '(\?.*)$', 1) AS url_canon,
+        |  regexp_replace(rawpath, '/+$', '', 'g') || query AS url_canon,
         |  CAST(count(*) AS BIGINT) AS n_raw_urls,
         |  CAST(count(DISTINCT url) AS BIGINT) AS n_raw_forms
         |FROM r GROUP BY 1 ORDER BY url_canon""".stripMargin,

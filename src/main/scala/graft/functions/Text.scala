@@ -73,18 +73,26 @@ object Text {
     val noFrag = regexp_replace(c, "#.*", "")
     val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val hostPort = lower(regexp_extract(noFrag, "^[^:]+://([^/?#]*)", 1))
-    val host = regexp_replace(hostPort, ":(80|443)$", "")
+    // only the port that is the default FOR THIS SCHEME comes off —
+    // http://host:443 is a real, distinct origin and must stay distinct
+    val host = when(scheme === "http", regexp_replace(hostPort, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
+      .otherwise(hostPort)
     val rest = regexp_extract(noFrag, "^[^:]+://[^/?#]*(.*)", 1)
-    // strip tracking params wherever they sit in the query string, then
-    // mop up the separators the removal leaves behind
-    val noTrack = regexp_replace(rest,
-      "(utm_[A-Za-z]*|fbclid|gclid)=[^&]*&?", "")
-    val tidyQ = regexp_replace(regexp_replace(noTrack, "\\?&", "?"), "[?&]+$", "")
+    // split PATH from QUERY first (both engines return "" for a
+    // non-matching extract, so the concat below is safe), so the
+    // tracking-param strip can never touch a path segment
+    val rawPath = regexp_extract(rest, "^([^?]*)", 1)
+    val rawQuery = regexp_extract(rest, "(\\?.*)$", 1)
+    // anchored at a separator so a LONGER param name ("refbclid") never
+    // partially matches; the separator is consumed, so a leading-"&"
+    // mop-up restores "?" when the first param was tracking
+    val noTrack = regexp_replace(rawQuery,
+      "[?&](utm_[A-Za-z]*|fbclid|gclid)=[^&]*", "")
+    val query = regexp_replace(regexp_replace(noTrack, "^&", "?"), "[?&]+$", "")
     // trailing slashes come off the PATH, not the string — "/path/?id=9"
-    // must canonicalize to "/path?id=9"; split on the first "?" (both
-    // engines return "" for a non-matching extract, so concat is safe)
-    val path = regexp_replace(regexp_extract(tidyQ, "^([^?]*)", 1), "/+$", "")
-    val query = regexp_extract(tidyQ, "(\\?.*)$", 1)
+    // must canonicalize to "/path?id=9"
+    val path = regexp_replace(rawPath, "/+$", "")
     concat(scheme, lit("://"), host, path, query)
   }
 

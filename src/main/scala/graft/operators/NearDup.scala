@@ -310,12 +310,26 @@ object NearDup {
     // static sort-merge joins (measured 3.5× slower at sf0.1).
     // localCheckpoint executes it as a normal AQE job, materializes the
     // small edge list, and truncates lineage for the loop below.
-    var edges = pairs
+    // Self-pairs are kept HERE (the contraction below must not see them,
+    // but the contract is a label for EVERY node appearing in `pairs` —
+    // a self-paired isolated node still labels itself; see the anti-join
+    // at the end).
+    val rawEdges = pairs
       .select(col("key_a").as("src"), col("key_b").as("dst"))
-      .filter(col("src") =!= col("dst"))
       .distinct()
       .localCheckpoint()
+    var edges = rawEdges.filter(col("src") =!= col("dst"))
     mark("edges materialized")
+
+    // Per-node neighborhood min via groupBy + join-back, NOT a window:
+    // min() over Window.partitionBy(src) has no map-side partial
+    // aggregation and buffers each src partition in ONE task — and the
+    // contraction manufactures the worst case (a star root's symmetric
+    // neighborhood is its whole component), so at billion-node
+    // components one task would serialize each round. The aggregate
+    // form combines map-side and the join back is AQE-skew-splittable.
+    def withMin(df: DataFrame): DataFrame =
+      df.join(df.groupBy("src").agg(min(col("dst")).as("mn")), Seq("src"))
 
     // large-star: for each node u (over the SYMMETRIC neighborhood),
     // m = min(Γ(u) ∪ {u}); rewire every strictly LARGER neighbor to m.
@@ -326,13 +340,12 @@ object NearDup {
           struct(col("src"), col("dst")),
           struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
         .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      val w = Window.partitionBy("src")
       // no distinct here: duplicate (v, m) rows don't change smallStar's
       // per-node min and its final distinct dedups them — dropping the
       // exchange saves one shuffle per round
-      sym.withColumn("m", least(col("src"), min(col("dst")).over(w)))
+      withMin(sym)
         .filter(col("dst") > col("src"))
-        .select(col("dst").as("src"), col("m").as("dst"))
+        .select(col("dst").as("src"), least(col("src"), col("mn")).as("dst"))
     }
 
     // small-star: orient every edge so src > dst (all neighbors of u in
@@ -342,11 +355,10 @@ object NearDup {
       val oriented = e.select(
         greatest(col("src"), col("dst")).as("src"),
         least(col("src"), col("dst")).as("dst"))
-      val w = Window.partitionBy("src")
-      val withM = oriented.withColumn("m", min(col("dst")).over(w))
-      withM.filter(col("dst") =!= col("m"))
-        .select(col("dst").as("src"), col("m").as("dst"))
-        .unionByName(withM.select(col("src"), col("m").as("dst")))
+      val withM = withMin(oriented)
+      withM.filter(col("dst") =!= col("mn"))
+        .select(col("dst").as("src"), col("mn").as("dst"))
+        .unionByName(withM.select(col("src"), col("mn").as("dst")))
         .distinct()
     }
 
@@ -380,9 +392,18 @@ object NearDup {
         "raise maxRounds (alternation needs O(log² n) rounds worst case)")
     // fixpoint edges are stars (v, root): non-roots appear exactly once
     // as src; each root appears only as dst, labeling itself
-    edges.select(col("src").as("key"), col("dst").as("cluster_id"))
+    val starLabels = edges
+      .select(col("src").as("key"), col("dst").as("cluster_id"))
       .unionByName(edges.select(col("dst").as("key"), col("dst").as("cluster_id")))
       .distinct()
+    // contract: every node APPEARING IN `pairs` gets a label — a node
+    // whose only appearances are self-pairs never enters the contraction
+    // (no non-self edge), so it labels itself via the anti-join
+    val selfOnly = rawEdges
+      .select(explode(array(col("src"), col("dst"))).as("key")).distinct()
+      .join(starLabels, Seq("key"), "left_anti")
+      .select(col("key"), col("key").as("cluster_id"))
+    starLabels.unionByName(selfOnly)
   }
 
   /** Incremental near-dup: filter an INCOMING batch against an EXISTING

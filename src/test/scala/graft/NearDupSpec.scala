@@ -162,6 +162,16 @@ class NearDupSpec extends AnyFunSuite {
     assert(r2(3)._3 < r2(0)._3)
   }
 
+  test("dedupClusters labels self-paired isolated nodes (contract: every node in pairs)") {
+    val pairs = Seq((7L, 7L), (1L, 2L), (3L, 3L)).toDF("key_a", "key_b")
+    val got = NearDup.dedupClusters(pairs).as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 7L -> 7L))
+    // all-self-pairs input: no contraction happens, every node self-labels
+    val onlySelf = Seq((5L, 5L)).toDF("key_a", "key_b")
+    assert(NearDup.dedupClusters(onlySelf).as[(Long, Long)].collect().toMap
+      === Map(5L -> 5L))
+  }
+
   test("dedupClusters on an empty pair graph returns an empty frame (no NPE)") {
     val empty = Seq.empty[(Long, Long)].toDF("key_a", "key_b")
     assert(NearDup.dedupClusters(empty).count() === 0)

@@ -50,7 +50,13 @@ class TransformsSpec extends AnyFunSuite {
       "https://example.com/a/1",
       "https://example.com/",
       "http://Example.com/p?fbclid=abc&keep=1",
-      "https://example.com/p?keep=1&gclid=tag").toDF("t")
+      "https://example.com/p?keep=1&gclid=tag",
+      // review corner cases: longer names are NOT tracking params, a
+      // path segment is never touched, and a non-default port survives
+      "https://example.com/p?refbclid=1&id=2",
+      "https://example.com/utm_source=feed/page",
+      "http://example.com:443/x",
+      "https://example.com:80/x").toDF("t")
     val got = rows.select(Text.canonicalizeUrl(col("t")).as("c")).as[String].collect()
     assert(got(0) === "https://news.example.com/a/1")
     assert(got(1) === "http://example.com/path?id=9")
@@ -58,6 +64,10 @@ class TransformsSpec extends AnyFunSuite {
     assert(got(3) === "https://example.com")
     assert(got(4) === "http://example.com/p?keep=1")
     assert(got(5) === "https://example.com/p?keep=1")
+    assert(got(6) === "https://example.com/p?refbclid=1&id=2")
+    assert(got(7) === "https://example.com/utm_source=feed/page")
+    assert(got(8) === "http://example.com:443/x")
+    assert(got(9) === "https://example.com:80/x")
   }
 
   test("resizePlan lands the driving dimension exactly on target") {
