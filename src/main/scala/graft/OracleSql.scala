@@ -539,6 +539,16 @@ object OracleSql {
          |SELECT key_a, key_b, jacc FROM jac WHERE jacc >= 0.5
          |ORDER BY key_a, key_b""".stripMargin,
 
+    "q_edit_distance" ->
+      s"""WITH $minhashCtes
+         |SELECT c.key_a, c.key_b,
+         |  CAST(levenshtein(a.t, b.t) AS INTEGER) AS edit_dist
+         |FROM cand c
+         |JOIN corpus a ON a.key = c.key_a
+         |JOIN corpus b ON b.key = c.key_b
+         |WHERE levenshtein(a.t, b.t) <= 15
+         |ORDER BY key_a, key_b""".stripMargin,
+
     // Connected components over the near-dup pairs: the recursive
     // closure (min reachable key per node) equals Spark's min-label
     // propagation run to convergence — both are exact CC labelings.

@@ -327,6 +327,19 @@ object SparkEntry {
         .orderBy("user_id", "ts", "event_id")
     }),
 
+    // Near-dup verify metric #3 — exact edit distance on LSH candidates
+    // (beside set-Jaccard and SimHash-Hamming): thresholded levenshtein
+    // early-exits the DP above the bound, O(maxDist·n) per candidate.
+    "q_edit_distance" -> ((s, dir) => {
+      val corpus = dupCorpus(t(s, dir, "documents"))
+      val sh = NearDup.wordShingleDigests(corpus, col("doc_id"), col("text"), 5)
+      val pairs = NearDup.candidatePairs(
+        NearDup.lshBands(NearDup.minhashSig(sh, 8), 8))
+      NearDup.editDistancePairs(corpus, col("doc_id"), col("text"),
+          pairs, maxDist = 15)
+        .orderBy("key_a", "key_b")
+    }),
+
     // F+ crawl hygiene — URL canonicalization before URL-keyed dedup:
     // messy synthesized URLs (case, tracking params, fragments, default
     // ports) normalize to a canonical form; the count-per-canonical

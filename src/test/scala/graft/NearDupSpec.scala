@@ -130,6 +130,22 @@ class NearDupSpec extends AnyFunSuite {
     assert(rows(2) === ((3L, 1L, 1.0, 0.0)))
   }
 
+  test("editDistancePairs keeps pairs within the bound with exact distances") {
+    val docs = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "the quick brown fax"),   // dist 1 from doc 1
+      (3L, "the quick brown foxes"), // dist 2 from doc 1, 3 from doc 2
+      (4L, "entirely different words here")
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L))
+      .toDF("key_a", "key_b")
+    val got = NearDup.editDistancePairs(docs, col("doc_id"), col("text"),
+        pairs, maxDist = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    // (2,3) is distance 3 → dropped; (1,4) far → dropped
+    assert(got === Set((1L, 2L, 1), (1L, 3L, 2)))
+  }
+
   test("bigramLmScore ranks corpus-typical text above one-off gibberish") {
     // "the cat sat" repeated across docs → its bigrams dominate the
     // corpus counts; doc 4's bigrams each occur once in unique contexts
