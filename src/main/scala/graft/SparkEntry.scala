@@ -332,7 +332,12 @@ object SparkEntry {
     // early-exits the DP above the bound, O(maxDist·n) per candidate.
     "q_edit_distance" -> ((s, dir) => {
       val corpus = dupCorpus(t(s, dir, "documents"))
+      // persist the shingle digests: the banding self-join references the
+      // signature subtree from BOTH sides, and without this the whole
+      // explode+distinct shingle pipeline executes twice (measured 7.6 →
+      // 2.3 s at sf0.1 — same discipline as minhashPairs)
       val sh = NearDup.wordShingleDigests(corpus, col("doc_id"), col("text"), 5)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val pairs = NearDup.candidatePairs(
         NearDup.lshBands(NearDup.minhashSig(sh, 8), 8))
       NearDup.editDistancePairs(corpus, col("doc_id"), col("text"),
