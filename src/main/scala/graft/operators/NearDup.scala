@@ -484,6 +484,56 @@ object NearDup {
       .select(col("key_a"), col("key_b"), col("edit_dist"))
   }
 
+  /** Materialize the existing-corpus near-dup INDEX — the precompute the
+    * [[incrementalSurvivors]] scale notes promise: the corpus's LSH band
+    * rows (partitioned by band, so a batch's bucket probes prune at the
+    * directory level) and its per-doc digest sets, both plain aggregate
+    * outputs written once and reused by every subsequent batch.
+    */
+  def writeNearDupIndex(existing: DataFrame, key: Column, text: Column,
+      n: Int, k: Int, path: String): Unit = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sh = wordShingleDigests(existing, key, text, n).persist(lvl)
+    try {
+      lshBands(minhashSig(sh, k), k)
+        .write.mode("overwrite").partitionBy("band").parquet(s"$path/bands")
+      sh.groupBy("key").agg(collect_set(col("shingle")).as("sh"))
+        .write.mode("overwrite").parquet(s"$path/sets")
+    } finally { sh.unpersist(); () }
+  }
+
+  /** [[incrementalSurvivors]] against a MATERIALIZED index (written by
+    * [[writeNearDupIndex]]): each batch pays only its own shingling +
+    * joins against the stored band/set tables — the existing corpus is
+    * never re-shingled. Result equals [[incrementalSurvivors]] on the
+    * same corpus (asserted in NearDupSpec).
+    */
+  def incrementalSurvivorsIndexed(
+      spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      incoming: DataFrame, key: Column, text: Column,
+      n: Int, k: Int, threshold: Double): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val bandsE = spark.read.parquet(s"$indexPath/bands")
+    val setsE = spark.read.parquet(s"$indexPath/sets")
+    val shI = wordShingleDigests(incoming, key, text, n).persist(lvl)
+    val cand = lshBands(minhashSig(shI, k), k)
+      .select(col("key").as("key_i"), col("band"), col("band_val"))
+      .join(bandsE.select(col("key").as("key_e"), col("band"), col("band_val")),
+        Seq("band", "band_val"))
+      .select("key_i", "key_e").distinct()
+    val setsI = shI.groupBy("key").agg(collect_set(col("shingle")).as("sh"))
+    val dup = cand
+      .join(setsI.select(col("key").as("key_i"), col("sh").as("sh_a")), Seq("key_i"))
+      .join(setsE.select(col("key").as("key_e"), col("sh").as("sh_b")), Seq("key_e"))
+      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("jacc",
+        col("n_inter").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("n_inter")).cast("double"))
+      .filter(col("jacc") >= threshold)
+      .select(col("key_i").as("key")).distinct()
+    incoming.select(key.as("key")).join(dup, Seq("key"), "left_anti")
+  }
+
   /** Exact n-gram Jaccard via per-doc shingle SETS: one `collect_set`
     * aggregation (map-side partials dedup before the shuffle, so the one
     * exchange carries each doc's set once) and the candidate pairs probe

@@ -210,6 +210,30 @@ class NearDupSpec extends AnyFunSuite {
     assert(got === Array(11L))
   }
 
+  test("indexed incremental dedup equals the direct form on a real corpus slice") {
+    // materialize the index for half the sf0.001 docs, then run a batch
+    // of near-dup copies + novel docs against it both ways
+    val d = graft.sources.Sources.table(spark, "/root/testdata/sf0.001", "documents")
+    val existing = d.filter(col("doc_id") % 2 === 0).select("doc_id", "text")
+    val incoming = d.filter(col("doc_id") % 2 === 0 && col("doc_id") % 6 === 0)
+      .select((col("doc_id") + 500000).as("doc_id"),
+        col("text").substr(lit(1), length(col("text")) - 5).as("text"))
+      .unionByName(d.filter(col("doc_id") % 2 === 1).limit(40)
+        .select("doc_id", "text"))
+    val idx = java.nio.file.Files.createTempDirectory("neardup_idx").toString
+    NearDup.writeNearDupIndex(existing, col("doc_id"), col("text"),
+      n = 5, k = 8, path = idx)
+    val direct = NearDup.incrementalSurvivors(existing, incoming,
+        col("doc_id"), col("text"), n = 5, k = 8, threshold = 0.5)
+      .as[Long].collect().toSet
+    spark.catalog.clearCache()
+    val indexed = NearDup.incrementalSurvivorsIndexed(spark, idx, incoming,
+        col("doc_id"), col("text"), n = 5, k = 8, threshold = 0.5)
+      .as[Long].collect().toSet
+    assert(indexed === direct)
+    assert(indexed.nonEmpty && indexed.size < incoming.count())
+  }
+
   test("bpePairCounts ranks adjacent char pairs by corpus frequency, ties by pair") {
     val d = Seq((1L, "abc abc ab"), (2L, "bc")).toDF("doc_id", "text")
     val got = TextAnalysis.bpePairCounts(d, col("text"), k = 2)
