@@ -87,15 +87,25 @@ object NearDup {
     * shingle per seed with k substrings — ~8× less digest work, and the
     * pre-agg rows are fixed-width.
     *
+    * One md5 yields 8 disjoint windows; seeds 8-15 come from a SECOND
+    * digest md5('b:' ‖ shingle) — one extra md5 per shingle row only
+    * when k > 8 buys a 16-permutation signature (finer banding dials:
+    * 8 bands × 2 rows, or 4 × 4).
+    *
     * Wide form: ONE aggregation computes all k minima as columns — no
     * seed-explode (which would multiply the shuffle k×) and no second
     * banding aggregation. The shuffle carries each digest row once.
     */
   def minhashSig(sh: DataFrame, k: Int): DataFrame = {
-    require(k <= 8, s"k=$k: only 8 disjoint 4-hex windows in one md5")
+    require(k <= 16,
+      s"k=$k: at most 16 disjoint 4-hex windows across the two digests")
     val d2 = concat(col("shingle"), col("shingle"))
-    val mins = (0 until k).map(i =>
-      min(substring(d2, 1 + 4 * i, 16)).as(s"mh$i"))
+    lazy val e = md5(concat(lit("b:"), col("shingle")))
+    lazy val e2 = concat(e, e)
+    val mins = (0 until k).map { i =>
+      val src = if (i < 8) d2 else e2
+      min(substring(src, 1 + 4 * (i % 8), 16)).as(s"mh$i")
+    }
     sh.groupBy(col("key")).agg(mins.head, mins.tail: _*)
   }
 

@@ -130,6 +130,28 @@ class NearDupSpec extends AnyFunSuite {
     assert(rows(2) === ((3L, 1L, 1.0, 0.0)))
   }
 
+  test("16-permutation minhash signatures: second digest fills seeds 8-15") {
+    val docs = Seq(
+      (1L, (1 to 30).map(i => s"w$i").mkString(" ")),
+      (2L, (1 to 30).map(i => s"w$i").mkString(" ")),  // identical
+      (3L, (1 to 30).map(i => s"x$i").mkString(" "))   // disjoint
+    ).toDF("doc_id", "text")
+    val sh = NearDup.wordShingleDigests(docs, col("doc_id"), col("text"), 5)
+    val sig = NearDup.minhashSig(sh, 16)
+    assert(sig.columns.toSeq === "key" +: (0 until 16).map(i => s"mh$i"))
+    val rows = sig.orderBy("key").collect()
+    // identical docs agree on every permutation; disjoint docs differ on
+    // at least one in each digest half
+    assert((1 to 16).forall(i => rows(0).getString(i) === rows(1).getString(i)))
+    assert((1 to 8).exists(i => rows(0).getString(i) !== rows(2).getString(i)))
+    assert((9 to 16).exists(i => rows(0).getString(i) !== rows(2).getString(i)))
+    // and the full pipeline still finds the planted pair at k = 16
+    val pairs = NearDup.minhashPairs(docs, col("doc_id"), col("text"),
+        n = 5, k = 16, threshold = 0.5)
+      .select("key_a", "key_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
   test("editDistancePairs keeps pairs within the bound with exact distances") {
     val docs = Seq(
       (1L, "the quick brown fox"),
