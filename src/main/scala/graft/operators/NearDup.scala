@@ -109,14 +109,25 @@ object NearDup {
     sh.groupBy(col("key")).agg(mins.head, mins.tail: _*)
   }
 
-  /** LSH banding with 2 rows per band over the wide signature: band b =
-    * mh(2b) ++ '|' ++ mh(2b+1), unpivoted to (key, band, band_val) rows.
+  /** LSH banding over the wide signature, `rowsPerBand` signature
+    * elements per band (default 2 — the dial every in-repo query uses):
+    * band b concatenates mh(rb)…mh(rb+r−1), unpivoted to (key, band,
+    * band_val) rows. More rows per band ⇒ fewer, more selective bands
+    * (P(candidate) = 1 − (1 − sʳ)^(k/r)) — the candidate-volume dial
+    * that pairs with [[minhashSig]]'s k=16 extension (8×2 or 4×4).
     */
-  def lshBands(sig: DataFrame, k: Int): DataFrame = {
-    val pairsExpr = (0 until k / 2)
-      .map(b => s"$b, concat(mh${2 * b}, '|', mh${2 * b + 1})")
+  def lshBands(sig: DataFrame, k: Int, rowsPerBand: Int = 2): DataFrame = {
+    require(rowsPerBand > 0 && k % rowsPerBand == 0,
+      s"lshBands: rowsPerBand=$rowsPerBand must divide k=$k")
+    val nBands = k / rowsPerBand
+    val pairsExpr = (0 until nBands)
+      .map { b =>
+        val parts = (0 until rowsPerBand)
+          .map(r => s"mh${rowsPerBand * b + r}").mkString(", '|', ")
+        s"$b, concat($parts)"
+      }
       .mkString(", ")
-    sig.selectExpr("key", s"stack(${k / 2}, $pairsExpr) as (band, band_val)")
+    sig.selectExpr("key", s"stack($nBands, $pairsExpr) as (band, band_val)")
   }
 
   /** Candidate pairs: keys sharing at least one (band, band_val) bucket. */
@@ -442,14 +453,30 @@ object NearDup {
       n: Int, k: Int, threshold: Double): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val shE = wordShingleDigests(existing, key, text, n).persist(lvl)
+    probeExistingIndex(
+      lshBands(minhashSig(shE, k), k),
+      shE.groupBy("key").agg(collect_set(col("shingle")).as("sh")),
+      incoming, key, text, n, k, threshold)
+  }
+
+  /** Shared survivor path for the two incremental forms: probe the
+    * existing side's band table for candidates, Jaccard-verify against
+    * its digest sets, anti-join the incoming batch. The incoming shingle
+    * frame is persisted (it feeds both the probe and the verify sets);
+    * release is the CALLER's job once survivors materialize — same
+    * cache-lifetime contract as [[incrementalSurvivors]].
+    */
+  private def probeExistingIndex(
+      bandsE: DataFrame, setsE: DataFrame,
+      incoming: DataFrame, key: Column, text: Column,
+      n: Int, k: Int, threshold: Double): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val shI = wordShingleDigests(incoming, key, text, n).persist(lvl)
     val cand = lshBands(minhashSig(shI, k), k)
       .select(col("key").as("key_i"), col("band"), col("band_val"))
-      .join(lshBands(minhashSig(shE, k), k)
-        .select(col("key").as("key_e"), col("band"), col("band_val")),
+      .join(bandsE.select(col("key").as("key_e"), col("band"), col("band_val")),
         Seq("band", "band_val"))
       .select("key_i", "key_e").distinct()
-    val setsE = shE.groupBy("key").agg(collect_set(col("shingle")).as("sh"))
     val setsI = shI.groupBy("key").agg(collect_set(col("shingle")).as("sh"))
     val dup = cand
       .join(setsI.select(col("key").as("key_i"), col("sh").as("sh_a")), Seq("key_i"))
@@ -496,9 +523,13 @@ object NearDup {
 
   /** Materialize the existing-corpus near-dup INDEX — the precompute the
     * [[incrementalSurvivors]] scale notes promise: the corpus's LSH band
-    * rows (partitioned by band, so a batch's bucket probes prune at the
-    * directory level) and its per-doc digest sets, both plain aggregate
-    * outputs written once and reused by every subsequent batch.
+    * rows and its per-doc digest sets, both plain aggregate outputs
+    * written once and reused by every subsequent batch. The band table
+    * is partitioned by band to keep each band's rows clustered — the
+    * standard full probe reads every band (a batch's signatures cover
+    * all of them), but a band-SCOPED operation (re-probing one band
+    * after a banding-dial change, or auditing a bucket) prunes at the
+    * directory level.
     */
   def writeNearDupIndex(existing: DataFrame, key: Column, text: Column,
       n: Int, k: Int, path: String): Unit = {
@@ -517,32 +548,20 @@ object NearDup {
     * joins against the stored band/set tables — the existing corpus is
     * never re-shingled. Result equals [[incrementalSurvivors]] on the
     * same corpus (asserted in NearDupSpec).
+    *
+    * Cache lifetime: the incoming batch's shingle frame is persisted
+    * inside the shared probe; in a long-lived batch loop, unpersist (or
+    * clearCache) between batches or one cached frame accumulates per
+    * batch — same contract as [[incrementalSurvivors]].
     */
   def incrementalSurvivorsIndexed(
       spark: org.apache.spark.sql.SparkSession, indexPath: String,
       incoming: DataFrame, key: Column, text: Column,
-      n: Int, k: Int, threshold: Double): DataFrame = {
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val bandsE = spark.read.parquet(s"$indexPath/bands")
-    val setsE = spark.read.parquet(s"$indexPath/sets")
-    val shI = wordShingleDigests(incoming, key, text, n).persist(lvl)
-    val cand = lshBands(minhashSig(shI, k), k)
-      .select(col("key").as("key_i"), col("band"), col("band_val"))
-      .join(bandsE.select(col("key").as("key_e"), col("band"), col("band_val")),
-        Seq("band", "band_val"))
-      .select("key_i", "key_e").distinct()
-    val setsI = shI.groupBy("key").agg(collect_set(col("shingle")).as("sh"))
-    val dup = cand
-      .join(setsI.select(col("key").as("key_i"), col("sh").as("sh_a")), Seq("key_i"))
-      .join(setsE.select(col("key").as("key_e"), col("sh").as("sh_b")), Seq("key_e"))
-      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
-      .withColumn("jacc",
-        col("n_inter").cast("double") /
-          (size(col("sh_a")) + size(col("sh_b")) - col("n_inter")).cast("double"))
-      .filter(col("jacc") >= threshold)
-      .select(col("key_i").as("key")).distinct()
-    incoming.select(key.as("key")).join(dup, Seq("key"), "left_anti")
-  }
+      n: Int, k: Int, threshold: Double): DataFrame =
+    probeExistingIndex(
+      spark.read.parquet(s"$indexPath/bands"),
+      spark.read.parquet(s"$indexPath/sets"),
+      incoming, key, text, n, k, threshold)
 
   /** Exact n-gram Jaccard via per-doc shingle SETS: one `collect_set`
     * aggregation (map-side partials dedup before the shuffle, so the one

@@ -237,23 +237,46 @@ class NearDupSpec extends AnyFunSuite {
     // of near-dup copies + novel docs against it both ways
     val d = graft.sources.Sources.table(spark, "/root/testdata/sf0.001", "documents")
     val existing = d.filter(col("doc_id") % 2 === 0).select("doc_id", "text")
-    val incoming = d.filter(col("doc_id") % 2 === 0 && col("doc_id") % 6 === 0)
+    // near-dup copies of a subset of existing (% 6 = 0 implies % 2 = 0)
+    // plus novel odd-id docs
+    val incoming = d.filter(col("doc_id") % 6 === 0)
       .select((col("doc_id") + 500000).as("doc_id"),
         col("text").substr(lit(1), length(col("text")) - 5).as("text"))
       .unionByName(d.filter(col("doc_id") % 2 === 1).limit(40)
         .select("doc_id", "text"))
-    val idx = java.nio.file.Files.createTempDirectory("neardup_idx").toString
-    NearDup.writeNearDupIndex(existing, col("doc_id"), col("text"),
-      n = 5, k = 8, path = idx)
-    val direct = NearDup.incrementalSurvivors(existing, incoming,
-        col("doc_id"), col("text"), n = 5, k = 8, threshold = 0.5)
-      .as[Long].collect().toSet
-    spark.catalog.clearCache()
-    val indexed = NearDup.incrementalSurvivorsIndexed(spark, idx, incoming,
-        col("doc_id"), col("text"), n = 5, k = 8, threshold = 0.5)
-      .as[Long].collect().toSet
-    assert(indexed === direct)
-    assert(indexed.nonEmpty && indexed.size < incoming.count())
+    val idxDir = java.nio.file.Files.createTempDirectory("neardup_idx")
+    try {
+      NearDup.writeNearDupIndex(existing, col("doc_id"), col("text"),
+        n = 5, k = 8, path = idxDir.toString)
+      val direct = NearDup.incrementalSurvivors(existing, incoming,
+          col("doc_id"), col("text"), n = 5, k = 8, threshold = 0.5)
+        .as[Long].collect().toSet
+      spark.catalog.clearCache()
+      val indexed = NearDup.incrementalSurvivorsIndexed(spark, idxDir.toString,
+          incoming, col("doc_id"), col("text"), n = 5, k = 8, threshold = 0.5)
+        .as[Long].collect().toSet
+      assert(indexed === direct)
+      assert(indexed.nonEmpty && indexed.size < incoming.count())
+    } finally {
+      val s = java.nio.file.Files.walk(idxDir)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+      finally s.close()
+    }
+  }
+
+  test("lshBands with 4 rows per band yields 4 wider, more selective bands") {
+    val docs = Seq((1L, (1 to 30).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val sh = NearDup.wordShingleDigests(docs, col("doc_id"), col("text"), 5)
+    val bands = NearDup.lshBands(NearDup.minhashSig(sh, 16), 16, rowsPerBand = 4)
+    val rows = bands.orderBy("band").collect()
+    assert(rows.map(_.getInt(1)).toSeq === Seq(0, 1, 2, 3))
+    // each band value concatenates 4 16-hex windows with 3 separators
+    assert(rows.forall(_.getString(2).length === 4 * 16 + 3))
+    intercept[IllegalArgumentException] {
+      NearDup.lshBands(NearDup.minhashSig(sh, 16), 16, rowsPerBand = 3)
+    }
   }
 
   test("bpePairCounts ranks adjacent char pairs by corpus frequency, ties by pair") {
