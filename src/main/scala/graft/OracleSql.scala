@@ -980,6 +980,98 @@ object OracleSql {
         |      PARTITION BY user_id ORDER BY ts, event_id) END AS crossed
         |FROM s ORDER BY user_id, ts, event_id""".stripMargin,
 
+    "q_vwap" ->
+      """SELECT l_suppkey, CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS month,
+        |  floor((CAST(sum(CAST(l_extendedprice * l_quantity AS DECIMAL(30,4))) AS DOUBLE) /
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE)) * 1e6) / 1e6 AS vwap,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS vol,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1, 2
+        |ORDER BY l_suppkey, month""".stripMargin,
+
+    "q_drawdown" ->
+      """SELECT event_id, user_id, ts, value,
+        |  max(value) OVER w AS run_max,
+        |  round((max(value) OVER w - value) / max(value) OVER w, 9) AS drawdown_pct
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, ts, event_id""".stripMargin,
+
+    "q_rsi" ->
+      """WITH d AS (
+        |  SELECT event_id, user_id, ts,
+        |    value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS delta
+        |  FROM events),
+        |g AS (
+        |  SELECT event_id, user_id, ts,
+        |    CASE WHEN delta IS NULL THEN NULL ELSE greatest(delta, 0.0) END AS gain,
+        |    CASE WHEN delta IS NULL THEN NULL ELSE greatest(-delta, 0.0) END AS loss
+        |  FROM d),
+        |a AS (
+        |  SELECT event_id, user_id, ts,
+        |    CAST(sum(CAST(gain AS DECIMAL(30,10))) OVER w AS DOUBLE) /
+        |      CAST(count(gain) OVER w AS DOUBLE) AS avg_gain,
+        |    CAST(sum(CAST(loss AS DECIMAL(30,10))) OVER w AS DOUBLE) /
+        |      CAST(count(loss) OVER w AS DOUBLE) AS avg_loss
+        |  FROM g
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id, ts,
+        |  round(CASE WHEN avg_loss = 0 THEN 100.0
+        |    ELSE 100.0 - 100.0 / (1.0 + avg_gain / avg_loss) END, 9) AS rsi
+        |FROM a ORDER BY user_id, ts, event_id""".stripMargin,
+
+    "q_bollinger" ->
+      """WITH s AS (
+        |  SELECT event_id, user_id, ts, value,
+        |    CAST(count(*) OVER w AS DOUBLE) AS cnt,
+        |    CAST(sum(CAST(value AS DECIMAL(30,10))) OVER w AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(value * value AS DECIMAL(30,10))) OVER w AS DOUBLE) AS sxx
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id, ts,
+        |  round(sx / cnt, 9) AS sma,
+        |  round(sx / cnt + 2.0 * sqrt(greatest(sxx / cnt - (sx / cnt) * (sx / cnt), 0.0)), 9)
+        |    AS upper,
+        |  round(sx / cnt - 2.0 * sqrt(greatest(sxx / cnt - (sx / cnt) * (sx / cnt), 0.0)), 9)
+        |    AS lower,
+        |  CASE
+        |    WHEN value > sx / cnt + 2.0 * sqrt(greatest(sxx / cnt - (sx / cnt) * (sx / cnt), 0.0))
+        |      THEN 'up'
+        |    WHEN value < sx / cnt - 2.0 * sqrt(greatest(sxx / cnt - (sx / cnt) * (sx / cnt), 0.0))
+        |      THEN 'down'
+        |    ELSE 'none' END AS breakout
+        |FROM s ORDER BY user_id, ts, event_id""".stripMargin,
+
+    "q_corr_pairs" ->
+      """WITH daily AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day,
+        |    round(CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE) /
+        |      CAST(count(*) AS DOUBLE), 9) AS v
+        |  FROM events WHERE user_id % 7 = 0 GROUP BY 1, 2),
+        |j AS (
+        |  SELECT a.user_id AS user_a, b.user_id AS user_b, a.v AS va, b.v AS vb
+        |  FROM daily a JOIN daily b USING (day) WHERE a.user_id < b.user_id),
+        |m AS (
+        |  SELECT user_a, user_b, count(*) AS n,
+        |    sum(CAST(va AS DECIMAL(38,12))) AS sx,
+        |    sum(CAST(vb AS DECIMAL(38,12))) AS sy,
+        |    sum(CAST(va * va AS DECIMAL(38,12))) AS sxx,
+        |    sum(CAST(vb * vb AS DECIMAL(38,12))) AS syy,
+        |    sum(CAST(va * vb AS DECIMAL(38,12))) AS sxy
+        |  FROM j GROUP BY 1, 2)
+        |SELECT user_a, user_b, n,
+        |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+        |    CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |    (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |     sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+        |      CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 10) AS corr_xy
+        |FROM m ORDER BY user_a, user_b""".stripMargin,
+
     "q_interpolate" ->
       """WITH e AS (
         |  SELECT event_id, user_id, ts, epoch_us(ts) AS tm,

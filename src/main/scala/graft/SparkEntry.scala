@@ -401,6 +401,65 @@ object SparkEntry {
         .orderBy("user_id", "ts", "event_id")
     }),
 
+    // A6+ domain pack — VWAP per supplier-month over lineitem (price =
+    // l_extendedprice, volume = l_quantity): one partial/final aggregate.
+    "q_vwap" -> ((s, dir) => {
+      Analytics.vwap(t(s, dir, "lineitem"),
+          Seq(col("l_suppkey"), date_trunc("month", col("l_shipdate")).as("month")),
+          col("l_extendedprice"), col("l_quantity"))
+        .orderBy("l_suppkey", "month")
+    }),
+
+    // W3+ domain pack — running-max drawdown per key (peak-to-current
+    // decline): one cumulative window over one exchange.
+    "q_drawdown" -> ((s, dir) => {
+      Analytics.drawdown(t(s, dir, "events"),
+          Seq(col("user_id")), Seq(col("ts"), col("event_id")), col("value"))
+        .select("event_id", "user_id", "ts", "value", "run_max", "drawdown_pct")
+        .orderBy("user_id", "ts", "event_id")
+    }),
+
+    // W3+ domain pack — 14-period simple RSI from lag-deltas; lag layer +
+    // frame-average layer share one window sort.
+    "q_rsi" -> ((s, dir) => {
+      Analytics.rsi(t(s, dir, "events"),
+          Seq(col("user_id")), Seq(col("ts"), col("event_id")),
+          col("value"), n = 14)
+        .select("event_id", "user_id", "ts", "rsi")
+        .orderBy("user_id", "ts", "event_id")
+    }),
+
+    // W3+ domain pack — 20-period Bollinger bands (mean ± 2σ) with
+    // breakout classification; three frame aggregates over one sort.
+    "q_bollinger" -> ((s, dir) => {
+      Analytics.bollinger(t(s, dir, "events"),
+          Seq(col("user_id")), Seq(col("ts"), col("event_id")),
+          col("value"), n = 20, k = 2.0)
+        .select("event_id", "user_id", "ts", "sma", "upper", "lower", "breakout")
+        .orderBy("user_id", "ts", "event_id")
+    }),
+
+    // A6+ domain pack — pairwise correlation of daily mean values across
+    // a watchlist (user_id % 7): daily aggregate, day-keyed self-join
+    // (fan-out bounded by the watchlist size), then the momentStats
+    // decimal-sum correlation per pair. At scale the watchlist filter is
+    // the dial that bounds the quadratic pair growth — correlating ALL
+    // symbols pairwise is quadratic by definition, so the operator keys
+    // the join on (day) only after an explicit universe restriction.
+    "q_corr_pairs" -> ((s, dir) => {
+      val daily = t(s, dir, "events").filter(col("user_id") % 7 === 0)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .agg(round(sum(col("value").cast("decimal(30,10)")).cast("double") /
+          count(lit(1)).cast("double"), 9).as("v"))
+      val a = daily.select(col("user_id").as("user_a"), col("day"), col("v").as("va"))
+      val b = daily.select(col("user_id").as("user_b"), col("day"), col("v").as("vb"))
+      val joined = a.join(b, Seq("day")).filter(col("user_a") < col("user_b"))
+      Analytics.momentStats(joined, Seq(col("user_a"), col("user_b")),
+          col("va"), col("vb"))
+        .select("user_a", "user_b", "n", "corr_xy")
+        .orderBy("user_a", "user_b")
+    }),
+
     // W1/W2+ — grouped linear time interpolation (pandas
     // interpolate(method="time") over the bar gaps ffill only steps).
     "q_interpolate" -> ((s, dir) => {

@@ -221,6 +221,111 @@ object Analytics {
     * Returns the input keys/order plus (sma_short, sma_long, signal,
     * crossed); `crossed` is NULL on each partition's first row.
     */
+  /** VWAP — volume-weighted average price per group: Σ(p·v)/Σ(v) with
+    * exact decimal accumulation (order-independent partials), one double
+    * division at the end, then truncated to 6 decimals via floor(x·10⁶)/10⁶.
+    *
+    * Two deliberate deviations from the usual round(…, 9) policy, both
+    * forced by price·qty sums reaching 10⁷:
+    * - scale 4, not 10: a decimal(_,10) sum of 10⁷ scales to 10¹⁷ > 2⁵³,
+    *   where DuckDB's int128→double conversion double-rounds and lands
+    *   1 ulp off Spark's correctly-rounded BigDecimal path; at scale 4
+    *   the scaled sums stay exactly double-representable, so both
+    *   engines divide the SAME two doubles (products have ≤2 true
+    *   decimals — scale 4 absorbs their float error without ties).
+    * - floor, not round(): integer-ish volume sums make quotients land
+    *   exactly on decimal/binary boundaries (…0625 = 1/16), i.e.
+    *   systematic round-half ties where Spark's BigDecimal HALF_UP and
+    *   DuckDB's float-path round() disagree; floor of the identical
+    *   shared double is a single IEEE op with no tie semantics.
+    *
+    * ONE partial/final hash aggregate — map-side combine collapses each
+    * group before the exchange, so at 100 TB the shuffle carries one row
+    * per (key, bucket).
+    */
+  def vwap(df: DataFrame, keys: Seq[Column], price: Column, qty: Column): DataFrame =
+    df.groupBy(keys: _*)
+      .agg(
+        (floor((sum((price * qty).cast("decimal(30,4)")).cast("double") /
+          sum(qty.cast("decimal(30,4)")).cast("double")) * lit(1e6)) / lit(1e6))
+          .as("vwap"),
+        sum(qty.cast("decimal(30,4)")).cast("double").as("vol"),
+        count(lit(1)).as("n"))
+
+  /** Running-max drawdown per key — peak-to-current decline fraction,
+    * the risk statistic next to [[smaCrossover]] in the signal family.
+    * One cumulative-max window over the shared (partition, order) sort —
+    * a single exchange, no second pass.
+    */
+  def drawdown(
+      df: DataFrame, partitionBy: Seq[Column], orderBy: Seq[Column],
+      value: Column): DataFrame = {
+    val w = Window.partitionBy(partitionBy: _*).orderBy(orderBy: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("run_max", max(value).over(w))
+      .withColumn("drawdown_pct",
+        round((col("run_max") - value) / col("run_max"), 9))
+  }
+
+  /** Simple RSI (n-period, plain-average form): split the lag-delta into
+    * gain/loss legs, average each over a trailing n-row frame with exact
+    * decimal sums, RSI = 100 − 100/(1+RS). The first row of each
+    * partition (no delta) yields NULL; a window whose losses are all
+    * zero yields 100 (the standard convention). Two window layers — the
+    * lag, then the frame sums — share one (partition, order) spec, so
+    * Spark sorts and exchanges ONCE and stacks WindowExecs.
+    */
+  def rsi(
+      df: DataFrame, partitionBy: Seq[Column], orderBy: Seq[Column],
+      value: Column, n: Int): DataFrame = {
+    require(n > 1, s"rsi: period must exceed 1, got $n")
+    val ordered = Window.partitionBy(partitionBy: _*).orderBy(orderBy: _*)
+    val frame = ordered.rowsBetween(-(n - 1), Window.currentRow)
+    val delta = value - lag(value, 1).over(ordered)
+    val withGL = df
+      .withColumn("__gain", when(delta.isNull, lit(null).cast("double"))
+        .otherwise(greatest(delta, lit(0.0))))
+      .withColumn("__loss", when(delta.isNull, lit(null).cast("double"))
+        .otherwise(greatest(-delta, lit(0.0))))
+    def avg(c: Column): Column =
+      sum(c.cast("decimal(30,10)")).over(frame).cast("double") /
+        count(c).over(frame).cast("double")
+    val avgGain = avg(col("__gain"))
+    val avgLoss = avg(col("__loss"))
+    withGL
+      .withColumn("rsi", round(
+        when(avgLoss === 0.0, lit(100.0))
+          .otherwise(lit(100.0) - lit(100.0) / (lit(1.0) + avgGain / avgLoss)), 9))
+      .drop("__gain", "__loss")
+  }
+
+  /** Bollinger bands: trailing n-row mean ± k·σ (population σ from exact
+    * decimal Σx, Σx² — the [[momentStats]] determinism pattern applied
+    * inside a window frame) plus a breakout classification. All three
+    * frame aggregates share one window sort; the double op sequence
+    * (div, mul, sub, sqrt — each IEEE correctly-rounded) is mirrored
+    * verbatim in the oracle, so band edges are bit-identical and the
+    * unrounded breakout comparison cannot flap.
+    */
+  def bollinger(
+      df: DataFrame, partitionBy: Seq[Column], orderBy: Seq[Column],
+      value: Column, n: Int, k: Double): DataFrame = {
+    val frame = Window.partitionBy(partitionBy: _*).orderBy(orderBy: _*)
+      .rowsBetween(-(n - 1), Window.currentRow)
+    val cnt = count(lit(1)).over(frame).cast("double")
+    val sx = sum(value.cast("decimal(30,10)")).over(frame).cast("double")
+    val sxx = sum((value * value).cast("decimal(30,10)")).over(frame).cast("double")
+    val mean = sx / cnt
+    val sd = sqrt(greatest(sxx / cnt - (sx / cnt) * (sx / cnt), lit(0.0)))
+    df.withColumn("sma", round(mean, 9))
+      .withColumn("upper", round(mean + lit(k) * sd, 9))
+      .withColumn("lower", round(mean - lit(k) * sd, 9))
+      .withColumn("breakout",
+        when(value > mean + lit(k) * sd, lit("up"))
+          .when(value < mean - lit(k) * sd, lit("down"))
+          .otherwise(lit("none")))
+  }
+
   def smaCrossover(
       df: DataFrame, partitionBy: Seq[Column], orderBy: Seq[Column],
       value: Column, shortN: Int, longN: Int): DataFrame = {

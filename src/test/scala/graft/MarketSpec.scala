@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Analytics
+
+/** Market-analytics pack: VWAP, drawdown, RSI, Bollinger bands —
+  * closed-form fixtures with hand-computed expectations.
+  */
+class MarketSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  test("vwap weights prices by volume exactly") {
+    val df = Seq(("a", 10.0, 1.0), ("a", 20.0, 3.0), ("b", 5.0, 2.0))
+      .toDF("k", "p", "v")
+    val out = Analytics.vwap(df, Seq(col("k")), col("p"), col("v"))
+      .orderBy("k").collect()
+    assert(out(0).getDouble(1) === 17.5) // (10·1 + 20·3) / 4
+    assert(out(0).getDouble(2) === 4.0 && out(0).getLong(3) === 2L)
+    assert(out(1).getDouble(1) === 5.0)
+  }
+
+  test("drawdown tracks peak-to-current decline") {
+    val df = Seq((1L, 10.0), (2L, 5.0), (3L, 20.0), (4L, 10.0)).toDF("i", "v")
+    val out = Analytics.drawdown(df, Seq(lit(1)), Seq(col("i")), col("v"))
+      .orderBy("i").select("run_max", "drawdown_pct")
+      .as[(Double, Double)].collect()
+    assert(out === Array((10.0, 0.0), (10.0, 0.5), (20.0, 0.0), (20.0, 0.5)))
+  }
+
+  test("rsi: 100 on all-gain series, 50 on balanced seesaw, null first row") {
+    val up = (1 to 6).map(i => (i.toLong, i * 1.0)).toDF("i", "v")
+    val r1 = Analytics.rsi(up, Seq(lit(1)), Seq(col("i")), col("v"), 3)
+      .orderBy("i").select("rsi").as[Option[Double]].collect()
+    assert(r1.head.isEmpty)
+    assert(r1.tail.forall(_.contains(100.0)))
+
+    val seesaw = Seq((1L, 10.0), (2L, 12.0), (3L, 10.0), (4L, 12.0), (5L, 10.0))
+      .toDF("i", "v")
+    val r2 = Analytics.rsi(seesaw, Seq(lit(1)), Seq(col("i")), col("v"), 4)
+      .orderBy("i").select("rsi").as[Option[Double]].collect()
+    // frames with equal total gain and loss → RS = 1 → RSI = 50; the
+    // i=4 frame holds deltas (+2, −2, +2) → RS = 2 → RSI = 66.667
+    assert(r2(2).contains(50.0) && r2(4).contains(50.0))
+    assert(r2(3).contains(66.666666667))
+  }
+
+  test("bollinger: constant series has zero-width bands, no breakout") {
+    val df = (1 to 10).map(i => (i.toLong, 5.0)).toDF("i", "v")
+    val out = Analytics.bollinger(df, Seq(lit(1)), Seq(col("i")), col("v"),
+        n = 5, k = 2.0)
+      .select("sma", "upper", "lower", "breakout").distinct().collect()
+    assert(out.length === 1)
+    assert(out(0).getDouble(0) === 5.0 && out(0).getDouble(1) === 5.0 &&
+      out(0).getDouble(2) === 5.0 && out(0).getString(3) === "none")
+  }
+
+  test("bollinger flags a spike beyond k·σ as an up-breakout") {
+    // single outlier d above a constant frame sits above the band iff
+    // 1 − n + k·√(n−1) < 0; n=10, k=2 gives −3 (n=5 would be exactly 0)
+    val vals = Seq.fill(9)(10.0) :+ 30.0
+    val df = vals.zipWithIndex.map { case (v, i) => ((i + 1).toLong, v) }
+      .toDF("i", "v")
+    val out = Analytics.bollinger(df, Seq(lit(1)), Seq(col("i")), col("v"),
+        n = 10, k = 2.0)
+      .orderBy("i").select("breakout").as[String].collect()
+    assert(out.last === "up" && out.init.forall(_ === "none"))
+  }
+}
