@@ -980,6 +980,72 @@ object OracleSql {
         |      PARTITION BY user_id ORDER BY ts, event_id) END AS crossed
         |FROM s ORDER BY user_id, ts, event_id""".stripMargin,
 
+    "q_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS key,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        |lens AS (SELECT key, CAST(len(w) AS BIGINT) AS dl FROM toks),
+        |stats AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(dl) AS BIGINT) AS sdl FROM lens),
+        |tf AS (
+        |  SELECT key, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT key, unnest(w) AS term FROM toks)
+        |  WHERE term IN ('scan', 'join', 'window', 'stream')
+        |  GROUP BY key, term),
+        |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        |scored AS (
+        |  SELECT t.key,
+        |    ln((CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5) /
+        |        (CAST(d.df AS DOUBLE) + 0.5) + 1.0) *
+        |      (CAST(t.tf AS DOUBLE) * (1.2 + 1.0)) /
+        |      (CAST(t.tf AS DOUBLE) +
+        |        1.2 * (0.25 + 0.75 * CAST(l.dl AS DOUBLE) /
+        |          (CAST(s.sdl AS DOUBLE) / CAST(s.n_docs AS DOUBLE)))) AS sc
+        |  FROM tf t JOIN dfreq d USING (term) JOIN lens l ON t.key = l.key
+        |  CROSS JOIN stats s)
+        |SELECT key AS doc_id,
+        |  round(CAST(sum(CAST(sc AS DECIMAL(38,12))) AS DOUBLE), 9) AS bm25,
+        |  CAST(count(*) AS BIGINT) AS n_terms
+        |FROM scored GROUP BY key
+        |ORDER BY bm25 DESC, doc_id LIMIT 50""".stripMargin,
+
+    "q_dsir" ->
+      """WITH rawb AS (
+        |  SELECT key, substr(md5(array_to_string(w[i:i+1], ' ')), 1, 2) AS b
+        |  FROM (
+        |    SELECT doc_id AS key,
+        |      list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w,
+        |      unnest(generate_series(1,
+        |        len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) - 1)) AS i
+        |    FROM documents
+        |    WHERE len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) >= 2)),
+        |tgtb AS (
+        |  SELECT substr(md5(array_to_string(w[i:i+1], ' ')), 1, 2) AS b
+        |  FROM (
+        |    SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w,
+        |      unnest(generate_series(1,
+        |        len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) - 1)) AS i
+        |    FROM documents
+        |    WHERE source IN ('src0', 'src1', 'src2')
+        |      AND len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) >= 2)),
+        |cr AS (SELECT b, CAST(count(*) AS BIGINT) AS cr FROM rawb GROUP BY b),
+        |ct AS (SELECT b, CAST(count(*) AS BIGINT) AS ct FROM tgtb GROUP BY b),
+        |nr AS (SELECT CAST(sum(cr) AS BIGINT) AS nr FROM cr),
+        |nt AS (SELECT CAST(sum(ct) AS BIGINT) AS nt FROM ct),
+        |ratio AS (
+        |  SELECT b,
+        |    ln((CAST(coalesce(ct, 0) AS DOUBLE) + 0.5) / (CAST(nt AS DOUBLE) + 128.0)) -
+        |    ln((CAST(coalesce(cr, 0) AS DOUBLE) + 0.5) / (CAST(nr AS DOUBLE) + 128.0)) AS lr
+        |  FROM cr FULL OUTER JOIN ct USING (b) CROSS JOIN nr CROSS JOIN nt),
+        |dc AS (SELECT key, b, CAST(count(*) AS BIGINT) AS c FROM rawb GROUP BY key, b)
+        |SELECT key AS doc_id, CAST(sum(c) AS BIGINT) AS n_feats,
+        |  round(CAST(sum(CAST(CAST(c AS DOUBLE) * lr AS DECIMAL(38,12))) AS DOUBLE), 6)
+        |    AS weight
+        |FROM dc JOIN ratio USING (b) GROUP BY key
+        |ORDER BY doc_id""".stripMargin,
+
     "q_vwap" ->
       """SELECT l_suppkey, CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS month,
         |  floor((CAST(sum(CAST(l_extendedprice * l_quantity AS DECIMAL(30,4))) AS DOUBLE) /

@@ -401,6 +401,28 @@ object SparkEntry {
         .orderBy("user_id", "ts", "event_id")
     }),
 
+    // LLM-pipeline — BM25 keyword retrieval top-50 over documents:
+    // term stream pruned to the query terms before the shuffle, df and
+    // corpus stats broadcast, TakeOrderedAndProject cut.
+    "q_bm25" -> ((s, dir) => {
+      TextAnalysis.bm25TopK(t(s, dir, "documents"), col("doc_id"), col("text"),
+          queryTerms = Seq("scan", "join", "window", "stream"), k = 50)
+        .select(col("key").as("doc_id"), col("bm25"), col("n_terms"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+    }),
+
+    // LLM-pipeline — DSIR importance weights: target = the src0-2
+    // "curated" slice, raw = whole corpus; hashed-bigram log-ratio
+    // scoring with the 256-bucket table as the only global state.
+    "q_dsir" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Curation.dsirWeights(d,
+          d.filter(col("source").isin("src0", "src1", "src2")),
+          col("doc_id"), col("text"))
+        .select(col("key").as("doc_id"), col("n_feats"), col("weight"))
+        .orderBy("doc_id")
+    }),
+
     // A6+ domain pack — VWAP per supplier-month over lineitem (price =
     // l_extendedprice, volume = l_quantity): one partial/final aggregate.
     "q_vwap" -> ((s, dir) => {

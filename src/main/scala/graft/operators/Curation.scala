@@ -68,6 +68,69 @@ object Curation {
     *
     * Returns (group, n_in, n_out, rate) — the realized mixture.
     */
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling" — public): score
+    * each raw document by how much more likely its hashed-bigram
+    * features are under a TARGET corpus' distribution than under the
+    * raw corpus' own:
+    *
+    *   weight(d) = Σ_f c_d(f) · (ln p_target(f) − ln p_raw(f))
+    *
+    * over 256 hashed buckets (md5 2-hex-char prefix — the same portable
+    * hash family as the sampling operators), with add-α smoothing on
+    * both distributions. Positive weight ⇒ the doc looks more like the
+    * target domain; resampling by weight is the caller's move (e.g.
+    * [[shuffleIntoShards]] after a weight-threshold filter).
+    *
+    * Scale shape: two corpus-level bucket-count aggregates (≤256 rows
+    * each — broadcast), one per-doc bucket-count aggregate, one
+    * broadcast join, one per-doc sum. The bucket log-ratio table is the
+    * ONLY global state — constant-size however large the corpora, and
+    * precomputable/reusable across scoring runs like the bigram-LM
+    * count tables.
+    *
+    * Returns (key, n_feats, weight): n_feats = doc bigram count,
+    * weight rounded to 6 (ln ulp margin).
+    */
+  def dsirWeights(raw: DataFrame, target: DataFrame, key: Column,
+      text: Column, alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0, s"dsirWeights: alpha must be positive, got $alpha")
+    def bigramBuckets(df: DataFrame): DataFrame = {
+      val toks = df.select(key.as("key"),
+        filter(split(lower(text), "\\s+"), t => t =!= "").as("w"))
+        .filter(size(col("w")) >= 2)
+      toks.select(col("key"),
+          explode(sequence(lit(1), size(col("w")) - 1)).as("i"), col("w"))
+        .select(col("key"),
+          substring(md5(concat_ws(" ",
+            element_at(col("w"), col("i")),
+            element_at(col("w"), col("i") + 1))), 1, 2).as("b"))
+    }
+    val rawB = bigramBuckets(raw)
+    val cr = rawB.groupBy("b").agg(count(lit(1)).as("cr"))
+    val ct = bigramBuckets(target).groupBy("b").agg(count(lit(1)).as("ct"))
+    // totals derived from the 256-row count tables — no second corpus scan
+    val nr = cr.agg(sum(col("cr")).as("nr"))
+    val nt = ct.agg(sum(col("ct")).as("nt"))
+    // log-ratio per bucket: buckets absent from one side get only the
+    // smoothing mass (outer join + 0-fill before the ln)
+    val ratio = cr.join(ct, Seq("b"), "full_outer")
+      .na.fill(0L, Seq("cr", "ct"))
+      .crossJoin(broadcast(nr)).crossJoin(broadcast(nt))
+      .withColumn("lr",
+        log((col("ct").cast("double") + lit(alpha)) /
+          (col("nt").cast("double") + lit(256 * alpha))) -
+        log((col("cr").cast("double") + lit(alpha)) /
+          (col("nr").cast("double") + lit(256 * alpha))))
+      .select("b", "lr")
+    rawB.groupBy("key", "b").agg(count(lit(1)).as("c"))
+      .join(broadcast(ratio), Seq("b"))
+      .groupBy("key")
+      .agg(sum("c").as("n_feats"),
+        round(sum((col("c").cast("double") * col("lr")).cast("decimal(38,12)"))
+          .cast("double"), 6).as("weight"))
+  }
+
   def mixtureSample(df: DataFrame, key: Column, group: Column,
       thresholds: Column): DataFrame = {
     val sampled = substring(md5(key.cast("string")), 1, 2) < thresholds

@@ -205,6 +205,50 @@ object TextAnalysis {
       .agg(concat_ws("",
         slice(array_sort(collect_list(col("h"))), 1, take)).as("fingerprint"))
 
+  /** BM25 keyword retrieval — rank documents against a fixed query-term
+    * set with the standard Okapi BM25 scoring (idf · tf·(k₁+1) /
+    * (tf + k₁·(1−b+b·dl/avgdl))), idf in the "+1" form that keeps
+    * scores positive.
+    *
+    * Scale shape: the term stream is filtered to the QUERY TERMS before
+    * any shuffle (a scan-side `isin` prune — at 100 TB only matching
+    * tokens leave the map side), document-frequency and corpus stats
+    * (N, Σdl) are tiny aggregates carried as broadcast frames (no
+    * mid-plan driver action), and the final cut is orderBy+limit —
+    * TakeOrderedAndProject, no global sort. Ranking sorts the ROUNDED
+    * score (round 9 absorbs cross-engine ln() ulp; ties break by key).
+    */
+  def bm25TopK(df: DataFrame, key: Column, text: Column,
+      queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopK: queryTerms must be non-empty")
+    val toks = df.select(key.as("key"),
+      filter(split(lower(text), "\\s+"), t => t =!= "").as("w"))
+    val lens = toks.select(col("key"), size(col("w")).cast("long").as("dl"))
+    val stats = lens.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sdl"))
+    val tf = toks.select(col("key"), explode(col("w")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy("key", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(dfreq), Seq("term"))
+      .join(lens, Seq("key"))
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl",
+        col("sdl").cast("double") / col("n_docs").cast("double"))
+      .withColumn("idf",
+        log((col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)) + lit(1.0)))
+      .withColumn("s",
+        col("idf") * (col("tf").cast("double") * lit(k1 + 1)) /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(1 - b) + lit(b) * col("dl").cast("double") / col("avgdl"))))
+    scored.groupBy("key")
+      .agg(round(sum(col("s").cast("decimal(38,12)")).cast("double"), 9).as("bm25"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("bm25").desc, col("key"))
+      .limit(k)
+  }
+
   /** Corpus bigram-LM fluency score — the CCNet/KenLM-style filter pass
     * of a curation pipeline, self-trained on the corpus it scores: a
     * document's score is the mean conditional probability

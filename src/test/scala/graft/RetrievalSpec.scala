@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Curation, TextAnalysis}
+
+/** BM25 retrieval + DSIR importance weighting. */
+class RetrievalSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  test("bm25 ranks by term frequency and length-normalizes") {
+    val docs = Seq(
+      (1L, "apple apple apple pear pear pear pear pear pear pear"),
+      (2L, "apple banana cherry"), // short doc, single hit
+      (3L, "apple apple banana"),
+      (4L, "pear pear pear pear") // no query term
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25TopK(docs, col("doc_id"), col("text"),
+        Seq("apple", "banana"), k = 10)
+      .as[(Long, Double, Long)].collect()
+    // doc 4 has no query term — absent entirely
+    assert(out.map(_._1).toSet === Set(1L, 2L, 3L))
+    // doc 3: 2×apple + 1×banana beats doc 2: 1×apple + 1×banana
+    val byKey = out.map(t => t._1 -> t._2).toMap
+    assert(byKey(3L) > byKey(2L))
+    // doc 2 (matching 2 rarer-weighted terms, short) beats long doc 1
+    // with only apple hits
+    assert(out.map(_._1).head === 3L)
+    assert(out.forall(_._2 > 0.0))
+    // n_terms counts DISTINCT matched terms
+    val nTerms = out.map(t => t._1 -> t._3).toMap
+    assert(nTerms === Map(1L -> 1L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("bm25 respects k and orders by rounded score desc then key") {
+    val docs = (1 to 20).map(i => (i.toLong, "apple")).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25TopK(docs, col("doc_id"), col("text"),
+        Seq("apple"), k = 5).as[(Long, Double, Long)].collect()
+    // all docs identical → identical scores → key ascending tiebreak
+    assert(out.map(_._1).toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+    assert(out.map(_._2).distinct.length === 1)
+  }
+
+  test("dsir weight is zero when target equals raw") {
+    val docs = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "beta gamma delta epsilon")
+    ).toDF("doc_id", "text")
+    val out = Curation.dsirWeights(docs, docs, col("doc_id"), col("text"))
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    // p_target ≡ p_raw ⇒ every bucket log-ratio is exactly 0
+    assert(out.map(_._3).forall(_ === 0.0))
+    assert(out.map(t => t._1 -> t._2).toMap === Map(1L -> 2L, 2L -> 3L))
+  }
+
+  test("dsir upweights docs resembling the target domain") {
+    val raw = Seq(
+      (1L, "alpha beta alpha beta alpha beta"), // target-like
+      (2L, "zeta eta zeta eta zeta eta"), // off-domain
+      (3L, "alpha beta zeta eta") // mixed
+    ).toDF("doc_id", "text")
+    // target big enough that its real mass dominates the add-α smoothing
+    // (a 4-bigram target would be ~flat after smoothing and every weight
+    // would go negative — correct DSIR behavior, but not this test's point)
+    val target = Seq((10L, Seq.fill(100)("alpha beta").mkString(" ")))
+      .toDF("doc_id", "text")
+    val w = Curation.dsirWeights(raw, target, col("doc_id"), col("text"))
+      .as[(Long, Long, Double)].collect().map(t => t._1 -> t._3).toMap
+    assert(w(1L) > w(3L) && w(3L) > w(2L))
+    assert(w(1L) > 0.0 && w(2L) < 0.0)
+  }
+}
