@@ -980,6 +980,49 @@ object OracleSql {
         |      PARTITION BY user_id ORDER BY ts, event_id) END AS crossed
         |FROM s ORDER BY user_id, ts, event_id""".stripMargin,
 
+    "q_span_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id AS key, text AS t FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, substr(text, 1, length(text) - 10)
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT key, md5(array_to_string(w[i:i+19], ' ')) AS shingle
+        |  FROM (
+        |    SELECT key, string_split_regex(t, '\s+') AS w,
+        |      unnest(generate_series(1,
+        |        greatest(len(string_split_regex(t, '\s+')) - 19, 1))) AS i
+        |    FROM corpus)),
+        |cnt AS (SELECT shingle, count(*) AS c FROM sh GROUP BY shingle),
+        |good AS (SELECT shingle FROM cnt WHERE c > 1 AND c <= 50),
+        |s2 AS (SELECT sh.key, sh.shingle FROM sh JOIN good USING (shingle))
+        |SELECT a.key AS key_a, b.key AS key_b,
+        |  CAST(count(*) AS BIGINT) AS n_shared_spans
+        |FROM s2 a JOIN s2 b ON a.shingle = b.shingle AND a.key < b.key
+        |GROUP BY 1, 2 ORDER BY key_a, key_b""".stripMargin,
+
+    "q_tokenize" ->
+      """WITH words AS (
+        |  SELECT key, i - 1 AS pos, w[i] AS w
+        |  FROM (
+        |    SELECT doc_id AS key,
+        |      list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w,
+        |      unnest(generate_series(1,
+        |        len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')))) AS i
+        |    FROM documents)),
+        |vocab AS (
+        |  SELECT w, id FROM (
+        |    SELECT w, row_number() OVER (ORDER BY cnt DESC, w) - 1 AS id
+        |    FROM (SELECT w, count(*) AS cnt FROM words GROUP BY w))
+        |  WHERE id < 30),
+        |enc AS (
+        |  SELECT key, pos, coalesce(id, -1) AS id
+        |  FROM words LEFT JOIN vocab USING (w))
+        |SELECT key AS doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN id = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  string_agg(CAST(id AS VARCHAR), ' ' ORDER BY pos) AS ids
+        |FROM enc GROUP BY key ORDER BY doc_id""".stripMargin,
+
     "q_bm25" ->
       """WITH toks AS (
         |  SELECT doc_id AS key,

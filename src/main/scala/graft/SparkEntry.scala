@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Text
-import graft.operators.{Analytics, Curation, Dedup, Fill, Multimodal, NearDup, Similarity, TextAnalysis, Transforms}
+import graft.operators.{Analytics, Corpus, Curation, Dedup, Fill, Multimodal, NearDup, Similarity, TextAnalysis, Transforms}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -399,6 +399,24 @@ object SparkEntry {
         .select("event_id", "user_id", "ts", "sma_short", "sma_long",
           "signal", "crossed")
         .orderBy("user_id", "ts", "event_id")
+    }),
+
+    // LLM-pipeline — exact substring-span dedup (Lee et al. 2022 at word
+    // granularity): doc pairs sharing ≥1 exact 20-word span over the
+    // shared near-dup corpus; bucket-capped self-join, never n².
+    "q_span_dedup" -> ((s, dir) => {
+      Corpus.spanDedupPairs(dupCorpus(t(s, dir, "documents")),
+          col("doc_id"), col("text"), n = 20, maxBucket = 50)
+        .orderBy("key_a", "key_b")
+    }),
+
+    // LLM-pipeline — corpus-trained vocabulary tokenization: top-30
+    // vocab (count desc, word asc), OOV → -1, per-doc id sequences.
+    "q_tokenize" -> ((s, dir) => {
+      TextAnalysis.tokenize(t(s, dir, "documents"), col("doc_id"), col("text"),
+          vocabSize = 30)
+        .select(col("key").as("doc_id"), col("n_tokens"), col("n_oov"), col("ids"))
+        .orderBy("doc_id")
     }),
 
     // LLM-pipeline — BM25 keyword retrieval top-50 over documents:

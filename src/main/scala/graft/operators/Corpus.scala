@@ -75,6 +75,41 @@ object Corpus {
             x => x.getField("line"))).as("clean_text"))
   }
 
+  /** Exact substring-span dedup pairs — the "Deduplicating Training Data
+    * Makes Language Models Better" (Lee et al. 2022, public) signal at
+    * word granularity: two docs are span-dups if they share ≥ 1 EXACT
+    * `n`-word span, reported with the count of distinct shared spans.
+    * Complements the sketch family: [[NearDup.minhashPairs]] finds
+    * mostly-similar docs; this finds verbatim copied passages inside
+    * otherwise-different docs (license blocks, quoted articles).
+    *
+    * Plan shape at 100 TB: spans are the [[NearDup.wordShingleDigests]]
+    * stream (fixed-width digests, per-doc distinct); a per-span count
+    * aggregate filters to spans in 2..`maxBucket` docs BEFORE any
+    * pairing, so the self-join's candidate volume is Σ|bucket|² over
+    * surviving buckets, bounded by maxBucket·Σ|bucket| — never n².
+    * Ubiquitous boilerplate spans (bucket > maxBucket) are excluded the
+    * same way the paper's implementations cap posting lists; log/count
+    * them separately if the cap matters (they signal template text, not
+    * doc-pair similarity).
+    */
+  def spanDedupPairs(df: DataFrame, key: Column, text: Column,
+      n: Int, maxBucket: Int): DataFrame = {
+    require(maxBucket >= 2, s"spanDedupPairs: maxBucket must be ≥ 2, got $maxBucket")
+    val sh = NearDup.wordShingleDigests(df, key, text, n)
+      // referenced by the count subtree AND both self-join sides; without
+      // the persist the explode+distinct pipeline executes three times
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val good = sh.groupBy("shingle").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1 && col("c") <= maxBucket)
+      .select("shingle")
+    val s2 = sh.join(good, Seq("shingle"))
+    s2.select(col("shingle"), col("key").as("key_a"))
+      .join(s2.select(col("shingle"), col("key").as("key_b")), Seq("shingle"))
+      .filter(col("key_a") < col("key_b"))
+      .groupBy("key_a", "key_b").agg(count(lit(1)).as("n_shared_spans"))
+  }
+
   def cleanCorpus(df: DataFrame, key: Column, text: Column,
       targetLang: String, minScore: Double,
       n: Int, k: Int, jaccThreshold: Double): DataFrame = {

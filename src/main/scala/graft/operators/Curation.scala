@@ -106,8 +106,12 @@ object Curation {
             element_at(col("w"), col("i")),
             element_at(col("w"), col("i") + 1))), 1, 2).as("b"))
     }
-    val rawB = bigramBuckets(raw)
-    val cr = rawB.groupBy("b").agg(count(lit(1)).as("cr"))
+    // per-doc bucket counts are the ONE aggregate over the raw bigram
+    // explode; the corpus-level bucket counts derive from them (sum of a
+    // (key,b)-grained frame — a 256-group rollup), so the ~100×-amplifying
+    // explode is scanned once, not twice
+    val dc = bigramBuckets(raw).groupBy("key", "b").agg(count(lit(1)).as("c"))
+    val cr = dc.groupBy("b").agg(sum(col("c")).as("cr"))
     val ct = bigramBuckets(target).groupBy("b").agg(count(lit(1)).as("ct"))
     // totals derived from the 256-row count tables — no second corpus scan
     val nr = cr.agg(sum(col("cr")).as("nr"))
@@ -123,8 +127,7 @@ object Curation {
         log((col("cr").cast("double") + lit(alpha)) /
           (col("nr").cast("double") + lit(256 * alpha))))
       .select("b", "lr")
-    rawB.groupBy("key", "b").agg(count(lit(1)).as("c"))
-      .join(broadcast(ratio), Seq("b"))
+    dc.join(broadcast(ratio), Seq("b"))
       .groupBy("key")
       .agg(sum("c").as("n_feats"),
         round(sum((col("c").cast("double") * col("lr")).cast("decimal(38,12)"))

@@ -205,6 +205,41 @@ object TextAnalysis {
       .agg(concat_ws("",
         slice(array_sort(collect_list(col("h"))), 1, take)).as("fingerprint"))
 
+  /** Vocabulary tokenization — the id-mapping step of a training-data
+    * pipeline: build a top-`vocabSize` word vocabulary from the corpus
+    * itself (rank by count desc, word asc — deterministic), then encode
+    * every document as its id sequence; out-of-vocabulary words map to
+    * -1 (the UNK id). Returns (key, n_tokens, n_oov, ids) with `ids`
+    * space-joined (portable compare form).
+    *
+    * Scale shape: the vocabulary is ONE aggregate + one row_number
+    * window over a vocabulary-sized frame (bounded by distinct words,
+    * not corpus size — the single-partition rank is safe for any real
+    * vocab) broadcast to a left join against the token stream; encoding
+    * is a per-doc aggregate whose group size is the doc length. The
+    * token order survives via posexplode → array_sort(struct(pos, id)).
+    */
+  def tokenize(df: DataFrame, key: Column, text: Column,
+      vocabSize: Int): DataFrame = {
+    require(vocabSize > 0, s"tokenize: vocabSize must be positive, got $vocabSize")
+    val words = df.select(key.as("key"),
+        posexplode(filter(split(lower(text), "\\s+"), t => t =!= "")))
+      .toDF("key", "pos", "w")
+    val vocab = words.groupBy("w").agg(count(lit(1)).as("cnt"))
+      .withColumn("id",
+        row_number().over(Window.orderBy(col("cnt").desc, col("w"))) - 1)
+      .filter(col("id") < vocabSize)
+      .select("w", "id")
+    words.join(broadcast(vocab), Seq("w"), "left")
+      .withColumn("id", coalesce(col("id"), lit(-1)))
+      .groupBy("key")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("id") === -1, 1L).otherwise(0L)).as("n_oov"),
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("id")))),
+            s => s.getField("id").cast("string"))).as("ids"))
+  }
+
   /** BM25 keyword retrieval — rank documents against a fixed query-term
     * set with the standard Okapi BM25 scoring (idf · tf·(k₁+1) /
     * (tf + k₁·(1−b+b·dl/avgdl))), idf in the "+1" form that keeps
@@ -224,14 +259,19 @@ object TextAnalysis {
     require(queryTerms.nonEmpty, "bm25TopK: queryTerms must be non-empty")
     val toks = df.select(key.as("key"),
       filter(split(lower(text), "\\s+"), t => t =!= "").as("w"))
-    val lens = toks.select(col("key"), size(col("w")).cast("long").as("dl"))
-    val stats = lens.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sdl"))
-    val tf = toks.select(col("key"), explode(col("w")).as("term"))
+    // corpus stats are a single partial/final agg over the token arrays —
+    // no per-doc shuffle; the doc length rides THROUGH the tf shuffle
+    // (max(dl) below — constant per key) instead of a separate length
+    // table joined on key, which at corpus scale would be a second
+    // full-width exchange.
+    val stats = toks.agg(count(lit(1)).as("n_docs"),
+      sum(size(col("w")).cast("long")).as("sdl"))
+    val tf = toks.select(col("key"), size(col("w")).cast("long").as("dl"),
+        explode(col("w")).as("term"))
       .filter(col("term").isin(queryTerms: _*))
-      .groupBy("key", "term").agg(count(lit(1)).as("tf"))
+      .groupBy("key", "term").agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val scored = tf.join(broadcast(dfreq), Seq("term"))
-      .join(lens, Seq("key"))
       .crossJoin(broadcast(stats))
       .withColumn("avgdl",
         col("sdl").cast("double") / col("n_docs").cast("double"))

@@ -4,9 +4,9 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Curation, TextAnalysis}
+import graft.operators.{Corpus, Curation, TextAnalysis}
 
-/** BM25 retrieval + DSIR importance weighting. */
+/** BM25 retrieval, DSIR importance weighting, span dedup, tokenization. */
 class RetrievalSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
@@ -78,5 +78,37 @@ class RetrievalSpec extends AnyFunSuite {
       .as[(Long, Long, Double)].collect().map(t => t._1 -> t._3).toMap
     assert(w(1L) > w(3L) && w(3L) > w(2L))
     assert(w(1L) > 0.0 && w(2L) < 0.0)
+  }
+
+  test("spanDedupPairs finds docs sharing an exact n-word span, caps boilerplate") {
+    val span = (1 to 5).map(i => s"s$i").mkString(" ")
+    val boiler = (1 to 5).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$span alpha beta gamma"),
+      (2L, s"delta $span epsilon"), // shares the span with 1
+      (3L, "zeta eta theta iota kappa lambda"), // shares nothing
+      (4L, s"$boiler one"), (5L, s"$boiler two"), (6L, s"$boiler three"),
+      (7L, s"$boiler four") // boilerplate span in >3 docs → capped out
+    ).toDF("doc_id", "text")
+    val out = Corpus.spanDedupPairs(docs, col("doc_id"), col("text"),
+        n = 5, maxBucket = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out.exists(p => p._1 === 1L && p._2 === 2L))
+    assert(!out.exists(p => p._1 >= 3L || p._2 === 3L))
+    // the 4-doc boilerplate bucket exceeds maxBucket=3 → no 4-7 pairs
+    assert(!out.exists(p => p._1 >= 4L))
+  }
+
+  test("tokenize builds a deterministic top-V vocab and marks OOV as -1") {
+    val docs = Seq(
+      (1L, "aa bb aa cc"),
+      (2L, "aa bb dd")
+    ).toDF("doc_id", "text")
+    // counts: aa=3, bb=2, cc=1, dd=1 → vocab(3): aa=0, bb=1, cc=2 (tie
+    // cc<dd broken by word asc); dd is OOV
+    val out = TextAnalysis.tokenize(docs, col("doc_id"), col("text"), 3)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(out(0) === ((1L, 4L, 0L, "0 1 0 2")))
+    assert(out(1) === ((2L, 3L, 1L, "0 1 -1")))
   }
 }
