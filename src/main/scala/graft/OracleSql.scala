@@ -980,6 +980,40 @@ object OracleSql {
         |      PARTITION BY user_id ORDER BY ts, event_id) END AS crossed
         |FROM s ORDER BY user_id, ts, event_id""".stripMargin,
 
+    "q_cohort" ->
+      """WITH acts AS (
+        |  SELECT DISTINCT user_id AS u, CAST(date_trunc('day', ts) AS TIMESTAMP) AS b
+        |  FROM events),
+        |first AS (SELECT u, min(b) AS cohort FROM acts GROUP BY u)
+        |SELECT cohort,
+        |  CAST(date_diff('day', cohort, b) AS INTEGER) AS day_offset,
+        |  CAST(count(DISTINCT u) AS BIGINT) AS n_users
+        |FROM acts JOIN first USING (u)
+        |GROUP BY 1, 2 ORDER BY cohort, day_offset""".stripMargin,
+
+    "q_funnel" ->
+      """WITH b AS (
+        |  SELECT user_id AS u, ts, event_id AS tb, event_type AS stage
+        |  FROM events),
+        |s0 AS (
+        |  SELECT *, min(CASE WHEN stage = 'view' THEN ts END) OVER w AS t0
+        |  FROM b WINDOW w AS (PARTITION BY u ORDER BY ts, tb
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |s1 AS (
+        |  SELECT *, min(CASE WHEN stage = 'click' AND t0 IS NOT NULL
+        |      AND ts >= t0 THEN ts END) OVER w AS t1
+        |  FROM s0 WINDOW w AS (PARTITION BY u ORDER BY ts, tb
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |s2 AS (
+        |  SELECT *, min(CASE WHEN stage = 'purchase' AND t1 IS NOT NULL
+        |      AND ts >= t1 THEN ts END) OVER w AS t2
+        |  FROM s1 WINDOW w AS (PARTITION BY u ORDER BY ts, tb
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT u AS user_id,
+        |  max(CASE WHEN t2 IS NOT NULL THEN 3 WHEN t1 IS NOT NULL THEN 2
+        |    WHEN t0 IS NOT NULL THEN 1 ELSE 0 END) AS reached
+        |FROM s2 GROUP BY u ORDER BY user_id""".stripMargin,
+
     "q_span_dedup" ->
       """WITH corpus AS (
         |  SELECT doc_id AS key, text AS t FROM documents

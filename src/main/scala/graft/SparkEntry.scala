@@ -491,6 +491,11 @@ object SparkEntry {
         .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
         .agg(round(sum(col("value").cast("decimal(30,10)")).cast("double") /
           count(lit(1)).cast("double"), 9).as("v"))
+        // both self-join sides reference this aggregate; persisting keeps
+        // the events scan+agg single-pass (Spark does not reuse the
+        // exchange across the differently-projected branches). Tiny frame
+        // (watchlist × days); freed by the harness clearCache.
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val a = daily.select(col("user_id").as("user_a"), col("day"), col("v").as("va"))
       val b = daily.select(col("user_id").as("user_b"), col("day"), col("v").as("vb"))
       val joined = a.join(b, Seq("day")).filter(col("user_a") < col("user_b"))
@@ -498,6 +503,25 @@ object SparkEntry {
           col("va"), col("vb"))
         .select("user_a", "user_b", "n", "corr_xy")
         .orderBy("user_a", "user_b")
+    }),
+
+    // A2+ — cohort retention triangle: users bucketed by first-activity
+    // day, distinct-user counts per (cohort, day offset).
+    "q_cohort" -> ((s, dir) => {
+      Analytics.cohortRetention(t(s, dir, "events"),
+          col("user_id"), date_trunc("day", col("ts")))
+        .orderBy("cohort", "day_offset")
+    }),
+
+    // W3+ — ordered funnel over event types: view → click → purchase,
+    // stage k counting only at/after the chained stage k−1 time; all
+    // stage layers share one window sort.
+    "q_funnel" -> ((s, dir) => {
+      Analytics.funnelStages(t(s, dir, "events"),
+          col("user_id"), col("ts"), col("event_id"), col("event_type"),
+          Seq("view", "click", "purchase"))
+        .select(col("user").as("user_id"), col("reached"))
+        .orderBy("user_id")
     }),
 
     // W1/W2+ — grouped linear time interpolation (pandas

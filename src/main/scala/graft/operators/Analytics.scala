@@ -221,6 +221,58 @@ object Analytics {
     * Returns the input keys/order plus (sma_short, sma_long, signal,
     * crossed); `crossed` is NULL on each partition's first row.
     */
+  /** Cohort retention — users grouped by first-activity bucket (their
+    * cohort), counted by activity-bucket offset from it: the classic
+    * retention triangle. Two aggregates: per-user first bucket (one
+    * shuffle on user), then distinct-user counts per (cohort, offset) —
+    * the first-bucket frame joins back to the user's activity rows on
+    * the SAME user key, so AQE plans it as a co-partitioned join; the
+    * second aggregate's key space is tiny (cohorts × offsets).
+    */
+  def cohortRetention(
+      df: DataFrame, user: Column, bucket: Column): DataFrame = {
+    val acts = df.select(user.as("user"), bucket.as("b")).distinct()
+    val first = acts.groupBy("user").agg(min(col("b")).as("cohort"))
+    acts.join(first, Seq("user"))
+      .groupBy(col("cohort"),
+        datediff(col("b"), col("cohort")).as("day_offset"))
+      .agg(countDistinct(col("user")).as("n_users"))
+  }
+
+  /** Ordered funnel — per user, how many funnel stages were completed IN
+    * ORDER: stage k counts only at/after the time stages 0..k−1 were
+    * already chained. Layer i adds a running conditional min
+    * __t(i) = earliest ts of a stage-i row whose own running __t(i−1)
+    * was already set (so ordering is enforced row-locally, equal
+    * timestamps resolved by the tiebreak order). All layers share ONE
+    * (user, ts, tiebreak) window sort — Spark stacks WindowExecs over a
+    * single exchange, no joins; the final depth is a per-user max of a
+    * deepest-first CASE over the chain columns.
+    *
+    * Returns (user, reached) with reached ∈ [0, stages.length].
+    */
+  def funnelStages(
+      df: DataFrame, user: Column, ts: Column, tiebreak: Column,
+      stage: Column, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnelStages: stages must be non-empty")
+    val w = Window.partitionBy(col("user")).orderBy(col("ts"), col("tb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = df.select(user.as("user"), ts.as("ts"), tiebreak.as("tb"),
+      stage.as("stage"))
+    val withT = stages.zipWithIndex.foldLeft(base) { case (d, (s, i)) =>
+      val cond =
+        if (i == 0) col("stage") === s
+        else col("stage") === s && col(s"__t${i - 1}").isNotNull &&
+          col("ts") >= col(s"__t${i - 1}")
+      d.withColumn(s"__t$i", min(when(cond, col("ts"))).over(w))
+    }
+    // deepest stage checked first (chain is monotone: t_i set ⇒ t_{i-1} set)
+    val depth = stages.indices.foldLeft(lit(0)) { (acc, i) =>
+      when(col(s"__t$i").isNotNull, lit(i + 1)).otherwise(acc)
+    }
+    withT.groupBy("user").agg(max(depth).as("reached"))
+  }
+
   /** VWAP — volume-weighted average price per group: Σ(p·v)/Σ(v) with
     * exact decimal accumulation (order-independent partials), one double
     * division at the end, then truncated to 6 decimals via floor(x·10⁶)/10⁶.

@@ -65,6 +65,34 @@ class MarketSpec extends AnyFunSuite {
       out(0).getDouble(2) === 5.0 && out(0).getString(3) === "none")
   }
 
+  test("cohortRetention buckets users by first day and counts offsets") {
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")
+    val df = Seq(
+      (1L, ts(1)), (1L, ts(2)), (1L, ts(4)), (1L, ts(4)), // dup same day
+      (2L, ts(2))
+    ).toDF("u", "b")
+    val out = Analytics.cohortRetention(df, col("u"), col("b"))
+      .as[(java.sql.Timestamp, Int, Long)].collect().toSet
+    assert(out === Set((ts(1), 0, 1L), (ts(1), 1, 1L), (ts(1), 3, 1L),
+      (ts(2), 0, 1L)))
+  }
+
+  test("funnelStages counts stages reached strictly in order") {
+    def ts(s: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+    val df = Seq(
+      ("a", ts(1), 1L, "view"), ("a", ts(2), 2L, "click"), ("a", ts(3), 3L, "purchase"),
+      ("b", ts(1), 4L, "click"), ("b", ts(2), 5L, "view"), ("b", ts(3), 6L, "purchase"),
+      ("c", ts(1), 7L, "view"), ("c", ts(2), 8L, "purchase"),
+      ("d", ts(1), 9L, "purchase")
+    ).toDF("u", "ts", "id", "et")
+    val out = Analytics.funnelStages(df, col("u"), col("ts"), col("id"),
+        col("et"), Seq("view", "click", "purchase"))
+      .as[(String, Int)].collect().toMap
+    // b's click precedes its view → chain stops after view; c skips
+    // click → purchase doesn't count; d never views
+    assert(out === Map("a" -> 3, "b" -> 1, "c" -> 1, "d" -> 0))
+  }
+
   test("bollinger flags a spike beyond k·σ as an up-breakout") {
     // single outlier d above a constant frame sits above the band iff
     // 1 − n + k·√(n−1) < 0; n=10, k=2 gives −3 (n=5 would be exactly 0)
