@@ -980,6 +980,88 @@ object OracleSql {
         |      PARTITION BY user_id ORDER BY ts, event_id) END AS crossed
         |FROM s ORDER BY user_id, ts, event_id""".stripMargin,
 
+    "q_entropy" ->
+      """WITH words AS (
+        |  SELECT key, unnest(w) AS w FROM (
+        |    SELECT doc_id AS key,
+        |      list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+        |    FROM documents)),
+        |wc AS (SELECT key, w, CAST(count(*) AS BIGINT) AS c
+        |  FROM words GROUP BY key, w)
+        |SELECT key AS doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_distinct,
+        |  round(ln(CAST(sum(c) AS DOUBLE)) -
+        |    CAST(sum(CAST(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+        |      AS DECIMAL(38,12))) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 9)
+        |    AS entropy
+        |FROM wc GROUP BY key ORDER BY doc_id""".stripMargin,
+
+    "q_autocorr" ->
+      """WITH p AS (
+        |  SELECT user_id, value AS v,
+        |    lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS vl
+        |  FROM events),
+        |f AS (SELECT * FROM p WHERE vl IS NOT NULL),
+        |m AS (
+        |  SELECT user_id, count(*) AS n,
+        |    sum(CAST(v AS DECIMAL(38,12))) AS sx,
+        |    sum(CAST(vl AS DECIMAL(38,12))) AS sy,
+        |    sum(CAST(v * v AS DECIMAL(38,12))) AS sxx,
+        |    sum(CAST(vl * vl AS DECIMAL(38,12))) AS syy,
+        |    sum(CAST(v * vl AS DECIMAL(38,12))) AS sxy
+        |  FROM f GROUP BY user_id)
+        |SELECT user_id, n,
+        |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+        |    CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |    (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |     sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+        |      CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 10) AS autocorr
+        |FROM m ORDER BY user_id""".stripMargin,
+
+    "q_pagerank" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT 'p:' || l_partkey AS src, 's:' || l_suppkey AS dst
+        |  FROM lineitem),
+        |edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+        |r0 AS (SELECT node, 1.0 / CAST(n AS DOUBLE) AS r
+        |  FROM nodes CROSS JOIN nn),
+        |m1 AS (
+        |  SELECT e.dst AS node,
+        |    CAST(sum(CAST(r.r / CAST(d.deg AS DOUBLE) AS DECIMAL(38,12)))
+        |      AS DOUBLE) AS m
+        |  FROM edges e JOIN r0 r ON e.src = r.node JOIN deg d ON e.src = d.src
+        |  GROUP BY e.dst),
+        |r1 AS (
+        |  SELECT nodes.node,
+        |    (1.0 - 0.85) / CAST(n AS DOUBLE) + 0.85 * coalesce(m, 0.0) AS r
+        |  FROM nodes LEFT JOIN m1 USING (node) CROSS JOIN nn),
+        |m2 AS (
+        |  SELECT e.dst AS node,
+        |    CAST(sum(CAST(r.r / CAST(d.deg AS DOUBLE) AS DECIMAL(38,12)))
+        |      AS DOUBLE) AS m
+        |  FROM edges e JOIN r1 r ON e.src = r.node JOIN deg d ON e.src = d.src
+        |  GROUP BY e.dst),
+        |r2 AS (
+        |  SELECT nodes.node,
+        |    (1.0 - 0.85) / CAST(n AS DOUBLE) + 0.85 * coalesce(m, 0.0) AS r
+        |  FROM nodes LEFT JOIN m2 USING (node) CROSS JOIN nn),
+        |m3 AS (
+        |  SELECT e.dst AS node,
+        |    CAST(sum(CAST(r.r / CAST(d.deg AS DOUBLE) AS DECIMAL(38,12)))
+        |      AS DOUBLE) AS m
+        |  FROM edges e JOIN r2 r ON e.src = r.node JOIN deg d ON e.src = d.src
+        |  GROUP BY e.dst),
+        |r3 AS (
+        |  SELECT nodes.node,
+        |    (1.0 - 0.85) / CAST(n AS DOUBLE) + 0.85 * coalesce(m, 0.0) AS r
+        |  FROM nodes LEFT JOIN m3 USING (node) CROSS JOIN nn)
+        |SELECT node, round(r, 12) AS rank
+        |FROM r3 ORDER BY rank DESC, node LIMIT 20""".stripMargin,
+
     "q_cohort" ->
       """WITH acts AS (
         |  SELECT DISTINCT user_id AS u, CAST(date_trunc('day', ts) AS TIMESTAMP) AS b

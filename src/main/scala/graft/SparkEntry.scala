@@ -505,6 +505,40 @@ object SparkEntry {
         .orderBy("user_a", "user_b")
     }),
 
+    // LLM-pipeline — token-level Shannon entropy per doc (information-
+    // density quality signal; low = templated/repetitive text).
+    "q_entropy" -> ((s, dir) => {
+      TextAnalysis.tokenEntropy(t(s, dir, "documents"), col("doc_id"), col("text"))
+        .select(col("key").as("doc_id"), col("n_tokens"), col("n_distinct"),
+          col("entropy"))
+        .orderBy("doc_id")
+    }),
+
+    // W3+ — lag-1 autocorrelation of the value series per user
+    // (mean-reversion vs momentum diagnostic).
+    "q_autocorr" -> ((s, dir) => {
+      Analytics.autocorr(t(s, dir, "events"),
+          Seq(col("user_id")), Seq(col("ts"), col("event_id")),
+          col("value"), lagK = 1)
+        .orderBy("user_id")
+    }),
+
+    // J+ iterative graph — 3-iteration PageRank over the symmetrized
+    // part↔supplier co-occurrence graph from lineitem: join+agg rounds,
+    // no driver-side graph, decimal-summed contributions (oracle parity).
+    "q_pagerank" -> ((s, dir) => {
+      val e0 = t(s, dir, "lineitem").select(
+          concat(lit("p:"), col("l_partkey")).as("src"),
+          concat(lit("s:"), col("l_suppkey")).as("dst")).distinct()
+      val edges = e0.unionByName(
+          e0.select(col("dst").as("src"), col("src").as("dst")))
+        // read every PageRank round (3×) — materialize the distinct once
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.operators.Graph.pageRank(edges, iters = 3, damping = 0.85)
+        .select(col("node"), round(col("r"), 12).as("rank"))
+        .orderBy(col("rank").desc, col("node")).limit(20)
+    }),
+
     // A2+ — cohort retention triangle: users bucketed by first-activity
     // day, distinct-user counts per (cohort, day offset).
     "q_cohort" -> ((s, dir) => {

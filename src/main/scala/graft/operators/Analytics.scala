@@ -221,6 +221,27 @@ object Analytics {
     * Returns the input keys/order plus (sma_short, sma_long, signal,
     * crossed); `crossed` is NULL on each partition's first row.
     */
+  /** Lag-k autocorrelation per key — serial dependence of an ordered
+    * series (mean-reversion vs momentum diagnostics next to [[rsi]] /
+    * [[smaCrossover]]). One lag window over the shared (partition,
+    * order) sort produces (v, v₋ₖ) pairs; [[momentStats]]'s exact
+    * decimal-moment correlation finishes per key. Rows without a lag
+    * (first k of each partition) are excluded from the pair set.
+    */
+  def autocorr(
+      df: DataFrame, partitionBy: Seq[Column], orderBy: Seq[Column],
+      value: Column, lagK: Int): DataFrame = {
+    require(lagK > 0, s"autocorr: lag must be positive, got $lagK")
+    val w = Window.partitionBy(partitionBy: _*).orderBy(orderBy: _*)
+    val pairs = df
+      .withColumn("__v", value)
+      .withColumn("__vl", lag(value, lagK).over(w))
+      .filter(col("__vl").isNotNull)
+    momentStats(pairs, partitionBy, col("__v"), col("__vl"))
+      .withColumnRenamed("corr_xy", "autocorr")
+      .drop("mean_x", "var_x")
+  }
+
   /** Cohort retention — users grouped by first-activity bucket (their
     * cohort), counted by activity-bucket offset from it: the classic
     * retention triangle. Two aggregates: per-user first bucket (one

@@ -205,6 +205,27 @@ object TextAnalysis {
       .agg(concat_ws("",
         slice(array_sort(collect_list(col("h"))), 1, take)).as("fingerprint"))
 
+  /** Token-level Shannon entropy per document — the information-density
+    * quality signal (low entropy ⇒ repetitive/templated text; pairs with
+    * [[repetitionStats]]). H = ln(n) − (Σ c·ln c)/n over word counts —
+    * the algebraic form that needs ONE ln per distinct word instead of
+    * a probability column (same value, fewer transcendental sites for
+    * cross-engine ulp to creep in). One explode + two partial/final
+    * aggregates; group sizes bounded by doc vocabulary.
+    */
+  def tokenEntropy(df: DataFrame, key: Column, text: Column): DataFrame =
+    df.select(key.as("key"),
+        explode(filter(split(lower(text), "\\s+"), t => t =!= "")).as("w"))
+      .groupBy("key", "w").agg(count(lit(1)).as("c"))
+      .groupBy("key")
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        round(
+          log(sum(col("c")).cast("double")) -
+            sum((col("c").cast("double") * log(col("c").cast("double")))
+              .cast("decimal(38,12)")).cast("double") /
+              sum(col("c")).cast("double"), 9).as("entropy"))
+
   /** Vocabulary tokenization — the id-mapping step of a training-data
     * pipeline: build a top-`vocabSize` word vocabulary from the corpus
     * itself (rank by count desc, word asc — deterministic), then encode

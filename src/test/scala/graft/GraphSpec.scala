@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Graph
+
+class GraphSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def sym(pairs: (String, String)*) =
+    (pairs ++ pairs.map(p => (p._2, p._1))).toDF("src", "dst")
+
+  test("pageRank on a symmetric pair splits mass evenly and conserves it") {
+    val r = Graph.pageRank(sym(("a", "b")), iters = 3, damping = 0.85)
+      .as[(String, Double)].collect().toMap
+    assert(math.abs(r("a") - 0.5) < 1e-12 && math.abs(r("b") - 0.5) < 1e-12)
+  }
+
+  test("pageRank ranks a star's hub above its leaves, total mass ≈ 1") {
+    val r = Graph.pageRank(sym(("c", "l1"), ("c", "l2"), ("c", "l3")),
+        iters = 3, damping = 0.85)
+      .as[(String, Double)].collect().toMap
+    assert(r("c") > r("l1"))
+    assert(r("l1") === r("l2") && r("l2") === r("l3"))
+    assert(math.abs(r.values.sum - 1.0) < 1e-9)
+    // hand-computed round 1: r1(c) = 0.15/4 + 0.85·(3·0.25) = 0.675
+    val r1 = Graph.pageRank(sym(("c", "l1"), ("c", "l2"), ("c", "l3")),
+        iters = 1, damping = 0.85)
+      .as[(String, Double)].collect().toMap
+    assert(math.abs(r1("c") - 0.675) < 1e-9)
+  }
+
+  test("pageRank mass conservation on an asymmetric-degree graph") {
+    // path a-b-c (symmetrized): b has degree 2, ends degree 1
+    val r = Graph.pageRank(sym(("a", "b"), ("b", "c")), iters = 4, damping = 0.85)
+      .as[(String, Double)].collect().toMap
+    assert(math.abs(r.values.sum - 1.0) < 1e-9)
+    assert(r("b") > r("a") && r("a") === r("c"))
+  }
+}

@@ -65,6 +65,16 @@ class MarketSpec extends AnyFunSuite {
       out(0).getDouble(2) === 5.0 && out(0).getString(3) === "none")
   }
 
+  test("autocorr: +1 on a linear ramp, -1 on an alternating series") {
+    val ramp = (1 to 10).map(i => ("r", i.toLong, i * 2.0))
+    val saw = (1 to 10).map(i => ("s", i.toLong, if (i % 2 == 0) 1.0 else -1.0))
+    val df = (ramp ++ saw).toDF("k", "i", "v")
+    val out = Analytics.autocorr(df, Seq(col("k")), Seq(col("i")), col("v"), 1)
+      .as[(String, Long, Double)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(out("r")._1 === 9L && math.abs(out("r")._2 - 1.0) < 1e-9)
+    assert(out("s")._1 === 9L && math.abs(out("s")._2 + 1.0) < 1e-9)
+  }
+
   test("cohortRetention buckets users by first day and counts offsets") {
     def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")
     val df = Seq(

@@ -99,6 +99,20 @@ class RetrievalSpec extends AnyFunSuite {
     assert(!out.exists(p => p._1 >= 4L))
   }
 
+  test("tokenEntropy: 0 for constant docs, ln(n) for all-distinct docs") {
+    val docs = Seq(
+      (1L, "aa aa aa aa"), // H = 0
+      (2L, "aa bb cc"), // uniform → ln 3
+      (3L, "aa aa bb") // ln 3 − (2 ln 2)/3
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tokenEntropy(docs, col("doc_id"), col("text"))
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(out(0) === ((1L, 4L, 1L, 0.0)))
+    assert(out(1)._4 === math.rint((math.log(3.0)) * 1e9) / 1e9)
+    assert(math.abs(out(2)._4 -
+      (math.log(3.0) - 2.0 * math.log(2.0) / 3.0)) < 1e-8)
+  }
+
   test("tokenize builds a deterministic top-V vocab and marks OOV as -1") {
     val docs = Seq(
       (1L, "aa bb aa cc"),
