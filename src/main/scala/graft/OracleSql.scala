@@ -2237,5 +2237,106 @@ object OracleSql {
         |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
         |  min(regexp_extract(url, 'https?://[^/]+(/.*)', 1)) AS first_path
         |FROM u GROUP BY 1 ORDER BY host""".stripMargin,
+
+    "q_twap" ->
+      """WITH s AS (
+        |  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |    value, event_id, ts,
+        |    CAST(floor(epoch_us(ts) / 1000000) AS BIGINT) AS sec
+        |  FROM events),
+        |d AS (
+        |  SELECT user_id, day, value,
+        |    lead(sec) OVER (PARTITION BY user_id, day ORDER BY ts, event_id)
+        |      - sec AS dt
+        |  FROM s)
+        |SELECT user_id, day,
+        |  CASE WHEN CAST(sum(CAST(dt AS DECIMAL(30,4))) AS DOUBLE) = 0 THEN NULL
+        |    ELSE floor((CAST(sum(CAST(value * dt AS DECIMAL(30,4))) AS DOUBLE) /
+        |      CAST(sum(CAST(dt AS DECIMAL(30,4))) AS DOUBLE)) * 1e6) / 1e6
+        |  END AS twap,
+        |  CAST(sum(dt) AS BIGINT) AS span_secs,
+        |  count(*) AS n_obs
+        |FROM d GROUP BY 1, 2
+        |ORDER BY user_id, day""".stripMargin,
+
+    "q_rolling_zscore" ->
+      """WITH f AS (
+        |  SELECT event_id, user_id, ts, value,
+        |    CAST(count(*) OVER w AS DOUBLE) AS cnt,
+        |    CAST(sum(CAST(value AS DECIMAL(30,10))) OVER w AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(value * value AS DECIMAL(30,10))) OVER w AS DOUBLE) AS sxx
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+        |z AS (
+        |  SELECT event_id, user_id, ts, value,
+        |    CASE WHEN cnt < 20
+        |        OR sqrt(greatest(sxx / cnt - (sx / cnt) * (sx / cnt), 0.0)) = 0
+        |      THEN NULL
+        |      ELSE (value - sx / cnt) /
+        |        sqrt(greatest(sxx / cnt - (sx / cnt) * (sx / cnt), 0.0))
+        |    END AS zraw
+        |  FROM f)
+        |SELECT event_id, user_id, ts, value,
+        |  round(zraw, 9) AS zscore,
+        |  CASE WHEN zraw IS NULL THEN FALSE ELSE abs(zraw) > 2.5 END AS is_anomaly
+        |FROM z ORDER BY user_id, ts, event_id""".stripMargin,
+
+    "q_gap_fill" ->
+      """WITH hourly AS (
+        |  SELECT user_id AS key, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+        |    round(CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE) /
+        |      CAST(count(value) AS DOUBLE), 9) AS v_obs
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT key, min(h) AS mn, max(h) AS mx FROM hourly GROUP BY 1),
+        |spine AS (
+        |  SELECT key, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+        |  FROM bounds)
+        |SELECT s.key AS user_id, s.h AS h, hh.v_obs,
+        |  hh.v_obs IS NULL AS is_gap,
+        |  last_value(hh.v_obs IGNORE NULLS) OVER (
+        |    PARTITION BY s.key ORDER BY s.h
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+        |FROM spine s LEFT JOIN hourly hh ON hh.key = s.key AND hh.h = s.h
+        |ORDER BY user_id, s.h""".stripMargin,
+
+    "q_weighted_sample" ->
+      """WITH s AS (
+        |  SELECT source AS grp, doc_id AS key, n_chars,
+        |    ln((CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |          AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0)
+        |      / CAST(n_chars AS DOUBLE) AS sc
+        |  FROM documents WHERE CAST(n_chars AS DOUBLE) > 0),
+        |r AS (
+        |  SELECT grp, key, n_chars, sc,
+        |    row_number() OVER (PARTITION BY grp ORDER BY sc DESC, key) AS rn
+        |  FROM s)
+        |SELECT grp AS source, key AS doc_id, n_chars,
+        |  round(sc, 9) AS score, CAST(rn AS INTEGER) AS rn
+        |FROM r WHERE rn <= 5
+        |ORDER BY source, rn""".stripMargin,
+
+    "q_sorted_neighborhood" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang, n_chars, substr(text, 1, 60) AS p FROM documents),
+        |w AS (
+        |  SELECT doc_id AS a_id, lang, p AS a_p,
+        |    lead(doc_id, 1) OVER win AS b1, lead(p, 1) OVER win AS p1,
+        |    lead(doc_id, 2) OVER win AS b2, lead(p, 2) OVER win AS p2,
+        |    lead(doc_id, 3) OVER win AS b3, lead(p, 3) OVER win AS p3
+        |  FROM s
+        |  WINDOW win AS (PARTITION BY lang ORDER BY n_chars, doc_id)),
+        |pairs AS (
+        |  SELECT a_id, b1 AS b_id, lang, 1 AS gap, a_p, p1 AS b_p
+        |    FROM w WHERE b1 IS NOT NULL
+        |  UNION ALL
+        |  SELECT a_id, b2, lang, 2, a_p, p2 FROM w WHERE b2 IS NOT NULL
+        |  UNION ALL
+        |  SELECT a_id, b3, lang, 3, a_p, p3 FROM w WHERE b3 IS NOT NULL)
+        |SELECT a_id AS doc_a, b_id AS doc_b, lang, gap,
+        |  CAST(levenshtein(a_p, b_p) AS INTEGER) AS dist
+        |FROM pairs
+        |WHERE levenshtein(a_p, b_p) <= 25
+        |ORDER BY doc_a, doc_b""".stripMargin,
   )
 }

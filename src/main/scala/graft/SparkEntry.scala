@@ -539,6 +539,62 @@ object SparkEntry {
         .orderBy(col("rank").desc, col("node")).limit(20)
     }),
 
+    // A6+ domain pack — time-weighted average per user-day (the vwap
+    // sibling weighted by holding seconds, not volume): one lead()
+    // window + one aggregate sharing the user partitioning.
+    "q_twap" -> ((s, dir) => {
+      Analytics.twap(t(s, dir, "events"),
+          Seq(col("user_id"), date_trunc("day", col("ts")).as("day")),
+          col("ts"), Seq(col("event_id")), col("value"))
+        .orderBy("user_id", "day")
+    }),
+
+    // W3+ — rolling 20-row z-score anomaly flag per user: three frame
+    // aggregates in one WindowExec, null until the frame fills.
+    "q_rolling_zscore" -> ((s, dir) => {
+      Analytics.rollingZscore(t(s, dir, "events"),
+          Seq(col("user_id")), Seq(col("ts"), col("event_id")),
+          col("value"), n = 20, k = 2.5)
+        .select("event_id", "user_id", "ts", "value", "zscore", "is_anomaly")
+        .orderBy("user_id", "ts", "event_id")
+    }),
+
+    // W1+ — calendar-spine gap fill: per-user hourly spine generated
+    // DISTRIBUTED (sequence+explode from the bounds aggregate), left
+    // join of observed hourly means, forward fill over the holes.
+    "q_gap_fill" -> ((s, dir) => {
+      Fill.gapFillHourly(t(s, dir, "events"),
+          col("user_id"), col("ts"), col("value"))
+        .select(col("key").as("user_id"), col("h"), col("v_obs"),
+          col("is_gap"), col("v_filled"))
+        .orderBy("user_id", "h")
+    }),
+
+    // LLM-pipeline — deterministic weighted sampling without
+    // replacement (Efraimidis-Spirakis A-ES via portable hash
+    // uniforms): 5 docs per source, selection probability ∝ n_chars.
+    "q_weighted_sample" -> ((s, dir) => {
+      Corpus.weightedSample(t(s, dir, "documents"),
+          col("doc_id"), col("source"), col("n_chars"), k = 5)
+        .select(col("group").as("source"), col("key").as("doc_id"),
+          col("weight").as("n_chars"), col("score"), col("rn"))
+        .orderBy("source", "rn")
+    }),
+
+    // LLM-pipeline — sorted-neighborhood candidate mining (merge/purge
+    // blocking): sort each lang block by doc length, pair each doc with
+    // its next 3 neighbors, verify with levenshtein over a 60-char
+    // prefix. One window sort per block, no self-join.
+    "q_sorted_neighborhood" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      NearDup.sortedNeighborhood(d, col("doc_id"), col("lang"),
+          Seq(col("n_chars"), col("doc_id")),
+          substring(col("text"), 1, 60), w = 3, maxDist = 25)
+        .select(col("a_id").as("doc_a"), col("b_id").as("doc_b"),
+          col("block").as("lang"), col("gap"), col("dist"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // A2+ — cohort retention triangle: users bucketed by first-activity
     // day, distinct-user counts per (cohort, day offset).
     "q_cohort" -> ((s, dir) => {

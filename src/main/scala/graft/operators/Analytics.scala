@@ -399,6 +399,71 @@ object Analytics {
           .otherwise(lit("none")))
   }
 
+  /** Time-weighted average price — the [[vwap]] sibling where the weight
+    * is HOLDING TIME, not volume: each observation counts for the seconds
+    * until the next one in its partition (the last observation of a
+    * partition has no successor and carries zero weight — the standard
+    * open-interval TWAP convention). Time deltas are integral epoch
+    * SECONDS (truncated identically by both engines; a fractional-second
+    * delta would reintroduce float noise for no analytical gain at TWAP
+    * granularity).
+    *
+    * Plan shape: one lead() window over the (partition, time) sort, then
+    * one partial/final aggregate on the same partition keys — Spark
+    * reuses the window's hash partitioning for the aggregate, so the
+    * whole operator is a single exchange. The numeric policy is
+    * [[vwap]]'s verbatim: decimal(30,4) exact sums (value·dt stays well
+    * under 2^53 at scale 4 for day-bounded partitions), one shared
+    * double division, floor to 6 decimals.
+    */
+  def twap(df: DataFrame, partitionBy: Seq[Column], ts: Column,
+      tiebreak: Seq[Column], value: Column): DataFrame = {
+    val w = Window.partitionBy(partitionBy: _*)
+      .orderBy((ts +: tiebreak): _*)
+    val sec = floor(unix_micros(ts) / lit(1000000L)).cast("long")
+    val dt = (lead(sec, 1).over(w) - sec).cast("long")
+    val num = sum((value * col("__dt")).cast("decimal(30,4)")).cast("double")
+    val den = sum(col("__dt").cast("decimal(30,4)")).cast("double")
+    df.withColumn("__dt", dt)
+      .groupBy(partitionBy.map(c => c): _*)
+      .agg(
+        // den = 0 (all observations in one second) and den = null (a
+        // single observation) both mean "no holding time" → null, not
+        // the NaN that 0/0 would hand the comparator
+        when(den === 0.0, lit(null).cast("double"))
+          .otherwise(floor((num / den) * lit(1e6)) / lit(1e6))
+          .as("twap"),
+        sum(col("__dt")).as("span_secs"),
+        count(lit(1)).as("n_obs"))
+  }
+
+  /** Rolling z-score anomaly flag — the streaming-friendly outlier
+    * detector next to [[bollinger]]: z = (x − μ)/σ over a trailing
+    * n-row frame (population σ from exact decimal Σx, Σx², the shared
+    * determinism pattern), null until the frame is full (a warm-up
+    * z-score against 3 points is noise, not signal) and null when the
+    * window is constant (σ = 0). The flag compares the UNROUNDED z
+    * against k with the identical IEEE op sequence mirrored in the
+    * oracle. One window sort, three frame aggregates in one WindowExec.
+    */
+  def rollingZscore(
+      df: DataFrame, partitionBy: Seq[Column], orderBy: Seq[Column],
+      value: Column, n: Int, k: Double): DataFrame = {
+    require(n > 1, s"rollingZscore: frame must exceed 1 row, got $n")
+    val frame = Window.partitionBy(partitionBy: _*).orderBy(orderBy: _*)
+      .rowsBetween(-(n - 1), Window.currentRow)
+    val cnt = count(lit(1)).over(frame).cast("double")
+    val sx = sum(value.cast("decimal(30,10)")).over(frame).cast("double")
+    val sxx = sum((value * value).cast("decimal(30,10)")).over(frame).cast("double")
+    val mean = sx / cnt
+    val sd = sqrt(greatest(sxx / cnt - (sx / cnt) * (sx / cnt), lit(0.0)))
+    val z = when(cnt < n || sd === 0.0, lit(null).cast("double"))
+      .otherwise((value - mean) / sd)
+    df.withColumn("zscore", round(z, 9))
+      .withColumn("is_anomaly",
+        when(z.isNull, lit(false)).otherwise(abs(z) > lit(k)))
+  }
+
   def smaCrossover(
       df: DataFrame, partitionBy: Seq[Column], orderBy: Seq[Column],
       value: Column, shortN: Int, longN: Int): DataFrame = {

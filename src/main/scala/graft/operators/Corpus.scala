@@ -110,6 +110,41 @@ object Corpus {
       .groupBy("key_a", "key_b").agg(count(lit(1)).as("n_shared_spans"))
   }
 
+  /** Deterministic WEIGHTED sampling without replacement, top-k per
+    * group — Efraimidis-Spirakis A-ES (public algorithm: "Weighted
+    * random sampling with a reservoir", IPL 2006): each row draws
+    * u ∈ (0,1) and ranks by u^(1/w); the k largest per group are an
+    * exact weighted sample without replacement. The draw is the
+    * engine-portable hash uniform (first 8 md5 hex chars of the key →
+    * (h + 0.5)/2^32, never 0 or 1), so membership is a pure function of
+    * the key: re-runs, retries, different partitionings, and the SQL
+    * oracle all select the identical rows — unlike rand()-based
+    * sampling, whose draws are engine-private. Ranking uses the
+    * monotone-equivalent ln(u)/w (w > 0 rows only; zero/negative
+    * weights are dropped — they cannot win under the A-ES scheme).
+    *
+    * Plan shape: one narrow projection (hash, score), one top-k window
+    * per group — a single exchange on the group key; at 100 TB the
+    * rank-k cut happens map-side first (WindowGroupLimit pushes the
+    * row_number filter into the partial sort), so the shuffle carries
+    * ~k rows per group per mapper, not the corpus.
+    */
+  def weightedSample(df: DataFrame, key: Column, group: Column,
+      weight: Column, k: Int): DataFrame = {
+    require(k > 0, s"weightedSample: k must be > 0, got $k")
+    val h = conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long")
+    val u = (h.cast("double") + lit(0.5)) / lit(4294967296.0)
+    val score = log(u) / weight.cast("double")
+    val w = Window.partitionBy("group").orderBy(col("__s").desc, col("key"))
+    df.filter(weight.cast("double") > 0)
+      .select(group.as("group"), key.as("key"), weight.as("weight"),
+        score.as("__s"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("group"), col("key"), col("weight"),
+        round(col("__s"), 9).as("score"), col("rn"))
+  }
+
   def cleanCorpus(df: DataFrame, key: Column, text: Column,
       targetLang: String, minScore: Double,
       n: Int, k: Int, jaccThreshold: Double): DataFrame = {

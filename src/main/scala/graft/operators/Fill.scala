@@ -50,6 +50,41 @@ object Fill {
       d.withColumn(name, ffillBfill(partitionBy, orderBy)(col(name)))
     }
 
+  /** W1+ — calendar-spine gap filling: materialize EVERY hour between a
+    * group's first and last observation, left-join the observed hourly
+    * aggregate onto that spine, and forward-fill the holes — the step
+    * before resampling/interpolation can even run when whole buckets are
+    * missing (ffill/bfill only patch null VALUES on existing rows; a
+    * missing ROW needs a spine).
+    *
+    * Plan shape at 100 TB: the spine is generated DISTRIBUTED — one row
+    * per group from the bounds aggregate, then `sequence()` + `explode`
+    * fan out per-group on executors (no driver-side calendar, no
+    * cross-join against a global spine table). Both the bounds aggregate
+    * and the spine↔observed join hash-partition on the group key, and
+    * the final ffill window reuses that partitioning — two exchanges
+    * total regardless of calendar span. Spine width per group is bounded
+    * by the group's own time span, so skew follows the data, not the
+    * calendar.
+    */
+  def gapFillHourly(df: DataFrame, key: Column, ts: Column,
+      value: Column): DataFrame = {
+    val hourly = df
+      .groupBy(key.as("key"), date_trunc("hour", ts).as("h"))
+      .agg((round(sum(value.cast("decimal(30,10)")).cast("double") /
+        count(value).cast("double"), 9)).as("v_obs"))
+    val spine = hourly.groupBy("key")
+      .agg(min(col("h")).as("mn"), max(col("h")).as("mx"))
+      .select(col("key"),
+        explode(sequence(col("mn"), col("mx"),
+          expr("INTERVAL 1 HOUR"))).as("h"))
+    val w = Window.partitionBy("key").orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(hourly, Seq("key", "h"), "left")
+      .withColumn("is_gap", col("v_obs").isNull)
+      .withColumn("v_filled", last(col("v_obs"), ignoreNulls = true).over(w))
+  }
+
   /** W1/W2+ — grouped LINEAR interpolation in time (pandas
     * `interpolate(method="time")`, the step up from ffill/bfill for bar
     * data): an interior null takes the time-weighted blend of its

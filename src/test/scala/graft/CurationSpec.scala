@@ -163,4 +163,36 @@ class CurationSpec extends AnyFunSuite {
     val clippedLow = out.filter(_._2 < 5.95)
     assert(clippedLow.nonEmpty && clippedLow.forall(_._5 === 5.95))
   }
+
+  test("weightedSample matches an independent A-ES computation and is repartition-stable") {
+    val docs = (1L to 200L).map(i => (i, if (i % 2 == 0) "even" else "odd",
+      (i % 17) * 10 + 1)).toDF("doc_id", "grp", "w")
+    val got = graft.operators.Corpus.weightedSample(
+        docs, col("doc_id"), col("grp"), col("w"), k = 5)
+      .orderBy("group", "rn")
+      .select("group", "key").as[(String, Long)].collect()
+
+    // independent expectation: same md5-hash uniform + ln(u)/w ranking
+    // computed driver-side with java.security.MessageDigest
+    def score(key: Long, w: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(key.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      val u = (java.lang.Long.parseLong(hex, 16).toDouble + 0.5) / 4294967296.0
+      math.log(u) / w.toDouble
+    }
+    val expected = (1L to 200L).map(i => (i, if (i % 2 == 0) "even" else "odd",
+        (i % 17) * 10 + 1))
+      .groupBy(_._2).toSeq.flatMap { case (g, rows) =>
+        rows.sortBy { case (k, _, w) => (-score(k, w), k) }.take(5)
+          .map(r => (g, r._1))
+      }.toSeq.sorted
+    assert(got.toSeq.sorted === expected)
+
+    // pure function of the key: physical layout cannot change the sample
+    val again = graft.operators.Corpus.weightedSample(
+        docs.repartition(13), col("doc_id"), col("grp"), col("w"), k = 5)
+      .select("group", "key").as[(String, Long)].collect()
+    assert(again.toSeq.sorted === expected)
+  }
 }

@@ -55,6 +55,43 @@ class MarketSpec extends AnyFunSuite {
     assert(r2(3).contains(66.666666667))
   }
 
+  test("twap weights values by holding seconds; last observation carries none") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(s: Int) = new java.sql.Timestamp(base.getTime + s * 1000L)
+    val df = Seq((1L, at(0), 10.0), (2L, at(10), 20.0), (3L, at(40), 30.0))
+      .toDF("event_id", "ts", "v")
+    val out = Analytics.twap(df, Seq(lit(1).as("g")), col("ts"),
+      Seq(col("event_id")), col("v")).collect()
+    assert(out.length === 1)
+    // (10·10 + 20·30) / 40 — the 30.0 at t=40 has no successor
+    assert(out(0).getDouble(1) === 17.5)
+    assert(out(0).getLong(2) === 40L && out(0).getLong(3) === 3L)
+  }
+
+  test("twap: single observation and zero-span groups yield null, not NaN") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val df = Seq((1L, "a", base, 10.0), (2L, "b", base, 5.0), (3L, "b", base, 9.0))
+      .toDF("event_id", "g", "ts", "v")
+    val out = Analytics.twap(df, Seq(col("g")), col("ts"),
+      Seq(col("event_id")), col("v")).orderBy("g").collect()
+    assert(out(0).isNullAt(1)) // a: one obs, sum(dt) null
+    assert(out(1).isNullAt(1)) // b: two obs in the same second, sum(dt) = 0
+  }
+
+  test("rollingZscore: null until frame fills, null on constant window, flags spikes") {
+    val df = Seq((1L, 1.0), (2L, 1.0), (3L, 1.0), (4L, 1.0), (5L, 10.0))
+      .toDF("i", "v")
+    val out = Analytics.rollingZscore(df, Seq(lit(1)), Seq(col("i")),
+        col("v"), n = 3, k = 1.0)
+      .orderBy("i").select("zscore", "is_anomaly")
+      .as[(Option[Double], Boolean)].collect()
+    assert(out(0)._1.isEmpty && !out(0)._2) // warm-up
+    assert(out(1)._1.isEmpty && !out(1)._2) // warm-up
+    assert(out(2)._1.isEmpty && !out(2)._2) // constant window, σ = 0
+    // frame (1,1,10): μ = 4, σ = √18 → z = 6/√18 = √2
+    assert(out(4)._1.contains(1.414213562) && out(4)._2)
+  }
+
   test("bollinger: constant series has zero-width bands, no breakout") {
     val df = (1 to 10).map(i => (i.toLong, 5.0)).toDF("i", "v")
     val out = Analytics.bollinger(df, Seq(lit(1)), Seq(col("i")), col("v"),

@@ -368,4 +368,21 @@ class NearDupSpec extends AnyFunSuite {
       .select("fingerprint").as[String].head()
     assert(fp.length === 4 * 32) // 4 concatenated md5 hex digests
   }
+
+  test("sortedNeighborhood pairs only within the window and verifies by distance") {
+    val d = Seq(
+      // one block; sort key = length → 1,2,3 adjacent, 4 far but still
+      // within gap ≤ 2 of doc 3 (only dist excludes it)
+      (1L, "b1", 10L, "aaaaaaaaaa"),
+      (2L, "b1", 11L, "aaaaaaaaab"),   // dist 1 from doc 1
+      (3L, "b1", 12L, "aaaaaaaabb"),   // dist 2 from 1, 1 from 2
+      (4L, "b1", 100L, "zzzzzzzzzz"),  // verified against 2,3 → too far
+      (5L, "b2", 10L, "aaaaaaaaaa")    // other block: never pairs with b1
+    ).toDF("id", "blk", "len", "p")
+    val got = NearDup.sortedNeighborhood(d, col("id"), col("blk"),
+        Seq(col("len"), col("id")), col("p"), w = 2, maxDist = 3)
+      .select("a_id", "b_id", "gap", "dist")
+      .as[(Long, Long, Int, Int)].collect().toSet
+    assert(got === Set((1L, 2L, 1, 1), (1L, 3L, 2, 2), (2L, 3L, 1, 1)))
+  }
 }

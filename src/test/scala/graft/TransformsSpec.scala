@@ -139,6 +139,27 @@ class TransformsSpec extends AnyFunSuite {
       None, None))                        // g3: all-null untouched
   }
 
+  test("gapFillHourly: spine covers every hour, gaps flagged and forward-filled") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      (1L, ts("2024-01-01 00:10:00"), 2.0),
+      (1L, ts("2024-01-01 00:50:00"), 4.0), // hour 00 mean = 3.0
+      (1L, ts("2024-01-01 01:30:00"), 5.0),
+      // hour 02 missing entirely — only a spine can restore the row
+      (1L, ts("2024-01-01 03:00:00"), 7.0),
+      (2L, ts("2024-01-01 10:00:00"), 1.0)  // single-hour group: no gaps
+    ).toDF("user_id", "ts", "v")
+    val out = Fill.gapFillHourly(df, col("user_id"), col("ts"), col("v"))
+      .orderBy("key", "h")
+      .select("key", "is_gap", "v_filled")
+      .as[(Long, Boolean, Double)].collect()
+    assert(out.toSeq === Seq(
+      (1L, false, 3.0), (1L, false, 5.0),
+      (1L, true, 5.0),  // the missing hour materialized and filled
+      (1L, false, 7.0),
+      (2L, false, 1.0)))
+  }
+
   test("interpolateLinear: time-weighted blend interior, ffill/bfill at edges") {
     val df = Seq(
       // g1: gap of 2 nulls between 10.0@t=0 and 40.0@t=30 → blend at 10, 20
