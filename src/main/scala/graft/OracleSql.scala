@@ -84,6 +84,14 @@ object OracleSql {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled
       |FROM e ORDER BY user_id, ts, event_id""".stripMargin
 
+  /** Morton interleave of the low 10 bits of x (even positions) and y
+    * (odd) — mirrors Layout.zValue's bit arithmetic term-for-term.
+    */
+  private val zInterleave10: String =
+    (0 until 10).map(i =>
+      s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" + ")
+
   val sql: Map[String, String] = Map(
     "q_scan_pushdown" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
@@ -2315,6 +2323,86 @@ object OracleSql {
         |  round(sc, 9) AS score, CAST(rn AS INTEGER) AS rn
         |FROM r WHERE rn <= 5
         |ORDER BY source, rn""".stripMargin,
+
+    "q_market_basket" ->
+      """WITH bi AS (SELECT DISTINCT user_id AS b, event_type AS i FROM events),
+        |tot AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n_baskets FROM bi),
+        |marg AS (SELECT i, CAST(count(*) AS BIGINT) AS n_i FROM bi GROUP BY i),
+        |pairs AS (
+        |  SELECT a.i AS item_a, c.i AS item_b, CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM bi a JOIN bi c ON a.b = c.b AND a.i <> c.i
+        |  GROUP BY 1, 2)
+        |SELECT item_a, item_b, n_ab, ma.n_i AS n_a, mb.n_i AS n_b,
+        |  round(CAST(n_ab AS DOUBLE) / CAST(n_baskets AS DOUBLE), 9) AS support,
+        |  round(CAST(n_ab AS DOUBLE) / CAST(ma.n_i AS DOUBLE), 9) AS confidence,
+        |  round((CAST(n_ab AS DOUBLE) * CAST(n_baskets AS DOUBLE)) /
+        |    (CAST(ma.n_i AS DOUBLE) * CAST(mb.n_i AS DOUBLE)), 9) AS lift
+        |FROM pairs
+        |JOIN marg ma ON ma.i = item_a
+        |JOIN marg mb ON mb.i = item_b
+        |CROSS JOIN tot
+        |ORDER BY item_a, item_b""".stripMargin,
+
+    "q_transitions" ->
+      """WITH s AS (
+        |  SELECT event_type AS from_state,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS to_state
+        |  FROM events),
+        |m AS (
+        |  SELECT from_state, to_state, CAST(count(*) AS BIGINT) AS n
+        |  FROM s WHERE to_state IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_state, to_state, n,
+        |  round(CAST(n AS DOUBLE) /
+        |    CAST(sum(n) OVER (PARTITION BY from_state) AS DOUBLE), 9) AS prob
+        |FROM m ORDER BY from_state, to_state""".stripMargin,
+
+    "q_debounce" ->
+      """WITH s AS (
+        |  SELECT event_id, user_id, event_type, ts,
+        |    CAST(floor(epoch_us(ts) / 1000000) AS BIGINT) AS sec
+        |  FROM events),
+        |g AS (
+        |  SELECT *, CASE WHEN sec - lag(sec) OVER (
+        |      PARTITION BY user_id, event_type ORDER BY ts, event_id) <= 300
+        |    THEN 0 ELSE 1 END AS nb
+        |  FROM s),
+        |b AS (
+        |  SELECT *, CAST(sum(nb) OVER (
+        |      PARTITION BY user_id, event_type ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS burst
+        |  FROM g),
+        |r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY user_id, event_type, burst
+        |      ORDER BY ts, event_id) AS rn,
+        |    CAST(count(*) OVER (
+        |      PARTITION BY user_id, event_type, burst) AS BIGINT) AS n_in_burst
+        |  FROM b)
+        |SELECT event_id, user_id, event_type, ts, burst, n_in_burst
+        |FROM r WHERE rn = 1
+        |ORDER BY user_id, event_type, burst""".stripMargin,
+
+    "q_unpivot" ->
+      """SELECT p_partkey, p_brand, 'p_size' AS metric,
+        |  CAST(p_size AS DOUBLE) AS value FROM part
+        |UNION ALL
+        |SELECT p_partkey, p_brand, 'p_retailprice', p_retailprice FROM part
+        |ORDER BY p_partkey, metric""".stripMargin,
+
+    "q_bloom_prune" ->
+      """SELECT l_partkey, count(*) AS n_lines FROM lineitem
+        |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size >= 40)
+        |GROUP BY 1 ORDER BY l_partkey""".stripMargin,
+
+    "q_zorder" ->
+      s"""WITH s AS (
+         |  SELECT p_partkey % 1024 AS x, CAST(p_size AS BIGINT) AS y FROM part),
+         |z AS (SELECT x, y, $zInterleave10 AS z FROM s)
+         |SELECT z >> 12 AS bucket, count(*) AS n,
+         |  min(x) AS x_min, max(x) AS x_max,
+         |  min(y) AS y_min, max(y) AS y_max
+         |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "q_sorted_neighborhood" ->
       """WITH s AS (

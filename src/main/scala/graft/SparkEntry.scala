@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Text
-import graft.operators.{Analytics, Corpus, Curation, Dedup, Fill, Multimodal, NearDup, Similarity, TextAnalysis, Transforms}
+import graft.operators.{Analytics, Corpus, Curation, Dedup, Fill, Layout, Multimodal, NearDup, Similarity, Skew, TextAnalysis, Transforms}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -593,6 +593,74 @@ object SparkEntry {
         .select(col("a_id").as("doc_a"), col("b_id").as("doc_b"),
           col("block").as("lang"), col("gap"), col("dist"))
         .orderBy("doc_a", "doc_b")
+    }),
+
+    // A6+ — market-basket pair mining over (user, event_type) baskets:
+    // support / confidence / lift; pair fan-out bounded by basket size.
+    "q_market_basket" -> ((s, dir) => {
+      Analytics.marketBasket(t(s, dir, "events"),
+          col("user_id"), col("event_type"))
+        .orderBy("item_a", "item_b")
+    }),
+
+    // W3+ — first-order Markov transitions over each user's event
+    // stream: one lead() window, one matrix aggregate, per-row
+    // normalization over the |states|² matrix.
+    "q_transitions" -> ((s, dir) => {
+      Analytics.transitions(t(s, dir, "events"),
+          col("user_id"), Seq(col("ts"), col("event_id")),
+          col("event_type"))
+        .orderBy("from_state", "to_state")
+    }),
+
+    // D+ — debounce: chained-gap burst suppression per (user, type);
+    // keeps each burst's first event with an absorbed-count.
+    "q_debounce" -> ((s, dir) => {
+      Dedup.debounce(t(s, dir, "events"),
+          Seq(col("user_id"), col("event_type")), col("ts"),
+          Seq(col("event_id")), toleranceSec = 300L)
+        .select("event_id", "user_id", "event_type", "ts", "burst",
+          "n_in_burst")
+        .orderBy("user_id", "event_type", "burst")
+    }),
+
+    // P+ — unpivot/melt: wide metric columns to long (metric, value)
+    // form — the inverse of q_pivot, Spark's native unpivot operator.
+    "q_unpivot" -> ((s, dir) => {
+      t(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"),
+          col("p_size").cast("double").as("p_size"), col("p_retailprice"))
+        .unpivot(Array(col("p_partkey"), col("p_brand")),
+          Array(col("p_size"), col("p_retailprice")), "metric", "value")
+        .orderBy("p_partkey", "metric")
+    }),
+
+    // J+ — bloom-pruned semi-join: dim keys aggregated into one bloom
+    // sketch (Spark's own BloomFilterAggregate), broadcast, fact rows
+    // pruned map-side before the exact verifying semi-join. Result
+    // equals the plain semi join row-for-row (the oracle).
+    "q_bloom_prune" -> ((s, dir) => {
+      Skew.bloomSemiJoin(
+          t(s, dir, "lineitem"), col("l_partkey"),
+          t(s, dir, "part").filter(col("p_size") >= 40), col("p_partkey"),
+          expectedItems = 100000L, numBits = 1L << 20)
+        .groupBy("l_partkey").agg(count(lit(1)).as("n_lines"))
+        .orderBy("l_partkey")
+    }),
+
+    // K+ layout — z-order clustering key: Morton-interleave
+    // (p_partkey mod 1024, p_size), then per-tile min/max extents —
+    // the zone-map tightness a z-layout buys parquet row-group stats.
+    "q_zorder" -> ((s, dir) => {
+      t(s, dir, "part")
+        .select(pmod(col("p_partkey"), lit(1024L)).as("x"),
+          col("p_size").cast("long").as("y"))
+        .withColumn("z", Layout.zValue(col("x"), col("y"), bits = 10))
+        .groupBy(shiftright(col("z"), 12).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+          min(col("y")).as("y_min"), max(col("y")).as("y_max"))
+        .orderBy("bucket")
     }),
 
     // A2+ — cohort retention triangle: users bucketed by first-activity

@@ -464,6 +464,61 @@ object Analytics {
         when(z.isNull, lit(false)).otherwise(abs(z) > lit(k)))
   }
 
+  /** Market-basket pair mining — support / confidence / lift for every
+    * co-occurring item pair (Agrawal-Srikant association-rule measures,
+    * public): n_ab baskets contain both, support = n_ab/N,
+    * confidence(a→b) = n_ab/n_a, lift = n_ab·N/(n_a·n_b). Pairs are
+    * ordered (a → b and b → a both emitted — confidence is directional).
+    *
+    * Plan shape at 100 TB: one distinct on (basket, item) bounds
+    * everything downstream; the within-basket self-join fans out
+    * quadratically ONLY in basket size (items per basket, inherently
+    * small — the analogue of the LSH-bucket bound), never in corpus
+    * size. The item-marginal table is |items| rows — broadcast to both
+    * its consumers; the basket total is a one-row broadcast.
+    */
+  def marketBasket(df: DataFrame, basket: Column, item: Column): DataFrame = {
+    val bi = df.select(basket.as("b"), item.as("i")).distinct()
+    val totals = bi.agg(countDistinct(col("b")).as("n_baskets"))
+    val marginals = bi.groupBy(col("i")).agg(count(lit(1)).as("n_i"))
+    val pairs = bi.join(bi.select(col("b"), col("i").as("j")), Seq("b"))
+      .filter(col("i") =!= col("j"))
+      .groupBy("i", "j").agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(marginals.select(col("i"), col("n_i").as("n_a"))), Seq("i"))
+      .join(broadcast(marginals.select(col("i").as("j"), col("n_i").as("n_b"))), Seq("j"))
+      .crossJoin(broadcast(totals))
+      .select(col("i").as("item_a"), col("j").as("item_b"),
+        col("n_ab"), col("n_a"), col("n_b"),
+        round(col("n_ab").cast("double") / col("n_baskets").cast("double"), 9)
+          .as("support"),
+        round(col("n_ab").cast("double") / col("n_a").cast("double"), 9)
+          .as("confidence"),
+        round((col("n_ab").cast("double") * col("n_baskets").cast("double")) /
+          (col("n_a").cast("double") * col("n_b").cast("double")), 9)
+          .as("lift"))
+  }
+
+  /** First-order Markov transition matrix over an ordered event stream:
+    * count and probability of each (state → next state) step within a
+    * key's timeline. One lead() window (per-key sort), one aggregate on
+    * the transition pair, and a per-source-state normalization computed
+    * as a window over the TRANSITION MATRIX — |states|² rows, trivial
+    * whatever the corpus size.
+    */
+  def transitions(df: DataFrame, key: Column, orderBy: Seq[Column],
+      state: Column): DataFrame = {
+    val w = Window.partitionBy("k").orderBy(orderBy: _*)
+    val steps = df.select(Seq(key.as("k"), state.as("s")) ++ orderBy: _*)
+      .withColumn("s_next", lead(col("s"), 1).over(w))
+      .filter(col("s_next").isNotNull)
+    val matrix = steps.groupBy(col("s").as("from_state"),
+      col("s_next").as("to_state")).agg(count(lit(1)).as("n"))
+    matrix.withColumn("prob",
+      round(col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy("from_state")).cast("double"), 9))
+  }
+
   def smaCrossover(
       df: DataFrame, partitionBy: Seq[Column], orderBy: Seq[Column],
       value: Column, shortN: Int, longN: Int): DataFrame = {

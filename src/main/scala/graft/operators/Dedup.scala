@@ -190,4 +190,48 @@ object Dedup {
           .otherwise("unchanged"))
       .drop("__old", "__new")
   }
+
+  /** Debounce — time-tolerance dedup for bursty event streams: within a
+    * key, events separated by ≤ `toleranceSec` from their PREDECESSOR
+    * chain into one burst, and each burst keeps its first event (plus a
+    * count of what it absorbed). This is the retry/double-fire/bounce
+    * suppressor that exact dedup ([[keepFirst]]) cannot express — the
+    * duplicates arrive with distinct ids and near-identical timestamps.
+    *
+    * Chained gaps, not fixed buckets: a burst extends while consecutive
+    * gaps stay within tolerance (the sessionize rule at seconds scale),
+    * so a 3-event burst at t, t+tol, t+2·tol collapses to one survivor.
+    * Time deltas are integral epoch seconds (engine-portable).
+    *
+    * Plan shape: lag + cumulative-sum + row_number all share ONE
+    * (key, time) window sort, then a per-burst aggregate on the same
+    * partitioning — a single exchange at any scale.
+    */
+  def debounce(df: DataFrame, keys: Seq[Column], ts: Column,
+      tiebreak: Seq[Column], toleranceSec: Long): DataFrame = {
+    require(toleranceSec >= 0,
+      s"debounce: tolerance must be ≥ 0, got $toleranceSec")
+    val named = keys.zipWithIndex.map { case (c, i) => c.as(s"__k$i") }
+    val keyCols = keys.indices.map(i => col(s"__k$i"))
+    val order = ts.as("__ts") +: tiebreak.zipWithIndex.map {
+      case (c, i) => c.as(s"__t$i") }
+    val orderCols = col("__ts") +: tiebreak.indices.map(i => col(s"__t$i"))
+    val w = Window.partitionBy(keyCols: _*).orderBy(orderCols: _*)
+    val sec = floor(unix_micros(col("__ts")) / lit(1000000L)).cast("long")
+    val newBurst = when(
+      (sec - lag(sec, 1).over(w)) <= toleranceSec, lit(0L)).otherwise(lit(1L))
+    df.select(named ++ order ++ df.columns.map(col): _*)
+      .withColumn("__burst", sum(newBurst).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(keyCols :+ col("__burst"): _*)
+          .orderBy(orderCols: _*)))
+      .withColumn("n_in_burst", count(lit(1)).over(
+        Window.partitionBy(keyCols :+ col("__burst"): _*)))
+      .filter(col("__rn") === 1)
+      .withColumn("burst", col("__burst"))
+      .drop(keys.indices.map(i => s"__k$i") ++
+        tiebreak.indices.map(i => s"__t$i") ++
+        Seq("__ts", "__burst", "__rn"): _*)
+  }
 }

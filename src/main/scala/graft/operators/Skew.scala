@@ -59,4 +59,64 @@ object Skew {
       "__salt", explode(array((0 until nSalts).map(lit(_)): _*)))
     saltedFact.join(saltedDim, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Session-scoped registration of Spark's own bloom-filter expressions
+    * under callable names (idempotent). `bloom_filter_agg` ships in the
+    * FunctionRegistry but `might_contain` does not (both exist as
+    * Catalyst expressions — they power AQE's injected runtime filters);
+    * registering the pair makes the explicit bloom-prune pattern below
+    * expressible without a UDF and keeps the probe inside whole-stage
+    * codegen.
+    */
+  def registerBloom(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_agg",
+      exprs => new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(exprs(0), exprs(1), exprs(2)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_might_contain",
+      exprs => org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(exprs(0), exprs(1)),
+      "built-in")
+  }
+
+  /** Bloom-pruned semi-join — the MANUAL runtime-filter pattern for the
+    * regime where the dim side is too large to broadcast as rows but its
+    * bloom filter is a few hundred KB: aggregate the dim keys into one
+    * bloom sketch (partial/final — each executor builds a local filter,
+    * merge is bitwise-OR), broadcast the one-row sketch, drop fact rows
+    * whose key cannot be in the dim map-side, then run the EXACT semi
+    * join on the survivors. False positives cost nothing but a pass
+    * through the verifying join; false negatives are impossible, so the
+    * result equals the plain semi join row-for-row (the oracle).
+    *
+    * At 100 TB the win is shuffle volume: the semi join's exchange
+    * carries only fact rows that probably match (a selective dim prunes
+    * 90%+ map-side), while the sketch broadcast is constant-size however
+    * wide the dim rows are. Spark's AQE injects this same filter
+    * automatically ONLY when shuffle/scan heuristics line up; the
+    * explicit operator is for when the planner's heuristics miss.
+    */
+  def bloomSemiJoin(fact: DataFrame, factKey: Column,
+      dim: DataFrame, dimKey: Column,
+      expectedItems: Long, numBits: Long): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, ScalarSubquery}
+    registerBloom(fact.sparkSession)
+    // might_contain requires its sketch side to be a constant or scalar
+    // subquery (the shape AQE's InjectRuntimeFilter emits) — so the
+    // one-row sketch aggregate rides as an uncorrelated scalar subquery,
+    // planned once and broadcast to the probe side's filter.
+    val sketch = dim.agg(
+      call_function("graft_bloom_agg", xxhash64(dimKey),
+        lit(expectedItems), lit(numBits)).as("__bf"))
+    val cond = Bridge.column(
+      BloomFilterMightContain(
+        ScalarSubquery(sketch.queryExecution.analyzed),
+        Bridge.expression(xxhash64(factKey))))
+    fact.filter(cond)
+      .join(dim.select(dimKey.as("__dk")).distinct(),
+        factKey === col("__dk"), "left_semi")
+  }
 }

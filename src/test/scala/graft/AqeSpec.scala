@@ -63,6 +63,28 @@ class AqeSpec extends AnyFunSuite {
     }
   }
 
+  test("bloomSemiJoin equals the plain semi join, sketch rides as a scalar subquery") {
+    val fact = spark.range(5000).select(col("id"), (col("id") % 500).as("k"))
+    val dim = spark.range(500).select(col("id").as("dk"))
+      .filter(col("dk") % 7 === 0)
+    val got = graft.operators.Skew.bloomSemiJoin(
+      fact, col("k"), dim, col("dk"),
+      expectedItems = 1000L, numBits = 1L << 14)
+    val expected = fact.join(dim, col("k") === col("dk"), "left_semi")
+    assert(got.exceptAll(expected).count() === 0)
+    assert(expected.exceptAll(got).count() === 0)
+    val plan = got.queryExecution.optimizedPlan.toString
+    assert(plan.contains("might_contain") && plan.contains("scalar-subquery"),
+      s"expected a scalar-subquery bloom probe in:\n$plan")
+
+    // a deliberately tiny sketch (heavy false positives) must still be
+    // EXACT — FPs only cost verify-join work, never wrong rows
+    val tiny = graft.operators.Skew.bloomSemiJoin(
+      fact, col("k"), dim, col("dk"), expectedItems = 10L, numBits = 64L)
+    assert(tiny.exceptAll(expected).count() === 0)
+    assert(expected.exceptAll(tiny).count() === 0)
+  }
+
   test("AQE splits a skewed sort-merge join partition at runtime") {
     val keep = Seq(
       "spark.sql.adaptive.enabled",

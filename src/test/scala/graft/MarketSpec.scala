@@ -92,6 +92,43 @@ class MarketSpec extends AnyFunSuite {
     assert(out(4)._1.contains(1.414213562) && out(4)._2)
   }
 
+  test("marketBasket computes support/confidence/lift from basket co-occurrence") {
+    val df = Seq(
+      ("u1", "a"), ("u1", "b"), ("u2", "a"), ("u2", "b"),
+      ("u3", "a"), ("u3", "c"), ("u4", "b"),
+      ("u1", "a") // duplicate (basket, item) row must not inflate counts
+    ).toDF("u", "item")
+    val out = Analytics.marketBasket(df, col("u"), col("item"))
+      .orderBy("item_a", "item_b")
+      .select("item_a", "item_b", "n_ab", "support", "confidence", "lift")
+      .as[(String, String, Long, Double, Double, Double)].collect()
+    // N = 4 baskets; n_a = 3, n_b = 3, n_c = 1
+    val ab = out.find(r => r._1 == "a" && r._2 == "b").get
+    assert(ab._3 === 2L && ab._4 === 0.5)
+    assert(ab._5 === 0.666666667)            // 2/3
+    assert(ab._6 === 0.888888889)            // 2·4/(3·3)
+    val ac = out.find(r => r._1 == "a" && r._2 == "c").get
+    assert(ac._3 === 1L && ac._6 === 1.333333333) // 1·4/(3·1)
+    // directional: confidence(c→a) = 1/1, same lift
+    val ca = out.find(r => r._1 == "c" && r._2 == "a").get
+    assert(ca._5 === 1.0 && ca._6 === 1.333333333)
+  }
+
+  test("transitions builds the per-state-normalized Markov matrix") {
+    val df = Seq(
+      ("u1", 1L, "a"), ("u1", 2L, "b"), ("u1", 3L, "a"),
+      ("u2", 1L, "a"), ("u2", 2L, "b"),
+      ("u3", 1L, "a"), ("u3", 2L, "c")
+    ).toDF("u", "i", "s")
+    val out = Analytics.transitions(df, col("u"), Seq(col("i")), col("s"))
+      .orderBy("from_state", "to_state")
+      .as[(String, String, Long, Double)].collect()
+    assert(out.toSeq === Seq(
+      ("a", "b", 2L, 0.666666667),
+      ("a", "c", 1L, 0.333333333),
+      ("b", "a", 1L, 1.0)))
+  }
+
   test("bollinger: constant series has zero-width bands, no breakout") {
     val df = (1 to 10).map(i => (i.toLong, 5.0)).toDF("i", "v")
     val out = Analytics.bollinger(df, Seq(lit(1)), Seq(col("i")), col("v"),

@@ -139,6 +139,50 @@ class TransformsSpec extends AnyFunSuite {
       None, None))                        // g3: all-null untouched
   }
 
+  test("debounce chains gaps within tolerance and keeps each burst's first event") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(s: Int) = new java.sql.Timestamp(base.getTime + s * 1000L)
+    val df = Seq(
+      // one chained burst: 0 → 5 → 10 (each gap = tol), then a break
+      (1L, "u1", at(0), "click"), (2L, "u1", at(5), "click"),
+      (3L, "u1", at(10), "click"), (4L, "u1", at(16), "click"),
+      // other key: untouched singleton
+      (5L, "u2", at(0), "click")
+    ).toDF("event_id", "u", "ts", "typ")
+    val out = Dedup.debounce(df, Seq(col("u"), col("typ")), col("ts"),
+        Seq(col("event_id")), toleranceSec = 5L)
+      .orderBy("u", "burst")
+      .select("event_id", "burst", "n_in_burst")
+      .as[(Long, Long, Long)].collect()
+    assert(out.toSeq === Seq(
+      (1L, 1L, 3L),  // burst absorbed events 2 and 3
+      (4L, 2L, 1L),  // gap 6 > 5 broke the chain
+      (5L, 1L, 1L)))
+  }
+
+  test("zValue interleaves bits; clusterByZOrder yields disjoint z-ranges per partition") {
+    import graft.operators.Layout
+    // x = 3 (011), y = 5 (101) → z bits y2 x2 y1 x1 y0 x0 = 100111 = 39
+    val z = spark.range(1).select(
+      Layout.zValue(lit(3L), lit(5L), bits = 3).as("z"))
+      .as[Long].head()
+    assert(z === 39L)
+
+    val grid = spark.range(4096).select(
+      (col("id") % 64).as("x"), (col("id") / 64).cast("long").as("y"))
+    val parts = Layout.clusterByZOrder(grid, col("x"), col("y"),
+        bits = 6, numPartitions = 8)
+      .select(org.apache.spark.sql.functions.spark_partition_id().as("pid"),
+        Layout.zValue(col("x"), col("y"), 6).as("z"))
+      .groupBy("pid").agg(min("z").as("zmin"), max("z").as("zmax"))
+      .orderBy("pid")
+      .as[(Int, Long, Long)].collect()
+    assert(parts.length > 1)
+    parts.sliding(2).foreach { case Array(a, b) =>
+      assert(a._3 <= b._2, s"partition z-ranges overlap: $a vs $b")
+    }
+  }
+
   test("gapFillHourly: spine covers every hour, gaps flagged and forward-filled") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val df = Seq(
