@@ -2324,6 +2324,46 @@ object OracleSql {
         |FROM r WHERE rn <= 5
         |ORDER BY source, rn""".stripMargin,
 
+    "q_attribution" ->
+      """WITH s AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CAST(floor(epoch_us(ts) / 1000000) AS BIGINT) AS sec
+        |  FROM events),
+        |w AS (
+        |  SELECT user_id, ts, event_id, event_type, sec,
+        |    last_value(CASE WHEN event_type = 'click' THEN event_id END
+        |      IGNORE NULLS) OVER win AS touch_eid,
+        |    sec - last_value(CASE WHEN event_type = 'click' THEN sec END
+        |      IGNORE NULLS) OVER win AS touch_secs
+        |  FROM s
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id AS conv_event_id, user_id, ts AS conv_ts,
+        |  CASE WHEN touch_secs <= 604800 THEN touch_eid END AS touch_event_id,
+        |  CASE WHEN touch_secs <= 604800 THEN touch_secs END AS secs_since_touch
+        |FROM w WHERE event_type = 'purchase'
+        |ORDER BY conv_event_id""".stripMargin,
+
+    "q_spatial_join" ->
+      """WITH pts AS (
+        |  SELECT c_custkey AS id,
+        |    CAST(concat('0x', substr(md5('x:' || c_custkey), 1, 4)) AS BIGINT)
+        |      % 1000 AS x,
+        |    CAST(concat('0x', substr(md5('y:' || c_custkey), 1, 4)) AS BIGINT)
+        |      % 1000 AS y
+        |  FROM customer)
+        |SELECT q.id AS q_id, p.id AS p_id,
+        |  (q.x - p.x) * (q.x - p.x) + (q.y - p.y) * (q.y - p.y) AS dist2
+        |FROM pts q JOIN pts p
+        |  ON q.id % 97 = 0 AND q.id <> p.id
+        |  AND (q.x - p.x) * (q.x - p.x) + (q.y - p.y) * (q.y - p.y) <= 2500
+        |ORDER BY q_id, p_id""".stripMargin,
+
+    "q_variant" ->
+      """SELECT event_id, CAST(props->>'k' AS INTEGER) AS k FROM events
+        |WHERE CAST(props->>'k' AS INTEGER) % 7 = 0
+        |ORDER BY event_id""".stripMargin,
+
     "q_market_basket" ->
       """WITH bi AS (SELECT DISTINCT user_id AS b, event_type AS i FROM events),
         |tot AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n_baskets FROM bi),

@@ -595,6 +595,46 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // W3+ — last-touch attribution: every purchase credits the user's
+    // most recent click within a 7-day lookback; one cumulative window
+    // over the shared per-user sort, lookback as a post-filter on
+    // integral epoch seconds.
+    "q_attribution" -> ((s, dir) => {
+      Analytics.lastTouchAttribution(t(s, dir, "events"),
+          col("user_id"), col("ts"), Seq(col("event_id")),
+          col("event_id"), col("event_type"),
+          touchType = "click", convType = "purchase",
+          lookbackSec = 604800L)
+        .orderBy("conv_event_id")
+    }),
+
+    // J+ spatial — grid-bucketed radius join: 3×3 cell-neighborhood
+    // candidates, integer squared-euclidean verify join-side — the 2-D
+    // analogue of the LSH band join. Coordinates are md5-derived ints,
+    // so the oracle replays them exactly.
+    "q_spatial_join" -> ((s, dir) => {
+      val pts = t(s, dir, "customer").select(col("c_custkey").as("id"),
+        (conv(substring(md5(concat(lit("x:"), col("c_custkey"))), 1, 4),
+          16, 10).cast("long") % 1000).as("x"),
+        (conv(substring(md5(concat(lit("y:"), col("c_custkey"))), 1, 4),
+          16, 10).cast("long") % 1000).as("y"))
+      graft.operators.Spatial.gridRadiusJoin(
+          pts, pts.filter(col("id") % 97 === 0),
+          col("id"), col("x"), col("y"), radius = 50L, cellSize = 50L)
+        .orderBy("q_id", "p_id")
+    }),
+
+    // F+ — Spark 4 VARIANT path: parse_json once into the binary
+    // variant encoding, typed variant_get extraction (the columnar
+    // semi-structured fast path vs per-access string re-parsing).
+    "q_variant" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_id"),
+          variant_get(parse_json(col("props")), "$.k", "int").as("k"))
+        .filter(col("k").isNotNull && pmod(col("k"), lit(7)) === 0)
+        .orderBy("event_id")
+    }),
+
     // A6+ — market-basket pair mining over (user, event_type) baskets:
     // support / confidence / lift; pair fan-out bounded by basket size.
     "q_market_basket" -> ((s, dir) => {

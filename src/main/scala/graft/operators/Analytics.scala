@@ -499,6 +499,45 @@ object Analytics {
           .as("lift"))
   }
 
+  /** Last-touch attribution with a lookback window — for every
+    * conversion event, the same user's most recent touch event at or
+    * before it, provided it falls within `lookbackSec` (outside the
+    * lookback the conversion reports as unattributed: NULL touch).
+    *
+    * One cumulative window over the (user, time) sort carries the last
+    * touch's id and timestamp forward (two `last(…, ignoreNulls)`
+    * columns that null on non-touch rows, so both always come from the
+    * SAME touch row); the lookback is a post-filter on the integral
+    * epoch-second delta — deterministic where a seconds-range frame
+    * with a tie-prone single order key would not be. Filtering to
+    * conversions happens AFTER the window (the window must see touch
+    * rows), but the window adds no exchange beyond the per-user hash
+    * partition every per-user timeline op shares.
+    */
+  def lastTouchAttribution(df: DataFrame, user: Column, ts: Column,
+      tiebreak: Seq[Column], eventId: Column, eventType: Column,
+      touchType: String, convType: String, lookbackSec: Long): DataFrame = {
+    val w = Window.partitionBy("u").orderBy((col("t") +: tiebreak): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sec = floor(unix_micros(col("t")) / lit(1000000L)).cast("long")
+    val isTouch = col("et") === touchType
+    val base = df.select(Seq(user.as("u"), ts.as("t"), eventId.as("eid"),
+      eventType.as("et")) ++ tiebreak: _*)
+    val secsSince = sec -
+      last(when(isTouch, sec), ignoreNulls = true).over(w)
+    base
+      .withColumn("touch_eid",
+        last(when(isTouch, col("eid")), ignoreNulls = true).over(w))
+      .withColumn("touch_secs", secsSince)
+      .filter(col("et") === convType)
+      .select(col("eid").as("conv_event_id"), col("u").as("user_id"),
+        col("t").as("conv_ts"),
+        when(col("touch_secs") <= lookbackSec, col("touch_eid"))
+          .as("touch_event_id"),
+        when(col("touch_secs") <= lookbackSec, col("touch_secs"))
+          .as("secs_since_touch"))
+  }
+
   /** First-order Markov transition matrix over an ordered event stream:
     * count and probability of each (state → next state) step within a
     * key's timeline. One lead() window (per-key sort), one aggregate on

@@ -114,6 +114,28 @@ class MarketSpec extends AnyFunSuite {
     assert(ca._5 === 1.0 && ca._6 === 1.333333333)
   }
 
+  test("lastTouchAttribution credits the latest in-lookback touch, nulls outside it") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(s: Int) = new java.sql.Timestamp(base.getTime + s * 1000L)
+    val df = Seq(
+      (1L, "u1", at(0), "click"),
+      (2L, "u1", at(50), "click"),     // the later touch wins
+      (3L, "u1", at(60), "purchase"),  // attributed to 2, 10 s
+      (4L, "u1", at(1000), "purchase"),// gap 950 > lookback 100 → null
+      (5L, "u2", at(10), "purchase")   // no touch at all → null
+    ).toDF("event_id", "u", "ts", "typ")
+    val out = Analytics.lastTouchAttribution(df, col("u"), col("ts"),
+        Seq(col("event_id")), col("event_id"), col("typ"),
+        "click", "purchase", lookbackSec = 100L)
+      .orderBy("conv_event_id")
+      .select("conv_event_id", "touch_event_id", "secs_since_touch")
+      .as[(Long, Option[Long], Option[Long])].collect()
+    assert(out.toSeq === Seq(
+      (3L, Some(2L), Some(10L)),
+      (4L, None, None),
+      (5L, None, None)))
+  }
+
   test("transitions builds the per-state-normalized Markov matrix") {
     val df = Seq(
       ("u1", 1L, "a"), ("u1", 2L, "b"), ("u1", 3L, "a"),

@@ -369,6 +369,22 @@ class NearDupSpec extends AnyFunSuite {
     assert(fp.length === 4 * 32) // 4 concatenated md5 hex digests
   }
 
+  test("gridRadiusJoin finds exactly the in-radius pairs, including across cells") {
+    val pts = Seq(
+      (1L, 100L, 100L), (2L, 103L, 104L), // dist² = 25 → in (radius 5)
+      (3L, 100L, 106L),                   // dist² to 1 = 36 → out
+      (4L, 99L, 99L),                     // crosses the cell boundary at 100
+      (5L, 500L, 500L)                    // far
+    ).toDF("id", "x", "y")
+    val got = graft.operators.Spatial.gridRadiusJoin(
+        pts, pts.filter(col("id") === 1), col("id"), col("x"), col("y"),
+        radius = 5L, cellSize = 5L)
+      .select("p_id", "dist2").as[(Long, Long)].collect().toSet
+    // 2 at dist² 25 (= r², ≤ keeps it) and 4 at dist² 2 across the
+    // cell edge; 3 excluded by verify, 5 by blocking, self excluded
+    assert(got === Set((2L, 25L), (4L, 2L)))
+  }
+
   test("sortedNeighborhood pairs only within the window and verifies by distance") {
     val d = Seq(
       // one block; sort key = length → 1,2,3 adjacent, 4 far but still

@@ -139,6 +139,27 @@ class TransformsSpec extends AnyFunSuite {
       None, None))                        // g3: all-null untouched
   }
 
+  test("variant_get extracts typed values; missing paths and wrong types are null-safe") {
+    val df = Seq(
+      (1L, """{"k": 42, "tag": "a"}"""),
+      (2L, """{"tag": "b"}"""),          // no k
+      (3L, """{"k": "not-an-int"}""")    // wrong type
+    ).toDF("id", "props")
+    val rows = df.select(
+        try_variant_get(parse_json(col("props")), "$.k", "int").as("k_try"))
+      .orderBy(col("k_try").asc_nulls_last)
+      .as[Option[Int]].collect()
+    assert(rows.toSeq === Seq(Some(42), None, None))
+    // strict variant_get agrees on present/missing rows; the wrong-type
+    // row must be excluded BEFORE the projection (strict throws on it,
+    // and a filter above the select does not shield the eval)
+    val strict = df.filter(col("id") < 3)
+      .select(variant_get(parse_json(col("props")), "$.k", "int").as("k"))
+      .orderBy(col("k").asc_nulls_last)
+      .as[Option[Int]].collect()
+    assert(strict.toSeq === Seq(Some(42), None))
+  }
+
   test("debounce chains gaps within tolerance and keeps each burst's first event") {
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def at(s: Int) = new java.sql.Timestamp(base.getTime + s * 1000L)
