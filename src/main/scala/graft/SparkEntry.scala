@@ -530,10 +530,10 @@ object SparkEntry {
       val e0 = t(s, dir, "lineitem").select(
           concat(lit("p:"), col("l_partkey")).as("src"),
           concat(lit("s:"), col("l_suppkey")).as("dst")).distinct()
+      // no persist here: pageRank localCheckpoints its degree-annotated
+      // edge frame once internally (persist would disable AQE on it)
       val edges = e0.unionByName(
           e0.select(col("dst").as("src"), col("src").as("dst")))
-        // read every PageRank round (3×) — materialize the distinct once
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       graft.operators.Graph.pageRank(edges, iters = 3, damping = 0.85)
         .select(col("node"), round(col("r"), 12).as("rank"))
         .orderBy(col("rank").desc, col("node")).limit(20)

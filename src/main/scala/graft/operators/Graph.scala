@@ -27,33 +27,43 @@ object Graph {
     * A fixed iteration count (rather than an epsilon test) keeps the
     * plan static and the oracle expressible as chained CTEs.
     *
-    * Scale shape: `edges` is read every round (joined to the rank frame
-    * on src, aggregated on dst) — persist it if the input is a derived
-    * pipeline; the rank/degree frames are node-sized and broadcastable
-    * by AQE. Rounds are sequential barriers by nature of the algorithm;
-    * iteration count is the dial (3-5 captures the ranking for most
-    * graphs).
+    * Scale shape: the degree-annotated edge frame is materialized ONCE
+    * with localCheckpoint (NOT persist — a cached plan compiles without
+    * AQE, turning every round's rank join into a static sort-merge; see
+    * [[NearDup.dedupClusters]] for the measured 3.5× cost of that trap),
+    * and each round's rank frame is localCheckpoint-ed too: it is
+    * node-sized, so AQE then broadcasts it into the edge join and the
+    * only real shuffle per round is the contribution aggregate on dst.
+    * Without the per-round truncation the lazy plan nests every prior
+    * round's joins and the exchanges stop being reusable. Rounds are
+    * sequential barriers by nature of the algorithm; iteration count is
+    * the dial (3-5 captures the ranking for most graphs).
     */
   def pageRank(edges: DataFrame, iters: Int, damping: Double): DataFrame = {
     require(iters >= 1, s"pageRank: iters must be ≥ 1, got $iters")
     require(damping > 0 && damping < 1,
       s"pageRank: damping must be in (0,1), got $damping")
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val nodes = edges.select(col("src").as("node")).distinct()
+    val ed = edges
+      .join(edges.groupBy("src").agg(count(lit(1)).as("deg")), Seq("src"))
+      .select(col("src"), col("dst"), col("deg"))
+      .localCheckpoint()
+    val nodes = ed.select(col("src").as("node")).distinct().localCheckpoint()
     val nn = nodes.agg(count(lit(1)).as("n"))
     val init = nodes.crossJoin(broadcast(nn))
       .select(col("node"), (lit(1.0) / col("n").cast("double")).as("r"))
-    (1 to iters).foldLeft(init) { (r, _) =>
-      val m = edges
+    (1 to iters).foldLeft(init) { (r, i) =>
+      val m = ed
         .join(r.withColumnRenamed("node", "src"), Seq("src"))
-        .join(deg, Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg(sum((col("r") / col("deg").cast("double")).cast("decimal(38,12)"))
           .cast("double").as("m"))
-      nodes.join(m, Seq("node"), "left").crossJoin(broadcast(nn))
+      val next = nodes.join(m, Seq("node"), "left").crossJoin(broadcast(nn))
         .select(col("node"),
           ((lit(1.0) - lit(damping)) / col("n").cast("double") +
             lit(damping) * coalesce(col("m"), lit(0.0))).as("r"))
+      // the LAST round stays lazy: the caller's top-k/round/sort fuses
+      // onto it instead of paying one more materialization barrier
+      if (i == iters) next else next.localCheckpoint()
     }
   }
 }
