@@ -2364,6 +2364,93 @@ object OracleSql {
         |WHERE CAST(props->>'k' AS INTEGER) % 7 = 0
         |ORDER BY event_id""".stripMargin,
 
+    "q_chunk" ->
+      """WITH d AS (
+        |  SELECT doc_id AS key, text AS t, length(text) AS len
+        |  FROM documents),
+        |s AS (
+        |  SELECT key, t,
+        |    unnest(CASE WHEN len <= 0 THEN [CAST(0 AS BIGINT)]
+        |      ELSE range(0, len, 150) END) AS start
+        |  FROM d)
+        |SELECT key, CAST(start // 150 AS BIGINT) AS chunk_id,
+        |  CAST(start AS BIGINT) AS start,
+        |  substr(t, CAST(start + 1 AS INTEGER), 200) AS chunk,
+        |  CAST(length(substr(t, CAST(start + 1 AS INTEGER), 200)) AS BIGINT)
+        |    AS n_chars
+        |FROM s ORDER BY key, chunk_id""".stripMargin,
+
+    "q_k_anon" ->
+      """SELECT user_id % 500 AS cohort, event_type, count(*) AS n,
+        |  count(*) < 3 AS at_risk
+        |FROM events GROUP BY 1, 2 ORDER BY cohort, event_type""".stripMargin,
+
+    "q_skew_profile" ->
+      """WITH c AS (
+        |  SELECT l_suppkey, count(*) AS n FROM lineitem GROUP BY 1),
+        |a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |    CAST(sum(n) AS BIGINT) AS n_rows,
+        |    CAST(max(n) AS BIGINT) AS max_n,
+        |    round(CAST(sum(n) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        |      AS mean_n,
+        |    round(quantile_cont(n, 0.5), 6) AS p50_n,
+        |    round(quantile_cont(n, 0.99), 6) AS p99_n
+        |  FROM c)
+        |SELECT *, round(CAST(max_n AS DOUBLE) / mean_n, 6) AS skew_ratio
+        |FROM a""".stripMargin,
+
+    "q_provenance" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text, source FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text, 'mirror' FROM documents
+        |  WHERE doc_id % 3 = 0)
+        |SELECT md5(text) AS digest, count(*) AS n_copies,
+        |  min(doc_id) AS keeper, count(DISTINCT source) AS n_sources,
+        |  string_agg(DISTINCT source, ',' ORDER BY source) AS sources
+        |FROM corpus GROUP BY 1 ORDER BY digest""".stripMargin,
+
+    "q_inverted_index" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS doc,
+        |    unnest(string_split_regex(lower(text), '\s+')) AS term
+        |  FROM documents),
+        |td AS (SELECT DISTINCT term, doc FROM toks WHERE term <> ''),
+        |r AS (
+        |  SELECT term, doc,
+        |    row_number() OVER (PARTITION BY term ORDER BY doc) AS rn,
+        |    count(*) OVER (PARTITION BY term) AS df
+        |  FROM td)
+        |SELECT term, CAST(df AS BIGINT) AS df,
+        |  string_agg(CAST(doc AS VARCHAR), ',' ORDER BY doc) AS postings
+        |FROM r WHERE rn <= 40 GROUP BY term, df
+        |ORDER BY term""".stripMargin,
+
+    "q_pmi" ->
+      """WITH ws AS (
+        |  SELECT string_split_regex(lower(text), '\s+') AS w
+        |  FROM documents),
+        |u AS (
+        |  SELECT w1, count(*) AS c1 FROM (SELECT unnest(w) AS w1 FROM ws)
+        |  WHERE w1 <> '' GROUP BY w1),
+        |nt AS (SELECT CAST(sum(c1) AS BIGINT) AS n_tok FROM u),
+        |bg AS (
+        |  SELECT w[i] AS w1, w[i + 1] AS w2
+        |  FROM (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+        |    FROM ws WHERE len(w) >= 2)
+        |  WHERE w[i] <> '' AND w[i + 1] <> ''),
+        |cc AS (
+        |  SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2
+        |  HAVING count(*) >= 10),
+        |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_bg FROM bg)
+        |SELECT cc.w1, cc.w2, cc.c2,
+        |  round(ln(CAST(cc.c2 AS DOUBLE) / CAST(nb.n_bg AS DOUBLE))
+        |    - ln(CAST(a.c1 AS DOUBLE) / CAST(nt.n_tok AS DOUBLE))
+        |    - ln(CAST(b.c1 AS DOUBLE) / CAST(nt.n_tok AS DOUBLE)), 9) AS pmi
+        |FROM cc JOIN u a ON cc.w1 = a.w1 JOIN u b ON cc.w2 = b.w1, nb, nt
+        |ORDER BY cc.w1, cc.w2""".stripMargin,
+
     "q_market_basket" ->
       """WITH bi AS (SELECT DISTINCT user_id AS b, event_type AS i FROM events),
         |tot AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n_baskets FROM bi),

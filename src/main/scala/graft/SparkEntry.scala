@@ -635,6 +635,60 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // LLM+ — RAG chunking: overlapping fixed-char windows, pure per-row
+    // explode (no shuffle; amplification bounded by doc length).
+    "q_chunk" -> ((s, dir) => {
+      Corpus.chunkDocuments(t(s, dir, "documents"),
+          col("doc_id"), col("text"), window = 200, stride = 150)
+        .orderBy("key", "chunk_id")
+    }),
+
+    // LLM+ privacy — k-anonymity audit over (cohort, event_type)
+    // quasi-identifiers; one map-side-combined aggregate.
+    "q_k_anon" -> ((s, dir) => {
+      Curation.kAnonymity(t(s, dir, "events"),
+          Seq(pmod(col("user_id"), lit(500)).as("cohort"),
+            col("event_type")), k = 3L)
+        .orderBy("cohort", "event_type")
+    }),
+
+    // A+ diagnostics — per-key group-size distribution (the salting /
+    // AQE-skew decision input); two aggregates, one output row.
+    "q_skew_profile" -> ((s, dir) => {
+      Analytics.skewProfile(t(s, dir, "lineitem"), Seq(col("l_suppkey")))
+        .orderBy("n_keys")
+    }),
+
+    // D+ lineage — exact-dup provenance over documents ∪ a mirrored
+    // third: per digest the copy count, keeper and sorted source set.
+    "q_provenance" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val corpus = d.select(col("doc_id"), col("text"), col("source"))
+        .unionByName(d.filter(col("doc_id") % 3 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("text"),
+            lit("mirror").as("source")))
+      Dedup.dedupProvenance(corpus, col("doc_id"), md5(col("text")),
+          col("source"))
+        .orderBy("digest")
+    }),
+
+    // LLM+ retrieval — inverted index: term → true df + posting list
+    // truncated to the first 40 doc ids (the shard cap; rank-then-
+    // collect so no buffer ever exceeds the cap).
+    "q_inverted_index" -> ((s, dir) => {
+      TextAnalysis.invertedIndex(t(s, dir, "documents"),
+          col("doc_id"), col("text"), maxPostings = 40)
+        .orderBy("term")
+    }),
+
+    // LLM+ phrase mining — PMI collocations over adjacent token pairs;
+    // minCount prunes the bigram table before any join.
+    "q_pmi" -> ((s, dir) => {
+      TextAnalysis.pmiCollocations(t(s, dir, "documents"),
+          col("text"), minCount = 10L)
+        .orderBy("w1", "w2")
+    }),
+
     // A6+ — market-basket pair mining over (user, event_type) baskets:
     // support / confidence / lift; pair fan-out bounded by basket size.
     "q_market_basket" -> ((s, dir) => {

@@ -576,4 +576,32 @@ object Analytics {
         when(lag(col("signal"), 1).over(ordered).isNull, lit(null).cast("boolean"))
           .otherwise(col("signal") =!= lag(col("signal"), 1).over(ordered)))
   }
+
+  /** Key-skew profile — the distribution of per-key group sizes, the
+    * diagnostic run BEFORE picking a join/agg strategy at scale (a
+    * max/mean ratio ≫ 1 says "salt this key or let AQE split it"; see
+    * [[saltedAggregate]] for the cure this measures the need for). Two
+    * aggregates: per-key counts (map-side combined, the exchange carries
+    * one row per key) then a single-row global rollup over the
+    * key-sized counts frame. Percentiles over group sizes are exact
+    * interpolated (`percentile` = DuckDB quantile_cont); mean is an
+    * exact long sum with ONE double division at the end.
+    *
+    * Returns one row: (n_keys, n_rows, max_n, mean_n, p50_n, p99_n,
+    * skew_ratio = max/mean rounded to 6).
+    */
+  def skewProfile(df: DataFrame, keys: Seq[Column]): DataFrame = {
+    require(keys.nonEmpty, "skewProfile: no key columns given")
+    val counts = df.groupBy(keys: _*).agg(count(lit(1)).as("n"))
+    counts.agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("n")).as("n_rows"),
+        max(col("n")).as("max_n"),
+        round(sum(col("n")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("mean_n"),
+        round(percentile(col("n"), lit(0.5)), 6).as("p50_n"),
+        round(percentile(col("n"), lit(0.99)), 6).as("p99_n"))
+      .withColumn("skew_ratio",
+        round(col("max_n").cast("double") / col("mean_n"), 6))
+  }
 }

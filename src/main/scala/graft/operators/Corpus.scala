@@ -172,4 +172,34 @@ object Corpus {
         Seq("key"), "left_anti")
       .select(col("key"), col("score"), col("n_tokens"))
   }
+
+  /** Fixed-window overlapping chunking — the RAG/embedding prep step
+    * that cuts each document into `window`-char chunks every `stride`
+    * chars (stride < window ⇒ overlap). Pure per-row column work: one
+    * `sequence` of chunk starts exploded to a row per chunk, the chunk
+    * text a `substr` — no shuffle anywhere, embarrassingly parallel, and
+    * the explode is narrow (amplification = ⌈len/stride⌉, bounded by
+    * document length, never by corpus size). A zero-length document
+    * still yields its one (empty) chunk so every input key survives to
+    * the output — chunkers that drop empties silently lose the doc ids
+    * downstream joins expect.
+    *
+    * Returns (key, chunk_id, start, chunk, n_chars); `start` is the
+    * 0-based char offset, chunk_id = start / stride.
+    */
+  def chunkDocuments(df: DataFrame, key: Column, text: Column,
+      window: Int, stride: Int): DataFrame = {
+    require(window > 0, s"chunkDocuments: window must be > 0, got $window")
+    require(stride > 0 && stride <= window,
+      s"chunkDocuments: stride must be in [1, window], got $stride")
+    df.select(key.as("key"), text.as("t"), length(text).as("len"))
+      .withColumn("start", explode(
+        when(col("len") <= 0, array(lit(0)))
+          .otherwise(sequence(lit(0), col("len") - 1, lit(stride)))))
+      .select(col("key"),
+        (col("start") / stride).cast("long").as("chunk_id"),
+        col("start").cast("long").as("start"),
+        col("t").substr(col("start") + 1, lit(window)).as("chunk"))
+      .withColumn("n_chars", length(col("chunk")).cast("long"))
+  }
 }

@@ -234,4 +234,25 @@ object Dedup {
         tiebreak.indices.map(i => s"__t$i") ++
         Seq("__ts", "__burst", "__rn"): _*)
   }
+
+  /** Exact-dup provenance — per content digest: copy count, the keeper
+    * (minimum key, the same canonicalization [[exactDedup]] applies) and
+    * the SORTED distinct source set, so lineage survives the dedup
+    * ("this retained doc also appeared in crawl X and dump Y" — what a
+    * training-data audit asks after collapse). One aggregate on the
+    * digest; collect_set is bounded by the source-label cardinality
+    * (10¹-10², never corpus-sized), and sorting it inside the row makes
+    * the output deterministic under any partitioning.
+    *
+    * Returns (digest, n_copies, keeper, n_sources, sources) with
+    * `sources` comma-joined in lexicographic order.
+    */
+  def dedupProvenance(df: DataFrame, key: Column, digest: Column,
+      source: Column): DataFrame =
+    df.select(key.as("key"), digest.as("digest"), source.as("source"))
+      .groupBy("digest")
+      .agg(count(lit(1)).as("n_copies"),
+        min(col("key")).as("keeper"),
+        countDistinct(col("source")).as("n_sources"),
+        array_join(array_sort(collect_set(col("source"))), ",").as("sources"))
 }

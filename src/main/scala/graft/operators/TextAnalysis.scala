@@ -354,4 +354,82 @@ object TextAnalysis {
         round(sum(col("p").cast("decimal(38,12)")).cast("double") /
           count(lit(1)).cast("double"), 9).as("lm_score"))
   }
+
+  /** Inverted index build — term → (document frequency, sorted posting
+    * list), the retrieval-side artifact next to [[bm25TopK]]'s scoring.
+    * One explode + (term, doc) distinct + one aggregate on the term; the
+    * posting list is sorted INSIDE the row (sort_array of the collected
+    * keys) so output is deterministic under any partitioning, and it is
+    * serialized as a comma-joined string — the packed form an index
+    * shard stores, and the form an exact-compare oracle can replay.
+    * Posting lists are truncated to the first `maxPostings` doc ids (the
+    * index-shard cap that keeps a stopword-range term from storing a
+    * corpus-sized row); `df` stays the TRUE document frequency, counted
+    * before the truncation. The truncation happens BEFORE any
+    * collect_list — rank and df come from two window functions over the
+    * same term partitioning (one sort, no extra exchange, and window
+    * sorts SPILL — an over-cap term costs disk, not heap), so no
+    * aggregation buffer ever holds more than `maxPostings` entries; a
+    * collect-then-slice would OOM on exactly the stopword terms the cap
+    * exists for.
+    *
+    * Returns (term, df, postings).
+    */
+  def invertedIndex(df: DataFrame, key: Column, text: Column,
+      maxPostings: Int): DataFrame = {
+    require(maxPostings > 0,
+      s"invertedIndex: maxPostings must be > 0, got $maxPostings")
+    val w = Window.partitionBy("term")
+    df.select(key.as("doc"), explode(split(lower(text), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+      .distinct()
+      .withColumn("rn", row_number().over(w.orderBy("doc")))
+      .withColumn("df", count(lit(1)).over(w))
+      .filter(col("rn") <= maxPostings)
+      .groupBy("term", "df")
+      .agg(array_join(transform(sort_array(collect_list(col("doc"))),
+        _.cast("string")), ",").as("postings"))
+      .select(col("term"), col("df"), col("postings"))
+  }
+
+  /** Collocation mining by pointwise mutual information over adjacent
+    * token pairs: PMI(w1,w2) = ln(P(w1,w2)) − ln(P(w1)) − ln(P(w2)),
+    * bigram probability over the bigram total, unigram probabilities
+    * over the token total. High-PMI pairs are multiword expressions
+    * ("new york") — what a tokenizer-training or phrase-vocab pass
+    * mines. Three aggregates (bigram counts, unigram counts, two scalar
+    * totals broadcast as literals-by-crossJoin) + two joins of the
+    * bigram table against the unigram table; `minCount` prunes the
+    * bigram table BEFORE the joins, so the join input is the filtered
+    * vocabulary, not the token stream. The PMI is a fixed sequence of
+    * double ops (three ln's of single divisions, two subtractions) —
+    * the order an SQL engine replays bit-identically; rounded to 9.
+    *
+    * Returns (w1, w2, c2, pmi) for bigrams with count ≥ minCount.
+    */
+  def pmiCollocations(df: DataFrame, text: Column,
+      minCount: Long): DataFrame = {
+    val uni = df.select(explode(split(lower(text), "\\s+")).as("w1"))
+      .filter(col("w1") =!= "")
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    val nTok = uni.agg(sum(col("c1")).as("n_tok"))
+    val bg = df.select(split(lower(text), "\\s+").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(explode(sequence(lit(1), size(col("w")) - 1)).as("i"), col("w"))
+      .select(element_at(col("w"), col("i")).as("w1"),
+        element_at(col("w"), col("i") + 1).as("w2"))
+      .filter(col("w1") =!= "" && col("w2") =!= "")
+    val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      .filter(col("c2") >= minCount)
+    val nBg = bg.agg(count(lit(1)).as("n_bg"))
+    c2.join(uni, Seq("w1"))
+      .join(uni.select(col("w1").as("w2"), col("c1").as("c1b")), Seq("w2"))
+      .crossJoin(broadcast(nBg)).crossJoin(broadcast(nTok))
+      .select(col("w1"), col("w2"), col("c2"),
+        round(
+          log(col("c2").cast("double") / col("n_bg").cast("double")) -
+          log(col("c1").cast("double") / col("n_tok").cast("double")) -
+          log(col("c1b").cast("double") / col("n_tok").cast("double")),
+          9).as("pmi"))
+  }
 }

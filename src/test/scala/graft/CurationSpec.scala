@@ -195,4 +195,32 @@ class CurationSpec extends AnyFunSuite {
       .select("group", "key").as[(String, Long)].collect()
     assert(again.toSeq.sorted === expected)
   }
+
+  test("kAnonymity flags exactly the groups below k") {
+    val df = Seq(
+      ("a", "x"), ("a", "x"), ("a", "x"),  // n=3, safe at k=3
+      ("b", "x"), ("b", "x"),              // n=2, at risk
+      ("c", "y")                           // n=1, at risk
+    ).toDF("qa", "qb")
+    val out = Curation.kAnonymity(df, Seq(col("qa"), col("qb")), k = 3L)
+      .as[(String, String, Long, Boolean)].collect().sortBy(r => (r._1, r._2))
+    assert(out.toSeq === Seq(
+      ("a", "x", 3L, false), ("b", "x", 2L, true), ("c", "y", 1L, true)))
+  }
+
+  test("chunkDocuments covers the text with overlapping windows; empty doc keeps one chunk") {
+    val df = Seq((1L, "abcdefghij"), (2L, "")).toDF("doc_id", "text")
+    // window 4, stride 3 over 10 chars → starts 0,3,6,9
+    val out = graft.operators.Corpus.chunkDocuments(
+        df, col("doc_id"), col("text"), window = 4, stride = 3)
+      .select("key", "chunk_id", "start", "chunk", "n_chars")
+      .as[(Long, Long, Long, String, Long)].collect()
+      .sortBy(r => (r._1, r._2))
+    assert(out.toSeq === Seq(
+      (1L, 0L, 0L, "abcd", 4L), (1L, 1L, 3L, "defg", 4L),
+      (1L, 2L, 6L, "ghij", 4L), (1L, 3L, 9L, "j", 1L),
+      (2L, 0L, 0L, "", 0L)))
+    // overlap invariant: consecutive chunks share window − stride chars
+    assert(out(0)._4.drop(3) === out(1)._4.take(1))
+  }
 }

@@ -125,4 +125,36 @@ class RetrievalSpec extends AnyFunSuite {
     assert(out(0) === ((1L, 4L, 0L, "0 1 0 2")))
     assert(out(1) === ((2L, 3L, 1L, "0 1 -1")))
   }
+
+  test("invertedIndex: true df, sorted postings, truncation at the cap") {
+    val docs = Seq(
+      (3L, "aa bb"), (1L, "aa bb cc"), (2L, "aa AA dd")  // aa repeats in-doc
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.invertedIndex(docs, col("doc_id"), col("text"),
+        maxPostings = 2)
+      .as[(String, Long, String)].collect().sortBy(_._1)
+    // aa: df=3 (per-doc distinct, case folded), postings cut to 2 of 3
+    assert(out.toSeq === Seq(
+      ("aa", 3L, "1,2"), ("bb", 2L, "1,3"), ("cc", 1L, "1"), ("dd", 1L, "2")))
+  }
+
+  test("pmiCollocations: adjacent-pair PMI matches the closed form") {
+    // corpus: "x y" twice and "x z" once → tokens: x=3, y=2, z=1, N=6
+    // bigrams: (x,y)=2, (x,z)=1, M=3
+    val docs = Seq((1L, "x y"), (2L, "x y"), (3L, "x z")).toDF("doc_id", "text")
+    val out = TextAnalysis.pmiCollocations(docs, col("text"), minCount = 1L)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => ((r._1, r._2), (r._3, r._4))).toMap
+    def pmi(c2: Long, m: Long, c1a: Long, c1b: Long, n: Long): Double =
+      BigDecimal(math.log(c2.toDouble / m) - math.log(c1a.toDouble / n) -
+        math.log(c1b.toDouble / n)).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    assert(out === Map(
+      ("x", "y") -> ((2L, pmi(2, 3, 3, 2, 6))),
+      ("x", "z") -> ((1L, pmi(1, 3, 3, 1, 6)))))
+    // minCount prunes before the join
+    val pruned = TextAnalysis.pmiCollocations(docs, col("text"), minCount = 2L)
+      .as[(String, String, Long, Double)].collect()
+    assert(pruned.map(r => (r._1, r._2)).toSeq === Seq(("x", "y")))
+  }
 }

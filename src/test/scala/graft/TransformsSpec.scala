@@ -329,4 +329,29 @@ class TransformsSpec extends AnyFunSuite {
       .orderBy("ts").select("session_id").as[Long].collect()
     assert(out.toSeq === Seq(1L, 1L, 2L))
   }
+
+  test("dedupProvenance keeps min key and the sorted distinct source set per digest") {
+    val df = Seq(
+      (5L, "same", "crawl_b"), (2L, "same", "crawl_a"),
+      (9L, "same", "crawl_a"),                       // dup source collapses
+      (7L, "other", "dump")
+    ).toDF("id", "text", "src")
+    val out = Dedup.dedupProvenance(df, $"id", md5($"text"), $"src")
+      .select("n_copies", "keeper", "n_sources", "sources")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._2)
+    assert(out.toSeq === Seq(
+      (3L, 2L, 2L, "crawl_a,crawl_b"), (1L, 7L, 1L, "dump")))
+  }
+
+  test("skewProfile reports exact size distribution and max/mean ratio") {
+    // keys: a×6, b×2, c×1, d×1 → n_keys=4, n_rows=10, max=6, mean=2.5
+    val df = (Seq.fill(6)("a") ++ Seq.fill(2)("b") ++ Seq("c", "d")).toDF("k")
+    val out = Analytics.skewProfile(df, Seq($"k"))
+      .as[(Long, Long, Long, Double, Double, Double, Double)].collect()
+    val (nKeys, nRows, maxN, meanN, p50, p99, ratio) = out.head
+    assert((nKeys, nRows, maxN, meanN) === ((4L, 10L, 6L, 2.5)))
+    // exact interpolated percentiles over sizes [1,1,2,6]
+    assert(p50 === 1.5 && p99 === 5.88)
+    assert(ratio === 2.4)
+  }
 }
