@@ -2427,6 +2427,42 @@ object OracleSql {
         |FROM r WHERE rn <= 40 GROUP BY term, df
         |ORDER BY term""".stripMargin,
 
+    // id-ordered a<b<c enumeration — orientation-free ground truth; the
+    // Spark side's degree-ordered orientation must agree exactly.
+    "q_triangles" ->
+      """WITH nn AS (SELECT count(*) AS n FROM customer),
+        |b AS (SELECT c_custkey - 1 AS a FROM customer),
+        |raw AS (
+        |  SELECT a AS x, (a + 1) % nn.n AS y FROM b, nn
+        |  UNION ALL SELECT a, (a + 2) % nn.n FROM b, nn
+        |  UNION ALL SELECT a, (a + 5) % nn.n FROM b, nn WHERE a % 7 = 0),
+        |e AS (
+        |  SELECT DISTINCT least(x, y) AS u, greatest(x, y) AS v
+        |  FROM raw WHERE x <> y)
+        |SELECT node, count(*) AS n_tri FROM (
+        |  SELECT unnest([t.a, t.b, t.c]) AS node FROM (
+        |    SELECT x.u AS a, x.v AS b, y.v AS c
+        |    FROM e x JOIN e y ON x.u = y.u AND x.v < y.v
+        |    JOIN e z ON z.u = x.v AND z.v = y.v) t)
+        |GROUP BY node ORDER BY node""".stripMargin,
+
+    "q_reachability" ->
+      """WITH RECURSIVE e0 AS (
+        |  SELECT DISTINCT concat('p:', l_partkey) AS src,
+        |    concat('s:', l_suppkey) AS dst
+        |  FROM lineitem),
+        |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+        |seeds AS (
+        |  SELECT DISTINCT concat('s:', l_suppkey) AS node FROM lineitem
+        |  WHERE l_suppkey % 10 = 0),
+        |r AS (
+        |  SELECT node, 0 AS d FROM seeds
+        |  UNION
+        |  SELECT e.dst AS node, r.d + 1 AS d
+        |  FROM r JOIN e ON e.src = r.node WHERE r.d < 3)
+        |SELECT node, CAST(min(d) AS BIGINT) AS dist FROM r
+        |GROUP BY node ORDER BY node""".stripMargin,
+
     "q_pmi" ->
       """WITH ws AS (
         |  SELECT string_split_regex(lower(text), '\s+') AS w

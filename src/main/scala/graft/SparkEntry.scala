@@ -681,6 +681,35 @@ object SparkEntry {
         .orderBy("term")
     }),
 
+    // G+ — per-node triangle counts under degree-ordered wedge
+    // enumeration, over a deterministic ring+chord graph derived from
+    // customer keys (c, c+1), (c, c+2), and (c, c+5) on every 7th node.
+    "q_triangles" -> ((s, dir) => {
+      val d = t(s, dir, "customer").select((col("c_custkey") - 1).as("a"))
+      val base = d.crossJoin(broadcast(d.agg(count(lit(1)).as("n"))))
+      val raw = base.select(col("a").as("src"),
+          pmod(col("a") + 1, col("n")).as("dst"))
+        .unionByName(base.select(col("a").as("src"),
+          pmod(col("a") + 2, col("n")).as("dst")))
+        .unionByName(base.filter(col("a") % 7 === 0)
+          .select(col("a").as("src"), pmod(col("a") + 5, col("n")).as("dst")))
+      graft.operators.Graph.triangleCounts(raw).orderBy("node")
+    }),
+
+    // G+ — k-hop BFS over the part↔supplier bipartite graph from seed
+    // suppliers; frontier iteration, each edge traversed once total.
+    "q_reachability" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val e0 = li.select(concat(lit("p:"), col("l_partkey")).as("src"),
+          concat(lit("s:"), col("l_suppkey")).as("dst")).distinct()
+      val edges = e0.unionByName(
+        e0.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = li.filter(col("l_suppkey") % 10 === 0)
+        .select(concat(lit("s:"), col("l_suppkey")).as("node")).distinct()
+      graft.operators.Graph.kHopReachability(edges, seeds, maxHops = 3)
+        .orderBy("node")
+    }),
+
     // LLM+ phrase mining — PMI collocations over adjacent token pairs;
     // minCount prunes the bigram table before any join.
     "q_pmi" -> ((s, dir) => {

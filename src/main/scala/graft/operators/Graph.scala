@@ -66,4 +66,89 @@ object Graph {
       if (i == iters) next else next.localCheckpoint()
     }
   }
+
+  /** Per-node triangle counts over an undirected edge frame (src, dst) —
+    * the clustering-coefficient / community-density primitive. Input may
+    * carry either orientation, duplicates, and self-loops; it is
+    * canonicalized (u < v, distinct, loops dropped) first.
+    *
+    * Scale design: wedges are enumerated from each edge's LOWER endpoint
+    * under (degree, id) ordering — the classic degree-ordered
+    * orientation (Chiba–Nishizeki / MR "node-iterator++"): every
+    * triangle is generated exactly once from its lowest-degree corner,
+    * and per-node wedge fan-out is bounded by each node's ORIENTED
+    * out-degree, which the ordering caps at O(√m) on any graph — a
+    * high-degree hub generates no wedges from itself, its low-degree
+    * neighbors generate them instead. Without the reorientation the hub
+    * contributes deg² wedges and one task inherits them all. Three
+    * shuffles total (degree agg, wedge self-join on the shared source,
+    * closure join on the canonical edge), each AQE-skew-splittable.
+    *
+    * Returns (node, n_tri) for every node in ≥ 1 triangle.
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val e = edges.select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    val deg = e.select(explode(array(col("u"), col("v"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    val uLower = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
+    val dirE = e
+      .join(deg.select(col("n").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("n").as("v"), col("deg").as("dv")), Seq("v"))
+      .select(when(uLower, col("u")).otherwise(col("v")).as("s"),
+        when(uLower, col("v")).otherwise(col("u")).as("t"))
+      .localCheckpoint()
+    val wedges = dirE.as("x").join(dirE.as("y"),
+        col("x.s") === col("y.s") && col("x.t") < col("y.t"))
+      .select(col("x.s").as("a"), col("x.t").as("b"), col("y.t").as("c"))
+    val tri = wedges.join(
+      e.select(col("u").as("bu"), col("v").as("cv")),
+      least(col("b"), col("c")) === col("bu") &&
+        greatest(col("b"), col("c")) === col("cv"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+  }
+
+  /** k-hop BFS reachability: min hop-distance (≤ maxHops) from a seed
+    * set over a DIRECTED edge frame. Frontier iteration — each round
+    * expands only the nodes discovered LAST round and anti-joins the
+    * already-settled set, so a node's edges are traversed once total,
+    * not once per round (the textbook Δ over naive semi-naive
+    * evaluation); rounds are join + distinct + anti-join on node-sized
+    * frames, localCheckpoint-ed for lineage truncation like every
+    * iterative operator here. An empty frontier short-circuits the
+    * remaining rounds (one count() on a frontier-sized frame per round —
+    * the standard iterative-algorithm driver check).
+    *
+    * Returns (node, dist) for every node within maxHops of a seed,
+    * seeds themselves at dist 0.
+    */
+  def kHopReachability(edges: DataFrame, seeds: DataFrame,
+      maxHops: Int): DataFrame = {
+    require(maxHops >= 1, s"kHopReachability: maxHops must be ≥ 1, got $maxHops")
+    val e = edges.select("src", "dst").distinct().localCheckpoint()
+    var dist = seeds.select(col("node")).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint()
+    var frontier = dist.select("node")
+    var hop = 1
+    var done = false
+    while (hop <= maxHops && !done) {
+      val discovered = e.join(frontier.withColumnRenamed("node", "src"),
+          Seq("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(dist.select("node"), Seq("node"), "left_anti")
+        .localCheckpoint()
+      if (discovered.isEmpty) done = true
+      else {
+        dist = dist.unionByName(
+          discovered.withColumn("dist", lit(hop.toLong))).localCheckpoint()
+        frontier = discovered.select("node")
+        hop += 1
+      }
+    }
+    dist
+  }
 }

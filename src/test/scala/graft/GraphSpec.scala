@@ -47,4 +47,37 @@ class GraphSpec extends AnyFunSuite {
     assert(math.abs(r.values.sum - 1.0) < 1e-9)
     assert(r("b") > r("a") && r("a") === r("c"))
   }
+
+  test("triangleCounts: K4 gives 3 per node; messy input is canonicalized") {
+    // K4 with duplicate edges, reversed orientations, and a self-loop
+    val k4 = Seq(("a", "b"), ("b", "a"), ("a", "c"), ("a", "d"), ("b", "c"),
+      ("c", "b"), ("b", "d"), ("c", "d"), ("d", "d")).toDF("src", "dst")
+    val out = Graph.triangleCounts(k4).as[(String, Long)].collect().toMap
+    // K4 has C(4,3)=4 triangles, each node in exactly 3
+    assert(out === Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
+  }
+
+  test("triangleCounts: triangle + pendant edge + disjoint edge") {
+    val g = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("x", "y"))
+      .toDF("src", "dst")
+    val out = Graph.triangleCounts(g).as[(String, Long)].collect().toMap
+    // only the triangle's corners appear; d, x, y are in none
+    assert(out === Map("a" -> 1L, "b" -> 1L, "c" -> 1L))
+  }
+
+  test("kHopReachability: BFS min-distance with hop cap and early stop") {
+    // chain a→b→c→d→e plus shortcut a→c; directed
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("a", "c"))
+      .toDF("src", "dst")
+    val seeds = Seq("a").toDF("node")
+    val out = Graph.kHopReachability(e, seeds, maxHops = 2)
+      .as[(String, Long)].collect().toMap
+    // c via the shortcut at 1, not the chain at 2; e beyond the cap
+    assert(out === Map("a" -> 0L, "b" -> 1L, "c" -> 1L, "d" -> 2L))
+    // an unreachable component never appears even with spare hops
+    val far = Graph.kHopReachability(
+        e.unionByName(Seq(("p", "q")).toDF("src", "dst")), seeds, maxHops = 4)
+      .as[(String, Long)].collect().toMap
+    assert(far === Map("a" -> 0L, "b" -> 1L, "c" -> 1L, "d" -> 2L, "e" -> 3L))
+  }
 }
