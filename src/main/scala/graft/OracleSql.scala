@@ -1482,6 +1482,28 @@ object OracleSql {
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
 
+    // sliding 2-day/1-day windows, epoch-aligned: every event belongs to
+    // the windows starting at day(ts) − 1 day and day(ts)
+    "q_stream_sliding" ->
+      """WITH ev AS (
+        |  SELECT event_type, value,
+        |    CAST(date_trunc('day', ts) AS TIMESTAMP) AS d
+        |  FROM events),
+        |x AS (
+        |  SELECT event_type, value, d - INTERVAL 1 DAY AS w_start FROM ev
+        |  UNION ALL
+        |  SELECT event_type, value, d FROM ev)
+        |SELECT event_type, w_start, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE) AS vsum
+        |FROM x GROUP BY 1, 2 ORDER BY event_type, w_start""".stripMargin,
+
+    "q_bucket_join" ->
+      """SELECT c_nationkey, count(*) AS n_orders,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(30,10)))
+        |    AS DECIMAL(38,4)) AS DOUBLE) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
     // Session windows in Append mode emit only sessions closed before the
     // FINAL watermark, which AvailableNow over a static dir makes
     // expressible: watermark = max(ts) − 1 day, a session = a maximal run

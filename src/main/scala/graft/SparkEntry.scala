@@ -681,6 +681,36 @@ object SparkEntry {
         .orderBy("term")
     }),
 
+    // K+ scale — bucketed co-located join: both sides written bucketed
+    // by the join key into the same bucket count, so the join reads
+    // bucket i against bucket i with NO exchange on either side (the
+    // pre-shuffled layout a 100 TB fact↔fact join amortizes across every
+    // downstream query; AqeSpec asserts the exchange-free plan). Tables
+    // are EXTERNAL at pid-scoped scratch paths — catalog metadata (the
+    // bucket spec lives there) is per-session, files per-JVM.
+    "q_bucket_join" -> ((s, dir) => {
+      s.sql("DROP TABLE IF EXISTS bkt_orders")
+      s.sql("DROP TABLE IF EXISTS bkt_customer")
+      t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.mode("overwrite").format("parquet")
+        .option("path", scratchDir("bkt_orders"))
+        .bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .saveAsTable("bkt_orders")
+      t(s, dir, "customer").select("c_custkey", "c_nationkey")
+        .write.mode("overwrite").format("parquet")
+        .option("path", scratchDir("bkt_customer"))
+        .bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .saveAsTable("bkt_customer")
+      s.table("bkt_orders")
+        .join(s.table("bkt_customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(30,10)"))
+            .cast("decimal(38,4)").cast("double").as("sum_price"))
+        .orderBy("c_nationkey")
+    }),
+
     // G+ — per-node triangle counts under degree-ordered wedge
     // enumeration, over a deterministic ring+chord graph derived from
     // customer keys (c, c+1), (c, c+2), and (c, c+5) on every 7th node.
@@ -1308,6 +1338,10 @@ object SparkEntry {
     "q_stream_candles" -> ((s, dir) =>
       graft.streaming.Streaming.streamingCandles(s, dir)
         .orderBy("user_id", "day")),
+
+    "q_stream_sliding" -> ((s, dir) =>
+      graft.streaming.Streaming.streamingSlidingRate(s, dir)
+        .orderBy("event_type", "w_start")),
 
     "q_stream_dedup" -> ((s, dir) =>
       graft.streaming.Streaming.streamingDedup(s, dir)

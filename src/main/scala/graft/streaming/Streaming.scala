@@ -167,6 +167,28 @@ object Streaming {
     runToCompletion(agg, OutputMode.Complete(), "stream_candles")
   }
 
+  /** SLIDING-window rollup — `window(ts, "2 days", "1 day")`: each event
+    * lands in duration/slide = 2 overlapping windows (the overlap factor
+    * is the state/shuffle amplification dial — Spark expands the windows
+    * BEFORE the aggregate, so a 2× overlap is a 2× row fan-out into the
+    * same hash aggregate, never a per-window re-scan). Watermark bounds
+    * state exactly as in the tumbling case; windows are epoch-aligned so
+    * the batch oracle replays them as {day(ts) − 1 day, day(ts)}.
+    */
+  def streamingSlidingRate(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val agg = eventsStream(spark, dir)
+      .withWatermark("ts", "1 day")
+      .groupBy(col("event_type"),
+        window(col("ts"), "2 days", "1 day").as("w"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(30,10)")).cast("double").as("vsum"))
+      .select(col("event_type"), col("w.start").as("w_start"), col("n"),
+        col("vsum"))
+    runToCompletion(agg, OutputMode.Complete(), "stream_sliding")
+  }
+
   /** Streaming dedup with watermark-bounded state — the streaming form of
     * the reference's cross-batch URL dedup (loading.py:150-161; the 2-day
     * watermark mirrors its 2-day pull window).

@@ -123,4 +123,38 @@ class AqeSpec extends AnyFunSuite {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("bucketed co-located join runs with zero exchanges") {
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("graft_bucket_spec").toString
+    val keep = Seq("spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      // force the join to actually use the bucket layout (a broadcast
+      // would dodge the exchange question entirely on toy data)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.sql("DROP TABLE IF EXISTS spec_bkt_a")
+      spark.sql("DROP TABLE IF EXISTS spec_bkt_b")
+      (1 to 1000).map(i => (i.toLong, s"a$i")).toDF("k", "va")
+        .write.format("parquet").option("path", s"$base/a")
+        .bucketBy(4, "k").sortBy("k").saveAsTable("spec_bkt_a")
+      (1 to 1000).filter(_ % 3 == 0).map(i => (i.toLong, s"b$i")).toDF("k", "vb")
+        .write.format("parquet").option("path", s"$base/b")
+        .bucketBy(4, "k").sortBy("k").saveAsTable("spec_bkt_b")
+      val j = spark.table("spec_bkt_a").join(spark.table("spec_bkt_b"), "k")
+      assert(j.count() === 333)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle either side:\n$plan")
+      // both scans report the bucket layout
+      assert(plan.contains("Bucketed: true"), plan)
+    } finally {
+      keep.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+      spark.sql("DROP TABLE IF EXISTS spec_bkt_a")
+      spark.sql("DROP TABLE IF EXISTS spec_bkt_b")
+    }
+  }
 }
