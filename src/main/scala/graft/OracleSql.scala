@@ -2509,6 +2509,36 @@ object OracleSql {
         |FROM cc JOIN u a ON cc.w1 = a.w1 JOIN u b ON cc.w2 = b.w1, nb, nt
         |ORDER BY cc.w1, cc.w2""".stripMargin,
 
+    "q_top_paths" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS rn
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM r WHERE rn <= 5 GROUP BY user_id),
+        |c AS (SELECT path, count(*) AS n_users FROM p GROUP BY path)
+        |SELECT path, n_users FROM c
+        |ORDER BY n_users DESC, path LIMIT 20""".stripMargin,
+
+    "q_ewma" ->
+      """WITH b AS (
+        |  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |    value,
+        |    row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+        |      ORDER BY ts, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY user_id, date_trunc('day', ts)) AS n
+        |  FROM events),
+        |t AS (
+        |  SELECT user_id, day,
+        |    pow(0.7, CAST(n - rn AS DOUBLE)) AS w, value
+        |  FROM b)
+        |SELECT user_id, day, count(*) AS n,
+        |  round(CAST(sum(CAST(w * value AS DECIMAL(38,12))) AS DOUBLE) /
+        |    CAST(sum(CAST(w AS DECIMAL(38,12))) AS DOUBLE), 6) AS ewma
+        |FROM t GROUP BY user_id, day ORDER BY user_id, day""".stripMargin,
+
     "q_market_basket" ->
       """WITH bi AS (SELECT DISTINCT user_id AS b, event_type AS i FROM events),
         |tot AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n_baskets FROM bi),

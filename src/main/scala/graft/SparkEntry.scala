@@ -748,6 +748,23 @@ object SparkEntry {
         .orderBy("w1", "w2")
     }),
 
+    // W3+ — top navigation paths: each user's first-5 event-type path,
+    // counted and top-k'd via TakeOrderedAndProject.
+    "q_top_paths" -> ((s, dir) => {
+      Analytics.topPaths(t(s, dir, "events"), col("user_id"), col("ts"),
+          Seq(col("event_id")), col("event_type"), maxSteps = 5, k = 20)
+    }),
+
+    // A6+ — per-user-day EWMA in the adjusted (ratio) form: two plain
+    // sums instead of a sequential recursion, so one window + one
+    // aggregate and the oracle replays it exactly.
+    "q_ewma" -> ((s, dir) => {
+      Analytics.ewma(t(s, dir, "events"),
+          Seq(col("user_id"), date_trunc("day", col("ts")).as("day")),
+          col("ts"), Seq(col("event_id")), col("value"), alpha = 0.3)
+        .orderBy("user_id", "day")
+    }),
+
     // A6+ — market-basket pair mining over (user, event_type) baskets:
     // support / confidence / lift; pair fan-out bounded by basket size.
     "q_market_basket" -> ((s, dir) => {

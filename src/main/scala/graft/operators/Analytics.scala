@@ -577,6 +577,67 @@ object Analytics {
           .otherwise(col("signal") =!= lag(col("signal"), 1).over(ordered)))
   }
 
+  /** Top event paths — the frequency table of each user's first
+    * `maxSteps` event types in time order ("click>view>purchase"), the
+    * navigation-pattern rollup next to [[funnel]]'s fixed-order check.
+    * One window (rank within the per-user sort every timeline op
+    * shares), one per-user aggregate whose path string is assembled by
+    * sorting the ≤ maxSteps collected (rank, step) structs INSIDE the
+    * row — collect_list order is partition-dependent, the in-row sort
+    * makes it not matter — and one count on the path. Top-k via
+    * orderBy+limit = TakeOrderedAndProject (per-partition heaps, no
+    * global sort materialization).
+    *
+    * Returns (path, n_users), the k most common, ties to the smaller
+    * path string.
+    */
+  def topPaths(df: DataFrame, user: Column, ts: Column,
+      tiebreak: Seq[Column], step: Column, maxSteps: Int,
+      k: Int): DataFrame = {
+    require(maxSteps >= 1 && k >= 1,
+      s"topPaths: maxSteps and k must be ≥ 1, got $maxSteps, $k")
+    val w = Window.partitionBy("u").orderBy((col("t") +: tiebreak): _*)
+    df.select(Seq(user.as("u"), ts.as("t"), step.as("s")) ++ tiebreak: _*)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= maxSteps)
+      .groupBy("u")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("rn"), col("s")))),
+        _.getField("s")), ">").as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path"))
+      .limit(k)
+  }
+
+  /** Per-group exponentially weighted moving average in the ADJUSTED
+    * (ratio) form: ewma = Σᵢ (1−α)^(n−i)·xᵢ / Σᵢ (1−α)^(n−i) over each
+    * group's time-ordered values — algebraically identical to the
+    * recursive definition with bias correction, but expressible as two
+    * plain sums, so it needs NO sequential scan: one rank window and one
+    * aggregate, same shuffle shape as every grouped rollup here (the
+    * recursive form would serialize per-group and an SQL oracle could
+    * not replay it at all). Each term is a fixed double op sequence
+    * (pow with an integer exponent, one multiply); the sums are exact
+    * decimal, the final division one double op, rounded to 6.
+    *
+    * Returns (group..., n, ewma).
+    */
+  def ewma(df: DataFrame, groups: Seq[Column], ts: Column,
+      tiebreak: Seq[Column], value: Column, alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"ewma: alpha must be in (0,1), got $alpha")
+    val ordered = Window.partitionBy(groups: _*).orderBy((ts +: tiebreak): _*)
+    val whole = Window.partitionBy(groups: _*)
+    df.withColumn("__rn", row_number().over(ordered))
+      .withColumn("__n", count(lit(1)).over(whole))
+      .withColumn("__w",
+        pow(lit(1.0 - alpha), (col("__n") - col("__rn")).cast("double")))
+      .groupBy(groups: _*)
+      .agg(count(lit(1)).as("n"),
+        round(
+          sum((col("__w") * value).cast("decimal(38,12)")).cast("double") /
+          sum(col("__w").cast("decimal(38,12)")).cast("double"), 6).as("ewma"))
+  }
+
   /** Key-skew profile — the distribution of per-key group sizes, the
     * diagnostic run BEFORE picking a join/agg strategy at scale (a
     * max/mean ratio ≫ 1 says "salt this key or let AQE split it"; see

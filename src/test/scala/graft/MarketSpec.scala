@@ -136,6 +136,39 @@ class MarketSpec extends AnyFunSuite {
       (5L, None, None)))
   }
 
+  test("topPaths orders steps by time, truncates at maxSteps, ranks by count") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(s: Int) = new java.sql.Timestamp(base.getTime + s * 1000L)
+    val df = Seq(
+      (1L, "u1", at(0), "a"), (2L, "u1", at(1), "b"), (3L, "u1", at(2), "c"),
+      (4L, "u2", at(0), "a"), (5L, "u2", at(1), "b"), (6L, "u2", at(2), "c"),
+      (7L, "u3", at(2), "b"), (8L, "u3", at(0), "a"),  // out-of-order input
+      (9L, "u4", at(0), "z")
+    ).toDF("event_id", "u", "ts", "typ")
+    val out = Analytics.topPaths(df, col("u"), col("ts"),
+        Seq(col("event_id")), col("typ"), maxSteps = 2, k = 2)
+      .as[(String, Long)].collect()
+    // first-2 paths: u1,u2 → "a>b" (×2); u3 → "a>b" too (time order,
+    // not insert order) → 3; u4 → "z" (1) cut by k=2... wait, k=2 keeps
+    // the 2 most common: a>b(3), z(1)
+    assert(out.toSeq === Seq(("a>b", 3L), ("z", 1L)))
+  }
+
+  test("ewma matches the hand-computed adjusted form and ignores input order") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(s: Int) = new java.sql.Timestamp(base.getTime + s * 1000L)
+    // values 10, 20, 40 in time order; alpha 0.5 → weights 0.25,0.5,1
+    val df = Seq(
+      (2L, "u", at(1), 20.0), (3L, "u", at(2), 40.0), (1L, "u", at(0), 10.0)
+    ).toDF("event_id", "u", "ts", "v")
+    val out = Analytics.ewma(df, Seq(col("u")), col("ts"),
+        Seq(col("event_id")), col("v"), alpha = 0.5)
+      .as[(String, Long, Double)].collect()
+    val expect = BigDecimal((0.25 * 10 + 0.5 * 20 + 1.0 * 40) / 1.75)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.toSeq === Seq(("u", 3L, expect)))
+  }
+
   test("transitions builds the per-state-normalized Markov matrix") {
     val df = Seq(
       ("u1", 1L, "a"), ("u1", 2L, "b"), ("u1", 3L, "a"),
