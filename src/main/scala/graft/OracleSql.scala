@@ -2402,6 +2402,30 @@ object OracleSql {
         |    AS n_chars
         |FROM s ORDER BY key, chunk_id""".stripMargin,
 
+    "q_split" ->
+      """SELECT doc_id AS key,
+        |  CASE
+        |    WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+        |      AS BIGINT) < 52428 THEN 'train'
+        |    WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+        |      AS BIGINT) < 58981 THEN 'val'
+        |    ELSE 'test'
+        |  END AS split
+        |FROM documents ORDER BY key""".stripMargin,
+
+    "q_embed_norm" ->
+      """WITH v AS (
+        |  SELECT vec_id AS id, len(embedding) AS dim,
+        |    CAST(list_aggregate(list_transform(embedding,
+        |      x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+        |        AS DECIMAL(30,12))), 'sum') AS DOUBLE) AS n2,
+        |    CAST(embedding[1] AS DOUBLE) AS e0
+        |  FROM embeddings)
+        |SELECT id, CAST(dim AS INTEGER) AS dim, round(sqrt(n2), 6) AS norm,
+        |  CASE WHEN n2 = 0 THEN NULL
+        |       ELSE round(e0 / sqrt(n2), 6) END AS e0_n
+        |FROM v ORDER BY id""".stripMargin,
+
     "q_k_anon" ->
       """SELECT user_id % 500 AS cohort, event_type, count(*) AS n,
         |  count(*) < 3 AS at_risk

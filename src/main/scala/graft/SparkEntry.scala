@@ -643,6 +643,22 @@ object SparkEntry {
         .orderBy("key", "chunk_id")
     }),
 
+    // LLM+ — deterministic 80/10/10 train/val/test split: md5 bucket
+    // vs exact integer thresholds, zero shuffle, rows never migrate.
+    "q_split" -> ((s, dir) => {
+      Curation.trainValTestSplit(t(s, dir, "documents"), col("doc_id"),
+          valPct = 10, testPct = 10)
+        .orderBy("key")
+    }),
+
+    // LLM+ — L2 norm stats per embedding (decimal-dot squared norm,
+    // one double sqrt) + first normalized component as witness.
+    "q_embed_norm" -> ((s, dir) => {
+      Similarity.embedNormStats(t(s, dir, "embeddings"),
+          col("vec_id"), col("embedding"))
+        .orderBy("id")
+    }),
+
     // LLM+ privacy — k-anonymity audit over (cohort, event_type)
     // quasi-identifiers; one map-side-combined aggregate.
     "q_k_anon" -> ((s, dir) => {

@@ -351,6 +351,34 @@ object Curation {
     *
     * Returns (quasi..., n, at_risk) for every combination.
     */
+  /** Deterministic train/val/test assignment — the canonical
+    * hash-bucket split: the first 4 hex chars of md5(key) index a
+    * 0..65535 bucket, integer-threshold'd into splits (percent
+    * thresholds are EXACT integers — 65536·p/100 — so no float
+    * boundary exists to disagree over). Membership is a pure function
+    * of the key: reproducible across runs/engines/partitionings, docs
+    * never migrate between splits when the corpus grows (the property
+    * random-assignment splits lose), and siblings of [[mixtureSample]]
+    * / [[Corpus.stratifiedSample]] by construction. Embarrassingly
+    * parallel — no shuffle at all.
+    *
+    * Returns the input row's key + its split label.
+    */
+  def trainValTestSplit(df: DataFrame, key: Column,
+      valPct: Int, testPct: Int): DataFrame = {
+    require(valPct >= 0 && testPct >= 0 && valPct + testPct < 100,
+      s"trainValTestSplit: need valPct, testPct ≥ 0 and val+test < 100, " +
+        s"got $valPct, $testPct")
+    val trainUb = 65536L * (100 - valPct - testPct) / 100
+    val valUb = trainUb + 65536L * valPct / 100
+    val bucket = conv(substring(md5(key.cast("string")), 1, 4), 16, 10)
+      .cast("long")
+    df.select(key.as("key"),
+      when(bucket < trainUb, "train")
+        .when(bucket < valUb, "val")
+        .otherwise("test").as("split"))
+  }
+
   def kAnonymity(df: DataFrame, quasi: Seq[Column], k: Long): DataFrame = {
     require(quasi.nonEmpty, "kAnonymity: no quasi-identifier columns given")
     require(k >= 2, s"kAnonymity: k must be ≥ 2, got $k")

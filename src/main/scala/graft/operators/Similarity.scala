@@ -231,6 +231,27 @@ object Similarity {
       .select("query_id", "neighbor_id", "approx_cos", "rank")
   }
 
+  /** Per-vector L2 stats — the normalize-before-indexing pass every
+    * cosine-ANN pipeline runs first (unit-norm vectors turn cosine into
+    * a plain dot product downstream): squared norm via the same
+    * [[dotDecimal]] native expression every pair op uses
+    * (order-independent decimal sum — engine-parity), the norm one
+    * double sqrt, and the first normalized component as the
+    * spot-checkable witness of the scaling. Embarrassingly parallel —
+    * zero-vector rows report null components instead of NaN.
+    *
+    * Returns (id, dim, norm, e0_n).
+    */
+  def embedNormStats(df: DataFrame, id: Column, vec: Column): DataFrame = {
+    registerNative(df.sparkSession)
+    val n2 = dotDecimal(vec, vec).cast("double")
+    df.select(id.as("id"), size(vec).as("dim"),
+      round(sqrt(n2), 6).as("norm"),
+      when(n2 === 0.0, lit(null).cast("double"))
+        .otherwise(round(element_at(vec, 1).cast("double") / sqrt(n2), 6))
+        .as("e0_n"))
+  }
+
   def bucketedTopK(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, nBits: Int, k: Int): DataFrame = {

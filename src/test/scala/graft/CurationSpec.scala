@@ -196,6 +196,25 @@ class CurationSpec extends AnyFunSuite {
     assert(again.toSeq.sorted === expected)
   }
 
+  test("trainValTestSplit is a pure function of the key with sane proportions") {
+    val keys = (1L to 2000L).toDF("id")
+    val out = Curation.trainValTestSplit(keys, col("id"), 10, 10)
+      .as[(Long, String)].collect()
+    val bySplit = out.groupBy(_._2).view.mapValues(_.length).toMap
+    // hash-uniform: 80/10/10 ± a generous tolerance at n=2000
+    assert(bySplit("train") > 1500 && bySplit("train") < 1700)
+    assert(bySplit("val") > 120 && bySplit("val") < 280)
+    assert(bySplit("test") > 120 && bySplit("test") < 280)
+    // layout-independence: repartitioned input assigns identically
+    val again = Curation.trainValTestSplit(keys.repartition(17), col("id"), 10, 10)
+      .as[(Long, String)].collect()
+    assert(again.sortBy(_._1).toSeq === out.sortBy(_._1).toSeq)
+    // growing the corpus never migrates an existing key
+    val grown = Curation.trainValTestSplit((1L to 4000L).toDF("id"), col("id"), 10, 10)
+      .as[(Long, String)].collect().toMap
+    assert(out.forall { case (k, s) => grown(k) == s })
+  }
+
   test("kAnonymity flags exactly the groups below k") {
     val df = Seq(
       ("a", "x"), ("a", "x"), ("a", "x"),  // n=3, safe at k=3

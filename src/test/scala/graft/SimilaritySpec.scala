@@ -105,4 +105,16 @@ class SimilaritySpec extends AnyFunSuite {
     assert(math.abs(top(2)._2 + 1.0) < 1e-12)
     assert(top(1)._2 > -0.999 && top(1)._2 < 0.999)
   }
+
+  test("embedNormStats: exact norms, normalized head, zero-vector → null") {
+    val emb = Seq(
+      (1L, Array(3.0f, 4.0f)),          // norm 5, e0_n = 0.6
+      (2L, Array(0.0f, 0.0f)),          // zero vector
+      (3L, Array(-1.0f, 0.0f))          // unit, e0_n = -1
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.embedNormStats(emb, $"vec_id", $"embedding")
+      .as[(Long, Int, Double, Option[Double])].collect().sortBy(_._1)
+    assert(out.toSeq === Seq(
+      (1L, 2, 5.0, Some(0.6)), (2L, 2, 0.0, None), (3L, 2, 1.0, Some(-1.0))))
+  }
 }
