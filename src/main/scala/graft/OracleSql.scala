@@ -2359,7 +2359,7 @@ object OracleSql {
         |      IGNORE NULLS) OVER win AS touch_secs
         |  FROM s
         |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
         |SELECT event_id AS conv_event_id, user_id, ts AS conv_ts,
         |  CASE WHEN touch_secs <= 604800 THEN touch_eid END AS touch_event_id,
         |  CASE WHEN touch_secs <= 604800 THEN touch_secs END AS secs_since_touch

@@ -746,8 +746,11 @@ object SparkEntry {
     // suppliers; frontier iteration, each edge traversed once total.
     "q_reachability" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
+      // no caller-side distinct: kHopReachability canonicalizes edges
+      // internally — a distinct here would just pay the same wide
+      // shuffle twice
       val e0 = li.select(concat(lit("p:"), col("l_partkey")).as("src"),
-          concat(lit("s:"), col("l_suppkey")).as("dst")).distinct()
+          concat(lit("s:"), col("l_suppkey")).as("dst"))
       val edges = e0.unionByName(
         e0.select(col("dst").as("src"), col("src").as("dst")))
       val seeds = li.filter(col("l_suppkey") % 10 === 0)

@@ -517,8 +517,13 @@ object Analytics {
   def lastTouchAttribution(df: DataFrame, user: Column, ts: Column,
       tiebreak: Seq[Column], eventId: Column, eventType: Column,
       touchType: String, convType: String, lookbackSec: Long): DataFrame = {
+    // frame ends at the PREVIOUS row: a conversion must never attribute
+    // to itself, which the current-row frame would silently do whenever
+    // touchType == convType (repeat-purchase attribution); for distinct
+    // types the two frames are equivalent, since a conversion row
+    // contributes no touch values
     val w = Window.partitionBy("u").orderBy((col("t") +: tiebreak): _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      .rowsBetween(Window.unboundedPreceding, -1)
     val sec = floor(unix_micros(col("t")) / lit(1000000L)).cast("long")
     val isTouch = col("et") === touchType
     val base = df.select(Seq(user.as("u"), ts.as("t"), eventId.as("eid"),

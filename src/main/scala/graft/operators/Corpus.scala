@@ -179,10 +179,11 @@ object Corpus {
     * `sequence` of chunk starts exploded to a row per chunk, the chunk
     * text a `substr` — no shuffle anywhere, embarrassingly parallel, and
     * the explode is narrow (amplification = ⌈len/stride⌉, bounded by
-    * document length, never by corpus size). A zero-length document
-    * still yields its one (empty) chunk so every input key survives to
-    * the output — chunkers that drop empties silently lose the doc ids
-    * downstream joins expect.
+    * document length, never by corpus size). A zero-length or NULL-text
+    * document still yields its one (empty) chunk so every input key
+    * survives to the output — chunkers that drop empties silently lose
+    * the doc ids downstream joins expect (a null `length` would
+    * otherwise null the start sequence and explode the row away).
     *
     * Returns (key, chunk_id, start, chunk, n_chars); `start` is the
     * 0-based char offset, chunk_id = start / stride.
@@ -192,7 +193,8 @@ object Corpus {
     require(window > 0, s"chunkDocuments: window must be > 0, got $window")
     require(stride > 0 && stride <= window,
       s"chunkDocuments: stride must be in [1, window], got $stride")
-    df.select(key.as("key"), text.as("t"), length(text).as("len"))
+    df.select(key.as("key"), coalesce(text, lit("")).as("t"),
+        coalesce(length(text), lit(0)).as("len"))
       .withColumn("start", explode(
         when(col("len") <= 0, array(lit(0)))
           .otherwise(sequence(lit(0), col("len") - 1, lit(stride)))))

@@ -340,17 +340,6 @@ object Curation {
         round(least(greatest(col("v"), col("lo")), col("hi")), 6).as("v_clipped"))
   }
 
-  /** k-anonymity audit — for each quasi-identifier combination, how many
-    * rows share it and whether that group is below the anonymity
-    * threshold `k` (an at-risk group: its members are re-identifiable by
-    * the quasi-identifiers alone). The privacy gate a training corpus
-    * runs before release. ONE partial/final aggregate on the quasi-id
-    * tuple — map-side combine collapses the count before the shuffle, so
-    * the exchange carries one row per distinct quasi-id combination, not
-    * per input row.
-    *
-    * Returns (quasi..., n, at_risk) for every combination.
-    */
   /** Deterministic train/val/test assignment — the canonical
     * hash-bucket split: the first 4 hex chars of md5(key) index a
     * 0..65535 bucket, integer-threshold'd into splits (percent
@@ -379,6 +368,17 @@ object Curation {
         .otherwise("test").as("split"))
   }
 
+  /** k-anonymity audit — for each quasi-identifier combination, how many
+    * rows share it and whether that group is below the anonymity
+    * threshold `k` (an at-risk group: its members are re-identifiable by
+    * the quasi-identifiers alone). The privacy gate a training corpus
+    * runs before release. ONE partial/final aggregate on the quasi-id
+    * tuple — map-side combine collapses the count before the shuffle, so
+    * the exchange carries one row per distinct quasi-id combination, not
+    * per input row.
+    *
+    * Returns (quasi..., n, at_risk) for every combination.
+    */
   def kAnonymity(df: DataFrame, quasi: Seq[Column], k: Long): DataFrame = {
     require(quasi.nonEmpty, "kAnonymity: no quasi-identifier columns given")
     require(k >= 2, s"kAnonymity: k must be ≥ 2, got $k")

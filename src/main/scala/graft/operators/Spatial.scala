@@ -27,6 +27,10 @@ object Spatial {
   def gridRadiusJoin(points: DataFrame, queries: DataFrame,
       id: Column, x: Column, y: Column,
       radius: Long, cellSize: Long): DataFrame = {
+    require(radius >= 0 && cellSize > 0,
+      s"gridRadiusJoin: need radius ≥ 0 and cellSize > 0, got " +
+        s"radius=$radius cellSize=$cellSize (cellSize 0 would null every " +
+        "cell key and silently match nothing)")
     require(cellSize >= radius,
       s"gridRadiusJoin: cellSize ($cellSize) must be ≥ radius ($radius) " +
         "or the 3×3 neighborhood misses matches")

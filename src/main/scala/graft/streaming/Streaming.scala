@@ -171,9 +171,13 @@ object Streaming {
     * lands in duration/slide = 2 overlapping windows (the overlap factor
     * is the state/shuffle amplification dial — Spark expands the windows
     * BEFORE the aggregate, so a 2× overlap is a 2× row fan-out into the
-    * same hash aggregate, never a per-window re-scan). Watermark bounds
-    * state exactly as in the tumbling case; windows are epoch-aligned so
-    * the batch oracle replays them as {day(ts) − 1 day, day(ts)}.
+    * same hash aggregate, never a per-window re-scan). NOTE: this query
+    * runs in Complete output mode, where Spark IGNORES the watermark for
+    * state eviction — state is bounded here only because AvailableNow
+    * input is finite; a continuous deployment of this pattern must use
+    * Append/Update mode for the declared watermark to actually evict
+    * closed windows. Windows are epoch-aligned so the batch oracle
+    * replays them as {day(ts) − 1 day, day(ts)}.
     */
   def streamingSlidingRate(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark

@@ -227,8 +227,9 @@ class CurationSpec extends AnyFunSuite {
       ("a", "x", 3L, false), ("b", "x", 2L, true), ("c", "y", 1L, true)))
   }
 
-  test("chunkDocuments covers the text with overlapping windows; empty doc keeps one chunk") {
-    val df = Seq((1L, "abcdefghij"), (2L, "")).toDF("doc_id", "text")
+  test("chunkDocuments covers the text with overlapping windows; empty and null docs keep one chunk") {
+    val df = Seq((1L, Some("abcdefghij")), (2L, Some("")), (3L, None))
+      .toDF("doc_id", "text")
     // window 4, stride 3 over 10 chars → starts 0,3,6,9
     val out = graft.operators.Corpus.chunkDocuments(
         df, col("doc_id"), col("text"), window = 4, stride = 3)
@@ -238,7 +239,8 @@ class CurationSpec extends AnyFunSuite {
     assert(out.toSeq === Seq(
       (1L, 0L, 0L, "abcd", 4L), (1L, 1L, 3L, "defg", 4L),
       (1L, 2L, 6L, "ghij", 4L), (1L, 3L, 9L, "j", 1L),
-      (2L, 0L, 0L, "", 0L)))
+      (2L, 0L, 0L, "", 0L),
+      (3L, 0L, 0L, "", 0L)))  // null text must NOT drop the doc id
     // overlap invariant: consecutive chunks share window − stride chars
     assert(out(0)._4.drop(3) === out(1)._4.take(1))
   }

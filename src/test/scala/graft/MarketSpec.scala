@@ -136,6 +136,24 @@ class MarketSpec extends AnyFunSuite {
       (5L, None, None)))
   }
 
+  test("lastTouchAttribution with touchType == convType never self-attributes") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(s: Int) = new java.sql.Timestamp(base.getTime + s * 1000L)
+    val df = Seq(
+      (1L, "u1", at(0), "purchase"),   // first purchase: no prior touch
+      (2L, "u1", at(40), "purchase")   // repeat: attributed to 1, 40 s
+    ).toDF("event_id", "u", "ts", "typ")
+    val out = Analytics.lastTouchAttribution(df, col("u"), col("ts"),
+        Seq(col("event_id")), col("event_id"), col("typ"),
+        "purchase", "purchase", lookbackSec = 100L)
+      .orderBy("conv_event_id")
+      .select("conv_event_id", "touch_event_id", "secs_since_touch")
+      .as[(Long, Option[Long], Option[Long])].collect()
+    assert(out.toSeq === Seq(
+      (1L, None, None),                // NOT (1, Some(1), Some(0))
+      (2L, Some(1L), Some(40L))))
+  }
+
   test("topPaths orders steps by time, truncates at maxSteps, ranks by count") {
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def at(s: Int) = new java.sql.Timestamp(base.getTime + s * 1000L)
@@ -148,9 +166,8 @@ class MarketSpec extends AnyFunSuite {
     val out = Analytics.topPaths(df, col("u"), col("ts"),
         Seq(col("event_id")), col("typ"), maxSteps = 2, k = 2)
       .as[(String, Long)].collect()
-    // first-2 paths: u1,u2 → "a>b" (×2); u3 → "a>b" too (time order,
-    // not insert order) → 3; u4 → "z" (1) cut by k=2... wait, k=2 keeps
-    // the 2 most common: a>b(3), z(1)
+    // first-2 paths: u1, u2, u3 all walk "a>b" (u3 proves TIME order
+    // beats insert order); u4 walks "z"; k=2 keeps both distinct paths
     assert(out.toSeq === Seq(("a>b", 3L), ("z", 1L)))
   }
 
