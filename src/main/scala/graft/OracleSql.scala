@@ -2431,6 +2431,48 @@ object OracleSql {
         |  count(*) < 3 AS at_risk
         |FROM events GROUP BY 1, 2 ORDER BY cohort, event_type""".stripMargin,
 
+    "q_ab_test" ->
+      """WITH uv AS (
+        |  SELECT user_id AS u,
+        |    CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS v,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c
+        |  FROM events GROUP BY 1, 2),
+        |bv AS (
+        |  SELECT v, count(*) AS n, CAST(sum(c) AS BIGINT) AS conv
+        |  FROM uv GROUP BY v),
+        |ab AS (
+        |  SELECT
+        |    (SELECT min(v) FROM bv) AS va, (SELECT max(v) FROM bv) AS vb,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM bv) AS n_variants,
+        |    a.n AS n_a, a.conv AS conv_a, b.n AS n_b, b.conv AS conv_b
+        |  FROM bv a, bv b
+        |  WHERE a.v = (SELECT min(v) FROM bv)
+        |    AND b.v = (SELECT max(v) FROM bv)),
+        |f AS (
+        |  SELECT *,
+        |    CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS p1,
+        |    CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS p2,
+        |    (CAST(conv_a AS DOUBLE) + CAST(conv_b AS DOUBLE)) /
+        |      (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) AS p
+        |  FROM ab)
+        |SELECT va, vb, n_variants, n_a, conv_a, round(p1, 6) AS rate_a,
+        |  n_b, conv_b, round(p2, 6) AS rate_b,
+        |  CASE WHEN p = 0 OR p = 1 THEN NULL
+        |       ELSE round((p1 - p2) / sqrt(p * (1 - p) *
+        |         (1 / CAST(n_a AS DOUBLE) + 1 / CAST(n_b AS DOUBLE))), 6)
+        |  END AS z
+        |FROM f ORDER BY va""".stripMargin,
+
+    "q_join_audit" ->
+      """WITH lc AS (
+        |  SELECT l_partkey AS key, count(*) AS m_l FROM lineitem GROUP BY 1),
+        |rc AS (
+        |  SELECT l_partkey AS key, count(*) AS m_r FROM lineitem
+        |  WHERE l_quantity > 25 GROUP BY 1)
+        |SELECT key, m_l, m_r, m_l * m_r AS fanout
+        |FROM lc JOIN rc USING (key)
+        |ORDER BY fanout DESC, key LIMIT 20""".stripMargin,
+
     "q_skew_profile" ->
       """WITH c AS (
         |  SELECT l_suppkey, count(*) AS n FROM lineitem GROUP BY 1),

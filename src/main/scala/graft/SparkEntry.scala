@@ -668,6 +668,23 @@ object SparkEntry {
         .orderBy("cohort", "event_type")
     }),
 
+    // A+ experimentation — two-proportion z-test over hash-assigned
+    // variants (unit = user, conversion = any purchase event).
+    "q_ab_test" -> ((s, dir) => {
+      Analytics.abTest(t(s, dir, "events"), col("user_id"),
+          when(col("user_id") % 2 === 0, "a").otherwise("b"),
+          col("event_type") === "purchase")
+        .orderBy("va")
+    }),
+
+    // A+ diagnostics — pre-join fan-out audit on the part key: the 20
+    // keys whose multiplicity product will dominate the join output.
+    "q_join_audit" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      Analytics.joinFanoutAudit(li, li.filter(col("l_quantity") > 25),
+          col("l_partkey"), col("l_partkey"), k = 20)
+    }),
+
     // A+ diagnostics — per-key group-size distribution (the salting /
     // AQE-skew decision input); two aggregates, one output row.
     "q_skew_profile" -> ((s, dir) => {

@@ -643,6 +643,72 @@ object Analytics {
           sum(col("__w").cast("decimal(38,12)")).cast("double"), 6).as("ewma"))
   }
 
+  /** Two-variant A/B conversion test — per-variant unit counts,
+    * conversion counts/rates, and the pooled two-proportion z statistic.
+    * Two aggregates: units collapse to (unit, variant, converted-ever)
+    * rows — map-side combined, so the exchange carries one row per unit
+    * — then the variant rollup is two rows reduced to one via
+    * min_by/max_by (variant label order picks sides deterministically).
+    * The z is one fixed double op sequence off exact integer counts,
+    * rounded to 6 — the oracle replays it term for term. Degenerate
+    * pools (p = 0 or 1: zero variance) report NULL z rather than a
+    * division-by-zero NaN. `n_variants` is carried so a caller joining
+    * a >2-arm experiment sees the contract violation instead of a
+    * silent min/max-arm comparison.
+    *
+    * Returns one row: (va, vb, n_variants, n_a, conv_a, rate_a, n_b,
+    * conv_b, rate_b, z).
+    */
+  def abTest(df: DataFrame, unit: Column, variant: Column,
+      converted: Column): DataFrame = {
+    val units = df.groupBy(unit.as("u"), variant.as("v"))
+      .agg(max(when(converted, 1L).otherwise(0L)).as("c"))
+    val byV = units.groupBy("v")
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("conv"))
+    val d = (c: Column) => c.cast("double")
+    val picked = byV.agg(
+      min(col("v")).as("va"), max(col("v")).as("vb"),
+      count(lit(1)).as("n_variants"),
+      min_by(struct(col("n"), col("conv")), col("v")).as("sa"),
+      max_by(struct(col("n"), col("conv")), col("v")).as("sb"))
+    val p1 = d(col("sa.conv")) / d(col("sa.n"))
+    val p2 = d(col("sb.conv")) / d(col("sb.n"))
+    val p = (d(col("sa.conv")) + d(col("sb.conv"))) /
+      (d(col("sa.n")) + d(col("sb.n")))
+    val z = (p1 - p2) /
+      sqrt(p * (lit(1.0) - p) * (lit(1.0) / d(col("sa.n")) + lit(1.0) / d(col("sb.n"))))
+    picked.select(col("va"), col("vb"), col("n_variants"),
+      col("sa.n").as("n_a"), col("sa.conv").as("conv_a"),
+      round(p1, 6).as("rate_a"),
+      col("sb.n").as("n_b"), col("sb.conv").as("conv_b"),
+      round(p2, 6).as("rate_b"),
+      when(p === 0.0 || p === 1.0, lit(null).cast("double"))
+        .otherwise(round(z, 6)).as("z"))
+  }
+
+  /** Join fan-out audit — BEFORE running a suspect join, the per-key
+    * multiplicity report that predicts its output explosion: for each
+    * join key, the left count, right count, and their product (= the
+    * rows that key alone will emit). Two map-side-combined aggregates +
+    * one inner join of two key-sized frames, then top-k by product via
+    * TakeOrderedAndProject — the diagnostic is strictly cheaper than
+    * the join it audits. The companion of [[skewProfile]] (which
+    * profiles ONE side's groups; this profiles the interaction).
+    *
+    * Returns the k keys with the largest (m_l · m_r), ties to the
+    * smaller key.
+    */
+  def joinFanoutAudit(left: DataFrame, right: DataFrame,
+      leftKey: Column, rightKey: Column, k: Int): DataFrame = {
+    require(k >= 1, s"joinFanoutAudit: k must be ≥ 1, got $k")
+    val lc = left.groupBy(leftKey.as("key")).agg(count(lit(1)).as("m_l"))
+    val rc = right.groupBy(rightKey.as("key")).agg(count(lit(1)).as("m_r"))
+    lc.join(rc, Seq("key"))
+      .withColumn("fanout", col("m_l") * col("m_r"))
+      .orderBy(col("fanout").desc, col("key"))
+      .limit(k)
+  }
+
   /** Key-skew profile — the distribution of per-key group sizes, the
     * diagnostic run BEFORE picking a join/agg strategy at scale (a
     * max/mean ratio ≫ 1 says "salt this key or let AQE split it"; see

@@ -186,6 +186,41 @@ class MarketSpec extends AnyFunSuite {
     assert(out.toSeq === Seq(("u", 3L, expect)))
   }
 
+  test("abTest computes the pooled two-proportion z and flags extra arms") {
+    // a: 4 users, 3 convert; b: 4 users, 1 converts
+    val rows = Seq(
+      ("u1", "a", true), ("u1", "a", false),   // converted-ever, 2 events
+      ("u2", "a", true), ("u3", "a", true), ("u4", "a", false),
+      ("u5", "b", true), ("u6", "b", false), ("u7", "b", false),
+      ("u8", "b", false)
+    ).toDF("u", "v", "conv")
+    val out = Analytics.abTest(rows, col("u"), col("v"), col("conv"))
+      .select("va", "vb", "n_variants", "n_a", "conv_a", "n_b", "conv_b", "z")
+      .as[(String, String, Long, Long, Long, Long, Long, Option[Double])]
+      .collect().head
+    assert((out._1, out._2, out._3) === (("a", "b", 2L)))
+    assert((out._4, out._5, out._6, out._7) === ((4L, 3L, 4L, 1L)))
+    val p = 4.0 / 8.0
+    val zExp = BigDecimal((0.75 - 0.25) / math.sqrt(p * (1 - p) * (0.25 + 0.25)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out._8 === Some(zExp))
+    // degenerate pool: nobody converts anywhere → z is null, not NaN
+    val none = Analytics.abTest(rows.withColumn("conv", lit(false)),
+        col("u"), col("v"), col("conv"))
+      .select("z").as[Option[Double]].collect().head
+    assert(none === None)
+  }
+
+  test("joinFanoutAudit ranks keys by multiplicity product") {
+    val l = Seq(1L, 1L, 1L, 2L, 3L).toDF("k")        // m_l: 1→3, 2→1, 3→1
+    val r = Seq(1L, 2L, 2L, 2L, 9L).toDF("k")        // m_r: 1→1, 2→3, 9→1
+    val out = Analytics.joinFanoutAudit(l, r, col("k"), col("k"), k = 2)
+      .as[(Long, Long, Long, Long)].collect()
+    // fanout: key1 = 3·1 = 3, key2 = 1·3 = 3 (tie → smaller key first);
+    // keys 3 and 9 appear on one side only and never explode the join
+    assert(out.toSeq === Seq((1L, 3L, 1L, 3L), (2L, 1L, 3L, 3L)))
+  }
+
   test("transitions builds the per-state-normalized Markov matrix") {
     val df = Seq(
       ("u1", 1L, "a"), ("u1", 2L, "b"), ("u1", 3L, "a"),
