@@ -2444,6 +2444,9 @@ object OracleSql {
         |  SELECT
         |    (SELECT min(v) FROM bv) AS va, (SELECT max(v) FROM bv) AS vb,
         |    (SELECT CAST(count(*) AS BIGINT) FROM bv) AS n_variants,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM
+        |      (SELECT u FROM uv GROUP BY u HAVING count(*) > 1))
+        |      AS n_contaminated,
         |    a.n AS n_a, a.conv AS conv_a, b.n AS n_b, b.conv AS conv_b
         |  FROM bv a, bv b
         |  WHERE a.v = (SELECT min(v) FROM bv)
@@ -2455,7 +2458,8 @@ object OracleSql {
         |    (CAST(conv_a AS DOUBLE) + CAST(conv_b AS DOUBLE)) /
         |      (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) AS p
         |  FROM ab)
-        |SELECT va, vb, n_variants, n_a, conv_a, round(p1, 6) AS rate_a,
+        |SELECT va, vb, n_variants, n_contaminated,
+        |  n_a, conv_a, round(p1, 6) AS rate_a,
         |  n_b, conv_b, round(p2, 6) AS rate_b,
         |  CASE WHEN p = 0 OR p = 1 THEN NULL
         |       ELSE round((p1 - p2) / sqrt(p * (1 - p) *

@@ -338,11 +338,16 @@ object SparkEntry {
       // 2.3 s at sf0.1 — same discipline as minhashPairs)
       val sh = NearDup.wordShingleDigests(corpus, col("doc_id"), col("text"), 5)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val pairs = NearDup.candidatePairs(
-        NearDup.lshBands(NearDup.minhashSig(sh, 8), 8))
-      NearDup.editDistancePairs(corpus, col("doc_id"), col("text"),
-          pairs, maxDist = 15)
-        .orderBy("key_a", "key_b")
+      try {
+        val pairs = NearDup.candidatePairs(
+          NearDup.lshBands(NearDup.minhashSig(sh, 8), 8))
+        // eager + release (small verified-pair result): the shingle cache
+        // must not outlive the query — see minhashPairs
+        NearDup.editDistancePairs(corpus, col("doc_id"), col("text"),
+            pairs, maxDist = 15)
+          .orderBy("key_a", "key_b")
+          .localCheckpoint()
+      } finally { sh.unpersist(); () }
     }),
 
     // F+ crawl hygiene — URL canonicalization before URL-keyed dedup:

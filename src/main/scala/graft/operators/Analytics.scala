@@ -656,8 +656,16 @@ object Analytics {
     * a >2-arm experiment sees the contract violation instead of a
     * silent min/max-arm comparison.
     *
-    * Returns one row: (va, vb, n_variants, n_a, conv_a, rate_a, n_b,
-    * conv_b, rate_b, z).
+    * Counting semantics: a unit is counted PER (unit, variant) — a unit
+    * exposed to both arms (assignment leakage) contributes one row to
+    * EACH arm's n/conv rather than being dropped. `n_contaminated`
+    * carries the count of such units so callers can detect leakage and
+    * decide (an intent-to-treat analysis keeps them; a purist rerun
+    * filters them upstream). Empty input yields ZERO rows, not an
+    * all-null aggregate row.
+    *
+    * Returns ≤ one row: (va, vb, n_variants, n_contaminated, n_a,
+    * conv_a, rate_a, n_b, conv_b, rate_b, z).
     */
   def abTest(df: DataFrame, unit: Column, variant: Column,
       converted: Column): DataFrame = {
@@ -671,19 +679,29 @@ object Analytics {
       count(lit(1)).as("n_variants"),
       min_by(struct(col("n"), col("conv")), col("v")).as("sa"),
       max_by(struct(col("n"), col("conv")), col("v")).as("sb"))
+    // units frame is (unit, variant)-unique, so rows-per-unit = arms
+    // seen; the rollup is over a unit-sized frame — one extra exchange
+    // on a frame the test already shuffles, then a 1×1 cross join
+    val contaminated = units.groupBy("u").agg(count(lit(1)).as("nv"))
+      .agg(coalesce(sum(when(col("nv") > 1, 1L).otherwise(0L)), lit(0L))
+        .as("n_contaminated"))
     val p1 = d(col("sa.conv")) / d(col("sa.n"))
     val p2 = d(col("sb.conv")) / d(col("sb.n"))
     val p = (d(col("sa.conv")) + d(col("sb.conv"))) /
       (d(col("sa.n")) + d(col("sb.n")))
     val z = (p1 - p2) /
       sqrt(p * (lit(1.0) - p) * (lit(1.0) / d(col("sa.n")) + lit(1.0) / d(col("sb.n"))))
-    picked.select(col("va"), col("vb"), col("n_variants"),
-      col("sa.n").as("n_a"), col("sa.conv").as("conv_a"),
-      round(p1, 6).as("rate_a"),
-      col("sb.n").as("n_b"), col("sb.conv").as("conv_b"),
-      round(p2, 6).as("rate_b"),
-      when(p === 0.0 || p === 1.0, lit(null).cast("double"))
-        .otherwise(round(z, 6)).as("z"))
+    picked.crossJoin(contaminated)
+      // empty input: the global aggregates still emit one (all-null,
+      // n_variants=0) row; the oracle's CTE join emits none — drop it
+      .filter(col("n_variants") > 0)
+      .select(col("va"), col("vb"), col("n_variants"), col("n_contaminated"),
+        col("sa.n").as("n_a"), col("sa.conv").as("conv_a"),
+        round(p1, 6).as("rate_a"),
+        col("sb.n").as("n_b"), col("sb.conv").as("conv_b"),
+        round(p2, 6).as("rate_b"),
+        when(p === 0.0 || p === 1.0, lit(null).cast("double"))
+          .otherwise(round(z, 6)).as("z"))
   }
 
   /** Join fan-out audit — BEFORE running a suspect join, the per-key
@@ -696,7 +714,10 @@ object Analytics {
     * profiles ONE side's groups; this profiles the interaction).
     *
     * Returns the k keys with the largest (m_l · m_r), ties to the
-    * smaller key.
+    * smaller key. Bound: `fanout` is a LongType product and wraps (Spark
+    * non-ANSI) past 2^63 − 1 — i.e. only when a SINGLE key carries ~3×10⁹
+    * rows on EACH side, at which point the audited join is ~10¹⁹ output
+    * rows and unrunnable anyway; below that the product is exact.
     */
   def joinFanoutAudit(left: DataFrame, right: DataFrame,
       leftKey: Column, rightKey: Column, k: Int): DataFrame = {

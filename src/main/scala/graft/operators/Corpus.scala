@@ -100,14 +100,20 @@ object Corpus {
       // referenced by the count subtree AND both self-join sides; without
       // the persist the explode+distinct pipeline executes three times
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val good = sh.groupBy("shingle").agg(count(lit(1)).as("c"))
-      .filter(col("c") > 1 && col("c") <= maxBucket)
-      .select("shingle")
-    val s2 = sh.join(good, Seq("shingle"))
-    s2.select(col("shingle"), col("key").as("key_a"))
-      .join(s2.select(col("shingle"), col("key").as("key_b")), Seq("shingle"))
-      .filter(col("key_a") < col("key_b"))
-      .groupBy("key_a", "key_b").agg(count(lit(1)).as("n_shared_spans"))
+    try {
+      val good = sh.groupBy("shingle").agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1 && col("c") <= maxBucket)
+        .select("shingle")
+      val s2 = sh.join(good, Seq("shingle"))
+      // eager terminal materialization + unpersist: same cache-lifetime
+      // discipline as [[NearDup.minhashPairs]] — the pair aggregate is
+      // small, the span cache is not; don't pin it past the call
+      s2.select(col("shingle"), col("key").as("key_a"))
+        .join(s2.select(col("shingle"), col("key").as("key_b")), Seq("shingle"))
+        .filter(col("key_a") < col("key_b"))
+        .groupBy("key_a", "key_b").agg(count(lit(1)).as("n_shared_spans"))
+        .localCheckpoint()
+    } finally { sh.unpersist(); () }
   }
 
   /** Deterministic WEIGHTED sampling without replacement, top-k per
@@ -161,16 +167,18 @@ object Corpus {
     val exact = filtered.withColumn("rn",
         row_number().over(Window.partitionBy(md5(col("t"))).orderBy(col("key"))))
       .filter(col("rn") === 1).drop("rn")
-      // feeds both the near-dup pass and the final anti-join; the cache
-      // lives until the caller's spark.catalog.clearCache() (the
-      // Verify/Bench harnesses clear per query) — release it in
-      // long-lived sessions once the result is materialized
+      // feeds both the near-dup pass and the final anti-join; released
+      // before return (the survivors projection is localCheckpoint-ed
+      // eagerly — 3 narrow columns, survivor-sized)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nearDup = NearDup.minhashPairs(exact, col("key"), col("t"),
-      n, k, jaccThreshold)
-    exact.join(nearDup.select(col("key_b").as("key")).distinct(),
-        Seq("key"), "left_anti")
-      .select(col("key"), col("score"), col("n_tokens"))
+    try {
+      val nearDup = NearDup.minhashPairs(exact, col("key"), col("t"),
+        n, k, jaccThreshold)
+      exact.join(nearDup.select(col("key_b").as("key")).distinct(),
+          Seq("key"), "left_anti")
+        .select(col("key"), col("score"), col("n_tokens"))
+        .localCheckpoint()
+    } finally { exact.unpersist(); () }
   }
 
   /** Fixed-window overlapping chunking — the RAG/embedding prep step

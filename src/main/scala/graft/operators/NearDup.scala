@@ -187,10 +187,20 @@ object NearDup {
     // persist it once instead of re-exploding the corpus three times
     val sh = wordShingleDigests(df, key, text, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pairs = candidatePairs(lshBands(minhashSig(sh, k), k))
-    val sets = sh.groupBy("key").agg(collect_set(col("shingle")).as("sh"))
-    jaccardSets(pairs, sets).filter(col("jacc") >= threshold)
-      .select("key_a", "key_b", "jacc")
+    try {
+      val pairs = candidatePairs(lshBands(minhashSig(sh, k), k))
+      val sets = sh.groupBy("key").agg(collect_set(col("shingle")).as("sh"))
+      // EAGER terminal materialization (localCheckpoint) so the big
+      // shingle cache can be released before returning: the surviving
+      // pair set is tiny (threshold-filtered), while a lazily-returned
+      // plan would pin the persisted corpus cache for the caller's whole
+      // session — measured as multi-× bench interference deep into a
+      // 150-query run. localCheckpoint (not persist) keeps AQE on the
+      // materializing job.
+      jaccardSets(pairs, sets).filter(col("jacc") >= threshold)
+        .select("key_a", "key_b", "jacc")
+        .localCheckpoint()
+    } finally { sh.unpersist(); () }
   }
 
   /** `nBits`-bit SimHash over whitespace tokens (nBits ≤ 128). Bit b of a
@@ -288,10 +298,12 @@ object NearDup {
   def ngramJaccard(
       df: DataFrame, key: Column, text: Column,
       pairs: DataFrame, n: Int): DataFrame = {
-    val sh =
-      if (n <= 16) shingles(df, key, text, n)
-      else shingleDigests(df, key, text, n)
-    jaccard(pairs, sh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val sh = (if (n <= 16) shingles(df, key, text, n)
+      else shingleDigests(df, key, text, n))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager + release: same cache-lifetime discipline as [[minhashPairs]]
+    try jaccard(pairs, sh).localCheckpoint()
+    finally { sh.unpersist(); () }
   }
 
   /** Connected components over a near-dup pair graph — what production
@@ -442,29 +454,31 @@ object NearDup {
     * batch costs only its own shingling plus joins proportional to the
     * batch's bucket overlap.
     *
-    * Cache lifetime: both shingle-digest sets are persisted and feed the
-    * result lazily, so release is the CALLER's job once the survivors
-    * are materialized (the Verify/Bench harnesses clear per query); in a
-    * long-lived batch loop, unpersist between batches or the cached
-    * existing-corpus frames accumulate.
+    * Cache lifetime: both shingle-digest frames are persisted for the
+    * duration of the call and RELEASED before returning — the survivors
+    * frame is materialized eagerly (localCheckpoint; it is batch-key
+    * sized), so nothing cached outlives the call.
     */
   def incrementalSurvivors(
       existing: DataFrame, incoming: DataFrame, key: Column, text: Column,
       n: Int, k: Int, threshold: Double): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val shE = wordShingleDigests(existing, key, text, n).persist(lvl)
-    probeExistingIndex(
+    try probeExistingIndex(
       lshBands(minhashSig(shE, k), k),
       shE.groupBy("key").agg(collect_set(col("shingle")).as("sh")),
       incoming, key, text, n, k, threshold)
+    finally { shE.unpersist(); () }
   }
 
   /** Shared survivor path for the two incremental forms: probe the
     * existing side's band table for candidates, Jaccard-verify against
     * its digest sets, anti-join the incoming batch. The incoming shingle
-    * frame is persisted (it feeds both the probe and the verify sets);
-    * release is the CALLER's job once survivors materialize — same
-    * cache-lifetime contract as [[incrementalSurvivors]].
+    * frame is persisted (it feeds both the probe and the verify sets)
+    * and released before return; the survivors are localCheckpoint-ed
+    * (eager, batch-key sized) so callers never inherit cached state —
+    * the discipline that fixed the bench interference flap in
+    * [[minhashPairs]].
     */
   private def probeExistingIndex(
       bandsE: DataFrame, setsE: DataFrame,
@@ -472,22 +486,25 @@ object NearDup {
       n: Int, k: Int, threshold: Double): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val shI = wordShingleDigests(incoming, key, text, n).persist(lvl)
-    val cand = lshBands(minhashSig(shI, k), k)
-      .select(col("key").as("key_i"), col("band"), col("band_val"))
-      .join(bandsE.select(col("key").as("key_e"), col("band"), col("band_val")),
-        Seq("band", "band_val"))
-      .select("key_i", "key_e").distinct()
-    val setsI = shI.groupBy("key").agg(collect_set(col("shingle")).as("sh"))
-    val dup = cand
-      .join(setsI.select(col("key").as("key_i"), col("sh").as("sh_a")), Seq("key_i"))
-      .join(setsE.select(col("key").as("key_e"), col("sh").as("sh_b")), Seq("key_e"))
-      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
-      .withColumn("jacc",
-        col("n_inter").cast("double") /
-          (size(col("sh_a")) + size(col("sh_b")) - col("n_inter")).cast("double"))
-      .filter(col("jacc") >= threshold)
-      .select(col("key_i").as("key")).distinct()
-    incoming.select(key.as("key")).join(dup, Seq("key"), "left_anti")
+    try {
+      val cand = lshBands(minhashSig(shI, k), k)
+        .select(col("key").as("key_i"), col("band"), col("band_val"))
+        .join(bandsE.select(col("key").as("key_e"), col("band"), col("band_val")),
+          Seq("band", "band_val"))
+        .select("key_i", "key_e").distinct()
+      val setsI = shI.groupBy("key").agg(collect_set(col("shingle")).as("sh"))
+      val dup = cand
+        .join(setsI.select(col("key").as("key_i"), col("sh").as("sh_a")), Seq("key_i"))
+        .join(setsE.select(col("key").as("key_e"), col("sh").as("sh_b")), Seq("key_e"))
+        .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+        .withColumn("jacc",
+          col("n_inter").cast("double") /
+            (size(col("sh_a")) + size(col("sh_b")) - col("n_inter")).cast("double"))
+        .filter(col("jacc") >= threshold)
+        .select(col("key_i").as("key")).distinct()
+      incoming.select(key.as("key")).join(dup, Seq("key"), "left_anti")
+        .localCheckpoint()
+    } finally { shI.unpersist(); () }
   }
 
   /** Edit-distance verification for candidate pairs — the third classic
@@ -550,9 +567,8 @@ object NearDup {
     * same corpus (asserted in NearDupSpec).
     *
     * Cache lifetime: the incoming batch's shingle frame is persisted
-    * inside the shared probe; in a long-lived batch loop, unpersist (or
-    * clearCache) between batches or one cached frame accumulates per
-    * batch — same contract as [[incrementalSurvivors]].
+    * inside the shared probe and released before return (survivors are
+    * eagerly materialized) — same contract as [[incrementalSurvivors]].
     */
   def incrementalSurvivorsIndexed(
       spark: org.apache.spark.sql.SparkSession, indexPath: String,

@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Table readers over the parquet testdata (SURVEY.md §2.1).
   *
@@ -10,13 +10,23 @@ import org.apache.spark.sql.types.LongType
   * column pruning / partition pruning all apply — callers chain
   * `.filter`/`.select` and the scan shrinks accordingly.
   *
-  * Nanosecond normalization: the `events` table stores
-  * TIMESTAMP(NANOS) which Spark's vectorized reader rejects
-  * (PARQUET_TYPE_ILLEGAL). Sessions set
-  * `spark.sql.legacy.parquet.nanosAsLong=true` (see [[configure]]) so the
-  * column arrives as epoch-nanos LongType, and [[table]] converts it to a
-  * µs TimestampType — exact for this corpus, and matching DuckDB's own
-  * µs truncation on read.
+  * Timestamp normalization: the physical layout of `events.ts` has
+  * varied across testdata generations, so [[table]] dispatches on the
+  * ARRIVING dtype instead of assuming one layout:
+  *
+  *   - TIMESTAMP(NANOS) parquet + `spark.sql.legacy.parquet.nanosAsLong
+  *     =true` (set by all graft sessions) → epoch-nanos LongType →
+  *     `timestamp_micros(ts div 1000)` — exact for this corpus, and
+  *     matching DuckDB's own µs truncation on read.
+  *   - timestamp[us] without isAdjustedToUTC → TIMESTAMP_NTZ → cast to
+  *     TimestampType. Sessions pin the session time zone to UTC (see
+  *     [[configure]]), so the NTZ wall-clock values ARE the UTC instants
+  *     and the cast is value-exact.
+  *   - TIMESTAMP (µs, UTC-adjusted) → passthrough.
+  *
+  * The reference tolerates input-shape drift at the column level
+  * (transformation.py:37-43 drops columns only if present); the same
+  * tolerance belongs at the type level here.
   */
 object Sources {
 
@@ -26,8 +36,8 @@ object Sources {
     spark
   }
 
-  /** Columns that hold epoch-nanos when nanosAsLong is in effect. */
-  private val nanoCols = Set("ts")
+  /** Columns that hold event time and need dtype normalization. */
+  private val tsCols = Set("ts")
 
   /** JSON source with declared schema, PERMISSIVE mode, and a corrupt
     * record column — the shape of the reference's API-payload ingestion
@@ -86,16 +96,26 @@ object Sources {
       target: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.schema(target).parquet(path)
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
+  /** Normalize event-time columns to TimestampType by ARRIVING dtype.
+    * Works on batch and streaming frames alike (pure projection). See the
+    * object Scaladoc for the layout-by-layout rationale.
+    */
+  def normalizeTs(df: DataFrame): DataFrame =
     df.schema.fields.foldLeft(df) { (d, f) =>
-      if (nanoCols.contains(f.name) && f.dataType == LongType)
-        // integer `div`, not `/`: float division of epoch-nanos (~1.7e18)
-        // exceeds double's 53-bit mantissa and would corrupt low digits
-        d.withColumn(f.name, timestamp_micros(expr(s"`${f.name}` div 1000")))
-      else d
+      if (tsCols.contains(f.name)) f.dataType match {
+        case LongType =>
+          // integer `div`, not `/`: float division of epoch-nanos (~1.7e18)
+          // exceeds double's 53-bit mantissa and would corrupt low digits
+          d.withColumn(f.name, timestamp_micros(expr(s"`${f.name}` div 1000")))
+        case TimestampNTZType =>
+          // session TZ is pinned UTC, so NTZ wall-clock == UTC instant
+          d.withColumn(f.name, col(f.name).cast(TimestampType))
+        case _ => d // already TimestampType (or an unexpected type: leave it)
+      } else d
     }
-  }
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    normalizeTs(spark.read.parquet(s"$dir/$name.parquet"))
 
   /** The testdata table names (TESTDATA.md + the two corpus tables). */
   val tableNames: Seq[String] = Seq("region", "nation", "customer",

@@ -55,19 +55,39 @@ class FfillProcessor extends StatefulProcessor[Long, FillEvent, FilledEvent] {
 
 object Streaming {
 
-  /** events.parquet stores TIMESTAMP(NANOS): declare ts as epoch-nanos
-    * long in the stream schema (matching nanosAsLong) and rebuild µs.
+  /** File-source stream over events.parquet.
+    *
+    * The stream schema is SNIFFED from the parquet footers via a batch
+    * read instead of hardcoded, because the physical layout of `ts` has
+    * drifted across testdata generations (TIMESTAMP(NANOS) → int64-nanos
+    * Long under nanosAsLong; timestamp[us] → TIMESTAMP_NTZ). Declaring
+    * the wrong layout is SILENT corruption (a µs value divided by 1000
+    * lands in January 1970 and every watermark/window degenerates), so:
+    *   1. the declared readStream schema always matches the footers, and
+    *   2. [[Sources.normalizeTs]] — the same dispatch the batch readers
+    *      use — rebuilds a true TimestampType `ts`, and
+    *   3. a one-row tripwire asserts the normalized event time is
+    *      post-2000, making the next layout drift loud instead of silent.
+    * The sniff reads one footer (no data pages) — negligible at any scale.
     */
-  private val eventsRawSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
-  private def eventsStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(eventsRawSchema)
-      .option("pathGlobFilter", "events*.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val normalized = graft.sources.Sources.normalizeTs(
+      spark.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events*.parquet")
+        .parquet(dir))
+    // Tripwire on the BATCH twin of the same plan (a streaming frame
+    // can't be eagerly sampled): one row through the same normalization.
+    graft.sources.Sources.normalizeTs(
+        spark.read.schema(rawSchema).parquet(s"$dir/events.parquet"))
+      .select(col("ts")).limit(1).collect().headOption.foreach { r =>
+        val ts = r.getTimestamp(0)
+        require(ts == null || ts.toInstant.isAfter(java.time.Instant.parse("2000-01-01T00:00:00Z")),
+          s"events stream sanity check failed: normalized ts=$ts is pre-2000 — " +
+            "the parquet physical layout likely drifted again; fix Sources.normalizeTs")
+      }
+    normalized
+  }
 
   /** Per-JVM scratch root for stream outputs/checkpoints. DETERMINISTIC
     * per (table, pid) and wiped before each use — repeated Verify/Bench

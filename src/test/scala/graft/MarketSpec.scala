@@ -209,7 +209,23 @@ class MarketSpec extends AnyFunSuite {
         col("u"), col("v"), col("conv"))
       .select("z").as[Option[Double]].collect().head
     assert(none === None)
+    // no cross-variant leakage above → n_contaminated = 0; u1 exposed to
+    // BOTH arms → counted in each arm's n AND flagged as contaminated
+    assert(out_nContaminated(rows) === 0L)
+    val leaky = rows.union(Seq(("u1", "b", false)).toDF("u", "v", "conv"))
+    val lk = Analytics.abTest(leaky, col("u"), col("v"), col("conv"))
+      .select("n_contaminated", "n_a", "n_b").as[(Long, Long, Long)]
+      .collect().head
+    assert(lk === ((1L, 4L, 5L)))
+    // empty input → ZERO rows (matching the oracle's CTE-join shape),
+    // not one all-null aggregate row
+    assert(Analytics.abTest(rows.filter(lit(false)),
+      col("u"), col("v"), col("conv")).count() === 0L)
   }
+
+  private def out_nContaminated(rows: org.apache.spark.sql.DataFrame): Long =
+    Analytics.abTest(rows, col("u"), col("v"), col("conv"))
+      .select("n_contaminated").as[Long].collect().head
 
   test("joinFanoutAudit ranks keys by multiplicity product") {
     val l = Seq(1L, 1L, 1L, 2L, 3L).toDF("k")        // m_l: 1→3, 2→1, 3→1

@@ -192,6 +192,63 @@ class SourcesSpec extends AnyFunSuite {
     assertSame(sqlFill, dfFill, "ffill/bfill")
   }
 
+  // one events.parquet FILE (not dir) per layout, like the real testdata
+  private def landEvents(df: org.apache.spark.sql.DataFrame): String = {
+    val dir = Files.createTempDirectory("graft_layout").toString
+    df.coalesce(1).write.parquet(s"$dir/tmp")
+    val f = new java.io.File(s"$dir/tmp").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    Files.move(f.toPath, java.nio.file.Path.of(s"$dir/events.parquet"))
+    dir
+  }
+
+  private lazy val layoutBase = Seq(
+    (1L, "2024-03-01 00:00:00.123456", 10L, "view", 1.5),
+    (2L, "2024-03-02 12:34:56.789012", 11L, "purchase", 2.5)
+  ).toDF("event_id", "s", "user_id", "event_type", "value")
+
+  test("ts layouts: Long-nanos, µs-NTZ and TIMESTAMP all normalize to identical instants") {
+    // the testdata's physical ts layout has drifted across generations
+    // (TIMESTAMP(NANOS) → timestamp[us]); pin all three arrival dtypes so
+    // the next drift breaks HERE, not silently in 14 queries
+    val nanosDir = landEvents(layoutBase
+      .withColumn("ts", unix_micros(to_timestamp($"s")) * 1000).drop("s"))
+    val ntzDir = landEvents(layoutBase
+      .withColumn("ts", to_timestamp_ntz($"s")).drop("s"))
+    val tsDir = landEvents(layoutBase
+      .withColumn("ts", to_timestamp($"s")).drop("s"))
+    val expect = Seq("2024-03-01 00:00:00.123456", "2024-03-02 12:34:56.789012")
+    for (dir <- Seq(nanosDir, ntzDir, tsDir)) {
+      val t = Sources.table(spark, dir, "events")
+      assert(t.schema("ts").dataType === TimestampType, dir)
+      assert(t.orderBy("event_id")
+        .select(date_format($"ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+        .as[String].collect().toSeq === expect, dir)
+    }
+    // streaming twin: the footer-sniffed stream schema must yield the
+    // same (real, post-2000) event times from every layout
+    val candles = Seq(nanosDir, ntzDir, tsDir).map { d =>
+      graft.streaming.Streaming.streamingCandles(spark, d)
+        .orderBy("user_id", "day")
+        .select(date_format($"day", "yyyy-MM-dd").as("day"), $"n", $"vsum")
+        .collect().toSeq
+    }
+    assert(candles(0).map(_.getString(0)) === Seq("2024-03-01", "2024-03-02"))
+    assert(candles(0) === candles(1) && candles(1) === candles(2))
+  }
+
+  test("eventsStream tripwire fails loudly on a pre-2000 normalized ts") {
+    // simulate the NEXT layout drift: int64 epoch-µs arriving as Long —
+    // the nanos path divides by 1000 again, lands in 1970, and the
+    // stream's sanity check must throw instead of silently corrupting
+    val badDir = landEvents(layoutBase
+      .withColumn("ts", unix_micros(to_timestamp($"s"))).drop("s"))
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.Streaming.streamingCandles(spark, badDir)
+    }
+    assert(e.getMessage.contains("sanity"))
+  }
+
   test("multimodal decode emits one feature row per document with real bytes") {
     val docs = graft.sources.Sources.table(spark, "/root/testdata/sf0.001", "documents")
     val feats = graft.operators.Multimodal.decodeFeatures(

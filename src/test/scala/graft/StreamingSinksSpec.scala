@@ -103,11 +103,12 @@ class StreamingSinksSpec extends AnyFunSuite {
       java.nio.file.Path.of(s"$land/events.parquet"))
     Streaming.streamToWarehouse(spark, land, out, Seq("event_id"), Some(ck))
     assert(spark.read.parquet(out).count() === 1000)
-    // a second file lands: same rows but shifted ids (new keys); ts is
-    // written back as epoch-nanos long to match the raw landing schema
-    graft.sources.Sources.table(spark, sf, "events")
+    // a second file lands: same rows but shifted ids (new keys). Read the
+    // landed file RAW (no ts normalization) so the rewrite inherits the
+    // landing dir's physical ts layout whatever it is — the stream's
+    // sniffed schema must keep matching across files.
+    spark.read.parquet(s"$land/events.parquet")
       .withColumn("event_id", col("event_id") + 1000000)
-      .withColumn("ts", expr("unix_micros(ts) * 1000"))
       .coalesce(1).write.parquet(s"$land/batch2")
     val f2 = new java.io.File(s"$land/batch2").listFiles()
       .find(_.getName.endsWith(".parquet")).get
