@@ -19,6 +19,10 @@ object Explain {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // keep the FULL logical plan visible: eager-release operators
+      // would otherwise collapse their audit output to an ExistingRDD
+      // scan (see operators.Eager)
+      .config("graft.eagerRelease", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

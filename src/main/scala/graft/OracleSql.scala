@@ -1810,6 +1810,115 @@ object OracleSql {
         |SELECT key, term, tf, df, score, CAST(rnk AS INTEGER) AS rnk
         |FROM r WHERE rnk <= 3 ORDER BY key, rnk""".stripMargin,
 
+    "q_tfidf_pairs" ->
+      """WITH words AS (
+        |  SELECT doc_id AS key,
+        |    unnest(string_split_regex(text, '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT key, term, count(*) AS tf FROM words
+        |  WHERE term <> '' GROUP BY key, term),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf
+        |  GROUP BY term HAVING count(*) <= 100),
+        |nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+        |wts AS (
+        |  SELECT key, term,
+        |    CAST(tf AS DOUBLE) *
+        |      ln(CAST((SELECT n FROM nd) AS DOUBLE) / CAST(df AS DOUBLE)) AS w
+        |  FROM tf JOIN dfreq USING (term)),
+        |norms AS (SELECT key, sum(CAST(w * w AS DECIMAL(38,12))) AS norm2
+        |  FROM wts GROUP BY key),
+        |dots AS (
+        |  SELECT a.key AS key_a, b.key AS key_b,
+        |    sum(CAST(a.w * b.w AS DECIMAL(38,12))) AS dot
+        |  FROM wts a JOIN wts b USING (term)
+        |  WHERE a.key < b.key GROUP BY 1, 2)
+        |SELECT key_a, key_b,
+        |  round(CAST(dot AS DOUBLE) /
+        |    sqrt(CAST(na.norm2 AS DOUBLE) * CAST(nb.norm2 AS DOUBLE)), 6)
+        |    AS cosine
+        |FROM dots
+        |JOIN norms na ON na.key = dots.key_a
+        |JOIN norms nb ON nb.key = dots.key_b
+        |ORDER BY cosine DESC, key_a, key_b LIMIT 50""".stripMargin,
+
+    "q_gopher_rules" ->
+      """WITH base AS (
+        |  SELECT doc_id AS key, text,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws,
+        |    list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS ls
+        |  FROM documents),
+        |feats AS (
+        |  SELECT key,
+        |    CAST(len(ws) AS BIGINT) AS n_words,
+        |    round(CAST(list_aggregate(list_transform(ws, x -> length(x)),
+        |        'sum') AS DOUBLE) / CAST(len(ws) AS DOUBLE), 6)
+        |      AS mean_word_len,
+        |    round((CAST(length(text) - length(replace(text, '#', ''))
+        |        AS DOUBLE) +
+        |      CAST(length(text) - length(replace(text, '...', ''))
+        |        AS DOUBLE) / 3) / CAST(len(ws) AS DOUBLE), 6)
+        |      AS symbol_ratio,
+        |    round(CAST(len(list_filter(ls, l ->
+        |        starts_with(trim(l), '-') OR starts_with(trim(l), '*')
+        |        OR starts_with(trim(l), '•'))) AS DOUBLE) /
+        |      CAST(greatest(len(ls), 1) AS DOUBLE), 6) AS bullet_ratio,
+        |    round(CAST(len(list_filter(ws, x ->
+        |        regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) /
+        |      CAST(len(ws) AS DOUBLE), 6) AS alpha_word_frac,
+        |    CAST(len(list_intersect(
+        |      list_distinct(list_transform(ws, x -> lower(x))),
+        |      ['the','be','to','of','and','that','have','with']))
+        |      AS BIGINT) AS n_req_stop
+        |  FROM base)
+        |SELECT *,
+        |  n_words >= 20 AND n_words <= 100000
+        |    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        |    AND symbol_ratio < 0.1 AND bullet_ratio < 0.9
+        |    AND alpha_word_frac >= 0.8 AND n_req_stop >= 2 AS passes
+        |FROM feats ORDER BY key""".stripMargin,
+
+    "q_asof_forward" ->
+      """WITH probe AS (
+        |  SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'purchase'),
+        |quote AS (
+        |  SELECT user_id, ts, event_id, value FROM events
+        |  WHERE event_type = 'view'),
+        |cand AS (
+        |  SELECT p.event_id, q.ts AS matched_ts, q.value,
+        |    row_number() OVER (PARTITION BY p.event_id
+        |      ORDER BY q.ts, q.event_id) AS rn
+        |  FROM probe p JOIN quote q
+        |    ON q.user_id = p.user_id AND q.ts >= p.ts)
+        |SELECT p.event_id, p.user_id, p.ts, c.matched_ts, c.value
+        |FROM probe p
+        |LEFT JOIN (SELECT event_id, matched_ts, value FROM cand
+        |  WHERE rn = 1) c USING (event_id)
+        |ORDER BY user_id, ts, event_id""".stripMargin,
+
+    "q_asof_nearest" ->
+      """WITH probe AS (
+        |  SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'purchase'),
+        |quote AS (
+        |  SELECT user_id, ts, event_id, value FROM events
+        |  WHERE event_type = 'view'),
+        |cand AS (
+        |  SELECT p.event_id, q.ts AS matched_ts, q.value,
+        |    row_number() OVER (PARTITION BY p.event_id
+        |      ORDER BY abs(epoch_us(q.ts) - epoch_us(p.ts)),
+        |        CASE WHEN q.ts <= p.ts THEN 0 ELSE 1 END,
+        |        CASE WHEN q.ts <= p.ts THEN -q.event_id
+        |             ELSE q.event_id END) AS rn
+        |  FROM probe p JOIN quote q
+        |    ON q.user_id = p.user_id
+        |    AND abs(epoch_us(q.ts) - epoch_us(p.ts)) <= 7200000000)
+        |SELECT p.event_id, p.user_id, p.ts, c.matched_ts, c.value
+        |FROM probe p
+        |LEFT JOIN (SELECT event_id, matched_ts, value FROM cand
+        |  WHERE rn = 1) c USING (event_id)
+        |ORDER BY user_id, ts, event_id""".stripMargin,
+
     "q_histogram" ->
       """SELECT CAST(least(greatest(floor((value - 0.0) / 25.0), 0.0), 23.0)
         |    AS INTEGER) AS bucket,

@@ -343,10 +343,10 @@ object SparkEntry {
           NearDup.lshBands(NearDup.minhashSig(sh, 8), 8))
         // eager + release (small verified-pair result): the shingle cache
         // must not outlive the query — see minhashPairs
-        NearDup.editDistancePairs(corpus, col("doc_id"), col("text"),
-            pairs, maxDist = 15)
-          .orderBy("key_a", "key_b")
-          .localCheckpoint()
+        graft.operators.Eager.terminal(
+          NearDup.editDistancePairs(corpus, col("doc_id"), col("text"),
+              pairs, maxDist = 15)
+            .orderBy("key_a", "key_b"))
       } finally { sh.unpersist(); () }
     }),
 
@@ -1757,6 +1757,50 @@ object SparkEntry {
       TextAnalysis.tfidfTopTerms(t(s, dir, "documents"),
           col("doc_id"), col("text"), k = 3)
         .orderBy("key", "rnk")
+    }),
+
+    // LLM+ similarity — sparse TF-IDF cosine via posting-list self-join
+    // (term-at-a-time): the exact-lexical sibling of the LSH band join;
+    // maxDf caps the per-term posting list so volume is Σ df², never n².
+    "q_tfidf_pairs" -> ((s, dir) => {
+      TextAnalysis.tfidfCosinePairs(t(s, dir, "documents"),
+        col("doc_id"), col("text"), maxDf = 100, k = 50)
+    }),
+
+    // LLM+ curation — the published Gopher rule gate (Rae et al. 2021),
+    // per-rule booleans + verdict; pure scan-stage column work.
+    "q_gopher_rules" -> ((s, dir) => {
+      TextAnalysis.gopherRules(t(s, dir, "documents"),
+          col("doc_id"), col("text"), minWords = 20, maxWords = 100000)
+        .orderBy("key")
+    }),
+
+    // J5+ — directional as-of join, FORWARD: each purchase matched to
+    // the first view at-or-after it (same union + single-sort plan as
+    // q_asof_join, opposite frame).
+    "q_asof_forward" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val probe = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val quote = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      Analytics.asOfJoinDirectional(probe, quote, "user_id", "ts",
+          "event_id", "value", direction = "forward")
+        .orderBy("user_id", "ts", "event_id")
+    }),
+
+    // J5+ — directional as-of join, NEAREST with tolerance: smaller
+    // |Δts| wins (ties backward), no view within 2 h → null-extended.
+    "q_asof_nearest" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val probe = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val quote = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      Analytics.asOfJoinDirectional(probe, quote, "user_id", "ts",
+          "event_id", "value", direction = "nearest",
+          toleranceSeconds = Some(7200L))
+        .orderBy("user_id", "ts", "event_id")
     }),
 
     // Fixed-width histogram of event values (deterministic bucketing).

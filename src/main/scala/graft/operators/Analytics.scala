@@ -134,6 +134,77 @@ object Analytics {
     filled.filter(col("__side") === 1).select(pCols.map(col) ++ valueCols.map(col): _*)
   }
 
+  /** Directional as-of join — [[asOfJoin]] generalized to the three
+    * standard directions (pandas `merge_asof`): for each probe row take
+    * the nearest quote with the same key that is
+    *   - `"backward"`: at or before probe.ts (== [[asOfJoin]]),
+    *   - `"forward"`:  at or after probe.ts,
+    *   - `"nearest"`:  either side, smaller |Δts| wins, ties backward,
+    * optionally bounded by `toleranceSeconds` (no match within the bound
+    * → null-extended, like merge_asof's `tolerance`).
+    *
+    * Same plan shape as [[asOfJoin]]: union → ONE shuffle/sort on the
+    * key → window frames over that single sort (backward candidate via
+    * an unbounded-preceding `last`, forward candidate via an
+    * unbounded-following `first`), then per-row candidate arbitration —
+    * no range join, no per-probe quote scan, scales like a sort-merge
+    * join. The quote's ts/tiebreak ride along in a packed struct so
+    * tolerance and nearest-arbitration are pure column ops.
+    *
+    * Carries ONE value column (`valueCol`) plus the matched quote ts as
+    * `matched_ts` — multi-value variants just add struct fields.
+    */
+  def asOfJoinDirectional(
+      probe: DataFrame, quote: DataFrame,
+      keyCol: String, tsCol: String, tiebreakCol: String,
+      valueCol: String, direction: String,
+      toleranceSeconds: Option[Long] = None): DataFrame = {
+    require(Seq("backward", "forward", "nearest").contains(direction),
+      s"asOfJoinDirectional: unknown direction '$direction'")
+    val pCols = probe.columns
+    // quote payload packed as one struct: (ts, tiebreak, value) — the
+    // window functions then carry candidate identity and value together
+    val q = quote.select(col(keyCol), col(tsCol),
+        lit(0).as("__side"),
+        struct(col(tsCol).as("ts"), col(tiebreakCol).as("tb"),
+          col(valueCol).as("v")).as("__q"))
+    val p = probe.withColumn("__side", lit(1))
+    val unioned = q.unionByName(p, allowMissingColumns = true)
+    val ord = Window.partitionBy(col(keyCol))
+    // backward: quote sorts BEFORE probe at equal ts (side 0 < 1) so an
+    // exactly-simultaneous quote is visible; forward: probe sorts before
+    // quote via side DESC so the same quote is visible forward too
+    // __q.tb (null on probe rows, nulls-first) makes the order among
+    // equal-ts quotes total: backward's `last` picks the LARGEST
+    // tiebreak, forward's `first` the smallest — both deterministic
+    val wb = ord.orderBy(col(tsCol), col("__side"), col("__q.tb").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = ord.orderBy(col(tsCol), col("__side").desc, col("__q.tb").asc_nulls_last)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val qOnly = when(col("__side") === 0, col("__q"))
+    val withCand = unioned
+      .withColumn("__b", last(qOnly, ignoreNulls = true).over(wb))
+      .withColumn("__f", first(qOnly, ignoreNulls = true).over(wf))
+      .filter(col("__side") === 1)
+    val dB = unix_micros(col(tsCol)) - unix_micros(col("__b.ts"))
+    val dF = unix_micros(col("__f.ts")) - unix_micros(col(tsCol))
+    val tolUs = toleranceSeconds.map(s => lit(s * 1000000L))
+    def within(d: org.apache.spark.sql.Column) =
+      tolUs.map(t => d <= t).getOrElse(lit(true))
+    val chosen = direction match {
+      case "backward" => when(col("__b").isNotNull && within(dB), col("__b"))
+      case "forward"  => when(col("__f").isNotNull && within(dF), col("__f"))
+      case "nearest"  =>
+        val bOk = col("__b").isNotNull && within(dB)
+        val fOk = col("__f").isNotNull && within(dF)
+        when(bOk && (!fOk || dB <= dF), col("__b"))
+          .when(fOk, col("__f"))
+    }
+    withCand.withColumn("__m", chosen)
+      .select(pCols.map(col) ++ Seq(
+        col("__m.ts").as("matched_ts"), col("__m.v").as(valueCol)): _*)
+  }
+
   /** Fixed-width histogram: bucket = floor((x - lo) / width), clamped to
     * [0, nBuckets-1]. Pure integer/double ops — deterministic; one
     * partial+final aggregate.
@@ -669,39 +740,46 @@ object Analytics {
     */
   def abTest(df: DataFrame, unit: Column, variant: Column,
       converted: Column): DataFrame = {
+    // the (unit, variant)-unique rollup feeds BOTH the per-variant stats
+    // and the contamination audit; persisted so the events scan + first
+    // aggregate run ONCE (the two consumers shuffle differently — by v
+    // and by u — but share this subtree), released before return via the
+    // eager ≤1-row terminal
     val units = df.groupBy(unit.as("u"), variant.as("v"))
       .agg(max(when(converted, 1L).otherwise(0L)).as("c"))
-    val byV = units.groupBy("v")
-      .agg(count(lit(1)).as("n"), sum(col("c")).as("conv"))
-    val d = (c: Column) => c.cast("double")
-    val picked = byV.agg(
-      min(col("v")).as("va"), max(col("v")).as("vb"),
-      count(lit(1)).as("n_variants"),
-      min_by(struct(col("n"), col("conv")), col("v")).as("sa"),
-      max_by(struct(col("n"), col("conv")), col("v")).as("sb"))
-    // units frame is (unit, variant)-unique, so rows-per-unit = arms
-    // seen; the rollup is over a unit-sized frame — one extra exchange
-    // on a frame the test already shuffles, then a 1×1 cross join
-    val contaminated = units.groupBy("u").agg(count(lit(1)).as("nv"))
-      .agg(coalesce(sum(when(col("nv") > 1, 1L).otherwise(0L)), lit(0L))
-        .as("n_contaminated"))
-    val p1 = d(col("sa.conv")) / d(col("sa.n"))
-    val p2 = d(col("sb.conv")) / d(col("sb.n"))
-    val p = (d(col("sa.conv")) + d(col("sb.conv"))) /
-      (d(col("sa.n")) + d(col("sb.n")))
-    val z = (p1 - p2) /
-      sqrt(p * (lit(1.0) - p) * (lit(1.0) / d(col("sa.n")) + lit(1.0) / d(col("sb.n"))))
-    picked.crossJoin(contaminated)
-      // empty input: the global aggregates still emit one (all-null,
-      // n_variants=0) row; the oracle's CTE join emits none — drop it
-      .filter(col("n_variants") > 0)
-      .select(col("va"), col("vb"), col("n_variants"), col("n_contaminated"),
-        col("sa.n").as("n_a"), col("sa.conv").as("conv_a"),
-        round(p1, 6).as("rate_a"),
-        col("sb.n").as("n_b"), col("sb.conv").as("conv_b"),
-        round(p2, 6).as("rate_b"),
-        when(p === 0.0 || p === 1.0, lit(null).cast("double"))
-          .otherwise(round(z, 6)).as("z"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val byV = units.groupBy("v")
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("conv"))
+      val d = (c: Column) => c.cast("double")
+      val picked = byV.agg(
+        min(col("v")).as("va"), max(col("v")).as("vb"),
+        count(lit(1)).as("n_variants"),
+        min_by(struct(col("n"), col("conv")), col("v")).as("sa"),
+        max_by(struct(col("n"), col("conv")), col("v")).as("sb"))
+      // units rows-per-unit = arms seen; one extra exchange on a
+      // unit-sized frame, then a 1×1 cross join
+      val contaminated = units.groupBy("u").agg(count(lit(1)).as("nv"))
+        .agg(coalesce(sum(when(col("nv") > 1, 1L).otherwise(0L)), lit(0L))
+          .as("n_contaminated"))
+      val p1 = d(col("sa.conv")) / d(col("sa.n"))
+      val p2 = d(col("sb.conv")) / d(col("sb.n"))
+      val p = (d(col("sa.conv")) + d(col("sb.conv"))) /
+        (d(col("sa.n")) + d(col("sb.n")))
+      val z = (p1 - p2) /
+        sqrt(p * (lit(1.0) - p) * (lit(1.0) / d(col("sa.n")) + lit(1.0) / d(col("sb.n"))))
+      Eager.terminal(picked.crossJoin(contaminated)
+        // empty input: the global aggregates still emit one (all-null,
+        // n_variants=0) row; the oracle's CTE join emits none — drop it
+        .filter(col("n_variants") > 0)
+        .select(col("va"), col("vb"), col("n_variants"), col("n_contaminated"),
+          col("sa.n").as("n_a"), col("sa.conv").as("conv_a"),
+          round(p1, 6).as("rate_a"),
+          col("sb.n").as("n_b"), col("sb.conv").as("conv_b"),
+          round(p2, 6).as("rate_b"),
+          when(p === 0.0 || p === 1.0, lit(null).cast("double"))
+            .otherwise(round(z, 6)).as("z")))
+    } finally { units.unpersist(); () }
   }
 
   /** Join fan-out audit — BEFORE running a suspect join, the per-key

@@ -108,11 +108,11 @@ object Corpus {
       // eager terminal materialization + unpersist: same cache-lifetime
       // discipline as [[NearDup.minhashPairs]] — the pair aggregate is
       // small, the span cache is not; don't pin it past the call
-      s2.select(col("shingle"), col("key").as("key_a"))
-        .join(s2.select(col("shingle"), col("key").as("key_b")), Seq("shingle"))
-        .filter(col("key_a") < col("key_b"))
-        .groupBy("key_a", "key_b").agg(count(lit(1)).as("n_shared_spans"))
-        .localCheckpoint()
+      Eager.terminal(
+        s2.select(col("shingle"), col("key").as("key_a"))
+          .join(s2.select(col("shingle"), col("key").as("key_b")), Seq("shingle"))
+          .filter(col("key_a") < col("key_b"))
+          .groupBy("key_a", "key_b").agg(count(lit(1)).as("n_shared_spans")))
     } finally { sh.unpersist(); () }
   }
 
@@ -174,10 +174,10 @@ object Corpus {
     try {
       val nearDup = NearDup.minhashPairs(exact, col("key"), col("t"),
         n, k, jaccThreshold)
-      exact.join(nearDup.select(col("key_b").as("key")).distinct(),
-          Seq("key"), "left_anti")
-        .select(col("key"), col("score"), col("n_tokens"))
-        .localCheckpoint()
+      Eager.terminal(
+        exact.join(nearDup.select(col("key_b").as("key")).distinct(),
+            Seq("key"), "left_anti")
+          .select(col("key"), col("score"), col("n_tokens")))
     } finally { exact.unpersist(); () }
   }
 

@@ -190,16 +190,12 @@ object NearDup {
     try {
       val pairs = candidatePairs(lshBands(minhashSig(sh, k), k))
       val sets = sh.groupBy("key").agg(collect_set(col("shingle")).as("sh"))
-      // EAGER terminal materialization (localCheckpoint) so the big
-      // shingle cache can be released before returning: the surviving
-      // pair set is tiny (threshold-filtered), while a lazily-returned
-      // plan would pin the persisted corpus cache for the caller's whole
-      // session — measured as multi-× bench interference deep into a
-      // 150-query run. localCheckpoint (not persist) keeps AQE on the
-      // materializing job.
-      jaccardSets(pairs, sets).filter(col("jacc") >= threshold)
-        .select("key_a", "key_b", "jacc")
-        .localCheckpoint()
+      // eager terminal materialization so the big shingle cache can be
+      // released before returning — the surviving pair set is tiny
+      // (threshold-filtered); see [[Eager.terminal]]
+      Eager.terminal(
+        jaccardSets(pairs, sets).filter(col("jacc") >= threshold)
+          .select("key_a", "key_b", "jacc"))
     } finally { sh.unpersist(); () }
   }
 
@@ -302,7 +298,7 @@ object NearDup {
       else shingleDigests(df, key, text, n))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // eager + release: same cache-lifetime discipline as [[minhashPairs]]
-    try jaccard(pairs, sh).localCheckpoint()
+    try Eager.terminal(jaccard(pairs, sh))
     finally { sh.unpersist(); () }
   }
 
@@ -502,8 +498,8 @@ object NearDup {
             (size(col("sh_a")) + size(col("sh_b")) - col("n_inter")).cast("double"))
         .filter(col("jacc") >= threshold)
         .select(col("key_i").as("key")).distinct()
-      incoming.select(key.as("key")).join(dup, Seq("key"), "left_anti")
-        .localCheckpoint()
+      Eager.terminal(
+        incoming.select(key.as("key")).join(dup, Seq("key"), "left_anti"))
     } finally { shI.unpersist(); () }
   }
 

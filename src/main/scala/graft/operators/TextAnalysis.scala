@@ -83,6 +83,61 @@ object TextAnalysis {
     withQualityFeatures(df.select(key.as("key"), text.as("t")), col("t"))
       .drop("t")
 
+  /** Gopher-rule document filter — the published heuristic gate from
+    * "Scaling Language Models: Methods, Analysis & Insights from
+    * Training Gopher" (Rae et al. 2021, public; Appendix A1.1), each
+    * rule as an explicit column so downstream can audit WHICH rule
+    * rejected a doc (the production pattern: keep the per-rule booleans,
+    * not just the verdict):
+    *   - word count in [minWords, maxWords]
+    *   - mean word length in [3, 10] chars
+    *   - symbol-to-word ratio ('#' or '...' occurrences / words) < 0.1
+    *   - < 90% of lines start with a bullet ('-', '*', '•')
+    *   - ≥ 80% of words contain at least one alphabetic character
+    *   - ≥ 2 of the 8 required English function words present
+    *     (the/be/to/of/and/that/have/with)
+    *
+    * Pure per-row column work (split + higher-order array functions —
+    * no UDF, fully codegen'd, NO shuffle): evaluated in the scan stage
+    * at 100 TB, the same plan shape as the rest of the quality family.
+    * Ratios are fixed double op sequences rounded to 6 (oracle parity).
+    */
+  def gopherRules(df: DataFrame, key: Column, text: Column,
+      minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val ws = filter(split(text, "\\s+"), w => w =!= "")
+    val nWords = size(ws).cast("long")
+    val meanLen = round(aggregate(ws, lit(0L),
+      (acc, w) => acc + length(w).cast("long")).cast("double") /
+      nWords.cast("double"), 6)
+    // '#' count + non-overlapping '...' count via length deltas —
+    // engine-portable (no regex dialect drift)
+    val nHash = length(text) - length(replace(text, lit("#"), lit("")))
+    val nEllipsis = (length(text) -
+      length(replace(text, lit("..."), lit("")))) / lit(3)
+    val symbolRatio = round((nHash + nEllipsis).cast("double") /
+      nWords.cast("double"), 6)
+    val lines = filter(split(text, "\n"), l => trim(l) =!= "")
+    val nLines = greatest(size(lines), lit(1)).cast("long")
+    val bulletRatio = round(size(filter(lines, l =>
+      trim(l).startsWith("-") || trim(l).startsWith("*") ||
+        trim(l).startsWith("•"))).cast("double") / nLines.cast("double"), 6)
+    val alphaFrac = round(size(filter(ws, w => w.rlike("[A-Za-z]")))
+      .cast("double") / nWords.cast("double"), 6)
+    val reqStops = array(Seq("the", "be", "to", "of", "and", "that",
+      "have", "with").map(lit): _*)
+    val nReqStop = size(array_intersect(
+      array_distinct(transform(ws, w => lower(w))), reqStops)).cast("long")
+    df.select(key.as("key"), nWords.as("n_words"),
+        meanLen.as("mean_word_len"), symbolRatio.as("symbol_ratio"),
+        bulletRatio.as("bullet_ratio"), alphaFrac.as("alpha_word_frac"),
+        nReqStop.as("n_req_stop"))
+      .withColumn("passes",
+        col("n_words") >= minWords && col("n_words") <= maxWords &&
+          col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
+          col("symbol_ratio") < 0.1 && col("bullet_ratio") < 0.9 &&
+          col("alpha_word_frac") >= 0.8 && col("n_req_stop") >= 2L)
+  }
+
   /** Repetition statistics — the Gopher/C4-style quality signals that
     * catch boilerplate and spam which length/punctuation ratios miss:
     * `top_word_frac` (most frequent word's share of all words) and
@@ -151,6 +206,65 @@ object TextAnalysis {
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
       .select(col("key"), col("term"), col("tf"), col("df"),
         round(col("score"), 9).as("score"), col("rnk").cast("int").as("rnk"))
+  }
+
+  /** Sparse TF-IDF cosine pairs via POSTING-LIST self-join — lexical
+    * document similarity without embeddings, the term-at-a-time pattern
+    * every search engine uses: per-(doc, term) TF-IDF weights joined to
+    * themselves ON TERM, partial dot products summed per doc pair, then
+    * top-k pairs by cosine.
+    *
+    * The scale dial is `maxDf`: terms appearing in more than `maxDf`
+    * docs are dropped from BOTH the weights and the norms (a capped
+    * posting list — ubiquitous terms carry near-zero idf weight but
+    * would dominate the join volume quadratically). Candidate volume is
+    * then Σ df² over surviving terms, bounded by maxDf · Σ df — never
+    * n². Same Σ|bucket|² shape as the LSH band join in
+    * [[NearDup.minhashPairs]]; this is its exact-lexical sibling.
+    *
+    * Dot products and norms accumulate in decimal (order-independent
+    * sums — double summation order varies with partitioning); the final
+    * cosine is a fixed double op sequence rounded to 6 (oracle parity).
+    */
+  def tfidfCosinePairs(df: DataFrame, key: Column, text: Column,
+      maxDf: Int, k: Int): DataFrame = {
+    require(maxDf >= 2 && k >= 1,
+      s"tfidfCosinePairs: need maxDf >= 2 and k >= 1, got $maxDf, $k")
+    val words = df.select(key.as("key"), explode(split(text, "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+    val tf = words.groupBy("key", "term").agg(count(lit(1)).as("tf"))
+    val nDocs = df.agg(countDistinct(key).as("n_docs"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    // the weights frame feeds THREE consumers (norms + both self-join
+    // sides); scoped persist keeps the explode+aggregate single-pass,
+    // released via the eager top-k terminal
+    val wts = tf.join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("key"), col("term"),
+        (col("tf").cast("double") *
+          log(col("n_docs").cast("double") / col("df").cast("double")))
+          .as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val norms = wts.groupBy("key")
+        .agg(sum((col("w") * col("w")).cast("decimal(38,12)")).as("norm2"))
+      val dots = wts.select(col("key").as("key_a"), col("term"), col("w").as("wa"))
+        .join(wts.select(col("key").as("key_b"), col("term"), col("w").as("wb")),
+          Seq("term"))
+        .filter(col("key_a") < col("key_b"))
+        .groupBy("key_a", "key_b")
+        .agg(sum((col("wa") * col("wb")).cast("decimal(38,12)")).as("dot"))
+      Eager.terminal(dots
+        .join(norms.select(col("key").as("key_a"), col("norm2").as("na")), Seq("key_a"))
+        .join(norms.select(col("key").as("key_b"), col("norm2").as("nb")), Seq("key_b"))
+        .select(col("key_a"), col("key_b"),
+          round(col("dot").cast("double") /
+            sqrt(col("na").cast("double") * col("nb").cast("double")), 6)
+            .as("cosine"))
+        .orderBy(col("cosine").desc, col("key_a"), col("key_b"))
+        .limit(k))
+    } finally { wts.unpersist(); () }
   }
 
   /** BPE pair counting — the inner loop of byte-pair-encoding tokenizer

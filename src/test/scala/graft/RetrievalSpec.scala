@@ -51,6 +51,46 @@ class RetrievalSpec extends AnyFunSuite {
     assert(out.map(_._2).distinct.length === 1)
   }
 
+  test("gopherRules: per-rule booleans and overall verdict") {
+    val good = (1 to 30).map(i => s"the word$i of and").mkString(" ") // 150 words, stopwords present
+    val docs = Seq(
+      (1L, good),
+      (2L, "too short to pass the word count"),             // n_words < 20
+      (3L, (1 to 30).map(_ => "### ... ###").mkString(" ")),// symbols, no alpha, no stops
+      (4L, (1 to 30).map(i => s"- bullet the of item$i").mkString("\n")) // all-bullet lines
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(docs, col("doc_id"), col("text"),
+        minWords = 20, maxWords = 100000)
+      .orderBy("key").collect()
+    assert(out.map(_.getBoolean(7)).toSeq === Seq(true, false, false, false))
+    val d3 = out(2)
+    assert(d3.getDouble(3) >= 0.1 || d3.getDouble(5) < 0.8) // symbol_ratio / alpha fail
+    val d4 = out(3)
+    assert(d4.getDouble(4) >= 0.9) // bullet_ratio
+    // mean_word_len sanity on the good doc: between 3 and 10
+    assert(out(0).getDouble(2) >= 3.0 && out(0).getDouble(2) <= 10.0)
+  }
+
+  test("tfidfCosinePairs: identical docs score 1, df cap drops ubiquitous terms") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),     // identical to 1 → cosine 1.0
+      (3L, "epsilon zeta eta theta"),     // disjoint → no pair with 1/2
+      (4L, "alpha epsilon common common")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfCosinePairs(docs, col("doc_id"), col("text"),
+        maxDf = 3, k = 10)
+      .as[(Long, Long, Double)].collect()
+    assert(out.head === ((1L, 2L, 1.0)))
+    assert(!out.map(t => (t._1, t._2)).contains((1L, 3L)))
+    // a term in EVERY doc would be dropped by maxDf = 3 of 4 docs: add it
+    val ubiq = docs.withColumn("text", concat(col("text"), lit(" ubiq")))
+    val out2 = TextAnalysis.tfidfCosinePairs(ubiq, col("doc_id"), col("text"),
+        maxDf = 3, k = 10).as[(Long, Long, Double)].collect()
+    // 'ubiq' (df=4) is excluded, so pairs/scores equal the original run
+    assert(out2.toSeq === out.toSeq)
+  }
+
   test("dsir weight is zero when target equals raw") {
     val docs = Seq(
       (1L, "alpha beta gamma"),

@@ -317,6 +317,38 @@ class TransformsSpec extends AnyFunSuite {
     assert(out.toSeq === Seq(None, Some(1.0), Some(2.0)))
   }
 
+  test("asOfJoinDirectional: forward, nearest tie-to-backward, tolerance null-extends") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val probe = Seq(
+      (1L, "k", ts("2024-01-01 01:00:00")),
+      (2L, "k", ts("2024-01-01 03:00:00")),
+      (3L, "k", ts("2024-01-01 08:00:00")))
+      .toDF("pid", "k", "t")
+    val quote = Seq(
+      ("k", ts("2024-01-01 00:30:00"), 10L, 1.0),  // 30 min before p1
+      ("k", ts("2024-01-01 01:30:00"), 11L, 2.0),  // 30 min after p1, 90 before p2
+      ("k", ts("2024-01-01 04:00:00"), 12L, 3.0))  // 60 min after p2
+      .toDF("k", "t", "qid", "px")
+    def run(dir: String, tol: Option[Long]) =
+      Analytics.asOfJoinDirectional(probe, quote, "k", "t", "qid", "px",
+          dir, tol)
+        .orderBy("pid").select("px").collect().map(r => Option(r.get(0))).toSeq
+    // forward: p1→q@01:30, p2→q@04:00, p3→none
+    assert(run("forward", None) === Seq(Some(2.0), Some(3.0), None))
+    // backward matches the original asOfJoin semantics
+    assert(run("backward", None) === Seq(Some(1.0), Some(2.0), Some(3.0)))
+    // nearest: p1 ties 30min/30min → backward (1.0); p2 forward 60 < 90
+    // backward (3.0); p3 backward-only (3.0)
+    assert(run("nearest", None) === Seq(Some(1.0), Some(3.0), Some(3.0)))
+    // tolerance 1 h: p3's only candidate is 4 h away → null-extended
+    assert(run("nearest", Some(3600L)) === Seq(Some(1.0), Some(3.0), None))
+    // equal-ts quote is visible in BOTH directions
+    val qEq = Seq(("k", ts("2024-01-01 01:00:00"), 13L, 9.0)).toDF("k", "t", "qid", "px")
+    assert(Analytics.asOfJoinDirectional(
+        probe.filter($"pid" === 1L), qEq, "k", "t", "qid", "px", "forward", None)
+      .select("px").as[Double].head() === 9.0)
+  }
+
   // --- sessionize -------------------------------------------------------
 
   test("sessionize splits on gaps greater than the threshold") {
