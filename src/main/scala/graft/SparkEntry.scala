@@ -1803,6 +1803,56 @@ object SparkEntry {
         .orderBy("user_id", "ts", "event_id")
     }),
 
+    // K2+ — CDC change-log apply: snapshot + out-of-order I/U/D log →
+    // current state; the log collapses to its per-key frontier (window
+    // top-1) BEFORE the one full-outer join against the snapshot.
+    "q_cdc_apply" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      def ts(x: String) = lit(x).cast("timestamp")
+      val u1 = o.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), ts("2024-02-01 00:00:00").as("ts"),
+          lit(1L).as("seq"), lit("U").as("op"), col("o_custkey"),
+          (col("o_totalprice") + 1000).as("o_totalprice"))
+      val d1 = o.filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey"), ts("2024-03-01 00:00:00").as("ts"),
+          lit(1L).as("seq"), lit("D").as("op"), col("o_custkey"),
+          col("o_totalprice"))
+      val u2 = o.filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), ts("2024-03-15 00:00:00").as("ts"),
+          lit(2L).as("seq"), lit("U").as("op"), col("o_custkey"),
+          (col("o_totalprice") * 2).as("o_totalprice"))
+      val ins = o.filter(col("o_orderkey") % 11 === 0)
+        .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+          ts("2024-01-15 00:00:00").as("ts"), lit(1L).as("seq"),
+          lit("I").as("op"), col("o_custkey"), col("o_totalprice"))
+      val changes = u1.unionByName(d1).unionByName(u2).unionByName(ins)
+      Dedup.applyChangeLog(o, changes, "o_orderkey", "ts", "seq", "op",
+          Seq("o_custkey", "o_totalprice"))
+        .orderBy("o_orderkey")
+    }),
+
+    // S+/K+ — ORC round-trip: the lake's second columnar format. Write
+    // a projection as ORC into scratch, read it back, aggregate — the
+    // ORC scan gets the same column pruning/pushdown as parquet.
+    "q_orc_roundtrip" -> ((s, dir) => {
+      val tmp = scratchDir("orc_demo")
+      t(s, dir, "events").select("event_id", "user_id", "event_type", "value")
+        .write.mode("overwrite").orc(tmp)
+      s.read.orc(tmp)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(30,10)")).cast("double").as("vsum"))
+        .orderBy("event_type")
+    }),
+
+    // K3+ — streaming JSON file source (schema-declared; event time as
+    // epoch-µs in the payload) rolled into per-day/type candles.
+    "q_stream_json" -> ((s, dir) => {
+      graft.streaming.Streaming.streamingJsonIngest(s, dir)
+        .orderBy("event_type", "day")
+    }),
+
     // Fixed-width histogram of event values (deterministic bucketing).
     "q_histogram" -> ((s, dir) => {
       Analytics.histogram(t(s, dir, "events"), col("value"),

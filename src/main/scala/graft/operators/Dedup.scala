@@ -150,6 +150,42 @@ object Dedup {
     updatedExisting.unionByName(newVersions)
   }
 
+  /** CDC change-log apply — reconstruct the current table state from a
+    * base snapshot plus an out-of-order change log of
+    * insert/update/delete operations (`op` ∈ 'I'/'U'/'D'), the batch
+    * form of consuming a Debezium/binlog-style feed. Per key, the
+    * LATEST change wins (order by `ts`, then `seq` — the log's own
+    * sequence number breaks same-timestamp ties, as real CDC feeds
+    * require); a final 'D' removes the key, a final 'I'/'U' upserts its
+    * values, keys without changes keep their snapshot row.
+    *
+    * Plan: one window top-1 over the change log (shuffle on key; the
+    * WindowGroupLimit rank-1 filter cuts map-side, so the exchange
+    * carries ~1 row per changed key per mapper, not the log) + one
+    * full-outer hash join against the snapshot. The log is never
+    * replayed row-by-row — at 100 TB a day's log collapses to its
+    * per-key frontier BEFORE touching the snapshot.
+    *
+    * `changes` must carry (key, ts, seq, op, valueCols…); `snapshot`
+    * carries (key, valueCols…).
+    */
+  def applyChangeLog(snapshot: DataFrame, changes: DataFrame, key: String,
+      tsCol: String, seqCol: String, opCol: String,
+      valueCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(tsCol).desc, col(seqCol).desc)
+    val latest = changes
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(Seq(col(key), col(opCol).as("__op")) ++
+        valueCols.map(c => col(c).as(s"__c_$c")): _*)
+    snapshot.withColumn("__snap", lit(true))
+      .join(latest, Seq(key), "full_outer")
+      // latest D wins even over a snapshot row; absent change → snapshot
+      .filter(col("__op").isNull || col("__op") =!= "D")
+      .select(col(key) +: valueCols.map(c =>
+        when(col("__op").isNotNull, col(s"__c_$c")).otherwise(col(c)).as(c)): _*)
+  }
+
   /** Exact content dedup for document corpora: hash-groupBy on a
     * normalized content digest, keeping the representative with the
     * smallest `order`. Only the digest and tiebreak shuffle — at 100 TB

@@ -28,6 +28,29 @@ class WarehouseSpec extends AnyFunSuite {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("applyChangeLog: latest change wins, D deletes, I inserts, seq breaks ts ties") {
+    import graft.operators.Dedup
+    val snap = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, 40.0))
+      .toDF("k", "v")
+    val changes = Seq(
+      // k=1: U then later D → deleted
+      (1L, ts("2024-02-01 00:00:00"), 1L, "U", 11.0),
+      (1L, ts("2024-03-01 00:00:00"), 1L, "D", 0.0),
+      // k=2: D then later U → resurrected with 22.0
+      (2L, ts("2024-02-01 00:00:00"), 1L, "D", 0.0),
+      (2L, ts("2024-03-01 00:00:00"), 1L, "U", 22.0),
+      // k=3: same ts, seq 2 wins → 33.0
+      (3L, ts("2024-02-01 00:00:00"), 1L, "U", 31.0),
+      (3L, ts("2024-02-01 00:00:00"), 2L, "U", 33.0),
+      // k=5: brand-new key inserted
+      (5L, ts("2024-01-15 00:00:00"), 1L, "I", 50.0)
+    ).toDF("k", "ts", "seq", "op", "v")
+    val out = Dedup.applyChangeLog(snap, changes, "k", "ts", "seq", "op", Seq("v"))
+      .orderBy("k").as[(Long, Double)].collect()
+    // k=4 untouched keeps its snapshot value
+    assert(out.toSeq === Seq(2L -> 22.0, 3L -> 33.0, 4L -> 40.0, 5L -> 50.0))
+  }
+
   test("conform casts prices to DECIMAL(12,4) at the sink boundary") {
     val raw = Seq(
       ("b1", "c1", "2024-01-02 09:30:00", 101.25, 102.0, 100.5, 101.9, 1000L, 42L, 101.7))
