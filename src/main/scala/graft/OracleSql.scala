@@ -1919,6 +1919,25 @@ object OracleSql {
         |  WHERE rn = 1) c USING (event_id)
         |ORDER BY user_id, ts, event_id""".stripMargin,
 
+    "q_entity_match" ->
+      """WITH a AS (
+        |  SELECT p_partkey AS key_a, p_name AS name_a,
+        |    concat(substring(p_name, 1, 5), right(p_name, 3)) AS block
+        |  FROM part),
+        |b0 AS (
+        |  SELECT p_partkey + 1000000 AS key_b,
+        |    concat(substring(p_name, 1, 5), substring(p_name, 7)) AS name_b
+        |  FROM part),
+        |b AS (
+        |  SELECT key_b, name_b,
+        |    concat(substring(name_b, 1, 5), right(name_b, 3)) AS block
+        |  FROM b0)
+        |SELECT key_a, key_b, name_a, name_b,
+        |  round(jaro_winkler_similarity(name_a, name_b), 6) AS jw
+        |FROM a JOIN b USING (block)
+        |WHERE round(jaro_winkler_similarity(name_a, name_b), 6) >= 0.9
+        |ORDER BY key_a, key_b""".stripMargin,
+
     "q_cdc_apply" ->
       """WITH snap AS (
         |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders),

@@ -1803,6 +1803,25 @@ object SparkEntry {
         .orderBy("user_id", "ts", "event_id")
     }),
 
+    // D+ entity resolution — prefix-blocked candidates scored by the
+    // NATIVE graft_jaro_winkler expression (2nd custom Catalyst expr):
+    // parts vs char-dropped corruptions of their names.
+    "q_entity_match" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+      val left = p.select(col("p_partkey"), col("p_name"))
+      val right = p.select((col("p_partkey") + 1000000L).as("p_partkey"),
+        concat(substring(col("p_name"), 1, 5),
+          col("p_name").substr(lit(7), length(col("p_name")))).as("p_name"))
+      // block = (5-char prefix, 3-char suffix): the corruption drops
+      // char 6, so BOTH attributes survive it; compounding them keeps
+      // Σ|block|² small on this clustered color-word vocabulary
+      NearDup.entityMatch(left, right,
+          col("p_partkey"), col("p_name"), col("p_partkey"), col("p_name"),
+          n => concat(substring(n, 1, 5), n.substr(length(n) - 2, lit(3))),
+          threshold = 0.9)
+        .orderBy("key_a", "key_b")
+    }),
+
     // K2+ — CDC change-log apply: snapshot + out-of-order I/U/D log →
     // current state; the log collapses to its per-key frontier (window
     // top-1) BEFORE the one full-outer join against the snapshot.

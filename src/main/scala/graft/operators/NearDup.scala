@@ -503,6 +503,48 @@ object NearDup {
     } finally { shI.unpersist(); () }
   }
 
+  /** Blocked entity matching scored by native Jaro-Winkler — the
+    * record-linkage classic (match "Jon Smith Inc" to "John Smith Inc."
+    * across two source systems): candidates are generated by an
+    * EQUI-join on a blocking key (shared name prefix — the standard
+    * blocking scheme; swap in phonetic codes or sorted-neighborhood
+    * windows without touching the scorer), then each candidate pair is
+    * scored by the native [[graft.functions.JaroWinkler]] expression
+    * and kept above `threshold`.
+    *
+    * Plan: one hash join on the block key (candidate volume Σ|block|²,
+    * bounded by the blocking scheme — never |L|·|R|), scoring inline in
+    * the join's projection under whole-stage codegen. The similarity
+    * is rounded to 6 BEFORE thresholding so the SQL oracle (DuckDB's
+    * `jaro_winkler_similarity`, same Winkler 1990 parameterization)
+    * filters identically.
+    *
+    * `block` maps a name column to its blocking key and must be chosen
+    * from the parts of the name the expected corruption CANNOT touch —
+    * the recall/volume dial. A single coarse attribute (5-char prefix)
+    * left Σ|block|² 20× too fat on clustered name vocabularies
+    * (measured 13.1 s at sf0.1); compounding it with a second
+    * independent attribute (suffix) multiplied the block count and cut
+    * the same workload to ~1 s with identical matches.
+    */
+  def entityMatch(left: DataFrame, right: DataFrame,
+      leftKey: Column, leftName: Column, rightKey: Column, rightName: Column,
+      block: Column => Column, threshold: Double): DataFrame = {
+    val spark = left.sparkSession
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_jaro_winkler",
+      exprs => graft.functions.JaroWinkler(exprs(0), exprs(1)), "built-in")
+    val a = left.select(leftKey.as("key_a"), leftName.as("name_a"),
+      block(leftName).as("block"))
+    val b = right.select(rightKey.as("key_b"), rightName.as("name_b"),
+      block(rightName).as("block"))
+    a.join(b, Seq("block"))
+      .withColumn("jw", round(
+        call_function("graft_jaro_winkler", col("name_a"), col("name_b")), 6))
+      .filter(col("jw") >= threshold)
+      .select("key_a", "key_b", "name_a", "name_b", "jw")
+  }
+
   /** Edit-distance verification for candidate pairs — the third classic
     * near-dup verify metric beside set Jaccard ([[jaccardSets]]) and
     * SimHash Hamming ([[simhashPairs]]): exact Levenshtein distance

@@ -31,6 +31,11 @@ class ExtensionsSpec extends AnyFunSuite {
           |  array(CAST(2.0 AS FLOAT), CAST(0.5 AS FLOAT))) AS DOUBLE) AS d""".stripMargin)
         .collect()(0).getDouble(0)
       assert(got === 4.0) // 1.5*2.0 + 2.0*0.5
+      // second native expression resolves too
+      val jw = spark.sql(
+        "SELECT graft_jaro_winkler('MARTHA', 'MARHTA') AS jw")
+        .collect()(0).getDouble(0)
+      assert(math.abs(jw - 0.9611111111111111) < 1e-12)
     } finally {
       prevDefault.foreach(SparkSession.setDefaultSession)
       prevActive.foreach(SparkSession.setActiveSession)

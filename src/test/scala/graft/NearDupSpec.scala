@@ -401,4 +401,34 @@ class NearDupSpec extends AnyFunSuite {
       .as[(Long, Long, Int, Int)].collect().toSet
     assert(got === Set((1L, 2L, 1, 1), (1L, 3L, 2, 2), (2L, 3L, 1, 1)))
   }
+
+  test("JaroWinkler.compute matches the Winkler 1990 reference values") {
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    import graft.functions.JaroWinkler.compute
+    def approx(a: Double, b: Double) = math.abs(a - b) < 1e-12
+    assert(approx(compute(u("MARTHA"), u("MARHTA")), 0.9611111111111111))
+    assert(approx(compute(u("DIXON"), u("DICKSONX")), 0.8133333333333332))
+    assert(compute(u("same"), u("same")) === 1.0)
+    assert(compute(u(""), u("")) === 1.0)
+    assert(compute(u("abc"), u("")) === 0.0)
+    assert(compute(u("abc"), u("xyz")) === 0.0)
+    // below the 0.7 boost threshold the prefix bonus must NOT apply:
+    // jaro(abcdef, abdcfe)... use a pair with shared prefix but low jaro
+    val low = compute(u("aXXXXXXX"), u("aYYYYYYY")) // m=1, long strings
+    val jaro = (1.0 / 8 + 1.0 / 8 + 1.0) / 3
+    assert(approx(low, jaro)) // no + l*0.1*(1-jaro) added
+  }
+
+  test("entityMatch links char-dropped corruptions through prefix blocks") {
+    val left = Seq((1L, "goldenrod lace"), (2L, "midnight plum"), (3L, "aqua tan"))
+      .toDF("k", "name")
+    // corrupted twins (char 6 dropped) + one unrelated right-side row
+    val right = Seq((101L, "goldeod lace"), (102L, "midniht plum"), (999L, "zzzzz different"))
+      .toDF("k", "name")
+    val out = NearDup.entityMatch(left, right,
+        col("k"), col("name"), col("k"), col("name"),
+        n => substring(n, 1, 5), threshold = 0.9)
+      .select("key_a", "key_b").as[(Long, Long)].collect().toSet
+    assert(out === Set((1L, 101L), (2L, 102L)))
+  }
 }
