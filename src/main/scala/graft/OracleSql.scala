@@ -1972,6 +1972,42 @@ object OracleSql {
         |WHERE l.op IS NULL OR l.op <> 'D'
         |ORDER BY o_orderkey""".stripMargin,
 
+    // identical fixture + semantics as q_cdc_apply (frontier merge is
+    // associative — batch split cannot change the outcome)
+    "q_stream_cdc" ->
+      """WITH snap AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+        |ch AS (
+        |  SELECT o_orderkey, TIMESTAMP '2024-02-01 00:00:00' AS ts,
+        |    1 AS seq, 'U' AS op, o_custkey,
+        |    o_totalprice + 1000 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, TIMESTAMP '2024-03-01 00:00:00', 1, 'D',
+        |    o_custkey, o_totalprice
+        |  FROM orders WHERE o_orderkey % 5 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, TIMESTAMP '2024-03-15 00:00:00', 2, 'U',
+        |    o_custkey, o_totalprice * 2
+        |  FROM orders WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, TIMESTAMP '2024-01-15 00:00:00',
+        |    1, 'I', o_custkey, o_totalprice
+        |  FROM orders WHERE o_orderkey % 11 = 0),
+        |latest AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY o_orderkey
+        |      ORDER BY ts DESC, seq DESC) AS rn FROM ch)
+        |  WHERE rn = 1)
+        |SELECT o_orderkey,
+        |  CASE WHEN l.op IS NOT NULL THEN l.o_custkey
+        |       ELSE s.o_custkey END AS o_custkey,
+        |  CASE WHEN l.op IS NOT NULL THEN l.o_totalprice
+        |       ELSE s.o_totalprice END AS o_totalprice
+        |FROM snap s FULL OUTER JOIN latest l USING (o_orderkey)
+        |WHERE l.op IS NULL OR l.op <> 'D'
+        |ORDER BY o_orderkey""".stripMargin,
+
     "q_orc_roundtrip" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE) AS vsum

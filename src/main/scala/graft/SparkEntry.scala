@@ -56,6 +56,37 @@ object SparkEntry {
       d.select((col("doc_id") + 1000000).as("doc_id"),
         col("text").substr(lit(1), length(col("text")) - 10).as("text")))
 
+  /** Shared CDC fixtures (q_cdc_apply + q_stream_cdc — batch and
+    * streaming consume the IDENTICAL snapshot + out-of-order I/U/D log,
+    * so they share one oracle): updates at three timestamps, deletes
+    * that land between them, inserts of brand-new keys. Any change here
+    * must be mirrored in both queries' oracle SQL.
+    */
+  private def cdcSnapshot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+
+  private def cdcChangeLog(o: DataFrame): DataFrame = {
+    def ts(x: String) = lit(x).cast("timestamp")
+    val u1 = o.filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey"), ts("2024-02-01 00:00:00").as("ts"),
+        lit(1L).as("seq"), lit("U").as("op"), col("o_custkey"),
+        (col("o_totalprice") + 1000).as("o_totalprice"))
+    val d1 = o.filter(col("o_orderkey") % 5 === 0)
+      .select(col("o_orderkey"), ts("2024-03-01 00:00:00").as("ts"),
+        lit(1L).as("seq"), lit("D").as("op"), col("o_custkey"),
+        col("o_totalprice"))
+    val u2 = o.filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey"), ts("2024-03-15 00:00:00").as("ts"),
+        lit(2L).as("seq"), lit("U").as("op"), col("o_custkey"),
+        (col("o_totalprice") * 2).as("o_totalprice"))
+    val ins = o.filter(col("o_orderkey") % 11 === 0)
+      .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+        ts("2024-01-15 00:00:00").as("ts"), lit(1L).as("seq"),
+        lit("I").as("op"), col("o_custkey"), col("o_totalprice"))
+    u1.unionByName(d1).unionByName(u2).unionByName(ins)
+  }
+
   /** events with deterministically injected nulls (the testdata has none;
     * fill/default operators need them — SURVEY.md FIXTURES.md §B).
     */
@@ -1826,28 +1857,21 @@ object SparkEntry {
     // current state; the log collapses to its per-key frontier (window
     // top-1) BEFORE the one full-outer join against the snapshot.
     "q_cdc_apply" -> ((s, dir) => {
-      val o = t(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
-      def ts(x: String) = lit(x).cast("timestamp")
-      val u1 = o.filter(col("o_orderkey") % 3 === 0)
-        .select(col("o_orderkey"), ts("2024-02-01 00:00:00").as("ts"),
-          lit(1L).as("seq"), lit("U").as("op"), col("o_custkey"),
-          (col("o_totalprice") + 1000).as("o_totalprice"))
-      val d1 = o.filter(col("o_orderkey") % 5 === 0)
-        .select(col("o_orderkey"), ts("2024-03-01 00:00:00").as("ts"),
-          lit(1L).as("seq"), lit("D").as("op"), col("o_custkey"),
-          col("o_totalprice"))
-      val u2 = o.filter(col("o_orderkey") % 7 === 0)
-        .select(col("o_orderkey"), ts("2024-03-15 00:00:00").as("ts"),
-          lit(2L).as("seq"), lit("U").as("op"), col("o_custkey"),
-          (col("o_totalprice") * 2).as("o_totalprice"))
-      val ins = o.filter(col("o_orderkey") % 11 === 0)
-        .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
-          ts("2024-01-15 00:00:00").as("ts"), lit(1L).as("seq"),
-          lit("I").as("op"), col("o_custkey"), col("o_totalprice"))
-      val changes = u1.unionByName(d1).unionByName(u2).unionByName(ins)
-      Dedup.applyChangeLog(o, changes, "o_orderkey", "ts", "seq", "op",
+      val o = cdcSnapshot(s, dir)
+      Dedup.applyChangeLog(o, cdcChangeLog(o), "o_orderkey", "ts", "seq", "op",
           Seq("o_custkey", "o_totalprice"))
+        .orderBy("o_orderkey")
+    }),
+
+    // K3+ — STREAMING CDC materializer: the same change log consumed as
+    // a file stream (one file per micro-batch), per-key frontier merged
+    // batch-over-batch in foreachBatch, final state applied to the
+    // snapshot. Same oracle as q_cdc_apply — frontier merge is
+    // associative, so batch order cannot change the result.
+    "q_stream_cdc" -> ((s, dir) => {
+      val o = cdcSnapshot(s, dir)
+      graft.streaming.Streaming.streamingCdc(s, o, cdcChangeLog(o),
+          "o_orderkey", "ts", "seq", "op", Seq("o_custkey", "o_totalprice"))
         .orderBy("o_orderkey")
     }),
 

@@ -366,6 +366,68 @@ object Streaming {
     runToCompletion(agg, OutputMode.Complete(), "stream_json")
   }
 
+  /** Streaming CDC materializer — consume an I/U/D change log as a file
+    * stream and maintain the table's current state: each micro-batch
+    * merges into a per-key FRONTIER (the latest (ts, seq) change per
+    * key, tombstones included), and the final state is the frontier
+    * applied to the base snapshot. Latest-wins merge is associative and
+    * commutative over (ts, seq), so the result is independent of how
+    * the log is split into batches — asserted by running with
+    * `maxFilesPerTrigger=1` (one file per batch) against the one-shot
+    * batch oracle.
+    *
+    * State layout: the frontier is written to a NEW versioned directory
+    * per batch (read v_{prev} → merge → write v_{id}) — the
+    * read-merge-rewrite is safe (never overwrites what it reads) and
+    * deterministic. At deployment scale the rewrite becomes a table
+    * format's MERGE (the frontier is key-sized, not log-sized, so even
+    * the rewrite form is bounded); the landing dir is the CDC topic's
+    * file sink.
+    */
+  def streamingCdc(spark: SparkSession, snapshot: DataFrame, changes: DataFrame,
+      key: String, tsCol: String, seqCol: String, opCol: String,
+      valueCols: Seq[String]): DataFrame = {
+    implicit val s: SparkSession = spark
+    import org.apache.spark.sql.expressions.Window
+    val land = freshDir("cdc_land")
+    val stateRoot = freshDir("cdc_state")
+    changes.repartition(4).write.mode("overwrite").parquet(land)
+    val schema = spark.read.parquet(land).schema
+    def versionDirs = new java.io.File(stateRoot).listFiles() match {
+      case null => Array.empty[java.io.File]
+      case fs => fs.filter(f => f.isDirectory && f.getName.startsWith("v"))
+    }
+    def latestVersion: Option[String] =
+      versionDirs.sortBy(f => f.getName.drop(1).toLong).lastOption.map(_.toString)
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1") // force multi-batch: one file each
+      .parquet(land)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val existing = latestVersion.map(spark.read.parquet(_))
+          .getOrElse(spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema))
+        val w = Window.partitionBy(col(key))
+          .orderBy(col(tsCol).desc, col(seqCol).desc)
+        existing.unionByName(batch)
+          .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+          .drop("__rn")
+          .write.mode("overwrite").parquet(s"$stateRoot/v$id")
+        ()
+      }
+      .option("checkpointLocation", freshDir("cdc_ck"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val frontier = latestVersion.map(spark.read.parquet(_)).getOrElse(
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+    // the frontier is itself a one-change-per-key log: reuse the batch
+    // apply for the final snapshot join (and its semantics exactly)
+    graft.operators.Dedup.applyChangeLog(snapshot, frontier,
+      key, tsCol, seqCol, opCol, valueCols)
+  }
+
   /** Streaming → warehouse: foreachBatch applying the idempotent
     * anti-join append per micro-batch (the reference's S3→Databricks
     * handoff collapsed into one exactly-once-ish loop; K2+K3).

@@ -63,6 +63,39 @@ class AqeSpec extends AnyFunSuite {
     }
   }
 
+  test("dynamic partition pruning prunes fact partitions via the dim filter") {
+    // the star-schema 100 TB staple: a filter on the DIM side prunes the
+    // partitioned FACT scan at runtime — the fact partitions never read.
+    // Catalyst inserts a dynamicpruning#N subquery on the fact's
+    // partition column when the join key is the partition key.
+    val keep = Seq(
+      "spark.sql.optimizer.dynamicPartitionPruning.enabled",
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    try {
+      spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+      spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+      spark.range(100000)
+        .select(col("id"), (col("id") % 20).as("day"))
+        .repartition(col("day"))
+        .write.mode("overwrite").partitionBy("day").parquet(s"$dir/fact")
+      spark.range(20).select(col("id").as("day"), (col("id") * 7).as("attr"))
+        .write.mode("overwrite").parquet(s"$dir/dim")
+      val fact = spark.read.parquet(s"$dir/fact")
+      val dim = spark.read.parquet(s"$dir/dim").filter(col("attr") < 21) // days 0,1,2
+      val joined = fact.join(dim, "day")
+      assert(joined.queryExecution.executedPlan.toString.contains("dynamicpruning"),
+        s"expected a dynamicpruning subquery in:\n${joined.queryExecution.executedPlan}")
+      assert(joined.count() === 15000) // 3 of 20 days × 5000 rows/day
+    } finally keep.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("bloomSemiJoin equals the plain semi join, sketch rides as a scalar subquery") {
     val fact = spark.range(5000).select(col("id"), (col("id") % 500).as("k"))
     val dim = spark.range(500).select(col("id").as("dk"))

@@ -119,6 +119,28 @@ class StreamingSinksSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() === 2000) // old file not re-landed
   }
 
+  test("streamingCdc equals the batch applyChangeLog across micro-batches") {
+    import graft.operators.Dedup
+    val snap = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v")
+    def mkts(x: String) = java.sql.Timestamp.valueOf(x)
+    // out-of-order log: late D for k=1, D-then-U resurrect for k=2,
+    // insert k=9 — split across 4 files → 4 micro-batches
+    val changes = Seq(
+      (1L, mkts("2024-02-01 00:00:00"), 1L, "U", 11.0),
+      (1L, mkts("2024-03-01 00:00:00"), 1L, "D", 0.0),
+      (2L, mkts("2024-02-01 00:00:00"), 1L, "D", 0.0),
+      (2L, mkts("2024-03-01 00:00:00"), 1L, "U", 22.0),
+      (9L, mkts("2024-01-15 00:00:00"), 1L, "I", 90.0)
+    ).toDF("k", "ts", "seq", "op", "v")
+    val got = Streaming.streamingCdc(spark, snap, changes,
+        "k", "ts", "seq", "op", Seq("v"))
+      .orderBy("k").as[(Long, Double)].collect().toSeq
+    val want = Dedup.applyChangeLog(snap, changes, "k", "ts", "seq", "op", Seq("v"))
+      .orderBy("k").as[(Long, Double)].collect().toSeq
+    assert(got === want)
+    assert(got === Seq(2L -> 22.0, 3L -> 30.0, 9L -> 90.0))
+  }
+
   test("streamingSessions merges events within the 30-minute gap") {
     val got = Streaming.streamingSessions(spark, sf)
     assert(got.count() > 0)
