@@ -306,4 +306,44 @@ class PropertySpec extends AnyFunSuite {
       assert(joined.count() === 10000) // 100 keys x 10 x 10
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("property: JaroWinkler is symmetric, bounded, 1 iff equal (random strings)") {
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    import graft.functions.JaroWinkler.compute
+    val alphabet = "abcde"
+    def rndStr() = (0 until 1 + rnd.nextInt(10))
+      .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    (1 to 500).foreach { _ =>
+      val (s1, s2) = (rndStr(), rndStr())
+      val f = compute(u(s1), u(s2))
+      val r = compute(u(s2), u(s1))
+      assert(f === r, s"asymmetric on '$s1'/'$s2'")
+      assert(f >= 0.0 && f <= 1.0, s"out of bounds on '$s1'/'$s2': $f")
+      if (s1 == s2) assert(f === 1.0)
+      else assert(f < 1.0, s"non-equal pair scored 1.0: '$s1'/'$s2'")
+    }
+  }
+
+  test("property: applyChangeLog is idempotent — re-applying the frontier is a no-op") {
+    val snap = randomRows(300).toDF("k", "ord", "v")
+      .groupBy("k").agg(max(col("ord")).as("ord"), avg(col("v")).as("v"))
+    val ops = Seq("I", "U", "D")
+    val changes = (1 to 200).map { i =>
+      (rnd.nextInt(30).toLong,
+        java.sql.Timestamp.valueOf(f"2024-01-${1 + rnd.nextInt(28)}%02d 00:00:00"),
+        i.toLong, ops(rnd.nextInt(3)), rnd.nextInt(1000).toLong,
+        rnd.nextDouble() * 100)
+    }.toDF("k", "ts", "seq", "op", "ord", "v")
+    val once = Dedup.applyChangeLog(snap, changes, "k", "ts", "seq", "op",
+      Seq("ord", "v"))
+    // surviving state re-expressed as an all-U log applies to itself
+    // as a fixpoint: same keys, same values
+    val asLog = once.withColumn("ts",
+        lit("2030-01-01 00:00:00").cast("timestamp"))
+      .withColumn("seq", lit(1L)).withColumn("op", lit("U"))
+    val twice = Dedup.applyChangeLog(once, asLog, "k", "ts", "seq", "op",
+      Seq("ord", "v"))
+    assert(once.orderBy("k").collect().toSeq ===
+      twice.orderBy("k").collect().toSeq)
+  }
 }
