@@ -324,6 +324,30 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: asOfJoinDirectional backward equals asOfJoin on random data") {
+    import graft.operators.Analytics
+    val probe = (1 to 300).map { i =>
+      (i.toLong, rnd.nextInt(10).toLong,
+        java.sql.Timestamp.valueOf(
+          f"2024-01-${1 + rnd.nextInt(28)}%02d ${rnd.nextInt(24)}%02d:00:00"))
+    }.toDF("pid", "k", "t")
+    val quote = (1 to 200).map { i =>
+      (rnd.nextInt(10).toLong,
+        java.sql.Timestamp.valueOf(
+          f"2024-01-${1 + rnd.nextInt(28)}%02d ${rnd.nextInt(24)}%02d:00:00"),
+        (1000 + i).toLong, rnd.nextDouble() * 100)
+    }.toDF("k", "t", "qid", "px")
+    val legacy = Analytics.asOfJoin(
+        probe.withColumnRenamed("pid", "tb"),
+        quote.withColumnRenamed("qid", "tb"), "k", "t", "tb", Seq("px"))
+      .select(col("tb").as("pid"), col("px"))
+    val directional = Analytics.asOfJoinDirectional(probe, quote,
+        "k", "t", "qid", "px", "backward", None)
+      .select("pid", "px")
+    assert(legacy.orderBy("pid").collect().toSeq ===
+      directional.orderBy("pid").collect().toSeq)
+  }
+
   test("property: applyChangeLog is idempotent — re-applying the frontier is a no-op") {
     val snap = randomRows(300).toDF("k", "ord", "v")
       .groupBy("k").agg(max(col("ord")).as("ord"), avg(col("v")).as("v"))
