@@ -1070,6 +1070,54 @@ object OracleSql {
         |SELECT node, round(r, 12) AS rank
         |FROM r3 ORDER BY rank DESC, node LIMIT 20""".stripMargin,
 
+    "q_ppr" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT 'p:' || l_partkey AS src, 's:' || l_suppkey AS dst
+        |  FROM lineitem),
+        |edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges),
+        |sd AS (
+        |  SELECT DISTINCT 'p:' || p_partkey AS node FROM part
+        |  WHERE p_partkey % 50 = 0),
+        |s AS (SELECT sd.node FROM sd JOIN nodes USING (node)),
+        |ns AS (SELECT CAST(count(*) AS BIGINT) AS n_s FROM s),
+        |tele AS (
+        |  SELECT nodes.node,
+        |    CASE WHEN s.node IS NOT NULL THEN 1.0 / CAST(n_s AS DOUBLE)
+        |         ELSE 0.0 END AS tele
+        |  FROM nodes LEFT JOIN s ON nodes.node = s.node CROSS JOIN ns),
+        |r0 AS (SELECT node, tele AS r FROM tele),
+        |m1 AS (
+        |  SELECT e.dst AS node,
+        |    CAST(sum(CAST(r.r / CAST(d.deg AS DOUBLE) AS DECIMAL(38,12)))
+        |      AS DOUBLE) AS m
+        |  FROM edges e JOIN r0 r ON e.src = r.node JOIN deg d ON e.src = d.src
+        |  GROUP BY e.dst),
+        |r1 AS (
+        |  SELECT t.node, (1.0 - 0.85) * t.tele + 0.85 * coalesce(m, 0.0) AS r
+        |  FROM tele t LEFT JOIN m1 USING (node)),
+        |m2 AS (
+        |  SELECT e.dst AS node,
+        |    CAST(sum(CAST(r.r / CAST(d.deg AS DOUBLE) AS DECIMAL(38,12)))
+        |      AS DOUBLE) AS m
+        |  FROM edges e JOIN r1 r ON e.src = r.node JOIN deg d ON e.src = d.src
+        |  GROUP BY e.dst),
+        |r2 AS (
+        |  SELECT t.node, (1.0 - 0.85) * t.tele + 0.85 * coalesce(m, 0.0) AS r
+        |  FROM tele t LEFT JOIN m2 USING (node)),
+        |m3 AS (
+        |  SELECT e.dst AS node,
+        |    CAST(sum(CAST(r.r / CAST(d.deg AS DOUBLE) AS DECIMAL(38,12)))
+        |      AS DOUBLE) AS m
+        |  FROM edges e JOIN r2 r ON e.src = r.node JOIN deg d ON e.src = d.src
+        |  GROUP BY e.dst),
+        |r3 AS (
+        |  SELECT t.node, (1.0 - 0.85) * t.tele + 0.85 * coalesce(m, 0.0) AS r
+        |  FROM tele t LEFT JOIN m3 USING (node))
+        |SELECT node, round(r, 9) AS rank
+        |FROM r3 ORDER BY rank DESC, node LIMIT 20""".stripMargin,
+
     "q_cohort" ->
       """WITH acts AS (
         |  SELECT DISTINCT user_id AS u, CAST(date_trunc('day', ts) AS TIMESTAMP) AS b

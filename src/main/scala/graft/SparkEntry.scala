@@ -575,6 +575,26 @@ object SparkEntry {
         .orderBy(col("rank").desc, col("node")).limit(20)
     }),
 
+    // J+ iterative graph — PERSONALIZED PageRank: teleport mass returns
+    // to a part-key seed set, ranking the graph from that viewpoint
+    // (related-entity expansion); same rounds, seed-restricted teleport.
+    "q_ppr" -> ((s, dir) => {
+      val e0 = t(s, dir, "lineitem").select(
+          concat(lit("p:"), col("l_partkey")).as("src"),
+          concat(lit("s:"), col("l_suppkey")).as("dst")).distinct()
+      val edges = e0.unionByName(
+          e0.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = t(s, dir, "part").filter(col("p_partkey") % 50 === 0)
+        .select(concat(lit("p:"), col("p_partkey")).as("node"))
+      // round to 9 (not q_pagerank's 12): the seed-concentrated teleport
+      // values drive double→decimal casts onto exact .5-ULP ties where
+      // Spark and DuckDB round differently — observed 1e-12 divergence
+      graft.operators.Graph.personalizedPageRank(edges, seeds,
+          iters = 3, damping = 0.85)
+        .select(col("node"), round(col("r"), 9).as("rank"))
+        .orderBy(col("rank").desc, col("node")).limit(20)
+    }),
+
     // A6+ domain pack — time-weighted average per user-day (the vwap
     // sibling weighted by holding seconds, not volume): one lead()
     // window + one aggregate sharing the user partitioning.

@@ -67,6 +67,54 @@ object Graph {
     }
   }
 
+  /** Personalized PageRank — [[pageRank]] with the teleport mass
+    * returning to a SEED set instead of all nodes: r₀ = tele;
+    * rᵢ₊₁(v) = (1−d)·tele(v) + d·Σ_{u→v} rᵢ(u)/deg(u), where
+    * tele(v) = 1/|S| for seeds and 0 elsewhere. The
+    * similarity-from-a-viewpoint primitive (recommendations,
+    * related-entity expansion): mass concentrates around the seeds
+    * instead of spreading to the global stationary ranking.
+    *
+    * Same plan shape, determinism contract, and dangling-node caller
+    * contract as [[pageRank]]; the teleport frame is node-sized,
+    * localCheckpoint-ed once, and broadcast into each round's
+    * recombination join. Seeds absent from the graph are dropped (they
+    * can neither receive nor emit mass).
+    */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+      iters: Int, damping: Double): DataFrame = {
+    require(iters >= 1, s"personalizedPageRank: iters must be ≥ 1, got $iters")
+    require(damping > 0 && damping < 1,
+      s"personalizedPageRank: damping must be in (0,1), got $damping")
+    val ed = edges
+      .join(edges.groupBy("src").agg(count(lit(1)).as("deg")), Seq("src"))
+      .select(col("src"), col("dst"), col("deg"))
+      .localCheckpoint()
+    val nodes = ed.select(col("src").as("node")).distinct().localCheckpoint()
+    val s = seeds.select(col("node")).distinct().join(nodes, Seq("node"))
+    val ns = s.agg(count(lit(1)).as("n_s"))
+    val tele = nodes
+      .join(s.withColumn("__seed", lit(true)), Seq("node"), "left")
+      .crossJoin(broadcast(ns))
+      .select(col("node"),
+        when(col("__seed"), lit(1.0) / col("n_s").cast("double"))
+          .otherwise(lit(0.0)).as("tele"))
+      .localCheckpoint()
+    val init = tele.select(col("node"), col("tele").as("r"))
+    (1 to iters).foldLeft(init) { (r, i) =>
+      val m = ed
+        .join(r.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum((col("r") / col("deg").cast("double")).cast("decimal(38,12)"))
+          .cast("double").as("m"))
+      val next = tele.join(m, Seq("node"), "left")
+        .select(col("node"),
+          ((lit(1.0) - lit(damping)) * col("tele") +
+            lit(damping) * coalesce(col("m"), lit(0.0))).as("r"))
+      if (i == iters) next else next.localCheckpoint()
+    }
+  }
+
   /** Per-node triangle counts over an undirected edge frame (src, dst) —
     * the clustering-coefficient / community-density primitive. Input may
     * carry either orientation, duplicates, and self-loops; it is

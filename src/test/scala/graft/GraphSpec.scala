@@ -80,4 +80,22 @@ class GraphSpec extends AnyFunSuite {
       .as[(String, Long)].collect().toMap
     assert(far === Map("a" -> 0L, "b" -> 1L, "c" -> 1L, "d" -> 2L, "e" -> 3L))
   }
+
+  test("personalizedPageRank concentrates mass near seeds; disconnected parts get zero") {
+    // two symmetric components: a–b–c and x–y; seed = {a}
+    val e0 = Seq(("a", "b"), ("b", "c"), ("x", "y")).toDF("src", "dst")
+    val edges = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+    val seeds = Seq("a").toDF("node")
+    val r = Graph.personalizedPageRank(edges, seeds, iters = 5, damping = 0.85)
+      .as[(String, Double)].collect().toMap
+    // seed's component holds ~all mass; the disconnected component none
+    assert(r("x") === 0.0 && r("y") === 0.0)
+    assert(r("a") > r("c"), s"seed should outrank the far node: $r")
+    assert(r("a") > 0.2 && r("b") > 0.0 && r("c") > 0.0)
+    // a seed absent from the graph is dropped, not NaN-poisoning
+    val r2 = Graph.personalizedPageRank(edges,
+        Seq("a", "ghost").toDF("node"), iters = 2, damping = 0.85)
+      .as[(String, Double)].collect().toMap
+    assert(r2("a") > 0.2 && !r2.values.exists(_.isNaN))
+  }
 }
