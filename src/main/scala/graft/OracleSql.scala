@@ -2067,6 +2067,16 @@ object OracleSql {
         |  CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE) AS vsum
         |FROM events GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin,
 
+    "q_skyline" ->
+      """WITH pts AS (
+        |  SELECT DISTINCT p_retailprice AS x, CAST(p_size AS BIGINT) AS y
+        |  FROM part)
+        |SELECT x, y FROM pts a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM pts b
+        |  WHERE b.x <= a.x AND b.y <= a.y AND (b.x < a.x OR b.y < a.y))
+        |ORDER BY x, y""".stripMargin,
+
     "q_histogram" ->
       """SELECT CAST(least(greatest(floor((value - 0.0) / 25.0), 0.0), 23.0)
         |    AS INTEGER) AS bucket,

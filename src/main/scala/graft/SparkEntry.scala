@@ -1916,6 +1916,34 @@ object SparkEntry {
         .orderBy("event_type", "day")
     }),
 
+    // A6+ sketch MERGEABILITY — the distributed-sketch story in one
+    // query: per-type Datasketches HLL sketches of user_id, then ONE
+    // union-merge to the global estimate. Rows-only (DuckDB has no
+    // compatible HLL); the spec asserts merged == direct-global and
+    // the estimate lands within the sketch's error bound.
+    "q_hll_merge" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val perType = e.groupBy("event_type")
+        .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+        .select(col("event_type"),
+          hll_sketch_estimate(col("sk")).as("approx_users"), col("sk"))
+      val merged = perType.agg(
+        hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+          .as("approx_users"))
+        .select(lit("__ALL__").as("event_type"), col("approx_users"))
+      perType.select("event_type", "approx_users").unionByName(merged)
+        .orderBy("event_type")
+    }),
+
+    // A+ multi-objective — 2-D skyline (Pareto frontier): the parts no
+    // other part beats on BOTH price and size; two-phase local→global
+    // windowed scan, exact under any partitioning.
+    "q_skyline" -> ((s, dir) => {
+      Analytics.skyline2D(t(s, dir, "part"),
+          col("p_retailprice"), col("p_size").cast("long"))
+        .orderBy("x", "y")
+    }),
+
     // Fixed-width histogram of event values (deterministic bucketing).
     "q_histogram" -> ((s, dir) => {
       Analytics.histogram(t(s, dir, "events"), col("value"),

@@ -205,6 +205,40 @@ object Analytics {
         col("__m.ts").as("matched_ts"), col("__m.v").as(valueCol)): _*)
   }
 
+  /** 2-D skyline (Pareto frontier, minimize both axes): the distinct
+    * points no other point dominates (x' ≤ x ∧ y' ≤ y with one strict) —
+    * the multi-objective shortlist primitive ("cheapest AND smallest").
+    *
+    * Two-phase distributed plan, exact under ANY partitioning:
+    *   1. LOCAL skyline per input partition — sort each partition by
+    *      (x, y) and keep rows whose y is under the partition's running
+    *      minimum (a windowed scan partitioned by `spark_partition_id`,
+    *      so no global sort and no single-reducer window). A globally
+    *      non-dominated point is non-dominated in its partition, so the
+    *      union of local skylines is a SUPERSET of the answer.
+    *   2. GLOBAL pass over the surviving candidates — same scan on one
+    *      partition, correct because step 1's output is frontier-sized
+    *      (bounded by the number of distinct x values), not input-sized.
+    *
+    * The running-min test is exact on DISTINCT points: ordered by
+    * (x asc, y asc), a point is dominated iff some earlier point has
+    * y' ≤ y (earlier ⇒ x' < x, or x' = x with y' < y — both strict
+    * dominance). Output is the (x, y) frontier, ascending in x.
+    */
+  def skyline2D(df: DataFrame, x: Column, y: Column): DataFrame = {
+    val pts = df.select(x.as("x"), y.as("y")).distinct()
+    def pass(d: DataFrame, part: Seq[Column]): DataFrame = {
+      val w = Window.partitionBy(part: _*).orderBy(col("x"), col("y"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      d.withColumn("__pm", min(col("y")).over(w))
+        .filter(col("__pm").isNull || col("__pm") > col("y"))
+        .drop("__pm")
+    }
+    val local = pass(pts.withColumn("__pid", spark_partition_id()),
+      Seq(col("__pid"))).drop("__pid")
+    pass(local, Seq.empty)
+  }
+
   /** Fixed-width histogram: bucket = floor((x - lo) / width), clamped to
     * [0, nBuckets-1]. Pure integer/double ops — deterministic; one
     * partial+final aggregate.

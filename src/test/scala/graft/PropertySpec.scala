@@ -348,6 +348,38 @@ class PropertySpec extends AnyFunSuite {
       directional.orderBy("pid").collect().toSeq)
   }
 
+  test("property: skyline2D is exactly the non-dominated set (random points)") {
+    import graft.operators.Analytics
+    val pts = (1 to 400).map(_ => (rnd.nextInt(50).toDouble, rnd.nextInt(50).toLong))
+    val df = pts.toDF("x", "y")
+    val sky = Analytics.skyline2D(df, col("x"), col("y"))
+      .as[(Double, Long)].collect().toSet
+    val distinct = pts.toSet
+    def dominated(p: (Double, Long)) = distinct.exists(q =>
+      q._1 <= p._1 && q._2 <= p._2 && (q._1 < p._1 || q._2 < p._2))
+    // every skyline point is non-dominated; every non-skyline point is dominated
+    assert(sky.forall(!dominated(_)), "skyline contains a dominated point")
+    assert((distinct -- sky).forall(dominated), "a non-dominated point was dropped")
+    // partitioning independence: same frontier from a different layout
+    val sky2 = Analytics.skyline2D(df.repartition(13), col("x"), col("y"))
+      .as[(Double, Long)].collect().toSet
+    assert(sky2 === sky)
+  }
+
+  test("property: HLL union of per-group sketches equals the direct global sketch") {
+    val df = (1 to 5000).map(i => (s"g${i % 7}", (i % 800).toLong)).toDF("g", "v")
+    val perGroup = df.groupBy("g").agg(hll_sketch_agg(col("v"), lit(12)).as("sk"))
+    val merged = perGroup
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("est"))
+      .as[Long].head()
+    val direct = df.agg(hll_sketch_estimate(hll_sketch_agg(col("v"), lit(12))).as("est"))
+      .as[Long].head()
+    assert(merged === direct, "sketch union must be lossless at equal lgK")
+    val exact = df.select("v").distinct().count()
+    assert(math.abs(merged - exact).toDouble / exact < 0.05,
+      s"estimate $merged vs exact $exact exceeds 5%")
+  }
+
   test("property: applyChangeLog is idempotent — re-applying the frontier is a no-op") {
     val snap = randomRows(300).toDF("k", "ord", "v")
       .groupBy("k").agg(max(col("ord")).as("ord"), avg(col("v")).as("v"))
