@@ -1769,6 +1769,34 @@ object OracleSql {
         |SELECT * FROM closed UNION ALL SELECT * FROM newv
         |ORDER BY o_orderkey, valid_from""".stripMargin,
 
+    "q_scd2_asof" ->
+      """WITH existing AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice,
+        |    TIMESTAMP '2024-01-01' AS valid_from,
+        |    CAST(NULL AS TIMESTAMP) AS valid_to, true AS is_current
+        |  FROM orders WHERE o_orderkey % 2 = 0),
+        |incoming AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice * 1.1 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |closed AS (
+        |  SELECT e.o_orderkey, e.o_custkey, e.o_totalprice, e.valid_from,
+        |    CASE WHEN i.o_orderkey IS NOT NULL THEN TIMESTAMP '2024-06-01'
+        |         ELSE e.valid_to END AS valid_to
+        |  FROM existing e LEFT JOIN incoming i ON e.o_orderkey = i.o_orderkey),
+        |newv AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice,
+        |    TIMESTAMP '2024-06-01' AS valid_from,
+        |    CAST(NULL AS TIMESTAMP) AS valid_to
+        |  FROM incoming),
+        |hist AS (SELECT * FROM closed UNION ALL SELECT * FROM newv),
+        |t AS (SELECT unnest([TIMESTAMP '2024-03-01 00:00:00',
+        |  TIMESTAMP '2024-09-01 00:00:00']) AS as_of)
+        |SELECT t.as_of, h.o_orderkey, h.o_custkey, h.o_totalprice
+        |FROM hist h CROSS JOIN t
+        |WHERE h.valid_from <= t.as_of
+        |  AND (h.valid_to IS NULL OR h.valid_to > t.as_of)
+        |ORDER BY as_of, o_orderkey""".stripMargin,
+
     "q_stream_interval_join" ->
       """SELECT v.event_id, v.user_id, v.ts,
         |  p.event_id AS q_event_id, p.ts AS q_ts

@@ -1737,6 +1737,31 @@ object SparkEntry {
         .orderBy("o_orderkey", "valid_from")
     }),
 
+    // K2++ — POINT-IN-TIME read over the SCD2 history (time travel):
+    // state as-of a timestamp is one predicate on the version interval;
+    // read twice (before/after the 06-01 apply) to show the same key
+    // resolving to different versions.
+    "q_scd2_asof" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+      val existing = o.filter(col("o_orderkey") % 2 === 0)
+        .withColumn("valid_from", lit("2024-01-01").cast("timestamp"))
+        .withColumn("valid_to", lit(null).cast("timestamp"))
+        .withColumn("is_current", lit(true))
+      val incoming = o.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 1.1)
+      val hist = Dedup.scd2Apply(existing, incoming, Seq("o_orderkey"),
+        Seq("o_custkey", "o_totalprice"), lit("2024-06-01").cast("timestamp"))
+      def asOf(ts: String) = {
+        val t0 = lit(ts).cast("timestamp")
+        hist.filter(col("valid_from") <= t0 &&
+            (col("valid_to").isNull || col("valid_to") > t0))
+          .select(t0.as("as_of"), col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice"))
+      }
+      asOf("2024-03-01 00:00:00").unionByName(asOf("2024-09-01 00:00:00"))
+        .orderBy("as_of", "o_orderkey")
+    }),
+
     // §2.10+ — stream-stream interval join (same oracle as the batch
     // form: inner matches all emit within the AvailableNow batch).
     "q_stream_interval_join" -> ((s, dir) =>
