@@ -48,33 +48,39 @@ object Bench {
       // Warming per-query (not one global pass) also keeps the isolated-
       // heap discipline below intact.
       try { fn(spark, sfDir).count() } catch { case _: Throwable => }
-      spark.catalog.clearCache()
-      // free the warm-up's localCheckpoint/broadcast blocks before timing
-      // starts: clearCache doesn't see them, only a GC lets the
-      // ContextCleaner reclaim them, and without this the timed runs of
-      // checkpoint-heavy queries (dedupClusters checkpoints every round)
-      // execute under the warm-up's storage-memory pressure. Codegen'd
-      // classes for this query's plan stay referenced by the codegen
-      // cache, so the JIT warm-up survives the GC.
+      // Deterministic storage sweep: clearCache drops table caches but is
+      // blind to localCheckpoint blocks (terminal results, any round
+      // frames an operator failed to release), which otherwise wait for
+      // a driver GC to let the ContextCleaner run — demonstrably too
+      // late 150 queries into a suite (round-6 driver medians for the
+      // checkpoint-heavy family inflated 3.5–4.8× vs isolated runs while
+      // System.gc() alone was in place). Between queries NOTHING is
+      // legitimately persisted, so unpersist every surviving RDD by
+      // handle — synchronous map removal, no GC required.
+      def sweep(): Unit = {
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
+      sweep()
+      // Codegen'd classes for this query's plan stay referenced by the
+      // codegen cache, so the JIT warm-up survives the GC.
       System.gc()
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val dt = (System.nanoTime() - t0) / 1e9
-        // release per-query persisted frames (e.g. near-dup shingle sets)
-        // so later queries don't inherit cache/GC pressure
-        spark.catalog.clearCache()
+        // release per-query persisted frames (e.g. near-dup shingle
+        // sets) AND this run's checkpoint blocks before the next run
+        sweep()
         dt
       }.sorted
-      // Reclaim accumulated state BETWEEN queries, not between the runs
-      // of one query: Spark's ContextCleaner frees checkpoint blocks /
-      // broadcasts only when the JVM GCs their references, and letting
-      // ~300 timed runs accumulate shifts GC pressure onto whichever
-      // query runs late (measured: q_dedup_clusters 4 s standalone vs
-      // 19 s deep into a full bench). But a full GC also unloads hot
-      // generated-code classes, so running it INSIDE a query's repeat
-      // loop forces micro-batch-heavy streaming queries to re-JIT every
-      // run (measured: q_stream_interval_outer 5.4 s → 12 s). Each query
+      // Full GC BETWEEN queries, not between the runs of one query: the
+      // sweep above already freed storage deterministically, but
+      // broadcasts/codegen-cache churn still benefit from one collection
+      // per query — while a GC INSIDE the repeat loop forces
+      // micro-batch-heavy streaming queries to re-JIT every run
+      // (measured: q_stream_interval_outer 5.4 s → 12 s). Each query
       // starts from an isolated heap; its repeats measure steady state.
       System.gc()
       name -> times(times.length / 2)

@@ -1070,6 +1070,72 @@ object OracleSql {
         |SELECT node, round(r, 12) AS rank
         |FROM r3 ORDER BY rank DESC, node LIMIT 20""".stripMargin,
 
+    // Directed PageRank with dangling-mass completion: nodes = src∪dst,
+    // per-round dangling sum (decimal, order-independent) redistributed
+    // uniformly — mirrors Graph.pageRank's op sequence exactly.
+    "q_pagerank_directed" ->
+      """WITH edges AS (
+        |  SELECT DISTINCT 'c:' || o_custkey AS src, 'p:' || l_partkey AS dst
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+        |nodes AS (SELECT DISTINCT node FROM (
+        |  SELECT src AS node FROM edges
+        |  UNION ALL SELECT dst AS node FROM edges)),
+        |dang AS (
+        |  SELECT n.node FROM nodes n
+        |  LEFT JOIN (SELECT DISTINCT src FROM edges) s ON n.node = s.src
+        |  WHERE s.src IS NULL),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+        |r0 AS (SELECT node, 1.0 / CAST(n AS DOUBLE) AS r
+        |  FROM nodes CROSS JOIN nn),
+        |m1 AS (
+        |  SELECT e.dst AS node,
+        |    CAST(sum(CAST(r.r / CAST(d.deg AS DOUBLE) AS DECIMAL(38,12)))
+        |      AS DOUBLE) AS m
+        |  FROM edges e JOIN r0 r ON e.src = r.node JOIN deg d ON e.src = d.src
+        |  GROUP BY e.dst),
+        |d1 AS (
+        |  SELECT CAST(coalesce(sum(CAST(r.r AS DECIMAL(38,12))),
+        |    CAST(0 AS DECIMAL(38,12))) AS DOUBLE) AS dmass
+        |  FROM r0 r JOIN dang g ON r.node = g.node),
+        |r1 AS (
+        |  SELECT nodes.node,
+        |    (1.0 - 0.85) / CAST(n AS DOUBLE) +
+        |      0.85 * (coalesce(m, 0.0) + dmass / CAST(n AS DOUBLE)) AS r
+        |  FROM nodes LEFT JOIN m1 USING (node) CROSS JOIN nn CROSS JOIN d1),
+        |m2 AS (
+        |  SELECT e.dst AS node,
+        |    CAST(sum(CAST(r.r / CAST(d.deg AS DOUBLE) AS DECIMAL(38,12)))
+        |      AS DOUBLE) AS m
+        |  FROM edges e JOIN r1 r ON e.src = r.node JOIN deg d ON e.src = d.src
+        |  GROUP BY e.dst),
+        |d2 AS (
+        |  SELECT CAST(coalesce(sum(CAST(r.r AS DECIMAL(38,12))),
+        |    CAST(0 AS DECIMAL(38,12))) AS DOUBLE) AS dmass
+        |  FROM r1 r JOIN dang g ON r.node = g.node),
+        |r2 AS (
+        |  SELECT nodes.node,
+        |    (1.0 - 0.85) / CAST(n AS DOUBLE) +
+        |      0.85 * (coalesce(m, 0.0) + dmass / CAST(n AS DOUBLE)) AS r
+        |  FROM nodes LEFT JOIN m2 USING (node) CROSS JOIN nn CROSS JOIN d2),
+        |m3 AS (
+        |  SELECT e.dst AS node,
+        |    CAST(sum(CAST(r.r / CAST(d.deg AS DOUBLE) AS DECIMAL(38,12)))
+        |      AS DOUBLE) AS m
+        |  FROM edges e JOIN r2 r ON e.src = r.node JOIN deg d ON e.src = d.src
+        |  GROUP BY e.dst),
+        |d3 AS (
+        |  SELECT CAST(coalesce(sum(CAST(r.r AS DECIMAL(38,12))),
+        |    CAST(0 AS DECIMAL(38,12))) AS DOUBLE) AS dmass
+        |  FROM r2 r JOIN dang g ON r.node = g.node),
+        |r3 AS (
+        |  SELECT nodes.node,
+        |    (1.0 - 0.85) / CAST(n AS DOUBLE) +
+        |      0.85 * (coalesce(m, 0.0) + dmass / CAST(n AS DOUBLE)) AS r
+        |  FROM nodes LEFT JOIN m3 USING (node) CROSS JOIN nn CROSS JOIN d3)
+        |SELECT node, round(r, 9) AS rank
+        |FROM r3 ORDER BY rank DESC, node LIMIT 20""".stripMargin,
+
     "q_ppr" ->
       """WITH e0 AS (
         |  SELECT DISTINCT 'p:' || l_partkey AS src, 's:' || l_suppkey AS dst
@@ -1927,12 +1993,12 @@ object OracleSql {
         |  SELECT key,
         |    CAST(len(ws) AS BIGINT) AS n_words,
         |    round(CAST(list_aggregate(list_transform(ws, x -> length(x)),
-        |        'sum') AS DOUBLE) / CAST(len(ws) AS DOUBLE), 6)
+        |        'sum') AS DOUBLE) / CAST(greatest(len(ws), 1) AS DOUBLE), 6)
         |      AS mean_word_len,
         |    round((CAST(length(text) - length(replace(text, '#', ''))
         |        AS DOUBLE) +
         |      CAST(length(text) - length(replace(text, '...', ''))
-        |        AS DOUBLE) / 3) / CAST(len(ws) AS DOUBLE), 6)
+        |        AS DOUBLE) / 3) / CAST(greatest(len(ws), 1) AS DOUBLE), 6)
         |      AS symbol_ratio,
         |    round(CAST(len(list_filter(ls, l ->
         |        starts_with(trim(l), '-') OR starts_with(trim(l), '*')
@@ -1940,7 +2006,7 @@ object OracleSql {
         |      CAST(greatest(len(ls), 1) AS DOUBLE), 6) AS bullet_ratio,
         |    round(CAST(len(list_filter(ws, x ->
         |        regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) /
-        |      CAST(len(ws) AS DOUBLE), 6) AS alpha_word_frac,
+        |      CAST(greatest(len(ws), 1) AS DOUBLE), 6) AS alpha_word_frac,
         |    CAST(len(list_intersect(
         |      list_distinct(list_transform(ws, x -> lower(x))),
         |      ['the','be','to','of','and','that','have','with']))

@@ -595,6 +595,26 @@ object SparkEntry {
         .orderBy(col("rank").desc, col("node")).limit(20)
     }),
 
+    // J+ iterative graph — PageRank over a genuinely DIRECTED bipartite
+    // graph (customer→part from orders×lineitem, no symmetrization):
+    // every part node is a pure sink, so this exercises the
+    // dangling-mass completion (sink rank re-enters uniformly each
+    // round; without it Σr decays and the ranking is wrong). Rounded to
+    // 9 like q_ppr: the dangling-sum double→decimal casts land on
+    // .5-ULP ties where Spark and DuckDB round differently.
+    "q_pagerank_directed" -> ((s, dir) => {
+      val edges = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c:"), col("o_custkey")).as("src"),
+          concat(lit("p:"), col("l_partkey")).as("dst"))
+        .distinct()
+      graft.operators.Graph.pageRank(edges, iters = 3, damping = 0.85)
+        .select(col("node"), round(col("r"), 9).as("rank"))
+        .orderBy(col("rank").desc, col("node")).limit(20)
+    }),
+
     // A6+ domain pack — time-weighted average per user-day (the vwap
     // sibling weighted by holding seconds, not volume): one lead()
     // window + one aggregate sharing the user partitioning.

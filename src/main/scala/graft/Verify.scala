@@ -26,11 +26,13 @@ object Verify {
       }
       finally {
         spark.catalog.clearCache()
-        // localCheckpoint blocks (CC edge lists, per-round labels) are
-        // invisible to clearCache and reclaimed only when a GC lets the
-        // ContextCleaner run — over ~100 dumped queries they otherwise
-        // accumulate in storage memory (same failure mode Bench.scala
-        // documents between timed queries)
+        // localCheckpoint blocks (terminal results, CC edge lists) are
+        // invisible to clearCache; between queries nothing is
+        // legitimately persisted, so drop every survivor by handle —
+        // deterministic, unlike waiting for a GC to let the
+        // ContextCleaner run (the round-6 bench-inflation root cause)
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
         System.gc()
       }
     }

@@ -178,7 +178,7 @@ object Dedup {
       .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
       .select(Seq(col(key), col(opCol).as("__op")) ++
         valueCols.map(c => col(c).as(s"__c_$c")): _*)
-    snapshot.withColumn("__snap", lit(true))
+    snapshot
       .join(latest, Seq(key), "full_outer")
       // latest D wins even over a snapshot row; absent change → snapshot
       .filter(col("__op").isNull || col("__op") =!= "D")

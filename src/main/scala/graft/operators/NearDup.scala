@@ -343,10 +343,9 @@ object NearDup {
     // but the contract is a label for EVERY node appearing in `pairs` —
     // a self-paired isolated node still labels itself; see the anti-join
     // at the end).
-    val rawEdges = pairs
+    val (rawEdges, rawRel) = Eager.tracked(pairs
       .select(col("key_a").as("src"), col("key_b").as("dst"))
-      .distinct()
-      .localCheckpoint()
+      .distinct())
     var edges = rawEdges.filter(col("src") =!= col("dst"))
     mark("edges materialized")
 
@@ -404,8 +403,16 @@ object NearDup {
     mark(s"initial signature $prevSig")
     var converged = prevSig._1 == 0L // empty pair graph: nothing to do
     var round = 0
+    // release one round behind the loop: round i's checkpoint blocks are
+    // dead the moment round i+1's checkpoint job has materialized (each
+    // round references only its predecessor), so the loop retains at
+    // most two rounds of edge blocks instead of all of them until a
+    // driver GC (the round-6 in-suite bench-inflation root cause)
+    var relPrev: () => Unit = () => ()
     while (!converged && round < maxRounds) {
-      edges = smallStar(largeStar(edges)).localCheckpoint()
+      val (ck, rel) = Eager.tracked(smallStar(largeStar(edges)))
+      relPrev(); relPrev = rel
+      edges = ck
       val sig = signature(edges)
       converged = sig == prevSig
       prevSig = sig
@@ -432,7 +439,10 @@ object NearDup {
       .select(explode(array(col("src"), col("dst"))).as("key")).distinct()
       .join(starLabels, Seq("key"), "left_anti")
       .select(col("key"), col("key").as("cluster_id"))
-    starLabels.unionByName(selfOnly)
+    // terminal checkpoint frees the raw edge list and the converged
+    // star edges; the (small) label frame is the only surviving block
+    // set, owned by the caller/harness
+    Eager.terminalReleasing(starLabels.unionByName(selfOnly), relPrev, rawRel)
   }
 
   /** Incremental near-dup: filter an INCOMING batch against an EXISTING

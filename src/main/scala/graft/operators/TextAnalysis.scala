@@ -106,23 +106,27 @@ object TextAnalysis {
       minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
     val ws = filter(split(text, "\\s+"), w => w =!= "")
     val nWords = size(ws).cast("long")
+    // clamped denominator, same as the line path below: a whitespace-only
+    // doc has zero words, and Spark's non-ANSI x/0 yields NULL while
+    // DuckDB's IEEE double division may yield NaN/Inf — the clamp keeps
+    // engine and oracle identical on degenerate docs (ratios become 0,
+    // `passes` stays a real boolean)
+    val nWordsD = greatest(nWords, lit(1L)).cast("double")
     val meanLen = round(aggregate(ws, lit(0L),
-      (acc, w) => acc + length(w).cast("long")).cast("double") /
-      nWords.cast("double"), 6)
+      (acc, w) => acc + length(w).cast("long")).cast("double") / nWordsD, 6)
     // '#' count + non-overlapping '...' count via length deltas —
     // engine-portable (no regex dialect drift)
     val nHash = length(text) - length(replace(text, lit("#"), lit("")))
     val nEllipsis = (length(text) -
       length(replace(text, lit("..."), lit("")))) / lit(3)
-    val symbolRatio = round((nHash + nEllipsis).cast("double") /
-      nWords.cast("double"), 6)
+    val symbolRatio = round((nHash + nEllipsis).cast("double") / nWordsD, 6)
     val lines = filter(split(text, "\n"), l => trim(l) =!= "")
     val nLines = greatest(size(lines), lit(1)).cast("long")
     val bulletRatio = round(size(filter(lines, l =>
       trim(l).startsWith("-") || trim(l).startsWith("*") ||
         trim(l).startsWith("•"))).cast("double") / nLines.cast("double"), 6)
     val alphaFrac = round(size(filter(ws, w => w.rlike("[A-Za-z]")))
-      .cast("double") / nWords.cast("double"), 6)
+      .cast("double") / nWordsD, 6)
     val reqStops = array(Seq("the", "be", "to", "of", "and", "that",
       "have", "with").map(lit): _*)
     val nReqStop = size(array_intersect(
@@ -193,7 +197,12 @@ object TextAnalysis {
     // COUNT(DISTINCT)) — null-keyed rows contribute terms but not a doc
     val nDocs = df.agg(countDistinct(key).as("n_docs"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val scored = tf.join(broadcast(dfreq), Seq("term"))
+    // no broadcast hint on dfreq: it is VOCABULARY-sized (one row per
+    // distinct term), and a forced broadcast would bypass the
+    // autoBroadcast threshold and OOM the driver at corpus scale — let
+    // AQE pick broadcast when the measured size permits, shuffle join
+    // otherwise. The 1-row nDocs frame keeps its hint.
+    val scored = tf.join(dfreq, Seq("term"))
       .crossJoin(broadcast(nDocs))
       .withColumn("score",
         col("tf").cast("double") *
@@ -238,8 +247,10 @@ object TextAnalysis {
       .filter(col("df") <= maxDf)
     // the weights frame feeds THREE consumers (norms + both self-join
     // sides); scoped persist keeps the explode+aggregate single-pass,
-    // released via the eager top-k terminal
-    val wts = tf.join(broadcast(dfreq), Seq("term"))
+    // released via the eager top-k terminal. No broadcast hint on dfreq:
+    // after the df<=maxDf filter it is still essentially the whole rare-
+    // term vocabulary, not maxDf-sized — AQE decides join strategy.
+    val wts = tf.join(dfreq, Seq("term"))
       .crossJoin(broadcast(nDocs))
       .select(col("key"), col("term"),
         (col("tf").cast("double") *
@@ -406,6 +417,9 @@ object TextAnalysis {
       .filter(col("term").isin(queryTerms: _*))
       .groupBy("key", "term").agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // dfreq here IS broadcast-safe, unlike the tf-idf operators above:
+    // tf was already filtered to `queryTerms`, so dfreq has at most
+    // |queryTerms| rows — bounded by the query, not the vocabulary
     val scored = tf.join(broadcast(dfreq), Seq("term"))
       .crossJoin(broadcast(stats))
       .withColumn("avgdl",

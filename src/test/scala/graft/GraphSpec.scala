@@ -98,4 +98,29 @@ class GraphSpec extends AnyFunSuite {
       .as[(String, Double)].collect().toMap
     assert(r2("a") > 0.2 && !r2.values.exists(_.isNaN))
   }
+
+  test("pageRank conserves mass on a DIRECTED graph with dangling sinks") {
+    // a→b→c, a→c: c is a pure sink (no out-edges); b and c only appear
+    // as dst for some edges — the node universe must be src ∪ dst and
+    // the sink's rank must re-enter uniformly, else Σr decays per round
+    val edges = Seq(("a", "b"), ("b", "c"), ("a", "c")).toDF("src", "dst")
+    val r = Graph.pageRank(edges, iters = 5, damping = 0.85)
+      .as[(String, Double)].collect().toMap
+    assert(r.keySet === Set("a", "b", "c"), s"sink nodes must be ranked: $r")
+    assert(math.abs(r.values.sum - 1.0) < 1e-9,
+      s"dangling mass lost: Σr = ${r.values.sum}")
+    // c receives from both a and b plus its own recycled mass: top rank
+    assert(r("c") > r("b") && r("b") > 0 && r("a") > 0)
+  }
+
+  test("personalizedPageRank returns dangling mass to the seeds, Σr ≈ 1") {
+    val edges = Seq(("a", "b"), ("b", "c")).toDF("src", "dst") // c is a sink
+    val r = Graph.personalizedPageRank(edges, Seq("a").toDF("node"),
+        iters = 6, damping = 0.85)
+      .as[(String, Double)].collect().toMap
+    assert(math.abs(r.values.sum - 1.0) < 1e-9,
+      s"dangling mass lost: Σr = ${r.values.sum}")
+    // mass re-enters at the seed, so the seed keeps a solid share
+    assert(r("a") > 0.3 && r("c") > 0.0)
+  }
 }

@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Graph, NearDup}
+
+/** Tripwire for the checkpoint/persist release discipline.
+  *
+  * The round-5/6 lesson: cache-lifetime bugs are invisible in specs and
+  * isolated runs, and only surface 150 queries into a long-lived session
+  * as multi-× bench inflation (persisted shingle frames in round 5,
+  * localCheckpoint round blocks in round 6). This spec makes the
+  * discipline a compile-adjacent invariant: every cache-releasing
+  * operator, after its result is materialized, may leave AT MOST ONE
+  * persistent RDD behind — its own terminal checkpoint, which the
+  * caller/harness owns (Bench/Verify sweep it between queries). A new
+  * persist/localCheckpoint that isn't released turns this red
+  * immediately instead of three rounds later in a driver bench.
+  */
+class ReleaseSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  /** Run `op`, materialize its result, and assert the operator retained
+    * at most `maxResidual` persistent RDDs (the terminal checkpoint);
+    * then sweep those and assert the session is back to its starting
+    * storage state — the same sweep Bench/Verify run between queries. */
+  private def assertReleases(label: String, maxResidual: Int = 1)
+      (op: => DataFrame): Unit = {
+    val sc = spark.sparkContext
+    // drain anything a previous test left (suites share the session)
+    sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    val before = sc.getPersistentRDDs.keySet
+    val n = op.count()
+    assert(n > 0, s"$label: empty result would make the residual check vacuous")
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= maxResidual,
+      s"$label retained ${leaked.size} persistent RDDs after materialization " +
+        s"(allowed: $maxResidual — the terminal checkpoint only); " +
+        "an intermediate persist/localCheckpoint is missing its release")
+    leaked.foreach(id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = true)))
+    assert((sc.getPersistentRDDs.keySet -- before).isEmpty,
+      s"$label: sweep did not return storage to its starting state")
+  }
+
+  private def sym(pairs: (String, String)*) =
+    (pairs ++ pairs.map(p => (p._2, p._1))).toDF("src", "dst")
+
+  test("pageRank releases every internal checkpoint (rounds, edges, nodes)") {
+    assertReleases("pageRank") {
+      Graph.pageRank(sym(("a", "b"), ("b", "c"), ("c", "d"), ("a", "d"),
+        ("d", "e")), iters = 4, damping = 0.85)
+    }
+  }
+
+  test("personalizedPageRank releases internals incl. the teleport frame") {
+    assertReleases("personalizedPageRank") {
+      Graph.personalizedPageRank(
+        sym(("a", "b"), ("b", "c"), ("c", "d"), ("a", "d")),
+        Seq("a").toDF("node"), iters = 4, damping = 0.85)
+    }
+  }
+
+  test("kHopReachability releases per-round frontiers and superseded dist frames") {
+    assertReleases("kHopReachability") {
+      Graph.kHopReachability(
+        Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("x", "y"))
+          .toDF("src", "dst"),
+        Seq("a").toDF("node"), maxHops = 4)
+    }
+  }
+
+  test("triangleCounts releases its canonical and oriented edge checkpoints") {
+    assertReleases("triangleCounts") {
+      Graph.triangleCounts(Seq(("a", "b"), ("b", "c"), ("a", "c"),
+        ("c", "d"), ("b", "d")).toDF("src", "dst"))
+    }
+  }
+
+  test("dedupClusters releases the raw edge list and every contraction round") {
+    assertReleases("dedupClusters") {
+      NearDup.dedupClusters(Seq(
+        ("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("e", "f"),
+        ("p", "q"), ("q", "r"), ("z", "z")).toDF("key_a", "key_b"))
+    }
+  }
+
+  test("minhashPairs releases its persisted shingle frame") {
+    val docs = Seq(
+      ("d1", "the quick brown fox jumps over the lazy dog again and again"),
+      ("d2", "the quick brown fox jumps over the lazy dog again and again!"),
+      ("d3", "completely different content about spark query planning at scale"),
+      ("d4", "completely different content about spark query planning at scale!"))
+      .toDF("doc_id", "text")
+    assertReleases("minhashPairs") {
+      NearDup.minhashPairs(docs, col("doc_id"), col("text"),
+        n = 3, k = 8, threshold = 0.5)
+    }
+  }
+
+  test("eagerRelease conf parses defensively — malformed values fall back to enabled") {
+    import graft.operators.Eager
+    val orig = spark.conf.getOption("graft.eagerRelease")
+    try {
+      Seq("0", "True ", "yes", "FALSE ", "false") foreach { v =>
+        spark.conf.set("graft.eagerRelease", v)
+        val expect = !v.trim.equalsIgnoreCase("false")
+        assert(Eager.enabled(spark) === expect,
+          s"graft.eagerRelease='$v' should parse as enabled=$expect, not throw")
+      }
+    } finally {
+      orig match {
+        case Some(v) => spark.conf.set("graft.eagerRelease", v)
+        case None    => spark.conf.unset("graft.eagerRelease")
+      }
+    }
+  }
+}
