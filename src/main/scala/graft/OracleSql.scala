@@ -13,6 +13,30 @@ package graft
   */
 object OracleSql {
 
+  /** Seeded sign-LSH bucket expression in DuckDB SQL: for each bit the
+    * md5-seeded ±1 hyperplane literals are generated from the SAME
+    * derivation as [[graft.operators.Similarity.planeSign]] (+1 iff the
+    * first hex nibble of md5("bit:dim") is odd), so engine and oracle
+    * evaluate the identical projection. Decimal-exact accumulation
+    * mirrors DecimalDot (per-product DECIMAL(30,12) cast, exact sum).
+    */
+  private def seededBucketSql(nBits: Int, dim: Int, vec: String): String =
+    (0 until nBits).map { i =>
+      val signs = (1 to dim)
+        .map(j => if (graft.operators.Similarity.planeSign(i, j) > 0) "1.0"
+                  else "-1.0")
+        .mkString("[", ",", "]")
+      s"CASE WHEN list_aggregate(list_transform(generate_series(1, $dim), " +
+        s"j -> CAST(CAST($vec[j] AS DOUBLE) * ($signs)[j] " +
+        "AS DECIMAL(30,12))), 'sum') >= 0 THEN '1' ELSE '0' END"
+    }.mkString("(", " || ", ")")
+
+  /** Decimal-exact dot product of two vector columns (DuckDB). */
+  private def dotSql(a: String, b: String): String =
+    s"list_aggregate(list_transform(generate_series(1, len($a)), " +
+      s"i -> CAST(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) " +
+      "AS DECIMAL(30,12))), 'sum')"
+
   /** The clean_text_for_nlp chain (F1) in DuckDB RE2 dialect. */
   private def cleanExpr(c: String): String =
     "trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
@@ -811,17 +835,10 @@ object OracleSql {
         |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
 
     "q_ann_bucketed" ->
-      """WITH n AS (
+      s"""WITH n AS (
         |  SELECT vec_id, embedding,
-        |    list_aggregate(list_transform(generate_series(1, len(embedding)),
-        |      i -> CAST(CAST(embedding[i] AS DOUBLE) *
-        |                CAST(embedding[i] AS DOUBLE) AS DECIMAL(30,12))),
-        |      'sum') AS n2,
-        |    (CASE WHEN CAST(embedding[1] AS DOUBLE) >= 0 THEN '1' ELSE '0' END ||
-        |     CASE WHEN CAST(embedding[2] AS DOUBLE) >= 0 THEN '1' ELSE '0' END ||
-        |     CASE WHEN CAST(embedding[3] AS DOUBLE) >= 0 THEN '1' ELSE '0' END ||
-        |     CASE WHEN CAST(embedding[4] AS DOUBLE) >= 0 THEN '1' ELSE '0' END)
-        |      AS bucket
+        |    ${dotSql("embedding", "embedding")} AS n2,
+        |    ${seededBucketSql(4, 64, "embedding")} AS bucket
         |  FROM embeddings),
         |q AS (SELECT * FROM n WHERE vec_id < 10),
         |p AS (
@@ -843,17 +860,87 @@ object OracleSql {
         |SELECT query_id, bucket, neighbor_id, cos, CAST(rnk AS INTEGER) AS rnk
         |FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
 
+    // Recall@5 of each approximate method vs brute-force ground truth —
+    // the bucketed and IVF pipelines replayed at k=5, hit-joined to the
+    // exact top-5.
+    "q_ann_recall" ->
+      s"""WITH n AS (
+        |  SELECT vec_id, embedding,
+        |    ${dotSql("embedding", "embedding")} AS n2,
+        |    ${seededBucketSql(4, 64, "embedding")} AS bucket
+        |  FROM embeddings),
+        |q AS (SELECT * FROM n WHERE vec_id < 10),
+        |gp AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    CAST(${dotSql("q.embedding", "c.embedding")} AS DOUBLE) /
+        |      (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(c.n2 AS DOUBLE))) AS cos
+        |  FROM q, n c WHERE c.vec_id <> q.vec_id),
+        |ground AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, neighbor_id) AS rnk FROM gp)
+        |  WHERE rnk <= 5),
+        |lp AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    CAST(${dotSql("q.embedding", "c.embedding")} AS DOUBLE) /
+        |      (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(c.n2 AS DOUBLE))) AS cos
+        |  FROM q JOIN n c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id),
+        |lsh AS (
+        |  SELECT 'lsh_bucket' AS method, query_id, neighbor_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, neighbor_id) AS rnk FROM lp)
+        |  WHERE rnk <= 5),
+        |cents AS (SELECT vec_id AS cent_id, embedding AS cvec, n2 AS cn2
+        |  FROM n WHERE vec_id < 16),
+        |corpus_sc AS (
+        |  SELECT a.vec_id, a.embedding, a.n2, c.cent_id,
+        |    CAST(${dotSql("a.embedding", "c.cvec")} AS DOUBLE) /
+        |      (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE)))
+        |      AS ccos
+        |  FROM n a, cents c),
+        |assigned AS (
+        |  SELECT vec_id AS neighbor_id, embedding AS nv, n2 AS nn2, cent_id
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY ccos DESC, cent_id) AS crn FROM corpus_sc)
+        |  WHERE crn = 1),
+        |probes AS (
+        |  SELECT vec_id AS query_id, embedding AS qv, n2 AS qn2, cent_id
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY ccos DESC, cent_id) AS crn FROM corpus_sc
+        |    WHERE vec_id < 10)
+        |  WHERE crn <= 2),
+        |iscored AS (
+        |  SELECT p.query_id, a.neighbor_id,
+        |    CAST(${dotSql("p.qv", "a.nv")} AS DOUBLE) /
+        |      (sqrt(CAST(p.qn2 AS DOUBLE)) * sqrt(CAST(a.nn2 AS DOUBLE)))
+        |      AS cos
+        |  FROM probes p JOIN assigned a ON a.cent_id = p.cent_id
+        |    AND a.neighbor_id <> p.query_id),
+        |ivf AS (
+        |  SELECT 'ivf' AS method, query_id, neighbor_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, neighbor_id) AS rnk FROM iscored)
+        |  WHERE rnk <= 5),
+        |approx AS (SELECT * FROM lsh UNION ALL SELECT * FROM ivf),
+        |hits AS (
+        |  SELECT a.method,
+        |    CAST(sum(CASE WHEN g.query_id IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS hits
+        |  FROM approx a LEFT JOIN ground g
+        |    ON g.query_id = a.query_id AND g.neighbor_id = a.neighbor_id
+        |  GROUP BY a.method),
+        |nq AS (SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries
+        |  FROM ground)
+        |SELECT method, hits, n_queries,
+        |  round(CAST(hits AS DOUBLE) / CAST(n_queries * 5 AS DOUBLE), 6)
+        |    AS recall_at_k
+        |FROM hits CROSS JOIN nq ORDER BY method""".stripMargin,
+
     "q_knn_graph" -> {
-      val bucket = (1 to 8).map(i =>
-        s"CASE WHEN CAST(embedding[$i] AS DOUBLE) >= 0 THEN '1' ELSE '0' END")
-        .mkString(" || ")
       s"""WITH n AS (
          |  SELECT vec_id, embedding,
-         |    list_aggregate(list_transform(generate_series(1, len(embedding)),
-         |      i -> CAST(CAST(embedding[i] AS DOUBLE) *
-         |                CAST(embedding[i] AS DOUBLE) AS DECIMAL(30,12))),
-         |      'sum') AS n2,
-         |    ($bucket) AS bucket
+         |    ${dotSql("embedding", "embedding")} AS n2,
+         |    ${seededBucketSql(8, 64, "embedding")} AS bucket
          |  FROM embeddings),
          |p AS (
          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -2210,7 +2297,7 @@ object OracleSql {
         |FROM events ORDER BY event_id""".stripMargin,
 
     "q_embed_neardup" ->
-      """WITH pert AS (
+      s"""WITH pert AS (
         |  SELECT vec_id + 100000 AS vec_id,
         |    list_transform(generate_series(1, len(embedding)),
         |      i -> CASE WHEN i = 1
@@ -2222,19 +2309,8 @@ object OracleSql {
         |  UNION ALL SELECT vec_id, embedding FROM pert),
         |n AS (
         |  SELECT vec_id, embedding,
-        |    list_aggregate(list_transform(generate_series(1, len(embedding)),
-        |      i -> CAST(CAST(embedding[i] AS DOUBLE) *
-        |                CAST(embedding[i] AS DOUBLE) AS DECIMAL(30,12))),
-        |      'sum') AS n2,
-        |    (CASE WHEN CAST(embedding[1] AS DOUBLE) >= 0 THEN '1' ELSE '0' END ||
-        |     CASE WHEN CAST(embedding[2] AS DOUBLE) >= 0 THEN '1' ELSE '0' END ||
-        |     CASE WHEN CAST(embedding[3] AS DOUBLE) >= 0 THEN '1' ELSE '0' END ||
-        |     CASE WHEN CAST(embedding[4] AS DOUBLE) >= 0 THEN '1' ELSE '0' END ||
-        |     CASE WHEN CAST(embedding[5] AS DOUBLE) >= 0 THEN '1' ELSE '0' END ||
-        |     CASE WHEN CAST(embedding[6] AS DOUBLE) >= 0 THEN '1' ELSE '0' END ||
-        |     CASE WHEN CAST(embedding[7] AS DOUBLE) >= 0 THEN '1' ELSE '0' END ||
-        |     CASE WHEN CAST(embedding[8] AS DOUBLE) >= 0 THEN '1' ELSE '0' END)
-        |      AS bucket
+        |    ${dotSql("embedding", "embedding")} AS n2,
+        |    ${seededBucketSql(8, 64, "embedding")} AS bucket
         |  FROM corpus),
         |p AS (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -1286,11 +1286,12 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
-    // Sign-LSH bucketed ANN — the scale path (join on bucket, not cross).
+    // Sign-LSH bucketed ANN — the scale path (join on bucket, not
+    // cross); buckets are md5-seeded dense ±1 hyperplane signs.
     "q_ann_bucketed" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.bucketedTopK(emb.filter(col("vec_id") < 10), emb,
-          "vec_id", "embedding", nBits = 4, k = 3)
+          "vec_id", "embedding", nBits = 4, dim = 64, k = 3)
         .select(col("query_id"), col("bucket"), col("neighbor_id"), col("cos"),
           col("rank").as("rnk"))
         .orderBy("query_id", "rnk")
@@ -1300,10 +1301,40 @@ object SparkEntry {
     // count Σ|bucket|² not n²; the edge list downstream graph passes eat.
     "q_knn_graph" -> ((s, dir) => {
       Similarity.knnGraph(t(s, dir, "embeddings"), "vec_id", "embedding",
-          nBits = 8, k = 3)
+          nBits = 8, dim = 64, k = 3)
         .select(col("query_id"), col("neighbor_id"), col("cos"),
           col("rank").as("rnk"))
         .orderBy("query_id", "rnk")
+    }),
+
+    // ANN retrieval-quality audit: recall@5 of each approximate method
+    // (sign-LSH buckets, IVF posting lists) against brute-force cosine
+    // ground truth — the number every ANN paper reports and the one that
+    // justifies the bucketed scale path. Both sides are deterministic,
+    // so the recall itself is oracle-checkable.
+    "q_ann_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      val k = 5
+      val ground = Similarity.cosineTopK(q, emb, "vec_id", "embedding", k)
+        .select(col("query_id"), col("neighbor_id"))
+      val lsh = Similarity.bucketedTopK(q, emb, "vec_id", "embedding",
+          nBits = 4, dim = 64, k = k)
+        .select(lit("lsh_bucket").as("method"), col("query_id"), col("neighbor_id"))
+      val ivf = Similarity.ivfTopK(q, emb, "vec_id", "embedding",
+          nCentroids = 16, nProbe = 2, k = k)
+        .select(lit("ivf").as("method"), col("query_id"), col("neighbor_id"))
+      val nq = ground.agg(countDistinct(col("query_id")).as("n_queries"))
+      lsh.unionByName(ivf)
+        .join(ground.withColumn("__hit", lit(1L)),
+          Seq("query_id", "neighbor_id"), "left")
+        .groupBy("method")
+        .agg(sum(coalesce(col("__hit"), lit(0L))).as("hits"))
+        .crossJoin(broadcast(nq))
+        .select(col("method"), col("hits"), col("n_queries"),
+          round(col("hits").cast("double") /
+            (col("n_queries") * k).cast("double"), 6).as("recall_at_k"))
+        .orderBy("method")
     }),
 
     // Heuristic language id: marker-pattern scoring + per-doc argmax.
@@ -1563,10 +1594,10 @@ object SparkEntry {
       // collisions (the quadratic term) drop ~16x
       val a = Similarity.withNorm2(corpus, col("embedding"))
         .select(col("vec_id").as("id_a"), col("embedding").as("va"), col("n2").as("n2a"),
-          Similarity.signBucket(col("embedding"), 8).as("bucket"))
+          Similarity.signBucket(col("embedding"), 8, 64).as("bucket"))
       val b = Similarity.withNorm2(corpus, col("embedding"))
         .select(col("vec_id").as("id_b"), col("embedding").as("vb"), col("n2").as("n2b"),
-          Similarity.signBucket(col("embedding"), 8).as("bucket"))
+          Similarity.signBucket(col("embedding"), 8, 64).as("bucket"))
       a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
         .withColumn("cos",
           Similarity.dotDecimal(col("va"), col("vb")).cast("double") /

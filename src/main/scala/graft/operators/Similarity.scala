@@ -81,13 +81,37 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos", "rank")
   }
 
-  /** Sign-LSH bucket: concatenated sign bits of the first `nBits`
-    * dimensions (axis-aligned random-hyperplane LSH with fixed planes —
-    * deterministic and oracle-expressible).
+  /** Deterministic ±1 hyperplane entry for [[signBucket]]: +1 iff the
+    * first hex nibble of md5("bit:dim") is odd (dim is 1-based). The
+    * same md5-seeding idea as [[NearDup.minhashSig]]'s rotated digest
+    * windows: reproducible everywhere (driver, executors, the DuckDB
+    * oracle — which embeds the identical literals), no RNG state.
     */
-  def signBucket(vec: Column, nBits: Int): Column =
-    concat((1 to nBits).map(i =>
-      when(element_at(vec, i) >= 0f, "1").otherwise("0")): _*)
+  def planeSign(bit: Int, dim1: Int): Float = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$bit:$dim1".getBytes("UTF-8"))
+    if (((d(0) >> 4) & 1) == 1) 1.0f else -1.0f
+  }
+
+  /** Sign-LSH bucket: `nBits` random-hyperplane sign bits, plane i a
+    * deterministic md5-seeded ±1 vector ([[planeSign]]) over all `dim`
+    * dimensions. Replaces the earlier axis-aligned planes (sign of the
+    * first nBits dims), which bucket badly on correlated/anisotropic
+    * embeddings — a dense ±1 projection mixes every dimension, so the
+    * bits stay near-balanced whatever the input distribution (Charikar,
+    * STOC'02 SimHash rounding). Projections accumulate in
+    * DECIMAL(30,12) via the native [[graft.functions.DecimalDot]]
+    * (order-independent — the bit pattern cannot flip with partitioning;
+    * callers must have invoked [[registerNative]], which every
+    * DataFrame-level entry point here does via [[withNorm2]]).
+    * Per-vector cost is nBits exact dot products in the scan stage — no
+    * shuffle, same scale shape as the axis form.
+    */
+  def signBucket(vec: Column, nBits: Int, dim: Int): Column =
+    concat((0 until nBits).map { i =>
+      val planes = array((1 to dim).map(j => lit(planeSign(i, j))): _*)
+      when(dotDecimal(vec, planes) >= 0, "1").otherwise("0")
+    }: _*)
 
   /** IVF (inverted-file) ANN: a coarse quantizer assigns every vector to
     * its nearest centroid; queries probe only their `nProbe` nearest
@@ -163,10 +187,10 @@ object Similarity {
     * [[NearDup.dedupClusters]] over edges above a cosine floor).
     */
   def knnGraph(corpus: DataFrame, idCol: String, vecCol: String,
-      nBits: Int, k: Int): DataFrame = {
+      nBits: Int, dim: Int, k: Int): DataFrame = {
     val base = withNorm2(corpus, col(vecCol))
       .select(col(idCol), col(vecCol), col("n2"),
-        signBucket(col(vecCol), nBits).as("bucket"))
+        signBucket(col(vecCol), nBits, dim).as("bucket"))
     val q = base.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       col("n2").as("qn2"), col("bucket"))
     val c = base.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"),
@@ -254,13 +278,13 @@ object Similarity {
 
   def bucketedTopK(
       queries: DataFrame, corpus: DataFrame,
-      idCol: String, vecCol: String, nBits: Int, k: Int): DataFrame = {
+      idCol: String, vecCol: String, nBits: Int, dim: Int, k: Int): DataFrame = {
     val q = withNorm2(queries, col(vecCol))
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("n2").as("qn2"),
-        signBucket(col(vecCol), nBits).as("bucket"))
+        signBucket(col(vecCol), nBits, dim).as("bucket"))
     val c = withNorm2(corpus, col(vecCol))
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"), col("n2").as("nn2"),
-        signBucket(col(vecCol), nBits).as("bucket"))
+        signBucket(col(vecCol), nBits, dim).as("bucket"))
     val scored = broadcast(q).join(c, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosine(dotDecimal(col("qv"), col("nv")), col("qn2"), col("nn2")))

@@ -315,13 +315,23 @@ class NearDupSpec extends AnyFunSuite {
   }
 
   test("bucketedTopK only returns neighbors from the same sign bucket") {
+    // seeded-hyperplane invariants: a positive scaling never changes any
+    // projection sign (same bucket); the exact negation flips EVERY
+    // projection (components sum to an odd integer under any ±1 plane,
+    // so no projection can sit on the 0 boundary) — different bucket.
     val emb = Seq(
-      (0L, Array(1.0f, 1.0f, 1.0f, 1.0f)),
-      (1L, Array(2.0f, 1.0f, 3.0f, 1.0f)),   // same bucket (all positive)
-      (2L, Array(-1.0f, 1.0f, 1.0f, 1.0f))   // different bucket
+      (0L, Array(1.0f, 2.0f, 3.0f, 5.0f)),
+      (1L, Array(2.0f, 4.0f, 6.0f, 10.0f)),   // 2× v0: same bucket
+      (2L, Array(-1.0f, -2.0f, -3.0f, -5.0f)) // −v0: all bits flip
     ).toDF("vec_id", "embedding")
+    Similarity.registerNative(spark)
+    val buckets = emb.select($"vec_id",
+        Similarity.signBucket(col("embedding"), 4, 4).as("b"))
+      .as[(Long, String)].collect().toMap
+    assert(buckets(0) === buckets(1))
+    assert(buckets(0) !== buckets(2))
     val got = Similarity.bucketedTopK(emb.filter($"vec_id" === 0), emb,
-        "vec_id", "embedding", nBits = 4, k = 5)
+        "vec_id", "embedding", nBits = 4, dim = 4, k = 5)
       .select("neighbor_id").as[Long].collect().toSet
     assert(got === Set(1L))
   }
