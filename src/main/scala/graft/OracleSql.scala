@@ -1659,6 +1659,51 @@ object OracleSql {
         |SELECT pair, CAST(count(*) AS BIGINT) AS cnt FROM p
         |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 50""".stripMargin,
 
+    // BPE training: 8 unrolled rounds; each round = weighted adjacent-
+    // pair count → deterministic argmax → two-pass literal replace
+    // (same leftmost non-overlapping scan as Spark's replace — see
+    // TextAnalysis.bpeTrain for why two passes reach a fixpoint).
+    "q_bpe_train" -> {
+      val k = 8
+      val head =
+        """WITH w AS (
+          |  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+          |    SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+          |      x -> x <> '')) AS w
+          |    FROM documents)
+          |  GROUP BY w),
+          |s0 AS (
+          |  SELECT freq,
+          |    ' ' || array_to_string(list_transform(
+          |      generate_series(1, length(w)), i -> substr(w, i, 1)), ' ')
+          |      || ' ' AS s
+          |  FROM w)""".stripMargin
+      val rounds = (1 to k).map { r =>
+        s"""p$r AS (
+           |  SELECT lhs, rhs, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+           |    SELECT freq, sy[i] AS lhs, sy[i + 1] AS rhs FROM (
+           |      SELECT freq, sy, unnest(generate_series(1, len(sy) - 1)) AS i
+           |      FROM (SELECT freq, string_split(trim(s), ' ') AS sy
+           |            FROM s${r - 1})
+           |      WHERE len(sy) >= 2))
+           |  GROUP BY lhs, rhs),
+           |b$r AS (SELECT lhs, rhs, cnt FROM p$r
+           |  ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+           |s$r AS (
+           |  SELECT freq,
+           |    replace(replace(s, ' ' || lhs || ' ' || rhs || ' ',
+           |        ' ' || lhs || rhs || ' '),
+           |      ' ' || lhs || ' ' || rhs || ' ',
+           |      ' ' || lhs || rhs || ' ') AS s
+           |  FROM s${r - 1} CROSS JOIN b$r)""".stripMargin
+      }.mkString(",\n")
+      val tail = (1 to k).map { r =>
+        s"SELECT CAST($r AS INTEGER) AS merge_no, lhs, rhs, cnt, " +
+          s"lhs || rhs AS merged FROM b$r"
+      }.mkString("\nUNION ALL ")
+      s"$head,\n$rounds\n$tail\nORDER BY merge_no"
+    },
+
     "q_fingerprint" ->
       """WITH sh AS (
         |  SELECT DISTINCT key, substr(t, i, 8) AS shingle FROM (

@@ -1410,6 +1410,15 @@ object SparkEntry {
       TextAnalysis.bpePairCounts(t(s, dir, "documents"), col("text"), k = 50)
     }),
 
+    // BPE TRAINING: 8 iterated merges over the word-frequency table —
+    // each round counts adjacent symbol pairs, picks the winner
+    // deterministically, and applies the merge (two-pass literal
+    // replace); emits the ordered merge table a tokenizer would load.
+    "q_bpe_train" -> ((s, dir) => {
+      TextAnalysis.bpeTrain(t(s, dir, "documents"), col("text"), merges = 8)
+        .orderBy("merge_no")
+    }),
+
     // Winnowing-lite fingerprints (4 smallest shingle hashes).
     "q_fingerprint" -> ((s, dir) => {
       TextAnalysis.fingerprint(t(s, dir, "documents"), col("doc_id"), col("text"),

@@ -298,6 +298,81 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** BPE TRAINING — [[bpePairCounts]] iterated with the winning merge
+    * applied between rounds: the loop that actually learns a tokenizer
+    * merge table (Sennrich et al., ACL'16). Returns the ordered merge
+    * list (merge_no, lhs, rhs, cnt, merged).
+    *
+    * Corpus representation: the word-frequency table (the standard BPE
+    * trainer state — vocabulary-sized, NOT corpus-sized, so at 100 TB
+    * the per-round work is over distinct words weighted by freq), each
+    * word a space-delimited symbol string with sentinel spaces
+    * (" l o w e r "). A round is (1) adjacent-pair count weighted by
+    * word freq — one partial/final aggregate over a tiny pair
+    * vocabulary; (2) argmax (cnt desc, lhs asc, rhs asc — fully
+    * deterministic); (3) merge apply: TWO literal `replace` passes of
+    * " lhs rhs " → " lhsrhs ". Two passes, because a leftmost
+    * non-overlapping scan consumes the shared delimiter space of the
+    * NEXT occurrence (pass 1 merges alternate occurrences of a run);
+    * after pass 1 every still-unmerged occurrence is flanked by merged
+    * tokens, so pass 2 reaches all of them and is a fixpoint (the
+    * replacement atom "lhsrhs" can never equal "lhs", so no new
+    * occurrences arise). Literal replace, not regex: symbols come from
+    * document text and may contain regex metacharacters; both engines'
+    * literal replace scans leftmost non-overlapping, so the oracle
+    * (chained CTEs, same two passes) is exact.
+    *
+    * Each round's symbol table is checkpointed (the plan would
+    * otherwise double per round — the merge references the table the
+    * pair count also reads) and released one round behind, per the
+    * [[Eager.tracked]] discipline; the 1-row winning-pair frames are
+    * checkpointed for the final union and freed by the terminal.
+    */
+  def bpeTrain(df: DataFrame, text: Column, merges: Int): DataFrame = {
+    require(merges >= 1, s"bpeTrain: merges must be ≥ 1, got $merges")
+    val words = df
+      .select(explode(split(text, "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    // per-codepoint split via substr (mirrors the oracle's substr loop
+    // exactly; Java split("") walks UTF-16 units, which would diverge on
+    // astral-plane text)
+    var syms = words.select(col("freq"),
+      concat(lit(" "),
+        concat_ws(" ", transform(sequence(lit(1), length(col("w"))),
+          i => col("w").substr(i, lit(1)))),
+        lit(" ")).as("s"))
+    var relPrev: () => Unit = () => ()
+    val bestRels = Seq.newBuilder[() => Unit]
+    val steps = (1 to merges).map { step =>
+      val pairs = syms
+        .select(col("freq"), split(trim(col("s")), " ").as("sy"))
+        .filter(size(col("sy")) >= 2)
+        .withColumn("i", explode(sequence(lit(1), size(col("sy")) - 1)))
+        .select(element_at(col("sy"), col("i")).as("lhs"),
+          element_at(col("sy"), col("i") + 1).as("rhs"), col("freq"))
+        .groupBy("lhs", "rhs").agg(sum(col("freq")).as("cnt"))
+      val (best, bestRel) = Eager.tracked(
+        pairs.orderBy(col("cnt").desc, col("lhs"), col("rhs")).limit(1))
+      bestRels += bestRel
+      val pat = concat(lit(" "), col("lhs"), lit(" "), col("rhs"), lit(" "))
+      val rep = concat(lit(" "), col("lhs"), col("rhs"), lit(" "))
+      val (ck, rel) = Eager.tracked(
+        syms.crossJoin(broadcast(best.select("lhs", "rhs")))
+          .select(col("freq"),
+            replace(replace(col("s"), pat, rep), pat, rep).as("s")))
+      relPrev(); relPrev = rel
+      syms = ck
+      best.select(lit(step).as("merge_no"), col("lhs"), col("rhs"),
+        col("cnt"), concat(col("lhs"), col("rhs")).as("merged"))
+    }
+    // the last symbol table feeds nothing downstream — the result is the
+    // union of the (checkpointed) per-round winners
+    relPrev()
+    Eager.terminalReleasing(
+      steps.reduce(_ unionByName _), bestRels.result(): _*)
+  }
+
   /** Rabin-Karp rolling-hash fingerprint: polynomial hash
     * h = ((c₁·B + c₂)·B + …) mod M over each char n-gram, doc
     * fingerprint = the `take` smallest hashes. Unlike [[fingerprint]]

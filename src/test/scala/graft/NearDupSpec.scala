@@ -286,6 +286,23 @@ class NearDupSpec extends AnyFunSuite {
     assert(got === Array(("ab", 3L), ("bc", 3L)))
   }
 
+  test("bpeTrain learns the hand-computed ordered merge table") {
+    // corpus: aaab ×2, ab ×1.
+    // round 1: (a,a) freq 4 beats (a,b) freq 3 → merge "aa"
+    //   (greedy left-to-right inside "a a a b": ONE merge, not two)
+    // round 2: (a,b) freq 3 beats (aa,a) freq 2 → merge "ab"
+    // round 3: (aa,ab) freq 2 (the 1-symbol word "ab" contributes no
+    //   pairs) → merge "aaab"
+    val d = Seq((1L, "aaab aaab ab")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTrain(d, col("text"), merges = 3)
+      .orderBy("merge_no")
+      .as[(Int, String, String, Long, String)].collect()
+    assert(got === Array(
+      (1, "a", "a", 4L, "aa"),
+      (2, "a", "b", 3L, "ab"),
+      (3, "aa", "ab", 2L, "aaab")))
+  }
+
   test("lineDedup keeps first occurrence of duplicated chunks and rebuilds text") {
     val d = Seq(
       (1L, "a b c d"), // chunks of 2: "a b", "c d"
