@@ -608,6 +608,40 @@ object NearDup {
     } finally { sh.unpersist(); () }
   }
 
+  /** [[minhashPairs]] backed by the MATERIALIZED index: builds the
+    * band/set tables once per index path ([[writeNearDupIndex]], a
+    * `_OK` marker gates completion) and mines pairs from the STORED
+    * tables thereafter — the corpus is shingled once per index
+    * lifetime, not once per query. This is how the pair graph and its
+    * consumers (clustering, dedup audits) share work in production: the
+    * index is a corpus artifact, the queries price only their own joins
+    * (candidate banding join + Jaccard verify here; contraction on top
+    * for [[dedupClusters]]). Results are identical to [[minhashPairs]]
+    * on the same corpus — the stored tables are the same aggregates —
+    * which the shared DuckDB oracle asserts.
+    *
+    * Callers key `indexPath` to the corpus identity (source path +
+    * file mtime/size) so a testdata regeneration can never serve a
+    * stale index.
+    */
+  def minhashPairsIndexed(
+      spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      corpus: DataFrame, key: Column, text: Column,
+      n: Int, k: Int, threshold: Double): DataFrame = {
+    val ok = new java.io.File(indexPath, "_OK")
+    if (!ok.exists()) {
+      writeNearDupIndex(corpus, key, text, n, k, indexPath)
+      ok.createNewFile()
+    }
+    val bands = spark.read.parquet(s"$indexPath/bands")
+      .select("key", "band", "band_val")
+    val sets = spark.read.parquet(s"$indexPath/sets")
+    Eager.terminal(
+      jaccardSets(candidatePairs(bands), sets)
+        .filter(col("jacc") >= threshold)
+        .select("key_a", "key_b", "jacc"))
+  }
+
   /** [[incrementalSurvivors]] against a MATERIALIZED index (written by
     * [[writeNearDupIndex]]): each batch pays only its own shingling +
     * joins against the stored band/set tables — the existing corpus is

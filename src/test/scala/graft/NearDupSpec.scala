@@ -265,6 +265,37 @@ class NearDupSpec extends AnyFunSuite {
     }
   }
 
+  test("minhashPairsIndexed equals minhashPairs and reuses the built index") {
+    val d = graft.sources.Sources.table(spark, "/root/testdata/sf0.001", "documents")
+      .filter(col("doc_id") < 100)
+    val corpus = d.select("doc_id", "text").unionByName(
+      d.select((col("doc_id") + 1000000).as("doc_id"),
+        col("text").substr(lit(1), length(col("text")) - 10).as("text")))
+    val idxDir = java.nio.file.Files.createTempDirectory("neardup_pairs_idx")
+    try {
+      val direct = NearDup.minhashPairs(corpus, col("doc_id"), col("text"),
+          n = 5, k = 8, threshold = 0.5)
+        .select("key_a", "key_b").as[(Long, Long)].collect().toSet
+      val indexed = NearDup.minhashPairsIndexed(spark, idxDir.toString,
+          corpus, col("doc_id"), col("text"), n = 5, k = 8, threshold = 0.5)
+        .select("key_a", "key_b").as[(Long, Long)].collect().toSet
+      assert(indexed === direct)
+      assert(indexed.nonEmpty)
+      assert(new java.io.File(idxDir.toFile, "_OK").exists())
+      // second mining pass hits the stored tables (the marker gates the
+      // rebuild); results identical
+      val again = NearDup.minhashPairsIndexed(spark, idxDir.toString,
+          corpus, col("doc_id"), col("text"), n = 5, k = 8, threshold = 0.5)
+        .select("key_a", "key_b").as[(Long, Long)].collect().toSet
+      assert(again === direct)
+    } finally {
+      val s = java.nio.file.Files.walk(idxDir)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+      finally s.close()
+    }
+  }
+
   test("lshBands with 4 rows per band yields 4 wider, more selective bands") {
     val docs = Seq((1L, (1 to 30).map(i => s"w$i").mkString(" ")))
       .toDF("doc_id", "text")
