@@ -37,6 +37,74 @@ object OracleSql {
       s"i -> CAST(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) " +
       "AS DECIMAL(30,12))), 'sum')"
 
+  /** Incremental near-dup survivors (shared by q_dedup_incremental
+    * and q_stream_neardup — the streaming probe unions per-batch
+    * results over the same incoming set, so one oracle serves both).
+    */
+  private val dedupIncrementalSql: String =
+      """WITH existing AS (SELECT doc_id AS key, text AS t FROM documents),
+        |incoming AS (
+        |  SELECT doc_id + 1000000 AS key,
+        |    CASE WHEN doc_id % 2 = 0 THEN substr(text, 1, length(text) - 10)
+        |         ELSE array_to_string(list_reverse(list_filter(
+        |           string_split_regex(text, '\s+'), x -> x <> '')), ' ')
+        |    END AS t
+        |  FROM documents),
+        |shE AS (
+        |  SELECT DISTINCT key, md5(array_to_string(w[i:i+4], ' ')) AS shingle
+        |  FROM (
+        |    SELECT key, string_split_regex(t, '\s+') AS w,
+        |      unnest(generate_series(1,
+        |        greatest(len(string_split_regex(t, '\s+')) - 4, 1))) AS i
+        |    FROM existing)),
+        |shI AS (
+        |  SELECT DISTINCT key, md5(array_to_string(w[i:i+4], ' ')) AS shingle
+        |  FROM (
+        |    SELECT key, string_split_regex(t, '\s+') AS w,
+        |      unnest(generate_series(1,
+        |        greatest(len(string_split_regex(t, '\s+')) - 4, 1))) AS i
+        |    FROM incoming)),
+        |mhE AS (
+        |  SELECT key, seed,
+        |    min(substr(shingle || shingle, 1 + 4 * seed, 16)) AS mh
+        |  FROM shE CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS seed)
+        |  GROUP BY key, seed),
+        |mhI AS (
+        |  SELECT key, seed,
+        |    min(substr(shingle || shingle, 1 + 4 * seed, 16)) AS mh
+        |  FROM shI CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS seed)
+        |  GROUP BY key, seed),
+        |bandsE AS (
+        |  SELECT key, seed // 2 AS band,
+        |    min(CASE WHEN seed % 2 = 0 THEN mh END) || '|' ||
+        |    min(CASE WHEN seed % 2 = 1 THEN mh END) AS band_val
+        |  FROM mhE GROUP BY key, seed // 2),
+        |bandsI AS (
+        |  SELECT key, seed // 2 AS band,
+        |    min(CASE WHEN seed % 2 = 0 THEN mh END) || '|' ||
+        |    min(CASE WHEN seed % 2 = 1 THEN mh END) AS band_val
+        |  FROM mhI GROUP BY key, seed // 2),
+        |cand AS (
+        |  SELECT DISTINCT i.key AS key_i, e.key AS key_e
+        |  FROM bandsI i JOIN bandsE e
+        |    ON i.band = e.band AND i.band_val = e.band_val),
+        |cntE AS (SELECT key, count(*) AS cnt FROM shE GROUP BY key),
+        |cntI AS (SELECT key, count(*) AS cnt FROM shI GROUP BY key),
+        |inter AS (
+        |  SELECT c.key_i, c.key_e, count(*) AS n_inter
+        |  FROM cand c
+        |  JOIN shI a ON a.key = c.key_i
+        |  JOIN shE b ON b.key = c.key_e AND b.shingle = a.shingle
+        |  GROUP BY c.key_i, c.key_e),
+        |dup AS (
+        |  SELECT DISTINCT i.key_i FROM inter i
+        |  JOIN cntI ci ON ci.key = i.key_i
+        |  JOIN cntE ce ON ce.key = i.key_e
+        |  WHERE CAST(n_inter AS DOUBLE) /
+        |    CAST(ci.cnt + ce.cnt - n_inter AS DOUBLE) >= 0.5)
+        |SELECT key FROM incoming
+        |WHERE key NOT IN (SELECT key_i FROM dup) ORDER BY key""".stripMargin
+
   /** The clean_text_for_nlp chain (F1) in DuckDB RE2 dialect. */
   private def cleanExpr(c: String): String =
     "trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
@@ -615,69 +683,14 @@ object OracleSql {
          |SELECT key, $bits AS simhash FROM votes ORDER BY key""".stripMargin
     },
 
-    "q_dedup_incremental" ->
-      """WITH existing AS (SELECT doc_id AS key, text AS t FROM documents),
-        |incoming AS (
-        |  SELECT doc_id + 1000000 AS key,
-        |    CASE WHEN doc_id % 2 = 0 THEN substr(text, 1, length(text) - 10)
-        |         ELSE array_to_string(list_reverse(list_filter(
-        |           string_split_regex(text, '\s+'), x -> x <> '')), ' ')
-        |    END AS t
-        |  FROM documents),
-        |shE AS (
-        |  SELECT DISTINCT key, md5(array_to_string(w[i:i+4], ' ')) AS shingle
-        |  FROM (
-        |    SELECT key, string_split_regex(t, '\s+') AS w,
-        |      unnest(generate_series(1,
-        |        greatest(len(string_split_regex(t, '\s+')) - 4, 1))) AS i
-        |    FROM existing)),
-        |shI AS (
-        |  SELECT DISTINCT key, md5(array_to_string(w[i:i+4], ' ')) AS shingle
-        |  FROM (
-        |    SELECT key, string_split_regex(t, '\s+') AS w,
-        |      unnest(generate_series(1,
-        |        greatest(len(string_split_regex(t, '\s+')) - 4, 1))) AS i
-        |    FROM incoming)),
-        |mhE AS (
-        |  SELECT key, seed,
-        |    min(substr(shingle || shingle, 1 + 4 * seed, 16)) AS mh
-        |  FROM shE CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS seed)
-        |  GROUP BY key, seed),
-        |mhI AS (
-        |  SELECT key, seed,
-        |    min(substr(shingle || shingle, 1 + 4 * seed, 16)) AS mh
-        |  FROM shI CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS seed)
-        |  GROUP BY key, seed),
-        |bandsE AS (
-        |  SELECT key, seed // 2 AS band,
-        |    min(CASE WHEN seed % 2 = 0 THEN mh END) || '|' ||
-        |    min(CASE WHEN seed % 2 = 1 THEN mh END) AS band_val
-        |  FROM mhE GROUP BY key, seed // 2),
-        |bandsI AS (
-        |  SELECT key, seed // 2 AS band,
-        |    min(CASE WHEN seed % 2 = 0 THEN mh END) || '|' ||
-        |    min(CASE WHEN seed % 2 = 1 THEN mh END) AS band_val
-        |  FROM mhI GROUP BY key, seed // 2),
-        |cand AS (
-        |  SELECT DISTINCT i.key AS key_i, e.key AS key_e
-        |  FROM bandsI i JOIN bandsE e
-        |    ON i.band = e.band AND i.band_val = e.band_val),
-        |cntE AS (SELECT key, count(*) AS cnt FROM shE GROUP BY key),
-        |cntI AS (SELECT key, count(*) AS cnt FROM shI GROUP BY key),
-        |inter AS (
-        |  SELECT c.key_i, c.key_e, count(*) AS n_inter
-        |  FROM cand c
-        |  JOIN shI a ON a.key = c.key_i
-        |  JOIN shE b ON b.key = c.key_e AND b.shingle = a.shingle
-        |  GROUP BY c.key_i, c.key_e),
-        |dup AS (
-        |  SELECT DISTINCT i.key_i FROM inter i
-        |  JOIN cntI ci ON ci.key = i.key_i
-        |  JOIN cntE ce ON ce.key = i.key_e
-        |  WHERE CAST(n_inter AS DOUBLE) /
-        |    CAST(ci.cnt + ce.cnt - n_inter AS DOUBLE) >= 0.5)
-        |SELECT key FROM incoming
-        |WHERE key NOT IN (SELECT key_i FROM dup) ORDER BY key""".stripMargin,
+    "q_dedup_incremental" -> dedupIncrementalSql,
+
+    // The streaming probe partitions the same incoming set into
+    // micro-batches, each probed against the SAME materialized index —
+    // incoming-vs-existing only on both paths, so the union of per-batch
+    // survivors equals the one-shot batch result and the oracle is
+    // shared verbatim.
+    "q_stream_neardup" -> dedupIncrementalSql,
 
     "q_simhash_pairs" -> {
       // bit b = bit-plane (3 − b/32) of md5 nibble (b mod 32) — mirrors

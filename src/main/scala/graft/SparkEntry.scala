@@ -61,11 +61,24 @@ object SparkEntry {
     * (path + mtime + size) so a regenerated testdata tree gets a fresh
     * index instead of stale pairs.
     */
-  private def nearDupIndexPath(dir: String): String = {
+  private def nearDupIndexPath(dir: String, variant: String = "dup"): String = {
     val src = new java.io.File(s"$dir/documents.parquet")
     val tag = java.lang.Integer.toHexString(
       (dir + ":" + src.lastModified + ":" + src.length).hashCode)
-    s"${sys.props("java.io.tmpdir")}/graft_neardup_idx_$tag"
+    s"${sys.props("java.io.tmpdir")}/graft_neardup_idx_${variant}_$tag"
+  }
+
+  /** Build the band/set index for `corpus` at `path` once (idempotent,
+    * `_OK`-gated — same discipline as [[NearDup.minhashPairsIndexed]]).
+    */
+  private def ensureNearDupIndex(corpus: DataFrame, path: String,
+      n: Int, k: Int): String = {
+    val ok = new java.io.File(path, "_OK")
+    if (!ok.exists()) {
+      NearDup.writeNearDupIndex(corpus, col("doc_id"), col("text"), n, k, path)
+      ok.createNewFile()
+    }
+    path
   }
 
   /** Shared CDC fixtures (q_cdc_apply + q_stream_cdc — batch and
@@ -1993,6 +2006,25 @@ object SparkEntry {
       graft.streaming.Streaming.streamingCdc(s, o, cdcChangeLog(o),
           "o_orderkey", "ts", "seq", "op", Seq("o_custkey", "o_totalprice"))
         .orderBy("o_orderkey")
+    }),
+
+    // K3+ — streaming near-dup probe: q_dedup_incremental's incoming
+    // set landed as files and probed micro-batch-by-micro-batch against
+    // the materialized band/set index (the crawl-ingest pipeline).
+    // Per-doc verdicts depend only on the existing index, so the union
+    // of per-batch survivors equals the batch probe — shared oracle.
+    "q_stream_neardup" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val idx = ensureNearDupIndex(d, nearDupIndexPath(dir, "docs"),
+        n = 5, k = 8)
+      val ws = filter(split(col("text"), "\\s+"), w => w =!= "")
+      val incoming = d.select((col("doc_id") + 1000000).as("doc_id"),
+        when(col("doc_id") % 2 === 0,
+          col("text").substr(lit(1), length(col("text")) - 10))
+          .otherwise(array_join(reverse(ws), " ")).as("text"))
+      graft.streaming.Streaming.streamingNearDup(s, idx, incoming,
+          n = 5, k = 8, threshold = 0.5)
+        .orderBy("key")
     }),
 
     // S+/K+ — ORC round-trip: the lake's second columnar format. Write

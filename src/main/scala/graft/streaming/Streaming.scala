@@ -428,6 +428,47 @@ object Streaming {
       key, tsCol, seqCol, opCol, valueCols)
   }
 
+  /** Streaming near-dup probe against a MATERIALIZED band/set index
+    * ([[graft.operators.NearDup.writeNearDupIndex]]) — the production
+    * crawl-ingest pipeline: documents land as files, every micro-batch
+    * probes the stored index (incoming→existing joins only, the batch
+    * is shingled but the corpus never re-shingled), and each batch's
+    * surviving keys append to the output. `maxFilesPerTrigger=1`
+    * forces a genuine multi-batch run.
+    *
+    * Equals the one-shot [[graft.operators.NearDup.incrementalSurvivorsIndexed]]
+    * on the same incoming set (spec-asserted, and the shared DuckDB
+    * oracle): both forms compare incoming docs against the EXISTING
+    * index only, so partitioning the incoming set into batches cannot
+    * change any per-doc verdict and the union of per-batch survivors
+    * is the batch answer. (Intra-incoming near-dups are out of scope
+    * for both — that is [[graft.operators.NearDup.minhashPairs]] on
+    * the accumulated corpus.)
+    */
+  def streamingNearDup(spark: SparkSession, indexPath: String,
+      incoming: DataFrame, n: Int, k: Int, threshold: Double): DataFrame = {
+    val land = freshDir("neardup_land")
+    val out = freshDir("neardup_out")
+    incoming.repartition(4).write.mode("overwrite").parquet(land)
+    val schema = spark.read.parquet(land).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(land)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.NearDup.incrementalSurvivorsIndexed(
+            spark, indexPath, batch, col("doc_id"), col("text"),
+            n, k, threshold)
+          .write.mode("append").parquet(out)
+        ()
+      }
+      .option("checkpointLocation", freshDir("neardup_ck"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out)
+  }
+
   /** Streaming → warehouse: foreachBatch applying the idempotent
     * anti-join append per micro-batch (the reference's S3→Databricks
     * handoff collapsed into one exactly-once-ish loop; K2+K3).

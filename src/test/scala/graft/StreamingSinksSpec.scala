@@ -141,6 +141,38 @@ class StreamingSinksSpec extends AnyFunSuite {
     assert(got === Seq(2L -> 22.0, 3L -> 30.0, 9L -> 90.0))
   }
 
+  test("streamingNearDup equals the batch indexed probe across micro-batches") {
+    import graft.operators.NearDup
+    val d = graft.sources.Sources.table(spark, "/root/testdata/sf0.001", "documents")
+      .filter(col("doc_id") < 120).select("doc_id", "text")
+    val ws = filter(split(col("text"), "\\s+"), w => w =!= "")
+    // even ids arrive truncated (near-dups → dropped), odd ids
+    // word-reversed (novel → survive) — the q_dedup_incremental fixture
+    val incoming = d.select((col("doc_id") + 1000000).as("doc_id"),
+      when(col("doc_id") % 2 === 0,
+        col("text").substr(lit(1), length(col("text")) - 10))
+        .otherwise(array_join(reverse(ws), " ")).as("text"))
+    val idxDir = java.nio.file.Files.createTempDirectory("neardup_stream_idx")
+    try {
+      NearDup.writeNearDupIndex(d, col("doc_id"), col("text"),
+        n = 5, k = 8, path = idxDir.toString)
+      val batch = NearDup.incrementalSurvivorsIndexed(spark, idxDir.toString,
+          incoming, col("doc_id"), col("text"), n = 5, k = 8, threshold = 0.5)
+        .as[Long].collect().toSet
+      val stream = Streaming.streamingNearDup(spark, idxDir.toString,
+          incoming, n = 5, k = 8, threshold = 0.5)
+        .as[Long].collect().toSet
+      assert(stream === batch)
+      // both dropped something and kept something (non-vacuous fixture)
+      assert(stream.nonEmpty && stream.size < incoming.count())
+    } finally {
+      val s = java.nio.file.Files.walk(idxDir)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+      finally s.close()
+    }
+  }
+
   test("streamingSessions merges events within the 30-minute gap") {
     val got = Streaming.streamingSessions(spark, sf)
     assert(got.count() > 0)
