@@ -20,16 +20,58 @@ object OracleSql {
     * evaluate the identical projection. Decimal-exact accumulation
     * mirrors DecimalDot (per-product DECIMAL(30,12) cast, exact sum).
     */
+  /** One seeded-hyperplane projection (bit `i`) as a decimal-exact sum. */
+  private def seededProjExpr(i: Int, dim: Int, vec: String): String = {
+    val signs = (1 to dim)
+      .map(j => if (graft.operators.Similarity.planeSign(i, j) > 0) "1.0"
+                else "-1.0")
+      .mkString("[", ",", "]")
+    s"list_aggregate(list_transform(generate_series(1, $dim), " +
+      s"j -> CAST(CAST($vec[j] AS DOUBLE) * ($signs)[j] " +
+      "AS DECIMAL(30,12))), 'sum')"
+  }
+
   private def seededBucketSql(nBits: Int, dim: Int, vec: String): String =
-    (0 until nBits).map { i =>
-      val signs = (1 to dim)
-        .map(j => if (graft.operators.Similarity.planeSign(i, j) > 0) "1.0"
-                  else "-1.0")
-        .mkString("[", ",", "]")
-      s"CASE WHEN list_aggregate(list_transform(generate_series(1, $dim), " +
-        s"j -> CAST(CAST($vec[j] AS DOUBLE) * ($signs)[j] " +
-        "AS DECIMAL(30,12))), 'sum') >= 0 THEN '1' ELSE '0' END"
-    }.mkString("(", " || ", ")")
+    (0 until nBits)
+      .map(i => s"CASE WHEN ${seededProjExpr(i, dim, vec)} >= 0 " +
+        "THEN '1' ELSE '0' END")
+      .mkString("(", " || ", ")")
+
+  /** All `nBits` projections as a DuckDB list literal (multi-probe). */
+  private def seededProjListSql(nBits: Int, dim: Int, vec: String): String =
+    (0 until nBits).map(seededProjExpr(_, dim, vec)).mkString("[", ",\n      ", "]")
+
+  /** Multi-probe LSH probe-set CTEs over a base CTE `n` carrying
+    * (vec_id, embedding, n2, bucket): queries (vec_id < 10) rank their
+    * bits by |projection| asc (ties by bit index — decimal-exact, no
+    * IEEE ambiguity) and emit the exact bucket plus the `nProbe − 1`
+    * single-bit flips of the least-confident bits, mirroring
+    * [[graft.operators.Similarity.multiProbeTopK]]'s probe order
+    * exactly. Yields a `probes` CTE of (vec_id, embedding, n2, probe).
+    */
+  private def multiProbeCtes(nBits: Int, dim: Int, nProbe: Int,
+      p: String = ""): String = {
+    val flips = (1 until nProbe).map { j =>
+      s"""  SELECT vec_id, embedding, n2,
+         |    substr(bucket, 1, o[$j].i) ||
+         |      (CASE WHEN substr(bucket, o[$j].i + 1, 1) = '1'
+         |            THEN '0' ELSE '1' END) ||
+         |      substr(bucket, o[$j].i + 2) AS probe
+         |  FROM ${p}qo""".stripMargin
+    }
+    s"""${p}qd AS (
+       |  SELECT vec_id, embedding, n2, bucket,
+       |    ${seededProjListSql(nBits, dim, "embedding")} AS d
+       |  FROM n WHERE vec_id < 10),
+       |${p}qo AS (
+       |  SELECT *, list_sort(list_transform(generate_series(1, $nBits),
+       |    i -> {'a': abs(d[i]), 'i': i - 1})) AS o
+       |  FROM ${p}qd),
+       |${p}probes AS (
+       |  SELECT vec_id, embedding, n2, bucket AS probe FROM ${p}qo
+       |  UNION ALL
+       |${flips.mkString("\n  UNION ALL\n")})""".stripMargin
+  }
 
   /** Decimal-exact dot product of two vector columns (DuckDB). */
   private def dotSql(a: String, b: String): String =
@@ -873,6 +915,32 @@ object OracleSql {
         |SELECT query_id, bucket, neighbor_id, cos, CAST(rnk AS INTEGER) AS rnk
         |FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
 
+    // Multi-probe LSH: exact bucket + two least-confident-bit flips per
+    // query; probe buckets are pairwise distinct so no candidate dedup.
+    "q_ann_multiprobe" ->
+      s"""WITH n AS (
+        |  SELECT vec_id, embedding,
+        |    ${dotSql("embedding", "embedding")} AS n2,
+        |    ${seededBucketSql(4, 64, "embedding")} AS bucket
+        |  FROM embeddings),
+        |${multiProbeCtes(4, 64, 3)},
+        |p AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    ${dotSql("q.embedding", "c.embedding")} AS dot,
+        |    q.n2 AS qn2, c.n2 AS nn2
+        |  FROM probes q JOIN n c
+        |    ON c.bucket = q.probe AND c.vec_id <> q.vec_id),
+        |s AS (
+        |  SELECT query_id, neighbor_id,
+        |    CAST(dot AS DOUBLE) /
+        |      (sqrt(CAST(qn2 AS DOUBLE)) * sqrt(CAST(nn2 AS DOUBLE))) AS cos
+        |  FROM p),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos DESC, neighbor_id) AS rnk FROM s)
+        |SELECT query_id, neighbor_id, cos, CAST(rnk AS INTEGER) AS rnk
+        |FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+
     // Recall@5 of each approximate method vs brute-force ground truth —
     // the bucketed and IVF pipelines replayed at k=5, hit-joined to the
     // exact top-5.
@@ -902,6 +970,18 @@ object OracleSql {
         |  SELECT 'lsh_bucket' AS method, query_id, neighbor_id FROM (
         |    SELECT *, row_number() OVER (PARTITION BY query_id
         |      ORDER BY cos DESC, neighbor_id) AS rnk FROM lp)
+        |  WHERE rnk <= 5),
+        |${multiProbeCtes(4, 64, 3, "mp_")},
+        |mpp AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    CAST(${dotSql("q.embedding", "c.embedding")} AS DOUBLE) /
+        |      (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(c.n2 AS DOUBLE))) AS cos
+        |  FROM mp_probes q JOIN n c
+        |    ON c.bucket = q.probe AND c.vec_id <> q.vec_id),
+        |mp AS (
+        |  SELECT 'lsh_multiprobe' AS method, query_id, neighbor_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, neighbor_id) AS rnk FROM mpp)
         |  WHERE rnk <= 5),
         |cents AS (SELECT vec_id AS cent_id, embedding AS cvec, n2 AS cn2
         |  FROM n WHERE vec_id < 16),
@@ -934,7 +1014,8 @@ object OracleSql {
         |    SELECT *, row_number() OVER (PARTITION BY query_id
         |      ORDER BY cos DESC, neighbor_id) AS rnk FROM iscored)
         |  WHERE rnk <= 5),
-        |approx AS (SELECT * FROM lsh UNION ALL SELECT * FROM ivf),
+        |approx AS (SELECT * FROM lsh UNION ALL SELECT * FROM mp
+        |  UNION ALL SELECT * FROM ivf),
         |hits AS (
         |  SELECT a.method,
         |    CAST(sum(CASE WHEN g.query_id IS NOT NULL THEN 1 ELSE 0 END)

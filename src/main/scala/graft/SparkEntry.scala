@@ -1335,11 +1335,24 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    // Multi-probe sign-LSH (Lv et al., VLDB'07): each query also probes
+    // the buckets reached by flipping its two least-confident bits
+    // (smallest |projection|) — recall recovered without touching the
+    // corpus bucketing, candidates ≈ nProbe × |bucket| per query.
+    "q_ann_multiprobe" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.multiProbeTopK(emb.filter(col("vec_id") < 10), emb,
+          "vec_id", "embedding", nBits = 4, dim = 64, nProbe = 3, k = 3)
+        .select(col("query_id"), col("neighbor_id"), col("cos"),
+          col("rank").as("rnk"))
+        .orderBy("query_id", "rnk")
+    }),
+
     // ANN retrieval-quality audit: recall@5 of each approximate method
-    // (sign-LSH buckets, IVF posting lists) against brute-force cosine
-    // ground truth — the number every ANN paper reports and the one that
-    // justifies the bucketed scale path. Both sides are deterministic,
-    // so the recall itself is oracle-checkable.
+    // (sign-LSH buckets, multi-probe LSH, IVF posting lists) against
+    // brute-force cosine ground truth — the number every ANN paper
+    // reports and the one that justifies the bucketed scale path. Both
+    // sides are deterministic, so the recall itself is oracle-checkable.
     "q_ann_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") < 10)
@@ -1349,11 +1362,14 @@ object SparkEntry {
       val lsh = Similarity.bucketedTopK(q, emb, "vec_id", "embedding",
           nBits = 4, dim = 64, k = k)
         .select(lit("lsh_bucket").as("method"), col("query_id"), col("neighbor_id"))
+      val mp = Similarity.multiProbeTopK(q, emb, "vec_id", "embedding",
+          nBits = 4, dim = 64, nProbe = 3, k = k)
+        .select(lit("lsh_multiprobe").as("method"), col("query_id"), col("neighbor_id"))
       val ivf = Similarity.ivfTopK(q, emb, "vec_id", "embedding",
           nCentroids = 16, nProbe = 2, k = k)
         .select(lit("ivf").as("method"), col("query_id"), col("neighbor_id"))
       val nq = ground.agg(countDistinct(col("query_id")).as("n_queries"))
-      lsh.unionByName(ivf)
+      lsh.unionByName(mp).unionByName(ivf)
         .join(ground.withColumn("__hit", lit(1L)),
           Seq("query_id", "neighbor_id"), "left")
         .groupBy("method")

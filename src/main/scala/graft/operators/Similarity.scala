@@ -113,6 +113,77 @@ object Similarity {
       when(dotDecimal(vec, planes) >= 0, "1").otherwise("0")
     }: _*)
 
+  /** The raw per-bit hyperplane projections behind [[signBucket]]
+    * (array of DECIMAL(30,12), one per bit) — exposed for multi-probe:
+    * a projection's magnitude is the query's distance to that plane, so
+    * |d_i| ranks which bits are most likely wrong for near neighbors.
+    */
+  def signProjections(vec: Column, nBits: Int, dim: Int): Column =
+    array((0 until nBits).map { i =>
+      val planes = array((1 to dim).map(j => lit(planeSign(i, j))): _*)
+      dotDecimal(vec, planes)
+    }: _*)
+
+  /** Multi-probe sign-LSH top-k (Lv et al., "Multi-Probe LSH", VLDB'07):
+    * each query probes its own bucket plus the `nProbe − 1` buckets
+    * reached by flipping its LEAST-CONFIDENT bits — the bits whose
+    * hyperplane projection is smallest in magnitude, i.e. where a true
+    * neighbor most plausibly landed on the other side. This recovers
+    * most of the recall a single-bucket probe loses without touching
+    * the corpus side: the corpus stays bucketed ONCE (the index), only
+    * the query fans out nProbe-fold, and the join stays a hash join on
+    * the bucket key (candidate volume ≈ nProbe × |bucket| per query,
+    * never n²).
+    *
+    * Probe order is fully deterministic: bits ranked by
+    * (|projection| asc, bit index asc) — decimal magnitudes, no IEEE
+    * tie ambiguity — so the oracle replays the identical probe set.
+    * Flipped buckets are pairwise distinct (distinct bits) and distinct
+    * from the exact bucket, so no candidate dedup pass is needed.
+    */
+  def multiProbeTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, nBits: Int, dim: Int,
+      nProbe: Int, k: Int): DataFrame = {
+    require(nProbe >= 1 && nProbe <= nBits + 1,
+      s"multiProbeTopK: nProbe must be in [1, nBits+1], got $nProbe")
+    val c = withNorm2(corpus, col(vecCol))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"),
+        col("n2").as("nn2"), signBucket(col(vecCol), nBits, dim).as("bucket"))
+    val exact = concat((0 until nBits).map(i =>
+      when(element_at(col("d"), i + 1) >= 0, "1").otherwise("0")): _*)
+    // bits ranked by how close the query sits to each plane
+    val ord = array_sort(transform(col("d"),
+      (x, i) => struct(abs(x).as("a"), i.as("i"))))
+    val qb = withNorm2(queries, col(vecCol))
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        col("n2").as("qn2"),
+        signProjections(col(vecCol), nBits, dim).as("d"))
+      .withColumn("b0", exact)
+      .withColumn("ord", ord)
+    val probes = (0 until nProbe).map { j =>
+      if (j == 0) col("b0")
+      else {
+        val bit = element_at(col("ord"), j).getField("i") // 0-based
+        val ch = col("b0").substr(bit + 1, lit(1))
+        concat(col("b0").substr(lit(1), bit),
+          when(ch === "1", "0").otherwise("1"),
+          col("b0").substr(bit + 2, lit(nBits)))
+      }
+    }
+    val q = qb.withColumn("bucket", explode(array(probes: _*)))
+      .select("query_id", "qv", "qn2", "bucket")
+    val scored = broadcast(q).join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos",
+        cosine(dotDecimal(col("qv"), col("nv")), col("qn2"), col("nn2")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
   /** IVF (inverted-file) ANN: a coarse quantizer assigns every vector to
     * its nearest centroid; queries probe only their `nProbe` nearest
     * centroids' posting lists. Centroids here are the first `nCentroids`

@@ -384,6 +384,28 @@ class NearDupSpec extends AnyFunSuite {
     assert(got === Set(1L))
   }
 
+  test("multiProbeTopK strictly widens the single-bucket candidate set") {
+    val emb = graft.sources.Sources.table(spark, "/root/testdata/sf0.001", "embeddings")
+      .filter(col("vec_id") < 200).select("vec_id", "embedding")
+    val q = emb.filter(col("vec_id") < 5)
+    // k large enough that no candidate is truncated: the probe set is a
+    // superset of the exact bucket, so results must be a superset too
+    val single = Similarity.bucketedTopK(q, emb, "vec_id", "embedding",
+        nBits = 4, dim = 64, k = 200)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val multi = Similarity.multiProbeTopK(q, emb, "vec_id", "embedding",
+        nBits = 4, dim = 64, nProbe = 3, k = 200)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(single.subsetOf(multi))
+    assert(multi.size > single.size,
+      "flipping two bits should reach at least one extra candidate")
+    // nProbe=1 degenerates to the exact-bucket probe
+    val one = Similarity.multiProbeTopK(q, emb, "vec_id", "embedding",
+        nBits = 4, dim = 64, nProbe = 1, k = 200)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(one === single)
+  }
+
   test("langId picks the language whose markers dominate") {
     val d = Seq((1L, "the cat and the hat of the house"),
       (2L, "scan row data scan row data")).toDF("doc_id", "text")
