@@ -147,6 +147,47 @@ object OracleSql {
         |SELECT key FROM incoming
         |WHERE key NOT IN (SELECT key_i FROM dup) ORDER BY key""".stripMargin
 
+  /** Shared BPE CTE chain (word-freq table, per-codepoint symbol
+    * strings, k unrolled count->argmax->two-pass-replace rounds) —
+    * used by q_bpe_train (reads the b-r winners) and q_bpe_vocab
+    * (reads the final s-k symbol table), so the two cannot drift.
+    */
+  private def bpeCtes(k: Int): String = {
+      val head =
+        """WITH w AS (
+          |  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+          |    SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+          |      x -> x <> '')) AS w
+          |    FROM documents)
+          |  GROUP BY w),
+          |s0 AS (
+          |  SELECT freq,
+          |    ' ' || array_to_string(list_transform(
+          |      generate_series(1, length(w)), i -> substr(w, i, 1)), ' ')
+          |      || ' ' AS s
+          |  FROM w)""".stripMargin
+      val rounds = (1 to k).map { r =>
+        s"""p$r AS (
+           |  SELECT lhs, rhs, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+           |    SELECT freq, sy[i] AS lhs, sy[i + 1] AS rhs FROM (
+           |      SELECT freq, sy, unnest(generate_series(1, len(sy) - 1)) AS i
+           |      FROM (SELECT freq, string_split(trim(s), ' ') AS sy
+           |            FROM s${r - 1})
+           |      WHERE len(sy) >= 2))
+           |  GROUP BY lhs, rhs),
+           |b$r AS (SELECT lhs, rhs, cnt FROM p$r
+           |  ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+           |s$r AS (
+           |  SELECT freq,
+           |    replace(replace(s, ' ' || lhs || ' ' || rhs || ' ',
+           |        ' ' || lhs || rhs || ' '),
+           |      ' ' || lhs || ' ' || rhs || ' ',
+           |      ' ' || lhs || rhs || ' ') AS s
+           |  FROM s${r - 1} CROSS JOIN b$r)""".stripMargin
+      }.mkString(",\n")
+      s"$head,\n$rounds"
+  }
+
   /** The clean_text_for_nlp chain (F1) in DuckDB RE2 dialect. */
   private def cleanExpr(c: String): String =
     "trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
@@ -1759,44 +1800,28 @@ object OracleSql {
     // TextAnalysis.bpeTrain for why two passes reach a fixpoint).
     "q_bpe_train" -> {
       val k = 8
-      val head =
-        """WITH w AS (
-          |  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
-          |    SELECT unnest(list_filter(string_split_regex(text, '\s+'),
-          |      x -> x <> '')) AS w
-          |    FROM documents)
-          |  GROUP BY w),
-          |s0 AS (
-          |  SELECT freq,
-          |    ' ' || array_to_string(list_transform(
-          |      generate_series(1, length(w)), i -> substr(w, i, 1)), ' ')
-          |      || ' ' AS s
-          |  FROM w)""".stripMargin
-      val rounds = (1 to k).map { r =>
-        s"""p$r AS (
-           |  SELECT lhs, rhs, CAST(sum(freq) AS BIGINT) AS cnt FROM (
-           |    SELECT freq, sy[i] AS lhs, sy[i + 1] AS rhs FROM (
-           |      SELECT freq, sy, unnest(generate_series(1, len(sy) - 1)) AS i
-           |      FROM (SELECT freq, string_split(trim(s), ' ') AS sy
-           |            FROM s${r - 1})
-           |      WHERE len(sy) >= 2))
-           |  GROUP BY lhs, rhs),
-           |b$r AS (SELECT lhs, rhs, cnt FROM p$r
-           |  ORDER BY cnt DESC, lhs, rhs LIMIT 1),
-           |s$r AS (
-           |  SELECT freq,
-           |    replace(replace(s, ' ' || lhs || ' ' || rhs || ' ',
-           |        ' ' || lhs || rhs || ' '),
-           |      ' ' || lhs || ' ' || rhs || ' ',
-           |      ' ' || lhs || rhs || ' ') AS s
-           |  FROM s${r - 1} CROSS JOIN b$r)""".stripMargin
-      }.mkString(",\n")
       val tail = (1 to k).map { r =>
         s"SELECT CAST($r AS INTEGER) AS merge_no, lhs, rhs, cnt, " +
           s"lhs || rhs AS merged FROM b$r"
       }.mkString("\nUNION ALL ")
-      s"$head,\n$rounds\n$tail\nORDER BY merge_no"
+      s"${bpeCtes(k)}\n$tail\nORDER BY merge_no"
     },
+
+    // BPE encode: the token vocabulary after the k learned merges —
+    // same CTE chain as q_bpe_train, read out of the final symbol table.
+    "q_bpe_vocab" -> {
+      val k = 8
+      // tail stripped separately: an outer stripMargin would also eat
+      // the '||' concatenations inside the interpolated CTE chain
+      val tail =
+        s"""SELECT token, CAST(sum(freq) AS BIGINT) AS cnt,
+           |  CAST(count(*) AS BIGINT) AS n_words
+           |FROM (SELECT freq, unnest(string_split(trim(s), ' ')) AS token
+           |      FROM s$k)
+           |GROUP BY token ORDER BY token""".stripMargin
+      s"${bpeCtes(k)}\n$tail"
+    },
+
 
     "q_fingerprint" ->
       """WITH sh AS (

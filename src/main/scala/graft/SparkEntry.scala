@@ -1463,6 +1463,13 @@ object SparkEntry {
         .orderBy("merge_no")
     }),
 
+    // BPE ENCODE: the token vocabulary after applying the 8 learned
+    // merges — the vocab file a tokenizer ships next to its merge table.
+    "q_bpe_vocab" -> ((s, dir) => {
+      TextAnalysis.bpeVocab(t(s, dir, "documents"), col("text"), merges = 8)
+        .orderBy("token")
+    }),
+
     // Winnowing-lite fingerprints (4 smallest shingle hashes).
     "q_fingerprint" -> ((s, dir) => {
       TextAnalysis.fingerprint(t(s, dir, "documents"), col("doc_id"), col("text"),

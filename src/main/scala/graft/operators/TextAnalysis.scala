@@ -328,8 +328,14 @@ object TextAnalysis {
     * [[Eager.tracked]] discipline; the 1-row winning-pair frames are
     * checkpointed for the final union and freed by the terminal.
     */
-  def bpeTrain(df: DataFrame, text: Column, merges: Int): DataFrame = {
-    require(merges >= 1, s"bpeTrain: merges must be ≥ 1, got $merges")
+  /** Shared BPE round loop: returns (per-round winner frames, final
+    * symbol table, winner release handles, final-table release handle).
+    * Winners and per-round tables are checkpointed ([[Eager.tracked]]);
+    * intermediate tables release one round behind; the CALLER owns the
+    * final table's and the winners' handles.
+    */
+  private def bpeLoop(df: DataFrame, text: Column, merges: Int)
+      : (Seq[DataFrame], DataFrame, Seq[() => Unit], () => Unit) = {
     val words = df
       .select(explode(split(text, "\\s+")).as("w"))
       .filter(col("w") =!= "")
@@ -366,11 +372,35 @@ object TextAnalysis {
       best.select(lit(step).as("merge_no"), col("lhs"), col("rhs"),
         col("cnt"), concat(col("lhs"), col("rhs")).as("merged"))
     }
+    (steps, syms, bestRels.result(), relPrev)
+  }
+
+  def bpeTrain(df: DataFrame, text: Column, merges: Int): DataFrame = {
+    require(merges >= 1, s"bpeTrain: merges must be ≥ 1, got $merges")
+    val (steps, _, bestRels, lastSymsRel) = bpeLoop(df, text, merges)
     // the last symbol table feeds nothing downstream — the result is the
     // union of the (checkpointed) per-round winners
-    relPrev()
-    Eager.terminalReleasing(
-      steps.reduce(_ unionByName _), bestRels.result(): _*)
+    lastSymsRel()
+    Eager.terminalReleasing(steps.reduce(_ unionByName _), bestRels: _*)
+  }
+
+  /** The ENCODE side of the learned tokenizer: apply the `merges`
+    * learned by [[bpeTrain]] (same loop, same corpus) and emit the
+    * resulting token vocabulary — (token, cnt = corpus occurrences,
+    * n_words = distinct words containing it). This is the vocabulary
+    * file a tokenizer ships next to its merge table, and the
+    * compression audit (Σ cnt shrinks as merges land). Costs the same
+    * k rounds as training plus one explode + aggregate over the final
+    * symbol table.
+    */
+  def bpeVocab(df: DataFrame, text: Column, merges: Int): DataFrame = {
+    require(merges >= 1, s"bpeVocab: merges must be ≥ 1, got $merges")
+    val (_, syms, bestRels, lastSymsRel) = bpeLoop(df, text, merges)
+    val vocab = syms
+      .select(col("freq"), explode(split(trim(col("s")), " ")).as("token"))
+      .groupBy("token")
+      .agg(sum(col("freq")).as("cnt"), count(lit(1)).as("n_words"))
+    Eager.terminalReleasing(vocab, bestRels :+ lastSymsRel: _*)
   }
 
   /** Rabin-Karp rolling-hash fingerprint: polynomial hash

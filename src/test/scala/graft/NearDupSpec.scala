@@ -332,6 +332,10 @@ class NearDupSpec extends AnyFunSuite {
       (1, "a", "a", 4L, "aa"),
       (2, "a", "b", 3L, "ab"),
       (3, "aa", "ab", 2L, "aaab")))
+    // encode side: after the 3 merges "aaab" is one token, "ab" one token
+    val vocab = TextAnalysis.bpeVocab(d, col("text"), merges = 3)
+      .orderBy("token").as[(String, Long, Long)].collect()
+    assert(vocab === Array(("aaab", 2L, 1L), ("ab", 1L, 1L)))
   }
 
   test("lineDedup keeps first occurrence of duplicated chunks and rebuilds text") {
