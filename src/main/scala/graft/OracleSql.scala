@@ -749,6 +749,27 @@ object OracleSql {
          |SELECT src AS key, min(dst) AS cluster_id
          |FROM reach GROUP BY src ORDER BY key""".stripMargin,
 
+    // Same closure as q_dedup_clusters, aggregated into duplicate
+    // groups (representative = min key = cluster id, sorted members).
+    "q_cluster_reps" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |pr AS (SELECT key_a, key_b FROM jac WHERE jacc >= 0.5),
+         |edges AS (
+         |  SELECT key_a AS a, key_b AS b FROM pr
+         |  UNION SELECT key_b, key_a FROM pr),
+         |nodes AS (SELECT DISTINCT a AS n FROM edges),
+         |reach(src, dst) AS (
+         |  SELECT n, n FROM nodes
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst),
+         |labels AS (
+         |  SELECT src AS key, min(dst) AS cluster_id
+         |  FROM reach GROUP BY src)
+         |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+         |  list(key ORDER BY key) AS members
+         |FROM labels GROUP BY cluster_id
+         |HAVING count(*) >= 2 ORDER BY cluster_id""".stripMargin,
+
     "q_simhash" -> {
       val sums = (0 until 16).map(b =>
         s"sum(CASE WHEN substr(h, ${b + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS s$b")

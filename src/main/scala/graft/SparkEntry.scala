@@ -1237,6 +1237,24 @@ object SparkEntry {
       NearDup.dedupClusters(pairs).orderBy("key")
     }),
 
+    // Dedup provenance capstone: one row per REAL duplicate group
+    // (≥ 2 members) — cluster id (= the kept representative, the min
+    // key), member count, and the sorted member list a lineage audit
+    // stores next to the deduped corpus. Same indexed pair graph and
+    // contraction as q_dedup_clusters; one extra aggregate.
+    "q_cluster_reps" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val corpus = dupCorpus(d)
+      val pairs = NearDup.minhashPairsIndexed(s, nearDupIndexPath(dir),
+        corpus, col("doc_id"), col("text"), n = 5, k = 8, threshold = 0.5)
+      NearDup.dedupClusters(pairs)
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_members"),
+          array_sort(collect_list(col("key"))).as("members"))
+        .filter(col("n_members") >= 2)
+        .orderBy("cluster_id")
+    }),
+
     // 16-bit SimHash fingerprints over whitespace tokens.
     "q_simhash" -> ((s, dir) => {
       NearDup.simhash16(t(s, dir, "documents"), col("doc_id"), col("text"))
