@@ -402,4 +402,42 @@ class PropertySpec extends AnyFunSuite {
     assert(once.orderBy("k").collect().toSeq ===
       twice.orderBy("k").collect().toSeq)
   }
+
+  test("property: two-pass literal replace == greedy left-to-right BPE merge") {
+    // TextAnalysis.bpeTrain applies a merge as TWO passes of literal
+    // " a b " -> " ab " replacement, arguing pass 1 merges alternate
+    // occurrences of a run and pass 2 reaches the rest (a fixpoint).
+    // Verify against the reference fold (greedy left-to-right over the
+    // symbol list) on random words from a tiny alphabet — the regime
+    // where overlapping/adjacent occurrences are dense.
+    def greedyMerge(syms: List[String], a: String, b: String): List[String] = {
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toList
+    }
+    def twoPass(s: String, a: String, b: String): String = {
+      val pat = s" $a $b "
+      val rep = s" $a$b "
+      s.replace(pat, rep).replace(pat, rep)
+    }
+    val alphabet = Vector("a", "b", "ab", "aa")
+    var checked = 0
+    for (_ <- 1 to 2000) {
+      val syms = List.fill(1 + rnd.nextInt(12))(alphabet(rnd.nextInt(alphabet.length)))
+      val a = alphabet(rnd.nextInt(alphabet.length))
+      val b = alphabet(rnd.nextInt(alphabet.length))
+      val spaced = syms.mkString(" ", " ", " ")
+      val got = twoPass(spaced, a, b).trim.split(" ").toList
+      val want = greedyMerge(syms, a, b)
+      assert(got === want,
+        s"two-pass replace diverged from greedy merge: syms=$syms pair=($a,$b)")
+      checked += 1
+    }
+    assert(checked === 2000)
+  }
 }
