@@ -69,6 +69,11 @@ object Graph {
     // nodes with no out-edge: their rank re-enters uniformly each round
     val (dang, dangRel) = Eager.tracked(nodes
       .join(ed.select(col("src").as("node")).distinct(), Seq("node"), "left_anti"))
+    // one O(1) driver check on the (checkpointed, node-sized) dangler
+    // frame: a symmetrized graph has none, and its correction term is
+    // exactly +0.0 per node — skipping it drops one join + aggregate +
+    // broadcast per round while producing bit-identical ranks
+    val hasDanglers = !dang.isEmpty
     val nn = nodes.agg(count(lit(1)).as("n"))
     val init = nodes.crossJoin(broadcast(nn))
       .select(col("node"), (lit(1.0) / col("n").cast("double")).as("r"))
@@ -79,15 +84,21 @@ object Graph {
         .groupBy(col("dst").as("node"))
         .agg(sum((col("r") / col("deg").cast("double")).cast("decimal(38,12)"))
           .cast("double").as("m"))
-      val dm = r.join(dang, Seq("node"))
-        .agg(coalesce(sum(col("r").cast("decimal(38,12)")),
-          lit(0).cast("decimal(38,12)")).cast("double").as("dmass"))
-      val next = nodes.join(m, Seq("node"), "left")
-        .crossJoin(broadcast(nn)).crossJoin(broadcast(dm))
-        .select(col("node"),
-          ((lit(1.0) - lit(damping)) / col("n").cast("double") +
-            lit(damping) * (coalesce(col("m"), lit(0.0)) +
-              col("dmass") / col("n").cast("double"))).as("r"))
+      val recombined = nodes.join(m, Seq("node"), "left").crossJoin(broadcast(nn))
+      val next =
+        if (hasDanglers) {
+          val dm = r.join(dang, Seq("node"))
+            .agg(coalesce(sum(col("r").cast("decimal(38,12)")),
+              lit(0).cast("decimal(38,12)")).cast("double").as("dmass"))
+          recombined.crossJoin(broadcast(dm))
+            .select(col("node"),
+              ((lit(1.0) - lit(damping)) / col("n").cast("double") +
+                lit(damping) * (coalesce(col("m"), lit(0.0)) +
+                  col("dmass") / col("n").cast("double"))).as("r"))
+        } else recombined
+          .select(col("node"),
+            ((lit(1.0) - lit(damping)) / col("n").cast("double") +
+              lit(damping) * coalesce(col("m"), lit(0.0))).as("r"))
       if (i == iters) next
       else {
         val (ck, rel) = Eager.tracked(next)
@@ -130,6 +141,9 @@ object Graph {
       .select(explode(array(col("src"), col("dst"))).as("node")).distinct())
     val (dang, dangRel) = Eager.tracked(nodes
       .join(ed.select(col("src").as("node")).distinct(), Seq("node"), "left_anti"))
+    // same fast path as [[pageRank]]: no danglers → the correction term
+    // is exactly +0.0·tele, skip its per-round join + aggregate
+    val hasDanglers = !dang.isEmpty
     val s = seeds.select(col("node")).distinct().join(nodes, Seq("node"))
     val ns = s.agg(count(lit(1)).as("n_s"))
     val (tele, teleRel) = Eager.tracked(nodes
@@ -146,14 +160,21 @@ object Graph {
         .groupBy(col("dst").as("node"))
         .agg(sum((col("r") / col("deg").cast("double")).cast("decimal(38,12)"))
           .cast("double").as("m"))
-      val dm = r.join(dang, Seq("node"))
-        .agg(coalesce(sum(col("r").cast("decimal(38,12)")),
-          lit(0).cast("decimal(38,12)")).cast("double").as("dmass"))
-      val next = tele.join(m, Seq("node"), "left").crossJoin(broadcast(dm))
-        .select(col("node"),
-          ((lit(1.0) - lit(damping)) * col("tele") +
-            lit(damping) * (coalesce(col("m"), lit(0.0)) +
-              col("dmass") * col("tele"))).as("r"))
+      val recombined = tele.join(m, Seq("node"), "left")
+      val next =
+        if (hasDanglers) {
+          val dm = r.join(dang, Seq("node"))
+            .agg(coalesce(sum(col("r").cast("decimal(38,12)")),
+              lit(0).cast("decimal(38,12)")).cast("double").as("dmass"))
+          recombined.crossJoin(broadcast(dm))
+            .select(col("node"),
+              ((lit(1.0) - lit(damping)) * col("tele") +
+                lit(damping) * (coalesce(col("m"), lit(0.0)) +
+                  col("dmass") * col("tele"))).as("r"))
+        } else recombined
+          .select(col("node"),
+            ((lit(1.0) - lit(damping)) * col("tele") +
+              lit(damping) * coalesce(col("m"), lit(0.0))).as("r"))
       if (i == iters) next
       else {
         val (ck, rel) = Eager.tracked(next)
