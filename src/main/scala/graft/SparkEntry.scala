@@ -2068,6 +2068,32 @@ object SparkEntry {
         .orderBy("key")
     }),
 
+    // K3+ — CUMULATIVE streaming near-dup: every batch's survivors are
+    // appended to the index before the next batch probes, so the stream
+    // dedups against itself across batches (the real crawl loop). No
+    // SQL oracle (the result folds over batch boundaries, which SQL
+    // can't see) → driver rows-only check; equality with the sequential
+    // fold of the ORACLED incremental operator is spec-asserted
+    // (StreamingSinksSpec). The index copy is rebuilt per run — the
+    // operator mutates it, so it must not share the cached one.
+    "q_stream_neardup_cum" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val existing = d.filter(col("doc_id") % 2 === 0)
+      val scratch = java.nio.file.Files
+        .createTempDirectory("graft_neardup_cum").toString
+      NearDup.writeNearDupIndex(existing, col("doc_id"), col("text"),
+        n = 5, k = 8, path = scratch)
+      // batch 0: odd originals (novel); batch 1: their truncated copies
+      val b0 = d.filter(col("doc_id") % 2 === 1)
+      val incoming = b0.unionByName(
+        b0.select((col("doc_id") + 1000000).as("doc_id"),
+          col("text").substr(lit(1), length(col("text")) - 10).as("text")))
+      graft.streaming.Streaming.streamingNearDupCumulative(s, scratch,
+          incoming, when(col("doc_id") < 1000000, 0).otherwise(1),
+          n = 5, k = 8, threshold = 0.5)
+        .orderBy("key")
+    }),
+
     // S+/K+ — ORC round-trip: the lake's second columnar format. Write
     // a projection as ORC into scratch, read it back, aggregate — the
     // ORC scan gets the same column pruning/pushdown as parquet.

@@ -608,6 +608,29 @@ object NearDup {
     } finally { sh.unpersist(); () }
   }
 
+  /** Index MAINTENANCE — the write half of the crawl-ingest loop:
+    * append a batch's band rows and digest sets to the stored index so
+    * the NEXT batch's probe sees it. Call with the batch's SURVIVORS
+    * (post-[[probeExistingIndex]]), which keeps the index
+    * near-dup-free; appending is parquet `append` into the same
+    * band-partitioned layout, so at 100 TB this is a metadata-cheap
+    * add of batch-sized files per band directory (compaction is the
+    * lake's standard small-file job, orthogonal to correctness).
+    * Probe-after-append equivalence is spec-asserted: once a doc's
+    * rows land in the index, a near-copy of it probes as a duplicate.
+    */
+  def appendToNearDupIndex(batch: DataFrame, key: Column, text: Column,
+      n: Int, k: Int, path: String): Unit = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sh = wordShingleDigests(batch, key, text, n).persist(lvl)
+    try {
+      lshBands(minhashSig(sh, k), k)
+        .write.mode("append").partitionBy("band").parquet(s"$path/bands")
+      sh.groupBy("key").agg(collect_set(col("shingle")).as("sh"))
+        .write.mode("append").parquet(s"$path/sets")
+    } finally { sh.unpersist(); () }
+  }
+
   /** [[minhashPairs]] backed by the MATERIALIZED index: builds the
     * band/set tables once per index path ([[writeNearDupIndex]], a
     * `_OK` marker gates completion) and mines pairs from the STORED

@@ -469,6 +469,57 @@ object Streaming {
     spark.read.parquet(out)
   }
 
+  /** CUMULATIVE streaming near-dup — [[streamingNearDup]] plus the
+    * write half: each micro-batch's SURVIVORS are appended to the index
+    * ([[graft.operators.NearDup.appendToNearDupIndex]]) before the next
+    * batch probes, so the stream also dedups against ITSELF across
+    * batches — the real crawl loop, where yesterday's accepted pages are
+    * today's existing corpus. The caller owns `indexPath` and must pass
+    * a copy it is willing to have mutated.
+    *
+    * Batches are landed as ONE FILE PER DISTINCT `batchOf` VALUE, named
+    * in ascending order, and consumed with `maxFilesPerTrigger=1` — the
+    * file stream processes paths in listing order, so batch order (and
+    * therefore which member of a cross-batch dup pair survives: the
+    * earlier one) is deterministic. Equality with the sequential batch
+    * fold is spec-asserted.
+    */
+  def streamingNearDupCumulative(spark: SparkSession, indexPath: String,
+      incoming: DataFrame, batchOf: org.apache.spark.sql.Column,
+      n: Int, k: Int, threshold: Double): DataFrame = {
+    val land = freshDir("neardup_cum_land")
+    val out = freshDir("neardup_cum_out")
+    val tagged = incoming.withColumn("__b", batchOf)
+    val batches = tagged.select("__b").distinct()
+      .collect().map(_.get(0)).sortBy(_.toString)
+    batches.zipWithIndex.foreach { case (b, i) =>
+      tagged.filter(col("__b") === lit(b)).drop("__b")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(f"$land/b$i%04d.parquet")
+    }
+    val schema = spark.read.parquet(s"$land/b0000.parquet").schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(land)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val surv = graft.operators.NearDup.incrementalSurvivorsIndexed(
+          spark, indexPath, batch, col("doc_id"), col("text"),
+          n, k, threshold)
+        surv.write.mode("append").parquet(out)
+        graft.operators.NearDup.appendToNearDupIndex(
+          batch.join(surv.select(col("key").as("doc_id")), Seq("doc_id")),
+          col("doc_id"), col("text"), n, k, indexPath)
+        ()
+      }
+      .option("checkpointLocation", freshDir("neardup_cum_ck"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out)
+  }
+
   /** Streaming → warehouse: foreachBatch applying the idempotent
     * anti-join append per micro-batch (the reference's S3→Databricks
     * handoff collapsed into one exactly-once-ish loop; K2+K3).

@@ -173,6 +173,51 @@ class StreamingSinksSpec extends AnyFunSuite {
     }
   }
 
+  test("cumulative streaming near-dup dedups across its own batches") {
+    import graft.operators.NearDup
+    val d = graft.sources.Sources.table(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    val existing = d.filter(col("doc_id") < 40)
+    // batch 0: novel docs (ids 40-79); batch 1: near-copies of batch 0
+    // (ids +1000, 10 chars cut) — novel vs the ORIGINAL index, dups
+    // only against batch 0's accepted rows
+    val batch0 = d.filter(col("doc_id") >= 40 && col("doc_id") < 80)
+    val batch1 = batch0.select((col("doc_id") + 1000).as("doc_id"),
+      col("text").substr(lit(1), length(col("text")) - 10).as("text"))
+    val incoming = batch0.unionByName(batch1)
+    val idxDir = java.nio.file.Files.createTempDirectory("neardup_cum_idx")
+    try {
+      NearDup.writeNearDupIndex(existing, col("doc_id"), col("text"),
+        n = 5, k = 8, path = idxDir.toString)
+      val got = Streaming.streamingNearDupCumulative(spark, idxDir.toString,
+          incoming, when(col("doc_id") < 1000, 0).otherwise(1),
+          n = 5, k = 8, threshold = 0.5)
+        .as[Long].collect().toSet
+      // reference: the sequential greedy fold — probe batch 0 against
+      // the original corpus, extend the corpus with its survivors,
+      // probe batch 1 against the extension
+      val surv0 = NearDup.incrementalSurvivors(existing, batch0,
+          col("doc_id"), col("text"), n = 5, k = 8, threshold = 0.5)
+        .as[Long].collect().toSet
+      val kept0 = batch0.filter(col("doc_id").isin(surv0.toSeq: _*))
+      val surv1 = NearDup.incrementalSurvivors(existing.unionByName(kept0),
+          batch1, col("doc_id"), col("text"), n = 5, k = 8, threshold = 0.5)
+        .as[Long].collect().toSet
+      assert(got === (surv0 ++ surv1))
+      // the cumulative append must matter: most of batch 1 (near-copies
+      // of accepted batch-0 docs) is dropped, which a non-cumulative
+      // probe against the original index would have kept
+      assert(surv1.size < 10,
+        s"batch-1 copies should mostly hit batch-0's appended index rows, " +
+          s"but ${surv1.size} of 40 survived")
+    } finally {
+      val s = java.nio.file.Files.walk(idxDir)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+      finally s.close()
+    }
+  }
+
   test("streamingSessions merges events within the 30-minute gap") {
     val got = Streaming.streamingSessions(spark, sf)
     assert(got.count() > 0)
