@@ -188,6 +188,44 @@ object OracleSql {
       s"$head,\n$rounds"
   }
 
+  /** Gopher rule features + verdict (shared by q_gopher_rules and
+    * the stateless streaming gate q_stream_quality). */
+  private val gopherRulesSql: String =
+    """WITH base AS (
+        |  SELECT doc_id AS key, text,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws,
+        |    list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS ls
+        |  FROM documents),
+        |feats AS (
+        |  SELECT key,
+        |    CAST(len(ws) AS BIGINT) AS n_words,
+        |    round(CAST(list_aggregate(list_transform(ws, x -> length(x)),
+        |        'sum') AS DOUBLE) / CAST(greatest(len(ws), 1) AS DOUBLE), 6)
+        |      AS mean_word_len,
+        |    round((CAST(length(text) - length(replace(text, '#', ''))
+        |        AS DOUBLE) +
+        |      CAST(length(text) - length(replace(text, '...', ''))
+        |        AS DOUBLE) / 3) / CAST(greatest(len(ws), 1) AS DOUBLE), 6)
+        |      AS symbol_ratio,
+        |    round(CAST(len(list_filter(ls, l ->
+        |        starts_with(trim(l), '-') OR starts_with(trim(l), '*')
+        |        OR starts_with(trim(l), '•'))) AS DOUBLE) /
+        |      CAST(greatest(len(ls), 1) AS DOUBLE), 6) AS bullet_ratio,
+        |    round(CAST(len(list_filter(ws, x ->
+        |        regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) /
+        |      CAST(greatest(len(ws), 1) AS DOUBLE), 6) AS alpha_word_frac,
+        |    CAST(len(list_intersect(
+        |      list_distinct(list_transform(ws, x -> lower(x))),
+        |      ['the','be','to','of','and','that','have','with']))
+        |      AS BIGINT) AS n_req_stop
+        |  FROM base)
+        |SELECT *,
+        |  n_words >= 20 AND n_words <= 100000
+        |    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        |    AND symbol_ratio < 0.1 AND bullet_ratio < 0.9
+        |    AND alpha_word_frac >= 0.8 AND n_req_stop >= 2 AS passes
+        |FROM feats ORDER BY key""".stripMargin
+
   /** The clean_text_for_nlp chain (F1) in DuckDB RE2 dialect. */
   private def cleanExpr(c: String): String =
     "trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
@@ -2255,41 +2293,18 @@ object OracleSql {
         |JOIN norms nb ON nb.key = dots.key_b
         |ORDER BY cosine DESC, key_a, key_b LIMIT 50""".stripMargin,
 
-    "q_gopher_rules" ->
-      """WITH base AS (
-        |  SELECT doc_id AS key, text,
-        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws,
-        |    list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS ls
-        |  FROM documents),
-        |feats AS (
-        |  SELECT key,
-        |    CAST(len(ws) AS BIGINT) AS n_words,
-        |    round(CAST(list_aggregate(list_transform(ws, x -> length(x)),
-        |        'sum') AS DOUBLE) / CAST(greatest(len(ws), 1) AS DOUBLE), 6)
-        |      AS mean_word_len,
-        |    round((CAST(length(text) - length(replace(text, '#', ''))
-        |        AS DOUBLE) +
-        |      CAST(length(text) - length(replace(text, '...', ''))
-        |        AS DOUBLE) / 3) / CAST(greatest(len(ws), 1) AS DOUBLE), 6)
-        |      AS symbol_ratio,
-        |    round(CAST(len(list_filter(ls, l ->
-        |        starts_with(trim(l), '-') OR starts_with(trim(l), '*')
-        |        OR starts_with(trim(l), '•'))) AS DOUBLE) /
-        |      CAST(greatest(len(ls), 1) AS DOUBLE), 6) AS bullet_ratio,
-        |    round(CAST(len(list_filter(ws, x ->
-        |        regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) /
-        |      CAST(greatest(len(ws), 1) AS DOUBLE), 6) AS alpha_word_frac,
-        |    CAST(len(list_intersect(
-        |      list_distinct(list_transform(ws, x -> lower(x))),
-        |      ['the','be','to','of','and','that','have','with']))
-        |      AS BIGINT) AS n_req_stop
-        |  FROM base)
-        |SELECT *,
-        |  n_words >= 20 AND n_words <= 100000
-        |    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
-        |    AND symbol_ratio < 0.1 AND bullet_ratio < 0.9
-        |    AND alpha_word_frac >= 0.8 AND n_req_stop >= 2 AS passes
-        |FROM feats ORDER BY key""".stripMargin,
+    "q_gopher_rules" -> gopherRulesSql,
+
+    // Stateless stream == batch: the same features with the gate cut
+    // (all rules except the English-stopword one — vacuous on the
+    // synthetic corpus; see the query comment).
+    "q_stream_quality" ->
+      s"""SELECT * FROM ($gopherRulesSql)
+         |WHERE n_words >= 20 AND n_words <= 100000
+         |  AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+         |  AND symbol_ratio < 0.1 AND bullet_ratio < 0.9
+         |  AND alpha_word_frac >= 0.8
+         |ORDER BY key""".stripMargin,
 
     "q_asof_forward" ->
       """WITH probe AS (

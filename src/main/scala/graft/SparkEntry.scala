@@ -1980,6 +1980,18 @@ object SparkEntry {
         .orderBy("key")
     }),
 
+    // K3+ curation — streaming quality gate: Gopher features + verdict
+    // evaluated in each micro-batch's scan stage, survivors appended.
+    // Stateless ⇒ identical to the batch gate; shared oracle + filter.
+    "q_stream_quality" -> ((s, dir) => {
+      // requireStopwords=false: the synthetic corpus has no English
+      // function words, so the stopword rule alone rejects every doc
+      // and the gate fixture would be vacuous
+      graft.streaming.Streaming.streamingQualityGate(s, dir,
+          minWords = 20, maxWords = 100000, requireStopwords = false)
+        .orderBy("key")
+    }),
+
     // J5+ — directional as-of join, FORWARD: each purchase matched to
     // the first view at-or-after it (same union + single-sort plan as
     // q_asof_join, opposite frame).

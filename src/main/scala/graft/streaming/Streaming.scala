@@ -469,6 +469,37 @@ object Streaming {
     spark.read.parquet(out)
   }
 
+  /** Streaming quality gate: documents as a file stream, the Gopher
+    * rule features + verdict evaluated IN THE SCAN STAGE of each
+    * micro-batch (pure column work — no state, no watermark), survivors
+    * appended. The curation counterpart of the warehouse sink: at crawl
+    * scale the quality cut happens on ingest, before anything else pays
+    * to touch the rejected docs. Stateless ⇒ batch/stream results are
+    * identical and the batch Gopher oracle applies with a passes filter.
+    */
+  def streamingQualityGate(spark: SparkSession, dir: String,
+      minWords: Int, maxWords: Int,
+      requireStopwords: Boolean = true): DataFrame = {
+    implicit val s: SparkSession = spark
+    val raw = spark.read.parquet(s"$dir/documents.parquet").schema
+    val src = spark.readStream.schema(raw)
+      .option("pathGlobFilter", "documents*.parquet")
+      .parquet(dir)
+    // requireStopwords=false drops only the English-function-word rule —
+    // the right dial for non-English or synthetic corpora, where that
+    // one rule rejects everything and the gate would be vacuous
+    val gate =
+      if (requireStopwords) col("passes")
+      else col("n_words") >= minWords && col("n_words") <= maxWords &&
+        col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
+        col("symbol_ratio") < 0.1 && col("bullet_ratio") < 0.9 &&
+        col("alpha_word_frac") >= 0.8
+    val gated = graft.operators.TextAnalysis
+      .gopherRules(src, col("doc_id"), col("text"), minWords, maxWords)
+      .filter(gate)
+    runToCompletion(gated, OutputMode.Append(), "stream_quality")
+  }
+
   /** CUMULATIVE streaming near-dup — [[streamingNearDup]] plus the
     * write half: each micro-batch's SURVIVORS are appended to the index
     * ([[graft.operators.NearDup.appendToNearDupIndex]]) before the next
