@@ -1015,6 +1015,56 @@ object OracleSql {
         |SELECT query_id, bucket, neighbor_id, cos, CAST(rnk AS INTEGER) AS rnk
         |FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
 
+    // Label propagation: k-NN graph (symmetrized) + 3 unrolled rounds
+    // of in-neighbor majority vote with seed override.
+    "q_label_prop" -> {
+      val rounds = (1 to 3).map { r =>
+        s"""v$r AS (
+           |  SELECT e.dst AS node, l.label, CAST(count(*) AS BIGINT) AS n
+           |  FROM edges e JOIN l${r - 1} l ON e.src = l.node
+           |  GROUP BY e.dst, l.label),
+           |w$r AS (
+           |  SELECT node, label FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY node
+           |      ORDER BY n DESC, label) AS rn FROM v$r)
+           |  WHERE rn = 1),
+           |l$r AS (
+           |  SELECT node, label FROM l0
+           |  UNION ALL
+           |  SELECT w.node, w.label FROM w$r w
+           |  LEFT JOIN l0 s ON s.node = w.node WHERE s.node IS NULL)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH n AS (
+         |  SELECT vec_id, embedding,
+         |    ${dotSql("embedding", "embedding")} AS n2,
+         |    ${seededBucketSql(8, 64, "embedding")} AS bucket
+         |  FROM embeddings),
+         |p AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ${dotSql("q.embedding", "c.embedding")} AS dot,
+         |    q.n2 AS qn2, c.n2 AS nn2
+         |  FROM n q JOIN n c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id),
+         |sc AS (
+         |  SELECT query_id, neighbor_id,
+         |    CAST(dot AS DOUBLE) /
+         |      (sqrt(CAST(qn2 AS DOUBLE)) * sqrt(CAST(nn2 AS DOUBLE))) AS cos
+         |  FROM p),
+         |kg AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, neighbor_id) AS rnk FROM sc)
+         |  WHERE rnk <= 3),
+         |edges AS (
+         |  SELECT query_id AS src, neighbor_id AS dst FROM kg
+         |  UNION SELECT neighbor_id, query_id FROM kg),
+         |l0 AS (
+         |  SELECT DISTINCT vec_id AS node, label FROM embeddings
+         |  WHERE vec_id < 50),
+         |$rounds
+         |SELECT node, label FROM l3 ORDER BY node""".stripMargin
+    },
+
     // Multi-probe LSH: exact bucket + two least-confident-bit flips per
     // query; probe buckets are pairwise distinct so no candidate dedup.
     "q_ann_multiprobe" ->

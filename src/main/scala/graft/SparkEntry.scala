@@ -1366,6 +1366,24 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    // Weak supervision — label propagation over the k-NN graph: seed
+    // labels (vec_id < 50) spread to unlabeled vectors by 3 rounds of
+    // in-neighbor majority vote (ties → smallest label). The
+    // training-data labeling primitive: label 10% by hand, propagate
+    // over embedding similarity.
+    "q_label_prop" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val kg = Similarity.knnGraph(emb, "vec_id", "embedding",
+          nBits = 8, dim = 64, k = 3)
+        .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+      val edges = kg.unionByName(
+        kg.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = emb.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("node"), col("label"))
+      graft.operators.Graph.labelPropagation(edges, seeds, iters = 3)
+        .orderBy("node")
+    }),
+
     // ANN retrieval-quality audit: recall@5 of each approximate method
     // (sign-LSH buckets, multi-probe LSH, IVF posting lists) against
     // brute-force cosine ground truth — the number every ANN paper

@@ -185,6 +185,53 @@ object Graph {
     Eager.terminalReleasing(last, relPrev, edRel, nodesRel, dangRel, teleRel)
   }
 
+  /** Fixed-iteration label propagation over a directed edge frame —
+    * the weak-supervision primitive for training-data labeling: a small
+    * SEED set carries trusted labels; each round every unlabeled node
+    * adopts the MAJORITY label of its in-neighbors (ties broken by
+    * smallest label — fully deterministic), seeds never change. After
+    * `iters` rounds, returns (node, label) for every node reached by a
+    * labeled path of length ≤ iters (plus the seeds).
+    *
+    * Scale shape: a round is one edge⋈labels join + a (node, label)
+    * count aggregate + an argmax window whose partitions are bounded by
+    * the LABEL CARDINALITY (≤ #labels rows per node — no skew risk, the
+    * exact case where a window beats a groupBy+join-back), then a
+    * seed-override anti-join on node-sized frames. Rounds are
+    * [[Eager.tracked]] and released one behind, like every iterative
+    * operator here.
+    */
+  def labelPropagation(edges: DataFrame, seeds: DataFrame,
+      iters: Int): DataFrame = {
+    require(iters >= 1, s"labelPropagation: iters must be ≥ 1, got $iters")
+    import org.apache.spark.sql.expressions.Window
+    val (e, eRel) = Eager.tracked(edges.select("src", "dst").distinct())
+    val (sd, sdRel) = Eager.tracked(
+      seeds.select(col("node"), col("label")).distinct())
+    var labels = sd
+    var relPrev: () => Unit = () => ()
+    (1 to iters).foreach { _ =>
+      val votes = e
+        .join(labels.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node"), col("label"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("node"))
+        .orderBy(col("n").desc, col("label"))
+      val prop = votes.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).select("node", "label")
+      val next = sd.unionByName(
+        prop.join(sd.select("node"), Seq("node"), "left_anti"))
+      val (ck, rel) = Eager.tracked(next)
+      relPrev(); relPrev = rel
+      labels = ck
+    }
+    // the final round's checkpoint IS the returned result (its handle
+    // sits in relPrev — deliberately NOT called); the edge and seed
+    // frames are dead once it materialized
+    eRel(); sdRel()
+    labels
+  }
+
   /** Per-node triangle counts over an undirected edge frame (src, dst) —
     * the clustering-coefficient / community-density primitive. Input may
     * carry either orientation, duplicates, and self-loops; it is

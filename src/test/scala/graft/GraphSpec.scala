@@ -99,6 +99,23 @@ class GraphSpec extends AnyFunSuite {
     assert(r2("a") > 0.2 && !r2.values.exists(_.isNaN))
   }
 
+  test("labelPropagation spreads seed labels by majority with min-label ties") {
+    // chain a→b→c: b labeled round 1, c round 2; tie at z (one vote
+    // each from x=1, y=2) resolves to the smaller label; seeds fixed
+    val edges = Seq(("a", "b"), ("b", "c"), ("x", "z"), ("y", "z"),
+      ("z", "x")).toDF("src", "dst")
+    val seeds = Seq(("a", 7L), ("x", 1L), ("y", 2L)).toDF("node", "label")
+    val got = Graph.labelPropagation(edges, seeds, iters = 2)
+      .as[(String, Long)].collect().toMap
+    assert(got("a") === 7L && got("b") === 7L && got("c") === 7L)
+    assert(got("z") === 1L, s"tie must break to the smaller label: $got")
+    assert(got("x") === 1L, "seeds must not be overwritten by votes")
+    // 1 round: c not yet reached
+    val r1 = Graph.labelPropagation(edges, seeds, iters = 1)
+      .as[(String, Long)].collect().toMap
+    assert(!r1.contains("c") && r1("b") === 7L)
+  }
+
   test("pageRank conserves mass on a DIRECTED graph with dangling sinks") {
     // a→b→c, a→c: c is a pure sink (no out-edges); b and c only appear
     // as dst for some edges — the node universe must be src ∪ dst and
