@@ -226,6 +226,39 @@ object OracleSql {
         |    AND alpha_word_frac >= 0.8 AND n_req_stop >= 2 AS passes
         |FROM feats ORDER BY key""".stripMargin
 
+  /** Embedding near-dup CTE chain (documents ∪ planted perturbed
+    * copies → seeded 8-bit sign buckets → exact decimal cosine ≥ 0.999
+    * pairs) — shared by q_embed_neardup and q_semantic_dedup. */
+  private def embedNearDupCtes: String =
+    s"""pert AS (
+       |  SELECT vec_id + 100000 AS vec_id,
+       |    list_transform(generate_series(1, len(embedding)),
+       |      i -> CASE WHEN i = 1
+       |        THEN CAST(embedding[i] + CAST(0.01 AS FLOAT) AS FLOAT)
+       |        ELSE embedding[i] END) AS embedding
+       |  FROM embeddings),
+       |corpus AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL SELECT vec_id, embedding FROM pert),
+       |n AS (
+       |  SELECT vec_id, embedding,
+       |    ${dotSql("embedding", "embedding")} AS n2,
+       |    ${seededBucketSql(8, 64, "embedding")} AS bucket
+       |  FROM corpus),
+       |p AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    ${dotSql("a.embedding", "b.embedding")} AS dot,
+       |    a.n2 AS n2a, b.n2 AS n2b
+       |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |prs AS (
+       |  SELECT id_a, id_b,
+       |    CAST(dot AS DOUBLE) /
+       |      (sqrt(CAST(n2a AS DOUBLE)) * sqrt(CAST(n2b AS DOUBLE))) AS cos
+       |  FROM p
+       |  WHERE CAST(dot AS DOUBLE) /
+       |      (sqrt(CAST(n2a AS DOUBLE)) * sqrt(CAST(n2b AS DOUBLE))) >= 0.999)"""
+      .stripMargin
+
   /** The clean_text_for_nlp chain (F1) in DuckDB RE2 dialect. */
   private def cleanExpr(c: String): String =
     "trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
@@ -2547,36 +2580,33 @@ object OracleSql {
         |FROM events ORDER BY event_id""".stripMargin,
 
     "q_embed_neardup" ->
-      s"""WITH pert AS (
-        |  SELECT vec_id + 100000 AS vec_id,
-        |    list_transform(generate_series(1, len(embedding)),
-        |      i -> CASE WHEN i = 1
-        |        THEN CAST(embedding[i] + CAST(0.01 AS FLOAT) AS FLOAT)
-        |        ELSE embedding[i] END) AS embedding
-        |  FROM embeddings),
-        |corpus AS (
-        |  SELECT vec_id, embedding FROM embeddings
-        |  UNION ALL SELECT vec_id, embedding FROM pert),
-        |n AS (
-        |  SELECT vec_id, embedding,
-        |    ${dotSql("embedding", "embedding")} AS n2,
-        |    ${seededBucketSql(8, 64, "embedding")} AS bucket
-        |  FROM corpus),
-        |p AS (
-        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |    list_aggregate(list_transform(generate_series(1, len(a.embedding)),
-        |      i -> CAST(CAST(a.embedding[i] AS DOUBLE) *
-        |                CAST(b.embedding[i] AS DOUBLE) AS DECIMAL(30,12))),
-        |      'sum') AS dot,
-        |    a.n2 AS n2a, b.n2 AS n2b
-        |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
-        |SELECT id_a, id_b,
-        |  CAST(dot AS DOUBLE) /
-        |    (sqrt(CAST(n2a AS DOUBLE)) * sqrt(CAST(n2b AS DOUBLE))) AS cos
-        |FROM p
-        |WHERE CAST(dot AS DOUBLE) /
-        |    (sqrt(CAST(n2a AS DOUBLE)) * sqrt(CAST(n2b AS DOUBLE))) >= 0.999
-        |ORDER BY id_a, id_b""".stripMargin,
+      s"WITH $embedNearDupCtes\nSELECT id_a, id_b, cos FROM prs ORDER BY id_a, id_b",
+
+    // Pairs -> connected components -> keep the min-id representative:
+    // the survivors list of embedding dedup (shared CTEs with
+    // q_embed_neardup; closure identical to q_dedup_clusters').
+    "q_semantic_dedup" -> {
+      val tail =
+        """edges AS (
+          |  SELECT id_a AS a, id_b AS b FROM prs
+          |  UNION SELECT id_b, id_a FROM prs),
+          |nds AS (SELECT DISTINCT a AS nd FROM edges),
+          |reach(src, dst) AS (
+          |  SELECT nd, nd FROM nds
+          |  UNION
+          |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst),
+          |labels AS (
+          |  SELECT src AS key, min(dst) AS cluster_id
+          |  FROM reach GROUP BY src),
+          |corpus_ids AS (
+          |  SELECT vec_id FROM embeddings
+          |  UNION ALL SELECT vec_id + 100000 FROM embeddings)
+          |SELECT c.vec_id FROM corpus_ids c
+          |LEFT JOIN (SELECT key FROM labels WHERE key <> cluster_id) d
+          |  ON d.key = c.vec_id
+          |WHERE d.key IS NULL ORDER BY vec_id""".stripMargin
+      s"WITH RECURSIVE $embedNearDupCtes,\n$tail"
+    },
 
     "q_explode_flatten" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity

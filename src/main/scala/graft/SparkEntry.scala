@@ -56,6 +56,34 @@ object SparkEntry {
       d.select((col("doc_id") + 1000000).as("doc_id"),
         col("text").substr(lit(1), length(col("text")) - 10).as("text")))
 
+  /** Shared embedding near-dup pair pipeline (q_embed_neardup +
+    * q_semantic_dedup): documents ∪ planted perturbed copies, bucketed
+    * self-join on 8 seeded sign bits, exact decimal cosine ≥ 0.999.
+    * 8 bits: the perturbation barely moves any projection, so planted
+    * recall matches 4 bits while random bucket collisions (the
+    * quadratic term) drop ~16×.
+    */
+  private def embedNearDupPairs(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+    val perturbed = emb.select(
+      (col("vec_id") + 100000).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        when(i === 0, (x + lit(0.01f)).cast("float")).otherwise(x)).as("embedding"))
+    val corpus = emb.unionByName(perturbed)
+    val a = Similarity.withNorm2(corpus, col("embedding"))
+      .select(col("vec_id").as("id_a"), col("embedding").as("va"), col("n2").as("n2a"),
+        Similarity.signBucket(col("embedding"), 8, 64).as("bucket"))
+    val b = Similarity.withNorm2(corpus, col("embedding"))
+      .select(col("vec_id").as("id_b"), col("embedding").as("vb"), col("n2").as("n2b"),
+        Similarity.signBucket(col("embedding"), 8, 64).as("bucket"))
+    a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      .withColumn("cos",
+        Similarity.dotDecimal(col("va"), col("vb")).cast("double") /
+          (sqrt(col("n2a").cast("double")) * sqrt(col("n2b").cast("double"))))
+      .filter(col("cos") >= 0.999)
+      .select("id_a", "id_b", "cos")
+  }
+
   /** Session-stable path for the materialized near-dup band/set index
     * over [[dupCorpus]] at `dir`: keyed to the source file's identity
     * (path + mtime + size) so a regenerated testdata tree gets a fresh
@@ -1679,28 +1707,24 @@ object SparkEntry {
     // Embedding-cosine near-dup: planted perturbed copies (+0.01 on the
     // first dimension) must pair with their originals at cos ≈ 1.
     "q_embed_neardup" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
-      val perturbed = emb.select(
-        (col("vec_id") + 100000).as("vec_id"),
-        transform(col("embedding"), (x, i) =>
-          when(i === 0, (x + lit(0.01f)).cast("float")).otherwise(x)).as("embedding"))
-      val corpus = emb.unionByName(perturbed)
-      // 8 sign bits: the perturbation only touches dim 1, so recall of
-      // planted pairs is identical to 4 bits while random bucket
-      // collisions (the quadratic term) drop ~16x
-      val a = Similarity.withNorm2(corpus, col("embedding"))
-        .select(col("vec_id").as("id_a"), col("embedding").as("va"), col("n2").as("n2a"),
-          Similarity.signBucket(col("embedding"), 8, 64).as("bucket"))
-      val b = Similarity.withNorm2(corpus, col("embedding"))
-        .select(col("vec_id").as("id_b"), col("embedding").as("vb"), col("n2").as("n2b"),
-          Similarity.signBucket(col("embedding"), 8, 64).as("bucket"))
-      a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
-        .withColumn("cos",
-          Similarity.dotDecimal(col("va"), col("vb")).cast("double") /
-            (sqrt(col("n2a").cast("double")) * sqrt(col("n2b").cast("double"))))
-        .filter(col("cos") >= 0.999)
-        .select("id_a", "id_b", "cos")
-        .orderBy("id_a", "id_b")
+      embedNearDupPairs(s, dir).orderBy("id_a", "id_b")
+    }),
+
+    // Semantic dedup end-to-end (SemDeDup shape, Abbas et al. 2023):
+    // embedding near-dup pairs → connected components → keep the min-id
+    // representative per cluster. The survivors list is the actual
+    // deliverable of embedding dedup — each planted perturbed copy
+    // collapses onto its original.
+    "q_semantic_dedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id")
+      val corpusIds = emb.unionByName(
+        emb.select((col("vec_id") + 100000).as("vec_id")))
+      val labels = NearDup.dedupClusters(embedNearDupPairs(s, dir)
+        .select(col("id_a").as("key_a"), col("id_b").as("key_b")))
+      corpusIds
+        .join(labels.filter(col("key") =!= col("cluster_id"))
+          .select(col("key").as("vec_id")), Seq("vec_id"), "left_anti")
+        .orderBy("vec_id")
     }),
 
     // MLlib prediction stage (BASELINE.json spark_approach): seeded
