@@ -2133,8 +2133,17 @@ object SparkEntry {
     "q_stream_neardup_cum" -> ((s, dir) => {
       val d = t(s, dir, "documents").select("doc_id", "text")
       val existing = d.filter(col("doc_id") % 2 === 0)
-      val scratch = java.nio.file.Files
-        .createTempDirectory("graft_neardup_cum").toString
+      // pid-scoped scratch, WIPED each run (the operator mutates the
+      // index, so reuse across runs would double-probe stale appends);
+      // unlike createTempDirectory this cannot accumulate orphan dirs
+      // across a 3-runs-per-query bench
+      val scratch = scratchDir("neardup_cum_idx")
+      val dirF = new java.io.File(scratch)
+      def wipe(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(wipe)
+        f.delete(); ()
+      }
+      if (dirF.exists()) wipe(dirF)
       NearDup.writeNearDupIndex(existing, col("doc_id"), col("text"),
         n = 5, k = 8, path = scratch)
       // batch 0: odd originals (novel); batch 1: their truncated copies

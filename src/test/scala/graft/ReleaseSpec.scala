@@ -108,6 +108,25 @@ class ReleaseSpec extends AnyFunSuite {
     }
   }
 
+  test("labelPropagation releases edges, seeds, and superseded rounds") {
+    assertReleases("labelPropagation") {
+      Graph.labelPropagation(
+        Seq(("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")).toDF("src", "dst"),
+        Seq(("a", 1L), ("x", 2L)).toDF("node", "label"), iters = 3)
+    }
+  }
+
+  test("bpeTrain and bpeVocab release per-round tables and winner frames") {
+    import graft.operators.TextAnalysis
+    val d = Seq((1L, "aaab aaab ab abab baba")).toDF("doc_id", "text")
+    assertReleases("bpeTrain") {
+      TextAnalysis.bpeTrain(d, col("text"), merges = 3)
+    }
+    assertReleases("bpeVocab") {
+      TextAnalysis.bpeVocab(d, col("text"), merges = 3)
+    }
+  }
+
   test("eagerRelease conf parses defensively — malformed values fall back to enabled") {
     import graft.operators.Eager
     val orig = spark.conf.getOption("graft.eagerRelease")
