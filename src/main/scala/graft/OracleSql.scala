@@ -820,6 +820,23 @@ object OracleSql {
          |SELECT src AS key, min(dst) AS cluster_id
          |FROM reach GROUP BY src ORDER BY key""".stripMargin,
 
+    // Both-direction containment scores over the shared LSH candidates.
+    "q_containment" ->
+      s"""WITH $minhashCtes,
+         |co AS (
+         |  SELECT i.key_a, i.key_b,
+         |    round(CAST(n_inter AS DOUBLE) / CAST(ca.cnt AS DOUBLE), 6)
+         |      AS cont_a,
+         |    round(CAST(n_inter AS DOUBLE) / CAST(cb.cnt AS DOUBLE), 6)
+         |      AS cont_b
+         |  FROM inter i
+         |  JOIN cnt ca ON ca.key = i.key_a
+         |  JOIN cnt cb ON cb.key = i.key_b)
+         |SELECT key_a, key_b, cont_a, cont_b,
+         |  greatest(cont_a, cont_b) AS containment
+         |FROM co WHERE greatest(cont_a, cont_b) >= 0.9
+         |ORDER BY key_a, key_b""".stripMargin,
+
     // Same closure as q_dedup_clusters, aggregated into duplicate
     // groups (representative = min key = cluster id, sorted members).
     "q_cluster_reps" ->

@@ -1304,6 +1304,18 @@ object SparkEntry {
         .orderBy("key")
     }),
 
+    // Asymmetric near-containment: truncated copies score 1.0 on the
+    // contained side even where the symmetric Jaccard would fade with
+    // the size gap — the subset-document detector (quotes, boilerplate
+    // wraps). Same LSH candidates as q_minhash_pairs, both direction
+    // scores verified.
+    "q_containment" -> ((s, dir) => {
+      val corpus = dupCorpus(t(s, dir, "documents"))
+      NearDup.containmentPairs(corpus, col("doc_id"), col("text"),
+          n = 5, k = 8, threshold = 0.9)
+        .orderBy("key_a", "key_b")
+    }),
+
     // SimHash near-dup pair mining: 60-bit fingerprints, 4 Hamming bands
     // (guaranteed recall for hamming ≤ 3), exact per-candidate verify.
     // 60 bits (not 32) because band width IS the candidate-volume dial:

@@ -608,6 +608,42 @@ object NearDup {
     } finally { sh.unpersist(); () }
   }
 
+  /** Asymmetric near-CONTAINMENT pairs (Broder 1997's containment
+    * c(A→B) = |A∩B| / |A|): detects documents mostly INSIDE another —
+    * truncations, quoted inclusions, boilerplate-wrapped copies — which
+    * symmetric Jaccard under-scores exactly when the size gap is large
+    * (J = |A∩B|/|A∪B| → small for a short doc inside a long one even
+    * at containment 1.0). Candidates come from the same MinHash LSH
+    * banding as [[minhashPairs]] (digest-set shuffle, Σ|bucket|² pair
+    * volume); each candidate is verified with BOTH direction scores and
+    * kept when either reaches `threshold`. Returns
+    * (key_a, key_b, cont_a, cont_b, containment = max of the two),
+    * scores rounded to 6 for oracle parity.
+    */
+  def containmentPairs(
+      df: DataFrame, key: Column, text: Column,
+      n: Int, k: Int, threshold: Double): DataFrame = {
+    val sh = wordShingleDigests(df, key, text, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val pairs = candidatePairs(lshBands(minhashSig(sh, k), k))
+      val sets = sh.groupBy("key").agg(collect_set(col("shingle")).as("sh"))
+      val scored = pairs
+        .join(sets.select(col("key").as("key_a"), col("sh").as("sh_a")), Seq("key_a"))
+        .join(sets.select(col("key").as("key_b"), col("sh").as("sh_b")), Seq("key_b"))
+        .withColumn("n_inter",
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+        .withColumn("cont_a", round(
+          col("n_inter").cast("double") / size(col("sh_a")).cast("double"), 6))
+        .withColumn("cont_b", round(
+          col("n_inter").cast("double") / size(col("sh_b")).cast("double"), 6))
+        .withColumn("containment", greatest(col("cont_a"), col("cont_b")))
+        .filter(col("containment") >= threshold)
+        .select("key_a", "key_b", "cont_a", "cont_b", "containment")
+      Eager.terminal(scored)
+    } finally { sh.unpersist(); () }
+  }
+
   /** Index MAINTENANCE — the write half of the crawl-ingest loop:
     * append a batch's band rows and digest sets to the stored index so
     * the NEXT batch's probe sees it. Call with the batch's SURVIVORS

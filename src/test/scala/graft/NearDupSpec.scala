@@ -388,6 +388,29 @@ class NearDupSpec extends AnyFunSuite {
     assert(got === Set(1L))
   }
 
+  test("containmentPairs scores a prefix doc 1.0 on its contained side") {
+    val long = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val short = (1 to 25).map(i => s"tok$i").mkString(" ")  // strict prefix
+    val other = (100 to 140).map(i => s"zzz$i").mkString(" ")
+    val d = Seq((1L, long), (2L, short), (3L, other)).toDF("doc_id", "text")
+    val got = NearDup.containmentPairs(d, col("doc_id"), col("text"),
+        n = 5, k = 8, threshold = 0.9)
+      .as[(Long, Long, Double, Double, Double)].collect()
+    assert(got.length === 1)
+    val (a, b, ca, cb, c) = got.head
+    assert(Set(a, b) === Set(1L, 2L))
+    // the short doc's shingles are ALL inside the long doc's
+    val contShort = if (a == 2L) ca else cb
+    assert(contShort === 1.0 && c === 1.0)
+    // while the symmetric Jaccard on the same pair is well below 0.9 —
+    // containment catches what the size gap hides from Jaccard
+    val jacc = NearDup.minhashPairs(d, col("doc_id"), col("text"),
+        n = 5, k = 8, threshold = 0.0)
+      .filter(col("key_a") === 1L && col("key_b") === 2L)
+      .select("jacc").as[Double].collect().head
+    assert(jacc < 0.9, s"fixture should have a real size gap, jacc=$jacc")
+  }
+
   test("multiProbeTopK strictly widens the single-bucket candidate set") {
     val emb = graft.sources.Sources.table(spark, "/root/testdata/sf0.001", "embeddings")
       .filter(col("vec_id") < 200).select("vec_id", "embedding")
