@@ -854,7 +854,7 @@ object OracleSql {
          |  SELECT src AS key, min(dst) AS cluster_id
          |  FROM reach GROUP BY src)
          |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
-         |  list(key ORDER BY key) AS members
+         |  string_agg(CAST(key AS VARCHAR), ',' ORDER BY key) AS members
          |FROM labels GROUP BY cluster_id
          |HAVING count(*) >= 2 ORDER BY cluster_id""".stripMargin,
 

@@ -1275,10 +1275,15 @@ object SparkEntry {
       val corpus = dupCorpus(d)
       val pairs = NearDup.minhashPairsIndexed(s, nearDupIndexPath(dir),
         corpus, col("doc_id"), col("text"), n = 5, k = 8, threshold = 0.5)
+      // `members` is a comma-joined string, not an array: top-level
+      // array columns crash the driver's pandas-based oracle compare
+      // (unhashable ndarray in sort_values), and Verify rejects them.
+      // Sort NUMERICALLY before casting so "10" lands after "2".
       NearDup.dedupClusters(pairs)
         .groupBy("cluster_id")
         .agg(count(lit(1)).as("n_members"),
-          array_sort(collect_list(col("key"))).as("members"))
+          array_join(array_sort(collect_list(col("key")))
+            .cast("array<string>"), ",").as("members"))
         .filter(col("n_members") >= 2)
         .orderBy("cluster_id")
     }),

@@ -19,8 +19,23 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        // Tripwire: the driver's oracle compare sorts rows with pandas,
+        // which cannot hash array/map cells — a top-level ArrayType or
+        // MapType output column crashes its compare (r7: q_cluster_reps).
+        // Fail HERE, locally, so shape bugs never reach the driver:
+        // string-join arrays (array_join/concat_ws + string_agg oracle).
+        val bad = df.schema.fields.filter(f => f.dataType match {
+          case _: org.apache.spark.sql.types.ArrayType |
+               _: org.apache.spark.sql.types.MapType => true
+          case _ => false
+        })
+        require(bad.isEmpty, s"query $name emits non-scalar output " +
+          s"column(s) ${bad.map(_.name).mkString(", ")} — string-join " +
+          "them; the driver compare cannot sort array/map cells")
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
