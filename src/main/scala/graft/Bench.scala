@@ -37,9 +37,22 @@ object Bench {
       require(unknown.isEmpty,
         s"SPARK_GRAFT_BENCH_ONLY names unknown queries: ${unknown.toSeq.sorted.mkString(",")}")
     }
+    // Broadcasts resident at session start (post-warm-up) are session
+    // infrastructure, never swept; everything above this baseline was
+    // created by a completed query and is fair game for the sweep.
+    val bcBaseline = graft.operators.Eager.broadcastSnapshot(spark)
+    // Per-query storage evidence (round-7 verdict #2): broadcast block
+    // count/bytes at each query's START. With the sweep working these
+    // stay at ~baseline for all 179 queries; un-swept accumulation would
+    // show as a monotone ramp. Dumped as JSONL next to the full bench
+    // file, summarized (max count/bytes) on the stdout line.
+    val storageLog = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Long, Long)]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
+      val (bcN, bcMem, bcDisk) =
+        org.apache.spark.graft.Storage.broadcastSummary(spark.sparkContext)
+      storageLog += ((name, bcN, bcMem, bcDisk))
       // one UNTIMED warm-up execution first: a fresh JVM pays ~seconds of
       // whole-stage-codegen JIT inside the first run of a heavy pipeline
       // (round-4 driver capture: q_dedup_clusters 10.4 s cold vs 4.8 s
@@ -56,11 +69,19 @@ object Bench {
       // checkpoint-heavy family inflated 3.5–4.8× vs isolated runs while
       // System.gc() alone was in place). Between queries NOTHING is
       // legitimately persisted, so unpersist every surviving RDD by
-      // handle — synchronous map removal, no GC required.
+      // handle — synchronous map removal, no GC required. Round 7's
+      // residual driver-only inflation moved the same mechanism to
+      // BROADCAST blocks (one per broadcast join, GC+ContextCleaner
+      // reclaimed), so the sweep now destroys those by id too — every
+      // broadcast created since session baseline is from a completed
+      // run of this single-query-at-a-time loop, so none can be read
+      // again.
       def sweep(): Unit = {
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
+        graft.operators.Eager
+          .releaseBroadcastsSince(spark, bcBaseline, force = true)
       }
       sweep()
       // Codegen'd classes for this query's plan stay referenced by the
@@ -86,6 +107,19 @@ object Bench {
       name -> times(times.length / 2)
     }
     val total = results.map(_._2).sum
+    // storage evidence file: one line per query, broadcast blocks at start
+    try {
+      val p = java.nio.file.Paths.get("docs", "BENCH_storage_last.jsonl")
+      java.nio.file.Files.createDirectories(p.getParent)
+      val lines = storageLog.map { case (n, c, m, d) =>
+        s"""{"query":"$n","bc_blocks":$c,"bc_mem":$m,"bc_disk":$d}"""
+      }.mkString("", "\n", "\n")
+      java.nio.file.Files.write(p, lines.getBytes("UTF-8"))
+    } catch { case e: Exception =>
+      System.err.println(s"warn: storage log not written: ${e.getMessage}")
+    }
+    val bcMaxBlocks = if (storageLog.isEmpty) 0 else storageLog.map(_._2).max
+    val bcMaxMem = if (storageLog.isEmpty) 0L else storageLog.map(_._3).max
     // Full-precision per-query map goes to a FILE: the harness captures
     // only the last ~2000 chars of stdout, and 90 queries at full double
     // precision overflow that window — round 3's bench line was cut
@@ -114,7 +148,7 @@ object Bench {
       val qs = byTime.take(n).sortBy(_._1)
         .map { case (k, v) => s"\"" + k + "\":" + r3(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"n_queries":${results.length},"top_n":${math.min(n, results.length)},$fullRef"sf":"$sfDir","runs_per_query":$runs}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"n_queries":${results.length},"top_n":${math.min(n, results.length)},$fullRef"bc_max_blocks":$bcMaxBlocks,"bc_max_mem":$bcMaxMem,"sf":"$sfDir","runs_per_query":$runs}"""
     }
     val out = (results.length to 1 by -1).view.map(line).find(_.length <= 1500).getOrElse(line(1))
     println(out)

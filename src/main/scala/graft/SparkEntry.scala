@@ -91,21 +91,31 @@ object SparkEntry {
     */
   private def nearDupIndexPath(dir: String, variant: String = "dup"): String = {
     val src = new java.io.File(s"$dir/documents.parquet")
-    val tag = java.lang.Integer.toHexString(
-      (dir + ":" + src.lastModified + ":" + src.length).hashCode)
+    // identity from the actual DATA FILES: parquet sources arrive both
+    // as a single file and as a directory of part files, and
+    // File.length on a directory is meaningless — every part's
+    // (name, mtime, size) goes into the tag so regenerating ANY file
+    // retires the index
+    val files =
+      if (src.isDirectory) Option(src.listFiles()).map(_.toSeq)
+        .getOrElse(Seq.empty).sortBy(_.getName)
+      else Seq(src)
+    val ident = files
+      .map(f => s"${f.getName}:${f.lastModified}:${f.length}")
+      .mkString(dir + "|", "|", "")
+    val tag = java.lang.Integer.toHexString(ident.hashCode)
     s"${sys.props("java.io.tmpdir")}/graft_neardup_idx_${variant}_$tag"
   }
 
-  /** Build the band/set index for `corpus` at `path` once (idempotent,
-    * `_OK`-gated — same discipline as [[NearDup.minhashPairsIndexed]]).
+  /** Build the band/set index for `corpus` at `path` once — delegates
+    * to the race-safe staged build ([[NearDup.ensureNearDupIndex]]:
+    * pid-scoped staging dir + atomic rename, `_OK` written pre-rename),
+    * so the concurrent Bench + Verify pair can never interleave writes
+    * into the shared path.
     */
   private def ensureNearDupIndex(corpus: DataFrame, path: String,
       n: Int, k: Int): String = {
-    val ok = new java.io.File(path, "_OK")
-    if (!ok.exists()) {
-      NearDup.writeNearDupIndex(corpus, col("doc_id"), col("text"), n, k, path)
-      ok.createNewFile()
-    }
+    NearDup.ensureNearDupIndex(corpus, col("doc_id"), col("text"), n, k, path)
     path
   }
 
@@ -1313,11 +1323,13 @@ object SparkEntry {
     // contained side even where the symmetric Jaccard would fade with
     // the size gap — the subset-document detector (quotes, boilerplate
     // wraps). Same LSH candidates as q_minhash_pairs, both direction
-    // scores verified.
+    // scores verified — and the SAME materialized band/set index: the
+    // stored tables are exactly this query's inputs, so it prices only
+    // candidate-join + verify, never a re-shingling of the corpus.
     "q_containment" -> ((s, dir) => {
       val corpus = dupCorpus(t(s, dir, "documents"))
-      NearDup.containmentPairs(corpus, col("doc_id"), col("text"),
-          n = 5, k = 8, threshold = 0.9)
+      NearDup.containmentPairsIndexed(s, nearDupIndexPath(dir), corpus,
+          col("doc_id"), col("text"), n = 5, k = 8, threshold = 0.9)
         .orderBy("key_a", "key_b")
     }),
 

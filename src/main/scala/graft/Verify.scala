@@ -18,6 +18,9 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // broadcasts resident at session start are infrastructure; everything
+    // above this baseline belongs to a completed query (sequential loop)
+    val bcBaseline = graft.operators.Eager.broadcastSnapshot(spark)
     SparkEntry.queries.foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
@@ -48,6 +51,9 @@ object Verify {
         // ContextCleaner run (the round-6 bench-inflation root cause)
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
+        // ...and broadcast blocks, the round-7 residual: one per
+        // broadcast join, otherwise reclaimed only via GC+ContextCleaner
+        graft.operators.Eager.releaseBroadcastsSince(spark, bcBaseline, force = true)
         System.gc()
       }
     }

@@ -79,4 +79,48 @@ private[graft] object Eager {
       superseded.foreach(_.apply())
       out
     } else df
+
+  /** Broadcast-block ids resident right now — the "before" snapshot for
+    * [[releaseBroadcastsSince]]. */
+  def broadcastSnapshot(spark: SparkSession): Set[Long] =
+    org.apache.spark.graft.Storage.broadcastIds(spark.sparkContext).toSet
+
+  /** Destroy every broadcast block created since `before` — the same
+    * by-handle discipline [[tracked]] gives checkpoint blocks, applied
+    * to the broadcast exchanges an iterative operator's rounds leave
+    * behind (one per broadcast join; reclaimed otherwise only when a
+    * driver GC lets the ContextCleaner run, which demonstrably lags a
+    * long-lived multi-query session). Call ONLY after the operator's
+    * terminal has been materialized to a checkpoint (an RDD scan
+    * references no broadcast); a destroyed torrent broadcast cannot be
+    * re-fetched, so a still-lazy plan would die. No-op when
+    * eagerRelease is off — the lazy plan may still read them — unless
+    * `force` (the Bench/Verify between-queries sweep, where nothing is
+    * referenced by construction regardless of the conf). Assumes the
+    * session runs one query at a time (Bench/Verify/spec discipline);
+    * a concurrent query's in-flight broadcast would be
+    * indistinguishable from ours.
+    */
+  def releaseBroadcastsSince(spark: SparkSession, before: Set[Long],
+      force: Boolean = false): Unit =
+    if (force || enabled(spark)) {
+      val sc = spark.sparkContext
+      // blocking: the removal must be VISIBLE when this returns —
+      // ReleaseSpec asserts zero residual broadcast blocks right after
+      // an operator returns, and an async remove would flap that
+      (org.apache.spark.graft.Storage.broadcastIds(sc).toSet -- before)
+        .foreach(id =>
+          org.apache.spark.graft.Storage.removeBroadcast(sc, id, blocking = true))
+    }
+
+  /** Scope an operator body: snapshot resident broadcasts, run the body
+    * (which must END in a materializing [[terminal]]/[[terminalReleasing]]
+    * so the returned frame is an RDD scan), then destroy the broadcasts
+    * the body's execution created. */
+  def withBroadcastRelease(spark: SparkSession)(body: => DataFrame): DataFrame = {
+    val before = broadcastSnapshot(spark)
+    val out = body
+    releaseBroadcastsSince(spark, before)
+    out
+  }
 }

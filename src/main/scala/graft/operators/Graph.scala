@@ -61,6 +61,7 @@ object Graph {
     require(iters >= 1, s"pageRank: iters must be ≥ 1, got $iters")
     require(damping > 0 && damping < 1,
       s"pageRank: damping must be in (0,1), got $damping")
+    val bc0 = Eager.broadcastSnapshot(edges.sparkSession)
     val (ed, edRel) = Eager.tracked(edges
       .join(edges.groupBy("src").agg(count(lit(1)).as("deg")), Seq("src"))
       .select(col("src"), col("dst"), col("deg")))
@@ -108,8 +109,12 @@ object Graph {
     }
     // the terminal checkpoint frees EVERYTHING internal (last round's
     // frame, edges, nodes, danglers) deterministically; the caller /
-    // harness owns the terminal's own node-sized blocks
-    Eager.terminalReleasing(last, relPrev, edRel, nodesRel, dangRel)
+    // harness owns the terminal's own node-sized blocks. The rounds
+    // also left one broadcast exchange each (rank/mass frames) — dead
+    // now that the terminal is an RDD scan, destroyed by handle.
+    val out = Eager.terminalReleasing(last, relPrev, edRel, nodesRel, dangRel)
+    Eager.releaseBroadcastsSince(edges.sparkSession, bc0)
+    out
   }
 
   /** Personalized PageRank — [[pageRank]] with the teleport mass
@@ -134,6 +139,7 @@ object Graph {
     require(iters >= 1, s"personalizedPageRank: iters must be ≥ 1, got $iters")
     require(damping > 0 && damping < 1,
       s"personalizedPageRank: damping must be in (0,1), got $damping")
+    val bc0 = Eager.broadcastSnapshot(edges.sparkSession)
     val (ed, edRel) = Eager.tracked(edges
       .join(edges.groupBy("src").agg(count(lit(1)).as("deg")), Seq("src"))
       .select(col("src"), col("dst"), col("deg")))
@@ -182,7 +188,10 @@ object Graph {
         ck
       }
     }
-    Eager.terminalReleasing(last, relPrev, edRel, nodesRel, dangRel, teleRel)
+    val out =
+      Eager.terminalReleasing(last, relPrev, edRel, nodesRel, dangRel, teleRel)
+    Eager.releaseBroadcastsSince(edges.sparkSession, bc0)
+    out
   }
 
   /** Fixed-iteration label propagation over a directed edge frame —
@@ -205,6 +214,7 @@ object Graph {
       iters: Int): DataFrame = {
     require(iters >= 1, s"labelPropagation: iters must be ≥ 1, got $iters")
     import org.apache.spark.sql.expressions.Window
+    val bc0 = Eager.broadcastSnapshot(edges.sparkSession)
     val (e, eRel) = Eager.tracked(edges.select("src", "dst").distinct())
     val (sd, sdRel) = Eager.tracked(
       seeds.select(col("node"), col("label")).distinct())
@@ -227,8 +237,10 @@ object Graph {
     }
     // the final round's checkpoint IS the returned result (its handle
     // sits in relPrev — deliberately NOT called); the edge and seed
-    // frames are dead once it materialized
+    // frames are dead once it materialized, as are the per-round
+    // broadcast exchanges
     eRel(); sdRel()
+    Eager.releaseBroadcastsSince(edges.sparkSession, bc0)
     labels
   }
 
@@ -252,6 +264,7 @@ object Graph {
     * Returns (node, n_tri) for every node in ≥ 1 triangle.
     */
   def triangleCounts(edges: DataFrame): DataFrame = {
+    val bc0 = Eager.broadcastSnapshot(edges.sparkSession)
     val (e, eRel) = Eager.tracked(edges
       .select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
@@ -275,7 +288,9 @@ object Graph {
     val counts = tri
       .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
-    Eager.terminalReleasing(counts, eRel, dirERel)
+    val out = Eager.terminalReleasing(counts, eRel, dirERel)
+    Eager.releaseBroadcastsSince(edges.sparkSession, bc0)
+    out
   }
 
   /** k-hop BFS reachability: min hop-distance (≤ maxHops) from a seed
@@ -297,6 +312,7 @@ object Graph {
   def kHopReachability(edges: DataFrame, seeds: DataFrame,
       maxHops: Int): DataFrame = {
     require(maxHops >= 1, s"kHopReachability: maxHops must be ≥ 1, got $maxHops")
+    val bc0 = Eager.broadcastSnapshot(edges.sparkSession)
     val (e, eRel) = Eager.tracked(edges.select("src", "dst").distinct())
     var (dist, relDist) = Eager.tracked(seeds.select(col("node")).distinct()
       .withColumn("dist", lit(0L)))
@@ -327,6 +343,7 @@ object Graph {
     // edge frame and the last frontier are dead; dist's own blocks are
     // the terminal the caller/harness owns
     relFrontier(); eRel()
+    Eager.releaseBroadcastsSince(edges.sparkSession, bc0)
     dist
   }
 }

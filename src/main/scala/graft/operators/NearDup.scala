@@ -185,6 +185,7 @@ object NearDup {
       n: Int, k: Int, threshold: Double): DataFrame = {
     // the shingle-digest set feeds signatures + the verify sets —
     // persist it once instead of re-exploding the corpus three times
+    val bc0 = Eager.broadcastSnapshot(df.sparkSession)
     val sh = wordShingleDigests(df, key, text, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -193,9 +194,11 @@ object NearDup {
       // eager terminal materialization so the big shingle cache can be
       // released before returning — the surviving pair set is tiny
       // (threshold-filtered); see [[Eager.terminal]]
-      Eager.terminal(
+      val out = Eager.terminal(
         jaccardSets(pairs, sets).filter(col("jacc") >= threshold)
           .select("key_a", "key_b", "jacc"))
+      Eager.releaseBroadcastsSince(df.sparkSession, bc0)
+      out
     } finally { sh.unpersist(); () }
   }
 
@@ -294,12 +297,16 @@ object NearDup {
   def ngramJaccard(
       df: DataFrame, key: Column, text: Column,
       pairs: DataFrame, n: Int): DataFrame = {
+    val bc0 = Eager.broadcastSnapshot(df.sparkSession)
     val sh = (if (n <= 16) shingles(df, key, text, n)
       else shingleDigests(df, key, text, n))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // eager + release: same cache-lifetime discipline as [[minhashPairs]]
-    try Eager.terminal(jaccard(pairs, sh))
-    finally { sh.unpersist(); () }
+    try {
+      val out = Eager.terminal(jaccard(pairs, sh))
+      Eager.releaseBroadcastsSince(df.sparkSession, bc0)
+      out
+    } finally { sh.unpersist(); () }
   }
 
   /** Connected components over a near-dup pair graph — what production
@@ -343,6 +350,7 @@ object NearDup {
     // but the contract is a label for EVERY node appearing in `pairs` —
     // a self-paired isolated node still labels itself; see the anti-join
     // at the end).
+    val bc0 = Eager.broadcastSnapshot(pairs.sparkSession)
     val (rawEdges, rawRel) = Eager.tracked(pairs
       .select(col("key_a").as("src"), col("key_b").as("dst"))
       .distinct())
@@ -441,8 +449,13 @@ object NearDup {
       .select(col("key"), col("key").as("cluster_id"))
     // terminal checkpoint frees the raw edge list and the converged
     // star edges; the (small) label frame is the only surviving block
-    // set, owned by the caller/harness
-    Eager.terminalReleasing(starLabels.unionByName(selfOnly), relPrev, rawRel)
+    // set, owned by the caller/harness. Contraction rounds each left a
+    // broadcast exchange (AQE broadcasts the shrinking edge frames) —
+    // destroyed by handle now that the terminal is an RDD scan.
+    val out =
+      Eager.terminalReleasing(starLabels.unionByName(selfOnly), relPrev, rawRel)
+    Eager.releaseBroadcastsSince(pairs.sparkSession, bc0)
+    out
   }
 
   /** Incremental near-dup: filter an INCOMING batch against an EXISTING
@@ -491,6 +504,7 @@ object NearDup {
       incoming: DataFrame, key: Column, text: Column,
       n: Int, k: Int, threshold: Double): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val bc0 = Eager.broadcastSnapshot(incoming.sparkSession)
     val shI = wordShingleDigests(incoming, key, text, n).persist(lvl)
     try {
       val cand = lshBands(minhashSig(shI, k), k)
@@ -508,8 +522,10 @@ object NearDup {
             (size(col("sh_a")) + size(col("sh_b")) - col("n_inter")).cast("double"))
         .filter(col("jacc") >= threshold)
         .select(col("key_i").as("key")).distinct()
-      Eager.terminal(
+      val out = Eager.terminal(
         incoming.select(key.as("key")).join(dup, Seq("key"), "left_anti"))
+      Eager.releaseBroadcastsSince(incoming.sparkSession, bc0)
+      out
     } finally { shI.unpersist(); () }
   }
 
@@ -608,6 +624,44 @@ object NearDup {
     } finally { sh.unpersist(); () }
   }
 
+  /** Build the shared on-disk index at `path` exactly once, RACE-SAFELY:
+    * concurrent JVMs (the Bench + Verify pair) may both observe a
+    * missing `_OK`. Each builds into its own pid-scoped staging
+    * directory and a single atomic directory rename installs one of
+    * them; the loser (rename fails because the winner's directory now
+    * exists) discards its staging copy and reads the winner's. `_OK` is
+    * written INSIDE the staging dir before the rename, so a reader can
+    * never observe a half-built index under `path` — either the rename
+    * happened (complete index + `_OK`) or `path` is absent. A `path`
+    * left WITHOUT `_OK` (a build crashed mid-write in an older layout)
+    * is torn down and rebuilt.
+    */
+  def ensureNearDupIndex(corpus: DataFrame, key: Column, text: Column,
+      n: Int, k: Int, path: String): Unit = {
+    def okAt(dir: java.io.File) = new java.io.File(dir, "_OK")
+    val dst = new java.io.File(path)
+    if (okAt(dst).exists()) return
+    def deleteRec(f: java.io.File): Unit = {
+      val children = f.listFiles()
+      if (children != null) children.foreach(deleteRec)
+      f.delete(); ()
+    }
+    if (dst.exists()) deleteRec(dst) // crashed un-gated build
+    val stage =
+      new java.io.File(path + s".stage-${ProcessHandle.current.pid}")
+    if (stage.exists()) deleteRec(stage)
+    try {
+      writeNearDupIndex(corpus, key, text, n, k, stage.getPath)
+      okAt(stage).createNewFile()
+      if (!stage.renameTo(dst)) {
+        // lost the race — the winner's complete index is at `path`
+        require(okAt(dst).exists(),
+          s"near-dup index install race left $path without _OK")
+        deleteRec(stage)
+      }
+    } finally if (stage.exists()) deleteRec(stage)
+  }
+
   /** Asymmetric near-CONTAINMENT pairs (Broder 1997's containment
     * c(A→B) = |A∩B| / |A|): detects documents mostly INSIDE another —
     * truncations, quoted inclusions, boilerplate-wrapped copies — which
@@ -623,25 +677,59 @@ object NearDup {
   def containmentPairs(
       df: DataFrame, key: Column, text: Column,
       n: Int, k: Int, threshold: Double): DataFrame = {
+    val bc0 = Eager.broadcastSnapshot(df.sparkSession)
     val sh = wordShingleDigests(df, key, text, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val pairs = candidatePairs(lshBands(minhashSig(sh, k), k))
       val sets = sh.groupBy("key").agg(collect_set(col("shingle")).as("sh"))
-      val scored = pairs
-        .join(sets.select(col("key").as("key_a"), col("sh").as("sh_a")), Seq("key_a"))
-        .join(sets.select(col("key").as("key_b"), col("sh").as("sh_b")), Seq("key_b"))
-        .withColumn("n_inter",
-          size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
-        .withColumn("cont_a", round(
-          col("n_inter").cast("double") / size(col("sh_a")).cast("double"), 6))
-        .withColumn("cont_b", round(
-          col("n_inter").cast("double") / size(col("sh_b")).cast("double"), 6))
-        .withColumn("containment", greatest(col("cont_a"), col("cont_b")))
-        .filter(col("containment") >= threshold)
-        .select("key_a", "key_b", "cont_a", "cont_b", "containment")
-      Eager.terminal(scored)
+      val out = Eager.terminal(scoreContainment(pairs, sets, threshold))
+      Eager.releaseBroadcastsSince(df.sparkSession, bc0)
+      out
     } finally { sh.unpersist(); () }
+  }
+
+  /** Both-direction containment scores for candidate pairs over per-doc
+    * digest sets, thresholded on the max — the verify stage shared by
+    * [[containmentPairs]] and [[containmentPairsIndexed]]. */
+  private def scoreContainment(pairs: DataFrame, sets: DataFrame,
+      threshold: Double): DataFrame =
+    pairs
+      .join(sets.select(col("key").as("key_a"), col("sh").as("sh_a")), Seq("key_a"))
+      .join(sets.select(col("key").as("key_b"), col("sh").as("sh_b")), Seq("key_b"))
+      .withColumn("n_inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("cont_a", round(
+        col("n_inter").cast("double") / size(col("sh_a")).cast("double"), 6))
+      .withColumn("cont_b", round(
+        col("n_inter").cast("double") / size(col("sh_b")).cast("double"), 6))
+      .withColumn("containment", greatest(col("cont_a"), col("cont_b")))
+      .filter(col("containment") >= threshold)
+      .select("key_a", "key_b", "cont_a", "cont_b", "containment")
+
+  /** [[containmentPairs]] backed by the MATERIALIZED index — the stored
+    * bands + digest sets ([[writeNearDupIndex]]) are EXACTLY its two
+    * inputs, so a containment scan prices only the candidate banding
+    * join + the both-direction verify, never a re-shingling of the
+    * corpus (round-7 verdict #5: the un-indexed form re-paid the
+    * shingle/signature stage every run even when the Jaccard pair
+    * consumers had already materialized identical tables). Results
+    * equal [[containmentPairs]] on the same corpus — same aggregates,
+    * same candidates — which NearDupSpec asserts.
+    */
+  def containmentPairsIndexed(
+      spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      corpus: DataFrame, key: Column, text: Column,
+      n: Int, k: Int, threshold: Double): DataFrame = {
+    val bc0 = Eager.broadcastSnapshot(spark)
+    ensureNearDupIndex(corpus, key, text, n, k, indexPath)
+    val bands = spark.read.parquet(s"$indexPath/bands")
+      .select("key", "band", "band_val")
+    val sets = spark.read.parquet(s"$indexPath/sets")
+    val out = Eager.terminal(
+      scoreContainment(candidatePairs(bands), sets, threshold))
+    Eager.releaseBroadcastsSince(spark, bc0)
+    out
   }
 
   /** Index MAINTENANCE — the write half of the crawl-ingest loop:
@@ -687,18 +775,17 @@ object NearDup {
       spark: org.apache.spark.sql.SparkSession, indexPath: String,
       corpus: DataFrame, key: Column, text: Column,
       n: Int, k: Int, threshold: Double): DataFrame = {
-    val ok = new java.io.File(indexPath, "_OK")
-    if (!ok.exists()) {
-      writeNearDupIndex(corpus, key, text, n, k, indexPath)
-      ok.createNewFile()
-    }
+    val bc0 = Eager.broadcastSnapshot(spark)
+    ensureNearDupIndex(corpus, key, text, n, k, indexPath)
     val bands = spark.read.parquet(s"$indexPath/bands")
       .select("key", "band", "band_val")
     val sets = spark.read.parquet(s"$indexPath/sets")
-    Eager.terminal(
+    val out = Eager.terminal(
       jaccardSets(candidatePairs(bands), sets)
         .filter(col("jacc") >= threshold)
         .select("key_a", "key_b", "jacc"))
+    Eager.releaseBroadcastsSince(spark, bc0)
+    out
   }
 
   /** [[incrementalSurvivors]] against a MATERIALIZED index (written by

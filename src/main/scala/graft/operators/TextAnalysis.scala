@@ -377,11 +377,15 @@ object TextAnalysis {
 
   def bpeTrain(df: DataFrame, text: Column, merges: Int): DataFrame = {
     require(merges >= 1, s"bpeTrain: merges must be ≥ 1, got $merges")
+    val bc0 = Eager.broadcastSnapshot(df.sparkSession)
     val (steps, _, bestRels, lastSymsRel) = bpeLoop(df, text, merges)
     // the last symbol table feeds nothing downstream — the result is the
     // union of the (checkpointed) per-round winners
     lastSymsRel()
-    Eager.terminalReleasing(steps.reduce(_ unionByName _), bestRels: _*)
+    val out = Eager.terminalReleasing(steps.reduce(_ unionByName _), bestRels: _*)
+    // each round broadcast its 1-row winner into the merge-apply join
+    Eager.releaseBroadcastsSince(df.sparkSession, bc0)
+    out
   }
 
   /** The ENCODE side of the learned tokenizer: apply the `merges`
@@ -395,12 +399,15 @@ object TextAnalysis {
     */
   def bpeVocab(df: DataFrame, text: Column, merges: Int): DataFrame = {
     require(merges >= 1, s"bpeVocab: merges must be ≥ 1, got $merges")
+    val bc0 = Eager.broadcastSnapshot(df.sparkSession)
     val (_, syms, bestRels, lastSymsRel) = bpeLoop(df, text, merges)
     val vocab = syms
       .select(col("freq"), explode(split(trim(col("s")), " ")).as("token"))
       .groupBy("token")
       .agg(sum(col("freq")).as("cnt"), count(lit(1)).as("n_words"))
-    Eager.terminalReleasing(vocab, bestRels :+ lastSymsRel: _*)
+    val out = Eager.terminalReleasing(vocab, bestRels :+ lastSymsRel: _*)
+    Eager.releaseBroadcastsSince(df.sparkSession, bc0)
+    out
   }
 
   /** Rabin-Karp rolling-hash fingerprint: polynomial hash

@@ -296,6 +296,39 @@ class NearDupSpec extends AnyFunSuite {
     }
   }
 
+  test("containmentPairsIndexed equals containmentPairs on the stored index") {
+    val d = graft.sources.Sources.table(spark, "/root/testdata/sf0.001", "documents")
+      .filter(col("doc_id") < 100)
+    // truncated copies: high containment on the contained side
+    val corpus = d.select("doc_id", "text").unionByName(
+      d.select((col("doc_id") + 1000000).as("doc_id"),
+        col("text").substr(lit(1), (length(col("text")) * 3) / 4).as("text")))
+    val idxDir = java.nio.file.Files.createTempDirectory("neardup_cont_idx")
+    try {
+      val direct = NearDup.containmentPairs(corpus, col("doc_id"), col("text"),
+          n = 5, k = 8, threshold = 0.9)
+        .select("key_a", "key_b", "containment")
+        .as[(Long, Long, Double)].collect().toSet
+      val indexed = NearDup.containmentPairsIndexed(spark, idxDir.toString,
+          corpus, col("doc_id"), col("text"), n = 5, k = 8, threshold = 0.9)
+        .select("key_a", "key_b", "containment")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(indexed === direct)
+      assert(indexed.nonEmpty)
+      // the index is shared state: a subsequent Jaccard mining pass hits
+      // the same stored tables without a rebuild
+      assert(new java.io.File(idxDir.toFile, "_OK").exists())
+      val pairs = NearDup.minhashPairsIndexed(spark, idxDir.toString,
+          corpus, col("doc_id"), col("text"), n = 5, k = 8, threshold = 0.5)
+      assert(pairs.count() > 0)
+    } finally {
+      val s = java.nio.file.Files.walk(idxDir)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+      finally s.close()
+    }
+  }
+
   test("lshBands with 4 rows per band yields 4 wider, more selective bands") {
     val docs = Seq((1L, (1 to 30).map(i => s"w$i").mkString(" ")))
       .toDF("doc_id", "text")

@@ -39,8 +39,24 @@ class ReleaseSpec extends AnyFunSuite {
     val sc = spark.sparkContext
     // drain anything a previous test left (suites share the session)
     sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    graft.operators.Eager.releaseBroadcastsSince(spark, Set.empty, force = true)
     val before = sc.getPersistentRDDs.keySet
-    val n = op.count()
+    val bcBefore = graft.operators.Eager.broadcastSnapshot(spark)
+    val result = op
+    // round-7 extension: the same by-handle discipline for BROADCAST
+    // blocks — an operator whose terminal is an RDD scan must destroy
+    // the broadcast exchanges its internal rounds created (otherwise
+    // they wait for GC + ContextCleaner, the exact mechanism behind the
+    // round-6/7 driver-suite inflation, this time in broadcast form).
+    // Checked at RETURN, before any further action: every job — even a
+    // count on the checkpointed terminal — broadcasts its task binary,
+    // so a post-count snapshot would always be dirty.
+    val bcLeaked = graft.operators.Eager.broadcastSnapshot(spark) -- bcBefore
+    assert(bcLeaked.isEmpty,
+      s"$label retained ${bcLeaked.size} broadcast(s) after materialization " +
+        "(ids " + bcLeaked.toSeq.sorted.mkString(",") + ") — an internal " +
+        "broadcast exchange is missing its Eager.releaseBroadcastsSince")
+    val n = result.count()
     assert(n > 0, s"$label: empty result would make the residual check vacuous")
     val leaked = sc.getPersistentRDDs.keySet -- before
     assert(leaked.size <= maxResidual,
@@ -124,6 +140,40 @@ class ReleaseSpec extends AnyFunSuite {
     }
     assertReleases("bpeVocab") {
       TextAnalysis.bpeVocab(d, col("text"), merges = 3)
+    }
+  }
+
+  test("broadcast tripwire trips: an unmanaged broadcast join leaves blocks; the sweep clears them") {
+    import graft.operators.Eager
+    Eager.releaseBroadcastsSince(spark, Set.empty, force = true)
+    val bc0 = Eager.broadcastSnapshot(spark)
+    // a plain broadcast join with NO release discipline — exactly what
+    // assertReleases must catch if an operator regresses
+    val dim = Seq(("a", 1), ("b", 2)).toDF("k", "v")
+    val fact = Seq(("a", 10L), ("b", 20L), ("a", 30L)).toDF("k", "x")
+    val n = fact.join(broadcast(dim), Seq("k")).count()
+    assert(n === 3)
+    val leaked = Eager.broadcastSnapshot(spark) -- bc0
+    assert(leaked.nonEmpty,
+      "a broadcast join should leave resident broadcast blocks — if this " +
+        "starts passing vacuously the tripwire above is blind")
+    // the Bench/Verify between-queries sweep clears them by handle
+    Eager.releaseBroadcastsSince(spark, bc0, force = true)
+    assert((Eager.broadcastSnapshot(spark) -- bc0).isEmpty,
+      "forced sweep did not destroy the leaked broadcast blocks")
+  }
+
+  test("containmentPairsIndexed releases its broadcasts and checkpoints like the un-indexed form") {
+    val docs = Seq(
+      ("d1", "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      ("d2", "alpha beta gamma delta epsilon zeta eta theta"),
+      ("d3", "totally unrelated words about spark adaptive query execution"))
+      .toDF("doc_id", "text")
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_rel_cont_idx").toString + "/idx"
+    assertReleases("containmentPairsIndexed") {
+      NearDup.containmentPairsIndexed(spark, idx, docs,
+        col("doc_id"), col("text"), n = 2, k = 8, threshold = 0.8)
     }
   }
 
