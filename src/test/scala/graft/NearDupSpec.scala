@@ -466,6 +466,37 @@ class NearDupSpec extends AnyFunSuite {
     assert(one === single)
   }
 
+  test("orLshTopK: table 0 is signBucket; OR-union widens candidates monotonically") {
+    val emb = graft.sources.Sources.table(spark, "/root/testdata/sf0.001", "embeddings")
+      .filter(col("vec_id") < 200).select("vec_id", "embedding")
+    val q = emb.filter(col("vec_id") < 5)
+    // table 0 reuses plane bits 0..nBits-1, so nTables=1 must equal the
+    // single-bucket probe exactly
+    val single = Similarity.bucketedTopK(q, emb, "vec_id", "embedding",
+        nBits = 4, dim = 64, k = 200)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val or1 = Similarity.orLshTopK(q, emb, "vec_id", "embedding",
+        nBits = 4, dim = 64, nTables = 1, k = 200)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(or1 === single)
+    // each added table can only ADD candidates (OR-construction)
+    val or4 = Similarity.orLshTopK(q, emb, "vec_id", "embedding",
+        nBits = 4, dim = 64, nTables = 4, k = 200)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(single.subsetOf(or4))
+    assert(or4.size > single.size,
+      "three extra independent tables should reach at least one extra candidate")
+    // recall@5 against brute force clears the documented 0.8 bar at 16
+    // tables even on these near-uniform (LSH-adversarial) embeddings
+    val ground = Similarity.cosineTopK(q, emb, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val or16 = Similarity.orLshTopK(q, emb, "vec_id", "embedding",
+        nBits = 4, dim = 64, nTables = 16, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (or16 & ground).size.toDouble / ground.size
+    assert(recall >= 0.8, s"recall@5 $recall below the OR-amplification bar")
+  }
+
   test("langId picks the language whose markers dominate") {
     val d = Seq((1L, "the cat and the hat of the house"),
       (2L, "scan row data scan row data")).toDF("doc_id", "text")
