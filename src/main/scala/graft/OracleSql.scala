@@ -178,6 +178,103 @@ object OracleSql {
         |SELECT key FROM incoming
         |WHERE key NOT IN (SELECT key_i FROM dup) ORDER BY key""".stripMargin
 
+  /** One probe round of the CUMULATIVE streaming near-dup oracle:
+    * incoming CTE `inc` vs corpus CTE `corpus` (both (key, t)),
+    * n=5 word shingles, k=8 minhash, 4×2 bands, Jaccard ≥ 0.5 —
+    * the same pipeline as [[dedupIncrementalSql]], suffixed with `p`
+    * so rounds chain (round i+1's corpus includes round i's `surv$p`).
+    */
+  private def cumProbeCtes(p: String, corpus: String, inc: String): String =
+    s"""shE$p AS (
+       |  SELECT DISTINCT key, md5(array_to_string(w[i:i+4], ' ')) AS shingle
+       |  FROM (
+       |    SELECT key, string_split_regex(t, '\\s+') AS w,
+       |      unnest(generate_series(1,
+       |        greatest(len(string_split_regex(t, '\\s+')) - 4, 1))) AS i
+       |    FROM $corpus)),
+       |shI$p AS (
+       |  SELECT DISTINCT key, md5(array_to_string(w[i:i+4], ' ')) AS shingle
+       |  FROM (
+       |    SELECT key, string_split_regex(t, '\\s+') AS w,
+       |      unnest(generate_series(1,
+       |        greatest(len(string_split_regex(t, '\\s+')) - 4, 1))) AS i
+       |    FROM $inc)),
+       |mhE$p AS (
+       |  SELECT key, seed,
+       |    min(substr(shingle || shingle, 1 + 4 * seed, 16)) AS mh
+       |  FROM shE$p CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS seed)
+       |  GROUP BY key, seed),
+       |mhI$p AS (
+       |  SELECT key, seed,
+       |    min(substr(shingle || shingle, 1 + 4 * seed, 16)) AS mh
+       |  FROM shI$p CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS seed)
+       |  GROUP BY key, seed),
+       |bandsE$p AS (
+       |  SELECT key, seed // 2 AS band,
+       |    min(CASE WHEN seed % 2 = 0 THEN mh END) || '|' ||
+       |    min(CASE WHEN seed % 2 = 1 THEN mh END) AS band_val
+       |  FROM mhE$p GROUP BY key, seed // 2),
+       |bandsI$p AS (
+       |  SELECT key, seed // 2 AS band,
+       |    min(CASE WHEN seed % 2 = 0 THEN mh END) || '|' ||
+       |    min(CASE WHEN seed % 2 = 1 THEN mh END) AS band_val
+       |  FROM mhI$p GROUP BY key, seed // 2),
+       |cand$p AS (
+       |  SELECT DISTINCT i.key AS key_i, e.key AS key_e
+       |  FROM bandsI$p i JOIN bandsE$p e
+       |    ON i.band = e.band AND i.band_val = e.band_val),
+       |cntE$p AS (SELECT key, count(*) AS cnt FROM shE$p GROUP BY key),
+       |cntI$p AS (SELECT key, count(*) AS cnt FROM shI$p GROUP BY key),
+       |inter$p AS (
+       |  SELECT c.key_i, c.key_e, count(*) AS n_inter
+       |  FROM cand$p c
+       |  JOIN shI$p a ON a.key = c.key_i
+       |  JOIN shE$p b ON b.key = c.key_e AND b.shingle = a.shingle
+       |  GROUP BY c.key_i, c.key_e),
+       |dup$p AS (
+       |  SELECT DISTINCT i.key_i FROM inter$p i
+       |  JOIN cntI$p ci ON ci.key = i.key_i
+       |  JOIN cntE$p ce ON ce.key = i.key_e
+       |  WHERE CAST(n_inter AS DOUBLE) /
+       |    CAST(ci.cnt + ce.cnt - n_inter AS DOUBLE) >= 0.5),
+       |surv$p AS (
+       |  SELECT key FROM $inc
+       |  WHERE key NOT IN (SELECT key_i FROM dup$p))""".stripMargin
+
+  /** Cumulative streaming near-dup (q_stream_neardup_cum): batch 0
+    * (odd originals) probes the index of the evens; batch 0's SURVIVORS
+    * join the corpus; batch 1 (truncated odd copies) probes that
+    * accumulated corpus. Deterministic because the stream lands one
+    * file per batch value in ascending order — the fold IS this
+    * 2-step chained CTE (round-7 verdict #4; same unrolling idea as
+    * the BPE oracle). Pieces stripMargin'd separately, then joined —
+    * never stripMargin over an interpolated multi-line helper.
+    */
+  private val streamNearDupCumSql: String = {
+    val head =
+      """WITH docs0 AS (
+        |  SELECT doc_id AS key, text AS t FROM documents
+        |  WHERE doc_id % 2 = 0),
+        |inc0 AS (
+        |  SELECT doc_id AS key, text AS t FROM documents
+        |  WHERE doc_id % 2 = 1),
+        |inc1 AS (
+        |  SELECT doc_id + 1000000 AS key,
+        |    substr(text, 1, length(text) - 10) AS t
+        |  FROM documents WHERE doc_id % 2 = 1)""".stripMargin
+    val corpus1 =
+      """corpus1 AS (
+        |  SELECT key, t FROM docs0
+        |  UNION ALL
+        |  SELECT key, t FROM inc0
+        |  WHERE key IN (SELECT key FROM surv0))""".stripMargin
+    val tail =
+      """SELECT key FROM surv0
+        |UNION ALL SELECT key FROM surv1 ORDER BY key""".stripMargin
+    s"$head,\n${cumProbeCtes("0", "docs0", "inc0")},\n$corpus1,\n" +
+      s"${cumProbeCtes("1", "corpus1", "inc1")}\n$tail"
+  }
+
   /** Shared BPE CTE chain (word-freq table, per-codepoint symbol
     * strings, k unrolled count->argmax->two-pass-replace rounds) —
     * used by q_bpe_train (reads the b-r winners) and q_bpe_vocab
@@ -914,6 +1011,8 @@ object OracleSql {
     // survivors equals the one-shot batch result and the oracle is
     // shared verbatim.
     "q_stream_neardup" -> dedupIncrementalSql,
+
+    "q_stream_neardup_cum" -> streamNearDupCumSql,
 
     "q_simhash_pairs" -> {
       // bit b = bit-plane (3 − b/32) of md5 nibble (b mod 32) — mirrors

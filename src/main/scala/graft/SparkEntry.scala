@@ -2160,12 +2160,15 @@ object SparkEntry {
 
     // K3+ — CUMULATIVE streaming near-dup: every batch's survivors are
     // appended to the index before the next batch probes, so the stream
-    // dedups against itself across batches (the real crawl loop). No
-    // SQL oracle (the result folds over batch boundaries, which SQL
-    // can't see) → driver rows-only check; equality with the sequential
-    // fold of the ORACLED incremental operator is spec-asserted
-    // (StreamingSinksSpec). The index copy is rebuilt per run — the
-    // operator mutates it, so it must not share the cached one.
+    // dedups against itself across batches (the real crawl loop).
+    // Fully ORACLED since round 8: the committed batch order (one file
+    // per batch value, ascending) makes the fold deterministic, so the
+    // oracle unrolls it as a 2-step chained probe CTE (batch 1 probes
+    // evens ∪ batch-0 survivors) — the BPE-oracle unrolling idea.
+    // Equality with the sequential fold of the incremental operator is
+    // additionally spec-asserted (StreamingSinksSpec). The index copy
+    // is rebuilt per run — the operator mutates it, so it must not
+    // share the cached one.
     "q_stream_neardup_cum" -> ((s, dir) => {
       val d = t(s, dir, "documents").select("doc_id", "text")
       val existing = d.filter(col("doc_id") % 2 === 0)

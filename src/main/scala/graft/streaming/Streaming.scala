@@ -521,8 +521,16 @@ object Streaming {
     val land = freshDir("neardup_cum_land")
     val out = freshDir("neardup_cum_out")
     val tagged = incoming.withColumn("__b", batchOf)
-    val batches = tagged.select("__b").distinct()
-      .collect().map(_.get(0)).sortBy(_.toString)
+    // driver-side collect of BATCH IDS only (test-harness orchestration
+    // of batch arrival — a handful of values, never row data; do not
+    // imitate for data columns). Numeric batch values sort NUMERICALLY:
+    // toString ordering would put batch 10 before batch 2, silently
+    // changing which member of a cross-batch dup pair survives.
+    val raw = tagged.select("__b").distinct().collect().map(_.get(0))
+    val batches =
+      if (raw.forall(_.isInstanceOf[java.lang.Number]))
+        raw.sortBy(_.asInstanceOf[java.lang.Number].doubleValue)
+      else raw.sortBy(_.toString)
     batches.zipWithIndex.foreach { case (b, i) =>
       tagged.filter(col("__b") === lit(b)).drop("__b")
         .coalesce(1).write.mode("overwrite")

@@ -189,8 +189,12 @@ class StreamingSinksSpec extends AnyFunSuite {
     try {
       NearDup.writeNearDupIndex(existing, col("doc_id"), col("text"),
         n = 5, k = 8, path = idxDir.toString)
+      // batch ids 2 and 10, not 0 and 1: numeric batch values must sort
+      // NUMERICALLY (2 before 10). A lexicographic sort ("10" < "2")
+      // would process the copies first, inverting which member of every
+      // cross-batch dup pair survives — this fixture then fails loudly.
       val got = Streaming.streamingNearDupCumulative(spark, idxDir.toString,
-          incoming, when(col("doc_id") < 1000, 0).otherwise(1),
+          incoming, when(col("doc_id") < 1000, 2).otherwise(10),
           n = 5, k = 8, threshold = 0.5)
         .as[Long].collect().toSet
       // reference: the sequential greedy fold — probe batch 0 against
