@@ -1059,6 +1059,52 @@ object OracleSql {
          |FROM cand WHERE ($ham) <= 3 ORDER BY key_a, key_b""".stripMargin
     },
 
+    "q_image_neardup" -> {
+      // block b of 32 over the payload byte stream (== codepoints on the
+      // all-ASCII corpus); bit = block mean > global mean, both double
+      // divisions of exact integer sums — mirrors
+      // Multimodal.imageBlockHash exactly
+      val aggs = (0 until 32).map(b =>
+        s"sum(CASE WHEN blk = $b THEN c END) AS s$b, " +
+          s"sum(CASE WHEN blk = $b THEN 1 ELSE 0 END) AS n$b")
+        .mkString(",\n    ")
+      val bits = (0 until 32).map(b =>
+        s"CASE WHEN n$b > 0 AND CAST(s$b AS DOUBLE) / CAST(n$b AS DOUBLE) " +
+          s"> CAST(gs AS DOUBLE) / CAST(gn AS DOUBLE) THEN '1' ELSE '0' END")
+        .mkString(" || ")
+      val ham = "hamming(sig_a, sig_b)"
+      s"""WITH corpus AS (
+         |  SELECT doc_id AS key, text AS t FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000,
+         |    substr(text, 1, 10) || 'zzzzz' || substr(text, 16)
+         |  FROM documents),
+         |px AS (
+         |  SELECT key,
+         |    CAST(floor(CAST((i - 1) * 32 AS DOUBLE) /
+         |      CAST(length(t) AS DOUBLE)) AS INTEGER) AS blk,
+         |    ascii(substr(t, i, 1)) AS c
+         |  FROM (
+         |    SELECT key, t, unnest(generate_series(1, length(t))) AS i
+         |    FROM corpus)),
+         |agg AS (
+         |  SELECT key,
+         |    $aggs,
+         |    sum(c) AS gs, count(*) AS gn
+         |  FROM px GROUP BY key),
+         |sig AS (SELECT key, $bits AS simhash FROM agg),
+         |bands AS (
+         |  SELECT key, simhash, b, substr(simhash, 1 + 8 * b, 8) AS band_val
+         |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b)),
+         |cand AS (
+         |  SELECT DISTINCT a.key AS key_a, c.key AS key_b,
+         |    a.simhash AS sig_a, c.simhash AS sig_b
+         |  FROM bands a JOIN bands c
+         |    ON a.b = c.b AND a.band_val = c.band_val AND a.key < c.key)
+         |SELECT key_a, key_b, CAST($ham AS INTEGER) AS hamming
+         |FROM cand WHERE ($ham) <= 3 ORDER BY key_a, key_b""".stripMargin
+    },
+
     "q_ngram_jaccard" ->
       """WITH corpus AS (
         |  SELECT doc_id AS key, text AS t FROM documents

@@ -121,6 +121,73 @@ object Multimodal {
       .toDF()
   }
 
+  /** Blockhash-style perceptual fingerprint over an opaque image
+    * payload (Yang/Weng's block mean value hash — the aHash family):
+    * treat the payload's byte stream as the pixel stream, split it into
+    * `nBlocks` contiguous blocks, bit b = 1 iff block b's mean exceeds
+    * the global mean. Robust to small local edits (one edit moves one
+    * block's mean slightly; a bit flips only near the global-mean
+    * threshold) — which is exactly what makes it a NEAR-dup key where
+    * [[fakeDecode]]'s md5 digest is an exact-dup key. Pure arithmetic
+    * on bytes: deterministic, no decoder, oracle-replayable.
+    *
+    * Implemented over the codepoints of the payload's UTF-8 decode,
+    * which EQUALS the byte stream on all-ASCII payloads (the synthetic
+    * corpus — spec-asserted) and lets the DuckDB oracle replay via
+    * ascii(); a real deployment would swap the codepoint stream for a
+    * decoded-pixel stream inside the same aggregate.
+    *
+    * Plan shape: one narrow explode (scan-stage fan-out, payload
+    * pruned immediately), then ONE aggregate computing all block sums
+    * as conditional columns — no per-block shuffle, group size bounded
+    * by payload length. Returns (key, blockhash: nBlocks-char
+    * '0'/'1' string), the same fingerprint form as
+    * [[NearDup.simhashBits]] so the Hamming-band pair miner is reused
+    * verbatim.
+    */
+  def imageBlockHash(df: DataFrame, key: Column, payload: Column,
+      nBlocks: Int): DataFrame = {
+    require(nBlocks >= 1 && nBlocks <= 63,
+      s"imageBlockHash: nBlocks must be in [1, 63], got $nBlocks")
+    val rows = df.select(key.as("key"), decode(payload, "UTF-8").as("t"))
+      .select(col("key"), col("t"),
+        explode(sequence(lit(1), length(col("t")))).as("i"))
+      .select(col("key"),
+        floor(((col("i") - 1) * nBlocks).cast("double") /
+          length(col("t")).cast("double")).cast("int").as("blk"),
+        ascii(col("t").substr(col("i"), lit(1))).as("c"))
+    val aggs = (0 until nBlocks).flatMap(b => Seq(
+      sum(when(col("blk") === b, col("c"))).as(s"s$b"),
+      sum(when(col("blk") === b, 1L).otherwise(0L)).as(s"n$b"))) ++ Seq(
+      sum(col("c")).as("gs"), count(lit(1)).as("gn"))
+    val g = rows.groupBy("key").agg(aggs.head, aggs.tail: _*)
+    // block mean > global mean, strictly; an empty block (payload
+    // shorter than nBlocks) reads 0. Double division of exact integer
+    // sums — IEEE-identical on every engine.
+    val bits = (0 until nBlocks).map(b =>
+      when(col(s"n$b") > 0 &&
+        col(s"s$b").cast("double") / col(s"n$b").cast("double") >
+          col("gs").cast("double") / col("gn").cast("double"), "1")
+        .otherwise("0"))
+    g.select(col("key"), concat(bits: _*).as("blockhash"))
+  }
+
+  /** Perceptual near-dup pair mining for the multimodal columns —
+    * [[imageBlockHash]] fingerprints fed through the SAME
+    * pigeonhole-banded Hamming miner as text SimHash
+    * ([[NearDup.simhashPairs]]): nBands contiguous bands, pairs
+    * agreeing on ≥ 1 band are candidates (zero false negatives for
+    * hamming < nBands), exact Hamming verified per candidate. Closes
+    * the modality gap where the repo stored/decoded media but only
+    * exact-deduped it.
+    */
+  def imageNearDupPairs(withPayloads: DataFrame, key: Column,
+      nBlocks: Int, nBands: Int, maxHam: Int): DataFrame =
+    NearDup.simhashPairs(
+      imageBlockHash(withPayloads, key, col("payload"), nBlocks)
+        .withColumnRenamed("blockhash", "simhash"),
+      nBlocks, nBands, maxHam)
+
   /** Per-partition batch decode: mapPartitions so a real decoder is
     * initialized once per partition, not per row (the same pattern the
     * reference uses for its per-partition HTTP client,

@@ -259,4 +259,38 @@ class SourcesSpec extends AnyFunSuite {
       .filter($"n_bytes" =!= $"n_chars").count()
     assert(bad === 0)
   }
+
+  test("imageBlockHash: stable fingerprint, local edit within the Hamming band bound") {
+    import graft.operators.Multimodal
+    val docs = graft.sources.Sources.table(spark, "/root/testdata/sf0.001", "documents")
+      .filter($"doc_id" < 60).select($"doc_id", $"text")
+    // codepoints == bytes assumption (the oracle replays via ascii):
+    // the synthetic corpus is all-ASCII — fail loudly if that drifts
+    assert(docs.filter($"text".rlike("[^\\x00-\\x7F]")).count() === 0)
+    val p = Multimodal.withPayload(docs, $"doc_id", $"text", length($"text"))
+    val fp1 = Multimodal.imageBlockHash(p, $"doc_id", $"payload", 32)
+      .as[(Long, String)].collect().toMap
+    assert(fp1.values.forall(s => s.length == 32 && s.forall(c => c == '0' || c == '1')))
+    // deterministic: same payload, same fingerprint
+    val fp2 = Multimodal.imageBlockHash(p, $"doc_id", $"payload", 32)
+      .as[(Long, String)].collect().toMap
+    assert(fp2 === fp1)
+    // a 5-byte local overwrite stays a NEAR-dup: pair mining over
+    // originals + copies finds most copy pairs within hamming <= 3 and
+    // (at this corpus size) no original-original pair
+    val pert = docs.select(($"doc_id" + 1000L).as("doc_id"),
+      concat($"text".substr(lit(1), lit(10)), lit("zzzzz"),
+        $"text".substr(lit(16), length($"text"))).as("text"))
+    val corpus = Multimodal.withPayload(docs.unionByName(pert),
+      $"doc_id", $"text", length($"text"))
+    val pairs = Multimodal.imageNearDupPairs(corpus, $"doc_id",
+        nBlocks = 32, nBands = 4, maxHam = 3)
+      .as[(Long, Long, Int)].collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(_._3 <= 3))
+    val copyPairs = pairs.count { case (a, b, _) => b == a + 1000L }
+    assert(copyPairs >= 40, s"only $copyPairs of 60 copies within the band bound")
+    assert(copyPairs === pairs.length,
+      "unexpected original-original perceptual collision in this fixture")
+  }
 }
