@@ -1427,7 +1427,10 @@ object SparkEntry {
     // labels (vec_id < 50) spread to unlabeled vectors by 3 rounds of
     // in-neighbor majority vote (ties → smallest label). The
     // training-data labeling primitive: label 10% by hand, propagate
-    // over embedding similarity.
+    // over embedding similarity. Fixed-k BY CONTRACT (the oracle's l3
+    // CTE is the 3-hop answer); pipelines that need the fixpoint pass
+    // requireConverged = true and get a loud failure instead of
+    // round-3 state (GraphSpec chain fixture).
     "q_label_prop" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val kg = Similarity.knnGraph(emb, "vec_id", "embedding",

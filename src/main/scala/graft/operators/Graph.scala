@@ -209,9 +209,20 @@ object Graph {
     * seed-override anti-join on node-sized frames. Rounds are
     * [[Eager.tracked]] and released one behind, like every iterative
     * operator here.
+    *
+    * CONTRACT: fixed-k is a semantic, not an approximation — `iters`
+    * bounds the labeled-path length, so round-k labels on a deeper
+    * graph are the k-hop answer, NOT the fixpoint. Callers that need
+    * the fixpoint (labels stable under one more round — every
+    * reachable node labeled AND majority votes settled) pass
+    * `requireConverged = true`: the operator then runs ONE extra vote
+    * round and compares label-set signatures (count + exact decimal
+    * hash-sum, the [[NearDup.dedupClusters]] fixpoint test), throwing
+    * loudly instead of silently shipping round-k state — a chain
+    * graph needing > iters rounds is the spec fixture.
     */
   def labelPropagation(edges: DataFrame, seeds: DataFrame,
-      iters: Int): DataFrame = {
+      iters: Int, requireConverged: Boolean = false): DataFrame = {
     require(iters >= 1, s"labelPropagation: iters must be ≥ 1, got $iters")
     import org.apache.spark.sql.expressions.Window
     val bc0 = Eager.broadcastSnapshot(edges.sparkSession)
@@ -220,20 +231,42 @@ object Graph {
       seeds.select(col("node"), col("label")).distinct())
     var labels = sd
     var relPrev: () => Unit = () => ()
-    (1 to iters).foreach { _ =>
+    // one vote round as a lazy plan over `cur` — the loop body, and
+    // (for the convergence probe) the "would one more round change
+    // anything" question asked without checkpointing the extra round
+    def step(cur: DataFrame): DataFrame = {
       val votes = e
-        .join(labels.withColumnRenamed("node", "src"), Seq("src"))
+        .join(cur.withColumnRenamed("node", "src"), Seq("src"))
         .groupBy(col("dst").as("node"), col("label"))
         .agg(count(lit(1)).as("n"))
       val w = Window.partitionBy(col("node"))
         .orderBy(col("n").desc, col("label"))
       val prop = votes.withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1).select("node", "label")
-      val next = sd.unionByName(
+      sd.unionByName(
         prop.join(sd.select("node"), Seq("node"), "left_anti"))
-      val (ck, rel) = Eager.tracked(next)
+    }
+    (1 to iters).foreach { _ =>
+      val (ck, rel) = Eager.tracked(step(labels))
       relPrev(); relPrev = rel
       labels = ck
+    }
+    if (requireConverged) {
+      // label-set signature: exact decimal sum of per-row hashes — the
+      // same order-independent fixpoint test dedupClusters uses
+      def signature(df: DataFrame): (Long, BigDecimal) = {
+        val r = df.agg(count(lit(1)),
+          sum(xxhash64(col("node"), col("label")).cast("decimal(38,0)"))).head()
+        val s = r.getDecimal(1)
+        (r.getLong(0), if (s == null) BigDecimal(0) else BigDecimal(s))
+      }
+      if (signature(step(labels)) != signature(labels))
+        throw new IllegalStateException(
+          s"labelPropagation has not converged after $iters rounds — " +
+            "labels still change under one more vote round (a labeled " +
+            "path longer than iters, or unsettled majorities). Raise " +
+            "iters, or drop requireConverged if k-hop semantics are " +
+            "intended")
     }
     // the final round's checkpoint IS the returned result (its handle
     // sits in relPrev — deliberately NOT called); the edge and seed

@@ -116,6 +116,29 @@ class GraphSpec extends AnyFunSuite {
     assert(!r1.contains("c") && r1("b") === 7L)
   }
 
+  test("labelPropagation convergence guard trips on a chain deeper than iters") {
+    // a 6-node chain: the label needs 5 rounds to reach f — round-3
+    // state is the documented k-hop answer, but with requireConverged
+    // the operator must fail LOUDLY instead of shipping it
+    val chain = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),
+      ("e", "f")).toDF("src", "dst")
+    val seeds = Seq(("a", 1L)).toDF("node", "label")
+    val e = intercept[IllegalStateException] {
+      Graph.labelPropagation(chain, seeds, iters = 3, requireConverged = true)
+    }
+    assert(e.getMessage.contains("not converged"))
+    // default (fixed-k contract): same inputs return the 3-hop answer
+    val khop = Graph.labelPropagation(chain, seeds, iters = 3)
+      .as[(String, Long)].collect().toMap
+    assert(khop.keySet === Set("a", "b", "c", "d"))
+    // enough rounds: converged, all nodes labeled, guard passes
+    val full = Graph.labelPropagation(chain, seeds, iters = 5,
+        requireConverged = true)
+      .as[(String, Long)].collect().toMap
+    assert(full.keySet === Set("a", "b", "c", "d", "e", "f"))
+    assert(full.values.forall(_ === 1L))
+  }
+
   test("pageRank conserves mass on a DIRECTED graph with dangling sinks") {
     // a→b→c, a→c: c is a pure sink (no out-edges); b and c only appear
     // as dst for some edges — the node universe must be src ∪ dst and
