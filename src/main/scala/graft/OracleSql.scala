@@ -2137,8 +2137,10 @@ object OracleSql {
 
     // BPE training: 8 unrolled rounds; each round = weighted adjacent-
     // pair count → deterministic argmax → two-pass literal replace
-    // (same leftmost non-overlapping scan as Spark's replace — see
-    // TextAnalysis.bpeTrain for why two passes reach a fixpoint).
+    // (same leftmost non-overlapping scan as Spark's replace — the
+    // two-pass semantics, NOT greedy merging of same-symbol runs ≥ 5;
+    // see TextAnalysis.bpeTrain for the exact contract). Parity holds
+    // because both engines run the identical two passes.
     "q_bpe_train" -> {
       val k = 8
       val tail = (1 to k).map { r =>

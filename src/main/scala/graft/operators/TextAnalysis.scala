@@ -311,16 +311,22 @@ object TextAnalysis {
     * word freq — one partial/final aggregate over a tiny pair
     * vocabulary; (2) argmax (cnt desc, lhs asc, rhs asc — fully
     * deterministic); (3) merge apply: TWO literal `replace` passes of
-    * " lhs rhs " → " lhsrhs ". Two passes, because a leftmost
-    * non-overlapping scan consumes the shared delimiter space of the
-    * NEXT occurrence (pass 1 merges alternate occurrences of a run);
-    * after pass 1 every still-unmerged occurrence is flanked by merged
-    * tokens, so pass 2 reaches all of them and is a fixpoint (the
-    * replacement atom "lhsrhs" can never equal "lhs", so no new
-    * occurrences arise). Literal replace, not regex: symbols come from
-    * document text and may contain regex metacharacters; both engines'
-    * literal replace scans leftmost non-overlapping, so the oracle
-    * (chained CTEs, same two passes) is exact.
+    * " lhs rhs " → " lhsrhs ". Each leftmost non-overlapping pass
+    * consumes the shared delimiter space of the NEXT occurrence, so
+    * one pass merges alternate occurrences of a run; the second pass
+    * reaches the occurrences the first blocked whenever lhs ≠ rhs
+    * (two adjacent blocked occurrences cannot survive pass 1 —
+    * PropertySpec's symbol-level model proves the semantics). The
+    * CONTRACT is that two-pass fixpoint, which for lhs = rhs runs of
+    * ≥ 5 merges alternate occurrences and therefore DIFFERS from
+    * greedy left-to-right (Sennrich-style) segmentation — six b's
+    * yield [bb, b, bb, b], not [bb, bb, bb] — so the learned table
+    * can diverge from canonical BPE on highly repetitive text.
+    * Engine/oracle parity is unaffected: both sides run the identical
+    * two passes. Literal replace, not regex: symbols come from
+    * document text and may contain regex metacharacters; both
+    * engines' literal replace scans leftmost non-overlapping, so the
+    * oracle (chained CTEs, same two passes) is exact.
     *
     * Each round's symbol table is checkpointed (the plan would
     * otherwise double per round — the merge references the table the
