@@ -1855,6 +1855,109 @@ object OracleSql {
         |FROM scored GROUP BY key
         |ORDER BY bm25 DESC, doc_id LIMIT 50""".stripMargin,
 
+    // RRF fusion of the BM25 lexical top-50 and the dense cosine top-50
+    // for query vector 0 — fixed-point terms (10^12 // (60+rnk)) so the
+    // sum is exact integer arithmetic on both engines.
+    "q_rank_fusion" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id AS key,
+        |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        |lens AS (SELECT key, CAST(len(w) AS BIGINT) AS dl FROM toks),
+        |stats AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(dl) AS BIGINT) AS sdl FROM lens),
+        |tf AS (
+        |  SELECT key, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT key, unnest(w) AS term FROM toks)
+        |  WHERE term IN ('scan', 'join', 'window', 'stream')
+        |  GROUP BY key, term),
+        |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        |scored AS (
+        |  SELECT t.key,
+        |    ln((CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5) /
+        |        (CAST(d.df AS DOUBLE) + 0.5) + 1.0) *
+        |      (CAST(t.tf AS DOUBLE) * (1.2 + 1.0)) /
+        |      (CAST(t.tf AS DOUBLE) +
+        |        1.2 * (0.25 + 0.75 * CAST(l.dl AS DOUBLE) /
+        |          (CAST(s.sdl AS DOUBLE) / CAST(s.n_docs AS DOUBLE)))) AS sc
+        |  FROM tf t JOIN dfreq d USING (term) JOIN lens l ON t.key = l.key
+        |  CROSS JOIN stats s),
+        |bm AS (
+        |  SELECT key,
+        |    round(CAST(sum(CAST(sc AS DECIMAL(38,12))) AS DOUBLE), 9) AS bm25
+        |  FROM scored GROUP BY key
+        |  ORDER BY bm25 DESC, key LIMIT 50),
+        |lexr AS (
+        |  SELECT key, row_number() OVER (ORDER BY bm25 DESC, key) AS rnk
+        |  FROM bm),
+        |n AS (
+        |  SELECT vec_id, embedding,
+        |    ${dotSql("embedding", "embedding")} AS n2
+        |  FROM embeddings),
+        |dq AS (SELECT embedding, n2 FROM n WHERE vec_id = 0),
+        |ds AS (
+        |  SELECT c.vec_id AS key,
+        |    CAST(${dotSql("q.embedding", "c.embedding")} AS DOUBLE) /
+        |      (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(c.n2 AS DOUBLE))) AS cos
+        |  FROM dq q, n c WHERE c.vec_id <> 0),
+        |denser AS (
+        |  SELECT key, rnk FROM (
+        |    SELECT key, row_number() OVER (ORDER BY cos DESC, key) AS rnk
+        |    FROM ds)
+        |  WHERE rnk <= 50),
+        |terms AS (
+        |  SELECT key, 1000000000000 // (60 + rnk) AS term FROM lexr
+        |  UNION ALL
+        |  SELECT key, 1000000000000 // (60 + rnk) FROM denser)
+        |SELECT key AS doc_id, CAST(count(*) AS INTEGER) AS n_lists,
+        |  round(CAST(sum(term) AS DOUBLE) / 1e12, 8) AS rrf
+        |FROM terms GROUP BY key ORDER BY rrf DESC, doc_id""".stripMargin,
+
+    // MMR re-ranking, 5 greedy picks unrolled as chained CTEs — each
+    // step's penalty is a correlated max over the selected-so-far set.
+    "q_mmr_rerank" -> {
+      val steps = (2 to 5).map { i =>
+        s"""p$i AS (
+           |  SELECT key, CAST($i AS INTEGER) AS pick,
+           |    0.75 * rel - 0.25 * (
+           |      SELECT max(CAST(${dotSql("c.vec", "s.vec")} AS DOUBLE) /
+           |        (sqrt(CAST(c.n2 AS DOUBLE)) * sqrt(CAST(s.n2 AS DOUBLE))))
+           |      FROM s${i - 1} s) AS mmr,
+           |    rel, vec, n2
+           |  FROM cand c WHERE key NOT IN (SELECT key FROM s${i - 1})
+           |  ORDER BY mmr DESC, key LIMIT 1),
+           |s$i AS (SELECT * FROM s${i - 1} UNION ALL SELECT * FROM p$i)"""
+          .stripMargin
+      }.mkString(",\n")
+      val head =
+        s"""WITH n AS (
+           |  SELECT vec_id, embedding,
+           |    ${dotSql("embedding", "embedding")} AS n2
+           |  FROM embeddings),
+           |dq AS (SELECT embedding, n2 FROM n WHERE vec_id = 0),
+           |sc AS (
+           |  SELECT c.vec_id AS key,
+           |    CAST(${dotSql("q.embedding", "c.embedding")} AS DOUBLE) /
+           |      (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(c.n2 AS DOUBLE))) AS rel,
+           |    c.embedding AS vec, c.n2 AS n2
+           |  FROM dq q, n c WHERE c.vec_id <> 0),
+           |cand AS (
+           |  SELECT key, rel, vec, n2 FROM (
+           |    SELECT *, row_number() OVER (ORDER BY rel DESC, key) AS rnk
+           |    FROM sc)
+           |  WHERE rnk <= 20),
+           |p1 AS (
+           |  SELECT key, CAST(1 AS INTEGER) AS pick, 0.75 * rel AS mmr,
+           |    rel, vec, n2
+           |  FROM cand ORDER BY mmr DESC, key LIMIT 1),
+           |s1 AS (SELECT * FROM p1)""".stripMargin
+      val tail =
+        """SELECT key, pick, round(mmr, 8) AS mmr, round(rel, 8) AS rel
+          |FROM s5 ORDER BY pick""".stripMargin
+      s"$head,\n$steps\n$tail"
+    },
+
     "q_dsir" ->
       """WITH rawb AS (
         |  SELECT key, substr(md5(array_to_string(w[i:i+1], ' ')), 1, 2) AS b

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Text
-import graft.operators.{Analytics, Corpus, Curation, Dedup, Fill, Layout, Multimodal, NearDup, Similarity, Skew, TextAnalysis, Transforms}
+import graft.operators.{Analytics, Corpus, Curation, Dedup, Fill, Layout, Multimodal, NearDup, Retrieval, Similarity, Skew, TextAnalysis, Transforms}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -526,6 +526,44 @@ object SparkEntry {
           queryTerms = Seq("scan", "join", "window", "stream"), k = 50)
         .select(col("key").as("doc_id"), col("bm25"), col("n_terms"))
         .orderBy(col("bm25").desc, col("doc_id"))
+    }),
+
+    // Hybrid retrieval — Reciprocal Rank Fusion of the lexical (BM25)
+    // and dense (cosine to vec 0) rankings over the SAME corpus
+    // (doc_id ≡ vec_id in the synthetic tables). Rank-based, so no
+    // score calibration between BM25-scale and cosine-scale; terms are
+    // fixed-point ⌊10¹²/(60+rnk)⌋ for exact engine parity.
+    "q_rank_fusion" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+      val lex = TextAnalysis.bm25TopK(t(s, dir, "documents"),
+          col("doc_id"), col("text"),
+          queryTerms = Seq("scan", "join", "window", "stream"), k = 50)
+        .select(col("key"), row_number().over(
+          w.orderBy(col("bm25").desc, col("key"))).as("rnk"))
+      val emb = t(s, dir, "embeddings")
+      val dense = Similarity.cosineTopK(emb.filter(col("vec_id") === 0),
+          emb, "vec_id", "embedding", k = 50)
+        .select(col("neighbor_id").as("key"), col("rank").as("rnk"))
+      Retrieval.rrfFuse(Seq(lex, dense), k = 60)
+        .select(col("key").as("doc_id"), col("n_lists"), col("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+    }),
+
+    // Hybrid retrieval — MMR diversification of the dense top-20 for
+    // vec 0: greedy argmax λ·rel − (1−λ)·max-sim-to-selected, 5 picks,
+    // λ = 0.75 (so 1−λ is exactly representable and the oracle's
+    // constant matches bit-for-bit). The de-redundancy pass between
+    // retrieval and a context window.
+    "q_mmr_rerank" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cand = Similarity.cosineTopK(emb.filter(col("vec_id") === 0),
+          emb, "vec_id", "embedding", k = 20)
+        .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding")),
+          Seq("neighbor_id"))
+        .select(col("neighbor_id").as("key"), col("cos").as("rel"),
+          col("embedding").as("vec"))
+      Retrieval.mmrRerank(cand, lambda = 0.75, k = 5)
+        .orderBy("pick")
     }),
 
     // LLM-pipeline — DSIR importance weights: target = the src0-2

@@ -197,4 +197,40 @@ class RetrievalSpec extends AnyFunSuite {
       .as[(String, String, Long, Double)].collect()
     assert(pruned.map(r => (r._1, r._2)).toSeq === Seq(("x", "y")))
   }
+
+  test("rrfFuse: fixed-point closed form, absent keys contribute nothing") {
+    import graft.operators.Retrieval
+    val l1 = Seq(("a", 1), ("b", 2), ("c", 3)).toDF("key", "rnk")
+    val l2 = Seq(("b", 1), ("a", 2)).toDF("key", "rnk")
+    val got = Retrieval.rrfFuse(Seq(l1, l2), k = 60)
+      .as[(String, Int, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    def term(r: Int): Long = 1000000000000L / (60 + r)
+    def rrf(rs: Int*): Double =
+      math.rint(rs.map(term).sum.toDouble / 1e12 * 1e8) / 1e8
+    assert(got("a") === ((2, rrf(1, 2))))
+    assert(got("b") === ((2, rrf(2, 1))))
+    assert(got("c") === ((1, rrf(3))))
+    // fusion symmetry: a and b carry identical rank multisets
+    assert(got("a")._2 === got("b")._2)
+  }
+
+  test("mmrRerank diversifies: near-duplicate of the top pick is deferred") {
+    import graft.operators.Retrieval
+    // A is most relevant; A2 is nearly identical to A but next by
+    // relevance; B is orthogonal. Pure relevance would order A, A2, B;
+    // MMR must defer the near-duplicate: A, B, A2.
+    val cands = Seq(
+      ("A", 0.99, Array(1.0f, 0.0f)),
+      ("A2", 0.98, Array(0.999f, 0.02f)),
+      ("B", 0.90, Array(0.0f, 1.0f))).toDF("key", "rel", "vec")
+    val got = Retrieval.mmrRerank(cands, lambda = 0.75, k = 3)
+      .orderBy("pick").as[(String, Int, Double, Double)].collect()
+    assert(got.map(_._1).toSeq === Seq("A", "B", "A2"))
+    assert(got.map(_._2).toSeq === Seq(1, 2, 3))
+    // first pick's marginal value is λ·rel (empty-set penalty = 0)
+    assert(math.abs(got(0)._3 - 0.75 * 0.99) < 1e-9)
+    // the near-duplicate's marginal value is heavily penalized
+    assert(got(2)._3 < 0.75 * 0.98 - 0.2)
+  }
 }
