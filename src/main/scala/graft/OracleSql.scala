@@ -275,6 +275,45 @@ object OracleSql {
       s"${cumProbeCtes("1", "corpus1", "inc1")}\n$tail"
   }
 
+  /** Shared CDC CTE chain ending in `applied` — the change-log fixture
+    * of q_cdc_apply replayed to its final state, reused by the IVM and
+    * drift oracles (q_incr_rollup / q_drift_profile) so the fixtures
+    * cannot drift apart.
+    */
+  private val cdcAppliedCtes: String =
+    """WITH snap AS (
+      |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+      |ch AS (
+      |  SELECT o_orderkey, TIMESTAMP '2024-02-01 00:00:00' AS ts,
+      |    1 AS seq, 'U' AS op, o_custkey,
+      |    o_totalprice + 1000 AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 3 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, TIMESTAMP '2024-03-01 00:00:00', 1, 'D',
+      |    o_custkey, o_totalprice
+      |  FROM orders WHERE o_orderkey % 5 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, TIMESTAMP '2024-03-15 00:00:00', 2, 'U',
+      |    o_custkey, o_totalprice * 2
+      |  FROM orders WHERE o_orderkey % 7 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 100000000, TIMESTAMP '2024-01-15 00:00:00',
+      |    1, 'I', o_custkey, o_totalprice
+      |  FROM orders WHERE o_orderkey % 11 = 0),
+      |latest AS (
+      |  SELECT * FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY o_orderkey
+      |      ORDER BY ts DESC, seq DESC) AS rn FROM ch)
+      |  WHERE rn = 1),
+      |applied AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN l.op IS NOT NULL THEN l.o_custkey
+      |         ELSE s.o_custkey END AS o_custkey,
+      |    CASE WHEN l.op IS NOT NULL THEN l.o_totalprice
+      |         ELSE s.o_totalprice END AS o_totalprice
+      |  FROM snap s FULL OUTER JOIN latest l USING (o_orderkey)
+      |  WHERE l.op IS NULL OR l.op <> 'D')""".stripMargin
+
   /** Shared BPE CTE chain (word-freq table, per-codepoint symbol
     * strings, k unrolled count->argmax->two-pass-replace rounds) —
     * used by q_bpe_train (reads the b-r winners) and q_bpe_vocab
@@ -2753,6 +2792,49 @@ object OracleSql {
         |FROM a JOIN b USING (block)
         |WHERE round(jaro_winkler_similarity(name_a, name_b), 6) >= 0.9
         |ORDER BY key_a, key_b""".stripMargin,
+
+    // Full recompute of the maintained rollup — the INCREMENTAL Spark
+    // path must hash-equal this, which is the IVM correctness theorem
+    // checked end-to-end (groups whose count reaches 0 disappear from
+    // both sides).
+    "q_incr_rollup" ->
+      s"""$cdcAppliedCtes
+        |SELECT o_custkey % 50 AS grp, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE) AS vsum
+        |FROM applied GROUP BY o_custkey % 50 ORDER BY grp""".stripMargin,
+
+    "q_drift_profile" ->
+      s"""$cdcAppliedCtes,
+        |pa AS (
+        |  SELECT 'o_custkey' AS col_name, CAST(o_custkey AS DOUBLE) AS v
+        |  FROM snap
+        |  UNION ALL
+        |  SELECT 'o_totalprice', CAST(o_totalprice AS DOUBLE) FROM snap),
+        |pb AS (
+        |  SELECT 'o_custkey' AS col_name, CAST(o_custkey AS DOUBLE) AS v
+        |  FROM applied
+        |  UNION ALL
+        |  SELECT 'o_totalprice', CAST(o_totalprice AS DOUBLE) FROM applied),
+        |profa AS (
+        |  SELECT col_name, CAST(count(*) AS BIGINT) AS n_a,
+        |    CAST(count(DISTINCT v) AS BIGINT) AS n_distinct_a,
+        |    round(CAST(count(*) - count(v) AS DOUBLE) /
+        |      CAST(count(*) AS DOUBLE), 6) AS null_frac_a,
+        |    round(CAST(sum(CAST(v AS DECIMAL(30,10))) AS DOUBLE) /
+        |      CAST(count(v) AS DOUBLE), 6) AS mean_a
+        |  FROM pa GROUP BY col_name),
+        |profb AS (
+        |  SELECT col_name, CAST(count(*) AS BIGINT) AS n_b,
+        |    CAST(count(DISTINCT v) AS BIGINT) AS n_distinct_b,
+        |    round(CAST(count(*) - count(v) AS DOUBLE) /
+        |      CAST(count(*) AS DOUBLE), 6) AS null_frac_b,
+        |    round(CAST(sum(CAST(v AS DECIMAL(30,10))) AS DOUBLE) /
+        |      CAST(count(v) AS DOUBLE), 6) AS mean_b
+        |  FROM pb GROUP BY col_name)
+        |SELECT col_name, n_a, n_distinct_a, null_frac_a, mean_a,
+        |  n_b, n_distinct_b, null_frac_b, mean_b,
+        |  round(abs(mean_a - mean_b), 6) AS mean_shift
+        |FROM profa JOIN profb USING (col_name) ORDER BY col_name""".stripMargin,
 
     "q_cdc_apply" ->
       """WITH snap AS (

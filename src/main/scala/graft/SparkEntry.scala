@@ -2187,6 +2187,32 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // Incremental aggregate maintenance (IVM): update the per-group
+    // (count, sum) rollup from the CDC log touching ONLY changed keys —
+    // base + new-state-of-affected − old-state-of-affected, exact
+    // decimal sums so maintenance cycles can never drift from a
+    // recompute. The oracle IS the full recompute, so the hash compare
+    // checks incremental == recompute end-to-end.
+    "q_incr_rollup" -> ((s, dir) => {
+      val o = cdcSnapshot(s, dir)
+      Dedup.incrementalRollup(o, cdcChangeLog(o), "o_orderkey", "ts",
+          "seq", "op", Seq("o_custkey", "o_totalprice"),
+          group = col("o_custkey") % 50, value = col("o_totalprice"))
+        .orderBy("grp")
+    }),
+
+    // Distribution drift audit between a snapshot and its CDC-applied
+    // successor: per-column n / distinct / null-frac / mean on both
+    // sides + absolute mean shift — the load-health view row diffs
+    // can't summarize.
+    "q_drift_profile" -> ((s, dir) => {
+      val o = cdcSnapshot(s, dir)
+      val applied = Dedup.applyChangeLog(o, cdcChangeLog(o), "o_orderkey",
+        "ts", "seq", "op", Seq("o_custkey", "o_totalprice"))
+      Analytics.driftProfile(o, applied, Seq("o_custkey", "o_totalprice"))
+        .orderBy("col_name")
+    }),
+
     // K3+ — STREAMING CDC materializer: the same change log consumed as
     // a file stream (one file per micro-batch), per-key frontier merged
     // batch-over-batch in foreachBatch, final state applied to the

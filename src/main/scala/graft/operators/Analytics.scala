@@ -869,4 +869,40 @@ object Analytics {
       .withColumn("skew_ratio",
         round(col("max_n").cast("double") / col("mean_n"), 6))
   }
+
+  /** Two-snapshot per-column DRIFT profile — the data-quality audit run
+    * between loads (did yesterday's batch shift a distribution?): for
+    * each column, row count, exact distinct count, null fraction, and
+    * mean on BOTH sides plus the absolute mean shift. Complements
+    * [[graft.operators.Dedup.snapshotDiff]] (row-level) with the
+    * distribution-level view that catches drift row diffs can't
+    * summarize (a 1% uniform price inflation changes every row but
+    * only this profile says by how much).
+    *
+    * One `stack` unpivot per side (narrow, |cols|× fan-out in the scan
+    * stage) + one aggregate per side + a |cols|-row join. Means are
+    * decimal-exact sums with ONE double division, rounded 6 — the
+    * engine-parity pattern used across the repo; distinct counts are
+    * exact (binary64 equality matches across engines).
+    */
+  def driftProfile(a: DataFrame, b: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "driftProfile: at least one column required")
+    def prof(df: DataFrame, side: String): DataFrame = {
+      val stackExpr = cols.map(c => s"'$c', CAST($c AS DOUBLE)").mkString(", ")
+      df.selectExpr(s"stack(${cols.length}, $stackExpr) AS (col_name, v)")
+        .groupBy("col_name")
+        .agg(count(lit(1)).as(s"n_$side"),
+          count(col("v")).as("__nn"),
+          countDistinct(col("v")).as(s"n_distinct_$side"),
+          sum(col("v").cast("decimal(30,10)")).as("__s"))
+        .select(col("col_name"), col(s"n_$side"), col(s"n_distinct_$side"),
+          round((col(s"n_$side") - col("__nn")).cast("double") /
+            col(s"n_$side").cast("double"), 6).as(s"null_frac_$side"),
+          round(col("__s").cast("double") / col("__nn").cast("double"), 6)
+            .as(s"mean_$side"))
+    }
+    prof(a, "a").join(prof(b, "b"), Seq("col_name"))
+      .withColumn("mean_shift",
+        round(abs(col("mean_a") - col("mean_b")), 6))
+  }
 }

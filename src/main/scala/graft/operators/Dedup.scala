@@ -186,6 +186,58 @@ object Dedup {
         when(col("__op").isNotNull, col(s"__c_$c")).otherwise(col(c)).as(c)): _*)
   }
 
+  /** Incremental aggregate maintenance (the IVM classic): update a
+    * grouped (count, sum) rollup under a CDC change log by touching
+    * ONLY the changed keys — never recomputing from the full table.
+    *
+    *   new(g) = base(g) + Σ_{affected keys, new state}(g)
+    *                    − Σ_{affected keys, old state}(g)
+    *
+    * where "affected" is the change log's key set (log-sized) and the
+    * new state comes from [[applyChangeLog]] restricted to those keys.
+    * Handles inserts, deletes, updates, AND group moves (an update
+    * that changes the grouping attribute subtracts from the old group
+    * and adds to the new one) with no special cases — the algebra does
+    * it. Groups whose maintained count reaches 0 are dropped, matching
+    * a recompute exactly.
+    *
+    * Sums are per-row-cast DECIMAL(30,10) so base + delta is EXACT and
+    * therefore equal to the full-recompute sum no matter how many
+    * maintenance cycles ran — the property that makes IVM trustworthy
+    * at all (float drift would compound per cycle). The DuckDB oracle
+    * computes the full recompute, so the hash compare IS the
+    * incremental-equals-recompute theorem checked end-to-end.
+    *
+    * Scale shape: `base` stands in for the STORED rollup (group-sized);
+    * the three joins/aggregates touch log-sized and group-sized frames
+    * only. At 100 TB this is the difference between a maintenance tick
+    * and a full-table pass.
+    */
+  def incrementalRollup(snapshot: DataFrame, changes: DataFrame, key: String,
+      tsCol: String, seqCol: String, opCol: String, valueCols: Seq[String],
+      group: Column, value: Column): DataFrame = {
+    val affected = changes.select(col(key)).distinct()
+    val oldAffected = snapshot.join(affected, Seq(key), "left_semi")
+    val newAffected =
+      applyChangeLog(oldAffected, changes, key, tsCol, seqCol, opCol, valueCols)
+    def roll(df: DataFrame, n: String, s: String): DataFrame =
+      df.groupBy(group.as("grp"))
+        .agg(count(lit(1)).as(n), sum(value.cast("decimal(30,10)")).as(s))
+    val base = roll(snapshot, "n0", "s0") // in production: the stored rollup
+    val minus = roll(oldAffected, "nm", "sm")
+    val plus = roll(newAffected, "np", "sp")
+    val dec0 = lit(0).cast("decimal(30,10)")
+    base
+      .join(minus, Seq("grp"), "full_outer")
+      .join(plus, Seq("grp"), "full_outer")
+      .select(col("grp"),
+        (coalesce(col("n0"), lit(0L)) + coalesce(col("np"), lit(0L)) -
+          coalesce(col("nm"), lit(0L))).as("cnt"),
+        (coalesce(col("s0"), dec0) + coalesce(col("sp"), dec0) -
+          coalesce(col("sm"), dec0)).cast("double").as("vsum"))
+      .filter(col("cnt") > 0)
+  }
+
   /** Exact content dedup for document corpora: hash-groupBy on a
     * normalized content digest, keeping the representative with the
     * smallest `order`. Only the digest and tiebreak shuffle — at 100 TB

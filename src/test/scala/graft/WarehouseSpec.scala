@@ -51,6 +51,56 @@ class WarehouseSpec extends AnyFunSuite {
     assert(out.toSeq === Seq(2L -> 22.0, 3L -> 33.0, 4L -> 40.0, 5L -> 50.0))
   }
 
+  test("incrementalRollup equals a full recompute, incl. group moves and emptied groups") {
+    import graft.operators.Dedup
+    // groups: g = v's tens digit stand-in — carried as its own column so
+    // an update can MOVE a key between groups
+    val snap = Seq((1L, 1L, 10.0), (2L, 1L, 11.0), (3L, 2L, 20.0),
+      (4L, 3L, 30.0)).toDF("k", "g", "v")
+    val changes = Seq(
+      // k=1: value update in place (group 1 sum changes)
+      (1L, ts("2024-02-01 00:00:00"), 1L, "U", 1L, 15.0),
+      // k=3: GROUP MOVE 2 → 1 (group 2 must disappear: count reaches 0)
+      (3L, ts("2024-02-01 00:00:00"), 1L, "U", 1L, 21.0),
+      // k=4: deleted (group 3 disappears)
+      (4L, ts("2024-02-01 00:00:00"), 1L, "D", 3L, 30.0),
+      // k=9: insert into a brand-new group 9
+      (9L, ts("2024-02-01 00:00:00"), 1L, "I", 9L, 90.0)
+    ).toDF("k", "ts", "seq", "op", "g", "v")
+    val got = Dedup.incrementalRollup(snap, changes, "k", "ts", "seq", "op",
+        Seq("g", "v"), group = col("g"), value = col("v"))
+      .orderBy("grp").as[(Long, Long, Double)].collect()
+    // recompute reference: apply the log fully, then aggregate
+    val recomputed = Dedup.applyChangeLog(snap, changes, "k", "ts", "seq",
+        "op", Seq("g", "v"))
+      .groupBy(col("g").as("grp"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("v").cast("decimal(30,10)")).cast("double").as("vsum"))
+      .orderBy("grp").as[(Long, Long, Double)].collect()
+    assert(got.toSeq === recomputed.toSeq)
+    // and the hand-checked shape: groups 2 and 3 gone, 1 grew, 9 new
+    assert(got.toSeq === Seq((1L, 3L, 47.0), (9L, 1L, 90.0)))
+  }
+
+  test("driftProfile: per-column null fractions, means, and shift on a hand fixture") {
+    import graft.operators.Analytics
+    val a = Seq((Some(1.0), Some(10.0)), (Some(3.0), None),
+      (Some(5.0), Some(30.0)), (None, Some(20.0))).toDF("x", "y")
+    val b = Seq((Some(2.0), Some(10.0)), (Some(4.0), Some(10.0)),
+      (Some(6.0), Some(40.0)), (Some(8.0), None)).toDF("x", "y")
+    val got = Analytics.driftProfile(a, b, Seq("x", "y"))
+      .orderBy("col_name")
+      .as[(String, Long, Long, Double, Double, Long, Long, Double, Double, Double)]
+      .collect()
+    val x = got(0); val y = got(1)
+    assert(x._1 === "x" && y._1 === "y")
+    // x: a = {1,3,5,null} → n 4, distinct 3, null_frac .25, mean 3;
+    //    b = {2,4,6,8}    → n 4, distinct 4, null_frac 0,   mean 5
+    assert(x === (("x", 4L, 3L, 0.25, 3.0, 4L, 4L, 0.0, 5.0, 2.0)))
+    // y: a mean (10+30+20)/3 = 20; b = {10,10,40,null} → distinct 2, mean 20
+    assert(y === (("y", 4L, 3L, 0.25, 20.0, 4L, 2L, 0.25, 20.0, 0.0)))
+  }
+
   test("conform casts prices to DECIMAL(12,4) at the sink boundary") {
     val raw = Seq(
       ("b1", "c1", "2024-01-02 09:30:00", 101.25, 102.0, 100.5, 101.9, 1000L, 42L, 101.7))
