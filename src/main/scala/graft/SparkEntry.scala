@@ -2269,8 +2269,24 @@ object SparkEntry {
         f.delete(); ()
       }
       if (dirF.exists()) wipe(dirF)
-      NearDup.writeNearDupIndex(existing, col("doc_id"), col("text"),
-        n = 5, k = 8, path = scratch)
+      // RESTORE the mutable run copy from a pristine immutable snapshot
+      // (built once per corpus identity) instead of re-shingling the
+      // evens every run — a file copy vs a full index build per bench
+      // repeat; exactly how production restores a mutable staging index
+      // from the corpus artifact
+      val pristine = ensureNearDupIndex(existing,
+        nearDupIndexPath(dir, "cumbase"), n = 5, k = 8)
+      def copyRec(from: java.io.File, to: java.io.File): Unit = {
+        if (from.isDirectory) {
+          to.mkdirs()
+          from.listFiles().foreach(f =>
+            copyRec(f, new java.io.File(to, f.getName)))
+        } else {
+          java.nio.file.Files.copy(from.toPath, to.toPath)
+          ()
+        }
+      }
+      copyRec(new java.io.File(pristine), dirF)
       // batch 0: odd originals (novel); batch 1: their truncated copies
       val b0 = d.filter(col("doc_id") % 2 === 1)
       val incoming = b0.unionByName(
