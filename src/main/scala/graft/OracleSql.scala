@@ -3222,6 +3222,32 @@ object OracleSql {
         |WHERE NOT t.is_eval
         |GROUP BY t.key ORDER BY t.key""".stripMargin,
 
+    // rate = least(1, ((B · √n) / Σ√n) / n) with the SAME operator
+    // order as the Spark expression; membership via the shared
+    // md5-hex hash uniform
+    "q_temperature_mix" ->
+      """WITH counts AS (
+        |  SELECT source AS grp, CAST(count(*) AS BIGINT) AS n_in
+        |  FROM documents GROUP BY source),
+        |z AS (
+        |  SELECT sum(CAST(sqrt(CAST(n_in AS DOUBLE)) AS DECIMAL(38,12))) AS z
+        |  FROM counts),
+        |rates AS (
+        |  SELECT grp, n_in,
+        |    least(1.0, 200.0 * sqrt(CAST(n_in AS DOUBLE)) /
+        |      CAST(z.z AS DOUBLE) / CAST(n_in AS DOUBLE)) AS rate
+        |  FROM counts CROSS JOIN z),
+        |tagged AS (
+        |  SELECT source AS grp,
+        |    (CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |       AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0 AS u
+        |  FROM documents)
+        |SELECT t.grp, r.n_in, round(r.rate, 6) AS rate,
+        |  CAST(sum(CASE WHEN t.u < r.rate THEN 1 ELSE 0 END) AS BIGINT) AS n_out
+        |FROM tagged t JOIN rates r ON r.grp = t.grp
+        |GROUP BY t.grp, r.n_in, r.rate
+        |ORDER BY t.grp""".stripMargin,
+
     "q_mix_sample" ->
       """WITH s AS (
         |  SELECT source AS grp,

@@ -2445,6 +2445,17 @@ object SparkEntry {
         .orderBy("grp")
     }),
 
+    // Temperature-scaled source mixing (α = ½, √n flattening — the
+    // T5/multilingual mixing formula): per-source keep rates computed
+    // from the corpus's own source counts against a fixed doc budget,
+    // membership by the portable hash uniform. Head sources sample
+    // far below tail sources — the rate column shows the flattening.
+    "q_temperature_mix" -> ((s, dir) => {
+      Curation.temperatureSample(t(s, dir, "documents"),
+          col("doc_id"), col("source"), budget = 200L)
+        .orderBy("grp")
+    }),
+
     // Lexicon sentiment over the corpus vocabulary — the reference's
     // news-tone signal, Spark-native (broadcast lexicon join).
     "q_sentiment" -> ((s, dir) => {

@@ -134,6 +134,50 @@ object Curation {
           .cast("double"), 6).as("weight"))
   }
 
+  /** Temperature-scaled source mixing at α = ½ — the √n "temperature
+    * sampling" of multi-source/multilingual LM training (Arivazhagan
+    * et al. 2019; T5's mixing, Raffel et al. 2020): source i samples
+    * with probability p_i = √n_i / Σ_j √n_j, flattening the source
+    * distribution so head sources stop drowning the tail. A doc
+    * budget B gives per-doc keep rate r_i = min(1, B·p_i / n_i);
+    * membership is the engine-portable hash uniform (first 8 md5 hex
+    * chars → (h+0.5)/2³², a pure function of the key — identical rows
+    * selected on re-runs, any partitioning, and the SQL oracle).
+    * α = ½ specifically because n^α is then ONE exact IEEE sqrt —
+    * general pow() hits libm ULP divergence across engines.
+    *
+    * Unlike [[mixtureSample]] (caller-supplied per-group thresholds),
+    * the rates here are COMPUTED from the corpus itself: the Σ√n
+    * normalizer is an exact decimal sum of per-group sqrt doubles
+    * (order-independent), broadcast as one row. Two aggregates over
+    * group-sized frames + one narrow tagging pass — no corpus
+    * shuffle beyond the per-group count.
+    *
+    * Returns (grp, n_in, rate, n_out): input size, the computed keep
+    * rate (rounded for display; the filter uses the raw double), and
+    * how many docs the hash rule kept.
+    */
+  def temperatureSample(df: DataFrame, key: Column, group: Column,
+      budget: Long): DataFrame = {
+    require(budget > 0, s"temperatureSample: budget must be > 0, got $budget")
+    val counts = df.groupBy(group.as("grp")).agg(count(lit(1)).as("n_in"))
+    val z = counts.agg(
+      sum(sqrt(col("n_in").cast("double")).cast("decimal(38,12)")).as("z"))
+    val rates = counts.crossJoin(broadcast(z))
+      .withColumn("rate", least(lit(1.0),
+        lit(budget.toDouble) * sqrt(col("n_in").cast("double")) /
+          col("z").cast("double") / col("n_in").cast("double")))
+      .select("grp", "n_in", "rate")
+    val h = conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long")
+    val u = (h.cast("double") + lit(0.5)) / lit(4294967296.0)
+    df.select(group.as("grp"), u.as("u"))
+      .join(broadcast(rates), Seq("grp"))
+      .groupBy(col("grp"), col("n_in"), col("rate"))
+      .agg(sum(when(col("u") < col("rate"), 1L).otherwise(0L)).as("n_out"))
+      .select(col("grp"), col("n_in"), round(col("rate"), 6).as("rate"),
+        col("n_out"))
+  }
+
   def mixtureSample(df: DataFrame, key: Column, group: Column,
       thresholds: Column): DataFrame = {
     val sampled = substring(md5(key.cast("string")), 1, 2) < thresholds

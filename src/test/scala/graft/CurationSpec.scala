@@ -244,4 +244,36 @@ class CurationSpec extends AnyFunSuite {
     // overlap invariant: consecutive chunks share window − stride chars
     assert(out(0)._4.drop(3) === out(1)._4.take(1))
   }
+
+  test("temperatureSample flattens the source distribution (√n scaling)") {
+    import graft.operators.Curation
+    import org.apache.spark.sql.functions._
+    // sources sized 400 / 100 / 25 → √n weights 20 : 10 : 5
+    val df = (1 to 525).map { i =>
+      val g = if (i <= 400) "head" else if (i <= 500) "mid" else "tail"
+      (i.toLong, g)
+    }.toDF("doc_id", "source")
+    val got = Curation.temperatureSample(df, col("doc_id"), col("source"),
+        budget = 100L)
+      .as[(String, Long, Double, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("head")._2 === 400L && got("mid")._2 === 100L &&
+      got("tail")._2 === 25L)
+    // expected exact rates: B·√n/Σ√n/n with Σ√n = 35
+    assert(math.abs(got("head")._3 - 100.0 * 20 / 35 / 400) < 1e-6)
+    assert(math.abs(got("tail")._3 - 100.0 * 5 / 35 / 25) < 1e-6)
+    // flattening: per-DOC keep rate rises as the source shrinks
+    assert(got("head")._3 < got("mid")._3)
+    assert(got("mid")._3 < got("tail")._3)
+    // hash-rule output lands near rate·n (binomial, wide tolerance)
+    val expHead = got("head")._3 * 400
+    assert(math.abs(got("head")._4 - expHead) < 25,
+      s"head kept ${got("head")._4}, expected ≈ $expHead")
+    // determinism: identical second run
+    val again = Curation.temperatureSample(df, col("doc_id"), col("source"),
+        budget = 100L)
+      .as[(String, Long, Double, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(again === got)
+  }
 }
