@@ -3222,6 +3222,46 @@ object OracleSql {
         |WHERE NOT t.is_eval
         |GROUP BY t.key ORDER BY t.key""".stripMargin,
 
+    "q_contamination" ->
+      """WITH train AS (SELECT doc_id AS key, text AS t FROM documents),
+        |ev AS (
+        |  SELECT doc_id AS key, text AS t, 'seen' AS bench
+        |  FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    array_to_string(list_reverse(list_filter(
+        |      string_split_regex(text, '\s+'), x -> x <> '')), ' '),
+        |    'unseen'
+        |  FROM documents WHERE doc_id % 10 = 5),
+        |evsh AS (
+        |  SELECT DISTINCT key, array_to_string(w[i:i+4], ' ') AS shingle
+        |  FROM (
+        |    SELECT key, string_split_regex(t, '\s+') AS w,
+        |      unnest(generate_series(1,
+        |        greatest(len(string_split_regex(t, '\s+')) - 4, 1))) AS i
+        |    FROM ev)),
+        |trsh AS (
+        |  SELECT DISTINCT array_to_string(w[i:i+4], ' ') AS shingle
+        |  FROM (
+        |    SELECT string_split_regex(t, '\s+') AS w,
+        |      unnest(generate_series(1,
+        |        greatest(len(string_split_regex(t, '\s+')) - 4, 1))) AS i
+        |    FROM train)),
+        |perdoc AS (
+        |  SELECT e.key, count(*) AS n_sh,
+        |    sum(CASE WHEN t.shingle IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+        |  FROM evsh e LEFT JOIN trsh t USING (shingle) GROUP BY e.key),
+        |fr AS (
+        |  SELECT key,
+        |    round(CAST(n_hit AS DOUBLE) / CAST(n_sh AS DOUBLE), 6) AS frac
+        |  FROM perdoc)
+        |SELECT bench, CAST(count(*) AS BIGINT) AS n_docs,
+        |  round(CAST(sum(CAST(frac AS DECIMAL(38,12))) AS DOUBLE) /
+        |    CAST(count(*) AS DOUBLE), 6) AS mean_overlap,
+        |  CAST(sum(CASE WHEN frac >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dirty
+        |FROM fr JOIN ev USING (key) GROUP BY bench ORDER BY bench""".stripMargin,
+
     // rate = least(1, ((B · √n) / Σ√n) / n) with the SAME operator
     // order as the Spark expression; membership via the shared
     // md5-hex hash uniform

@@ -2433,6 +2433,31 @@ object SparkEntry {
         .orderBy("key")
     }),
 
+    // Per-benchmark contamination audit (the GPT-3 "percent clean"
+    // table): fraction of each eval doc's 5-grams present in the train
+    // corpus, rolled up per benchmark. "seen" = verbatim train slices
+    // (overlap 1.0); "unseen" = word-reversed copies (near 0) — the
+    // contrast the audit exists to expose.
+    "q_contamination" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val ws = filter(split(col("text"), "\\s+"), w => w =!= "")
+      val seen = d.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("text"), lit("seen").as("bench"))
+      val unseen = d.filter(col("doc_id") % 10 === 5)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          array_join(reverse(ws), " ").as("text"), lit("unseen").as("bench"))
+      val ev = seen.unionByName(unseen)
+      Curation.contaminationReport(d.select("doc_id", "text"), ev,
+          col("doc_id"), col("text"), n = 5)
+        .join(ev.select(col("doc_id").as("key"), col("bench")), Seq("key"))
+        .groupBy("bench")
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum(col("overlap_frac").cast("decimal(38,12)")).cast("double") /
+            count(lit(1)).cast("double"), 6).as("mean_overlap"),
+          sum(when(col("overlap_frac") >= 0.5, 1L).otherwise(0L)).as("n_dirty"))
+        .orderBy("bench")
+    }),
+
     // Deterministic mixture sampling: per-source hash-threshold rates
     // (1/8, 1/4, 1/2, keep-all across the 20 sources); output is the
     // realized mixture per source.

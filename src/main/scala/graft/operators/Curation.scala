@@ -57,6 +57,39 @@ object Curation {
       .groupBy("key").agg(countDistinct(col("shingle")).as("n_hits"))
   }
 
+  /** Per-EVAL-doc contamination audit — the companion to
+    * [[decontaminate]] (which flags TRAIN docs): for each evaluation
+    * document, what fraction of its distinct word n-grams appears
+    * anywhere in the training corpus. Rolled up per benchmark this is
+    * the GPT-3-appendix "percent clean" table — the number that decides
+    * whether an eval score is trustworthy against this corpus.
+    *
+    * Scale shape (the broadcast REVERSES [[decontaminate]]'s): the
+    * eval shingle set is the small side, broadcast into the streaming
+    * 100 TB train shingle scan; only MATCHED shingles survive map-side,
+    * their global distinct is eval-bounded (≤ the eval set), and that
+    * tiny matched set broadcasts back onto the per-doc eval shingles.
+    * The train corpus is never shuffled.
+    *
+    * Returns (key, n_shingles, n_hit, overlap_frac) per eval doc.
+    */
+  def contaminationReport(train: DataFrame, eval_ : DataFrame,
+      key: Column, text: Column, n: Int): DataFrame = {
+    val evalSh = NearDup.wordShingles(eval_, key, text, n)
+    val evalSet = evalSh.select("shingle").distinct()
+    val matched = NearDup.wordShinglesRaw(train, key, text, n)
+      .join(broadcast(evalSet), Seq("shingle"))
+      .select("shingle").distinct()
+    evalSh
+      .join(broadcast(matched.withColumn("__hit", lit(1L))),
+        Seq("shingle"), "left")
+      .groupBy("key")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+      .withColumn("overlap_frac",
+        round(col("n_hit").cast("double") / col("n_shingles").cast("double"), 6))
+  }
+
   /** Deterministic mixture sampling: per-group hash-threshold sampling to
     * hit target source proportions — how a training mix is downsampled
     * ("keep 12% of CommonCrawl, all of Wikipedia") reproducibly. A row

@@ -245,6 +245,29 @@ class CurationSpec extends AnyFunSuite {
     assert(out(0)._4.drop(3) === out(1)._4.take(1))
   }
 
+  test("contaminationReport: verbatim eval doc scores 1.0, novel doc 0.0") {
+    import graft.operators.Curation
+    import org.apache.spark.sql.functions._
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "spark plans compile to whole stage generated java code"))
+      .toDF("doc_id", "text")
+    val ev = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog tonight"), // verbatim
+      (11L, "completely novel words sharing no five gram with train at all"),
+      // half-contaminated: first 5-gram window from train doc 2 + novel tail
+      (12L, "spark plans compile to whole new ideas entirely"))
+      .toDF("doc_id", "text")
+    val got = Curation.contaminationReport(train, ev,
+        col("doc_id"), col("text"), n = 5)
+      .orderBy("key").as[(Long, Long, Long, Double)].collect()
+    assert(got(0) === ((10L, 6L, 6L, 1.0)))
+    assert(got(1)._4 === 0.0)
+    // doc 12: 4 shingles, exactly one ("spark plans compile to whole")
+    // present in train
+    assert(got(2) === ((12L, 4L, 1L, 0.25)))
+  }
+
   test("temperatureSample flattens the source distribution (√n scaling)") {
     import graft.operators.Curation
     import org.apache.spark.sql.functions._

@@ -329,6 +329,40 @@ class NearDupSpec extends AnyFunSuite {
     }
   }
 
+  test("ensureNearDupIndex tears down an un-gated (crashed) index and installs atomically") {
+    val docs = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "eta theta iota kappa lambda mu")).toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("neardup_ensure")
+    val idx = new java.io.File(root.toFile, "idx")
+    try {
+      // a crashed build: directory exists, junk inside, NO _OK marker
+      new java.io.File(idx, "bands").mkdirs()
+      val junk = new java.io.File(idx, "bands/part-junk.parquet")
+      java.nio.file.Files.writeString(junk.toPath, "not parquet")
+      NearDup.ensureNearDupIndex(docs, col("doc_id"), col("text"),
+        n = 2, k = 8, path = idx.getPath)
+      assert(new java.io.File(idx, "_OK").exists())
+      assert(!junk.exists(), "crashed build debris must be torn down")
+      // staging dir cleaned up after the install
+      val stale = Option(root.toFile.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("idx.stage-"))
+      assert(stale.isEmpty, s"staging left behind: ${stale.mkString(",")}")
+      // the installed index is complete and probe-able
+      assert(spark.read.parquet(s"${idx.getPath}/bands").count() > 0)
+      assert(spark.read.parquet(s"${idx.getPath}/sets").count() === 2)
+      // idempotent: second call is a no-op (mtime-stable _OK)
+      val stamp = new java.io.File(idx, "_OK").lastModified()
+      NearDup.ensureNearDupIndex(docs, col("doc_id"), col("text"),
+        n = 2, k = 8, path = idx.getPath)
+      assert(new java.io.File(idx, "_OK").lastModified() === stamp)
+    } finally {
+      val s = java.nio.file.Files.walk(root)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+      finally s.close()
+    }
+  }
+
   test("lshBands with 4 rows per band yields 4 wider, more selective bands") {
     val docs = Seq((1L, (1 to 30).map(i => s"w$i").mkString(" ")))
       .toDF("doc_id", "text")
