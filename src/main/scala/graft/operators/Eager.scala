@@ -113,14 +113,4 @@ private[graft] object Eager {
           org.apache.spark.graft.Storage.removeBroadcast(sc, id, blocking = true))
     }
 
-  /** Scope an operator body: snapshot resident broadcasts, run the body
-    * (which must END in a materializing [[terminal]]/[[terminalReleasing]]
-    * so the returned frame is an RDD scan), then destroy the broadcasts
-    * the body's execution created. */
-  def withBroadcastRelease(spark: SparkSession)(body: => DataFrame): DataFrame = {
-    val before = broadcastSnapshot(spark)
-    val out = body
-    releaseBroadcastsSince(spark, before)
-    out
-  }
 }

@@ -150,6 +150,11 @@ object Multimodal {
     require(nBlocks >= 1 && nBlocks <= 63,
       s"imageBlockHash: nBlocks must be in [1, 63], got $nBlocks")
     val rows = df.select(key.as("key"), decode(payload, "UTF-8").as("t"))
+      // empty payloads emit NO fingerprint row: Spark's sequence(1, 0)
+      // is DESCENDING ([1, 0]), not empty like DuckDB's generate_series,
+      // so without this guard an empty doc would fabricate divergent
+      // pixel rows instead of dropping out on both engines
+      .filter(length(col("t")) > 0)
       .select(col("key"), col("t"),
         explode(sequence(lit(1), length(col("t")))).as("i"))
       .select(col("key"),
