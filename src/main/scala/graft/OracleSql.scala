@@ -1626,7 +1626,7 @@ object OracleSql {
         |    (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
         |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
         |     sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
-        |      CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 10) AS autocorr
+        |      CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 8) AS autocorr
         |FROM m ORDER BY user_id""".stripMargin,
 
     "q_pagerank" ->
@@ -2121,7 +2121,7 @@ object OracleSql {
         |    (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
         |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
         |     sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
-        |      CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 10) AS corr_xy
+        |      CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 8) AS corr_xy
         |FROM m ORDER BY user_a, user_b""".stripMargin,
 
     "q_interpolate" ->
@@ -2800,7 +2800,8 @@ object OracleSql {
     "q_incr_rollup" ->
       s"""$cdcAppliedCtes
         |SELECT o_custkey % 50 AS grp, CAST(count(*) AS BIGINT) AS cnt,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE) AS vsum
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE), 4)
+        |    AS vsum
         |FROM applied GROUP BY o_custkey % 50 ORDER BY grp""".stripMargin,
 
     "q_drift_profile" ->
@@ -2955,7 +2956,7 @@ object OracleSql {
         |    (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
         |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
         |     sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
-        |      CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 10) AS corr_xy
+        |      CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 8) AS corr_xy
         |FROM m ORDER BY event_type""".stripMargin,
 
     "q_json_extract" ->

@@ -278,7 +278,7 @@ object Analytics {
           (sqrt(col("n").cast("double") * col("sxx").cast("double") -
             col("sx").cast("double") * col("sx").cast("double")) *
             sqrt(col("n").cast("double") * col("syy").cast("double") -
-              col("sy").cast("double") * col("sy").cast("double"))), 10))
+              col("sy").cast("double") * col("sy").cast("double"))), 8))
       .drop("sx", "sy", "sxx", "syy", "sxy")
   }
 

@@ -233,8 +233,12 @@ object Dedup {
       .select(col("grp"),
         (coalesce(col("n0"), lit(0L)) + coalesce(col("np"), lit(0L)) -
           coalesce(col("nm"), lit(0L))).as("cnt"),
-        (coalesce(col("s0"), dec0) + coalesce(col("sp"), dec0) -
-          coalesce(col("sm"), dec0)).cast("double").as("vsum"))
+        // rounded: a >2^53-unscaled decimal's cast to double is
+        // correctly rounded in Spark but two-step (int→double, ÷10^s)
+        // in DuckDB — off by an ulp exactly when sums get big (seen at
+        // sf0.1); 4 dp is still 100× finer than the cent-grained data
+        round((coalesce(col("s0"), dec0) + coalesce(col("sp"), dec0) -
+          coalesce(col("sm"), dec0)).cast("double"), 4).as("vsum"))
       .filter(col("cnt") > 0)
   }
 

@@ -143,6 +143,17 @@ class ReleaseSpec extends AnyFunSuite {
     }
   }
 
+  test("mmrRerank releases its per-step checkpoints, base frame, and broadcasts") {
+    val cands = Seq(
+      ("A", 0.99, Array(1.0f, 0.0f, 0.0f)),
+      ("B", 0.95, Array(0.9f, 0.1f, 0.0f)),
+      ("C", 0.90, Array(0.0f, 1.0f, 0.0f)),
+      ("D", 0.85, Array(0.0f, 0.0f, 1.0f))).toDF("key", "rel", "vec")
+    assertReleases("mmrRerank") {
+      graft.operators.Retrieval.mmrRerank(cands, lambda = 0.75, k = 3)
+    }
+  }
+
   test("broadcast tripwire trips: an unmanaged broadcast join leaves blocks; the sweep clears them") {
     import graft.operators.Eager
     Eager.releaseBroadcastsSince(spark, Set.empty, force = true)
