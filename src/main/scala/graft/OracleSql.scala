@@ -2489,13 +2489,13 @@ object OracleSql {
 
     "q_stream_enrich" ->
       """SELECT c_mktsegment, count(*) AS n,
-        |  CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE) AS vsum
+        |  round(CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE), 4) AS vsum
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q_cube" ->
       """SELECT event_type, user_id % 5 AS u_mod, count(*) AS n,
-        |  CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE) AS vsum
+        |  round(CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE), 4) AS vsum
         |FROM events
         |GROUP BY CUBE(event_type, user_id % 5)
         |ORDER BY event_type ASC NULLS FIRST, u_mod ASC NULLS FIRST""".stripMargin,
@@ -2909,7 +2909,7 @@ object OracleSql {
 
     "q_orc_roundtrip" ->
       """SELECT event_type, count(*) AS n,
-        |  CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE) AS vsum
+        |  round(CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE), 4) AS vsum
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     "q_stream_json" ->
@@ -3020,7 +3020,7 @@ object OracleSql {
 
     "q_rollup" ->
       """SELECT event_type, CAST(month(ts) AS INTEGER) AS m, count(*) AS n,
-        |  CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE) AS vsum
+        |  round(CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE), 4) AS vsum
         |FROM events
         |GROUP BY ROLLUP(event_type, CAST(month(ts) AS INTEGER))
         |ORDER BY event_type ASC NULLS FIRST, m ASC NULLS FIRST""".stripMargin,

@@ -1776,7 +1776,10 @@ object SparkEntry {
       t(s, dir, "events")
         .rollup(col("event_type"), month(col("ts")).cast("int").as("m"))
         .agg(count(lit(1)).as("n"),
-          Analytics.exactSum(col("value")).cast("double").as("vsum"))
+          // rounded: the grand-total row's unscaled decimal exceeds
+          // 2^53, where DuckDB's two-step decimal→double cast can sit
+          // one ulp off Spark's correctly-rounded one
+          round(Analytics.exactSum(col("value")).cast("double"), 4).as("vsum"))
         .orderBy(col("event_type").asc_nulls_first, col("m").asc_nulls_first)
     }),
 
@@ -1785,7 +1788,7 @@ object SparkEntry {
       t(s, dir, "events")
         .cube(col("event_type"), (col("user_id") % 5).as("u_mod"))
         .agg(count(lit(1)).as("n"),
-          Analytics.exactSum(col("value")).cast("double").as("vsum"))
+          round(Analytics.exactSum(col("value")).cast("double"), 4).as("vsum"))
         .orderBy(col("event_type").asc_nulls_first, col("u_mod").asc_nulls_first)
     }),
 
@@ -2308,7 +2311,8 @@ object SparkEntry {
       s.read.orc(tmp)
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast("decimal(30,10)")).cast("double").as("vsum"))
+          round(sum(col("value").cast("decimal(30,10)"))
+            .cast("double"), 4).as("vsum"))
         .orderBy("event_type")
     }),
 

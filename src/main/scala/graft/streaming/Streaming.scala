@@ -251,7 +251,8 @@ object Streaming {
       .join(broadcast(dim), col("user_id") === col("c_custkey"))
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(30,10)")).cast("double").as("vsum"))
+        round(sum(col("value").cast("decimal(30,10)")).cast("double"), 4)
+          .as("vsum"))
     runToCompletion(agg, OutputMode.Complete(), "stream_enrich")
   }
 
