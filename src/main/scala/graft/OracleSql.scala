@@ -314,6 +314,17 @@ object OracleSql {
       |  FROM snap s FULL OUTER JOIN latest l USING (o_orderkey)
       |  WHERE l.op IS NULL OR l.op <> 'D')""".stripMargin
 
+  /** Full recompute of the maintained (count, sum) rollup — shared by
+    * q_incr_rollup (one-shot apply) and q_stream_incr_rollup (the
+    * streaming maintainer): both must hash-equal this.
+    */
+  private val incrRollupRecomputeSql: String =
+    s"""$cdcAppliedCtes
+       |SELECT o_custkey % 50 AS grp, CAST(count(*) AS BIGINT) AS cnt,
+       |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE), 4)
+       |    AS vsum
+       |FROM applied GROUP BY o_custkey % 50 ORDER BY grp""".stripMargin
+
   /** Shared BPE CTE chain (word-freq table, per-codepoint symbol
     * strings, k unrolled count->argmax->two-pass-replace rounds) —
     * used by q_bpe_train (reads the b-r winners) and q_bpe_vocab
@@ -2797,12 +2808,11 @@ object OracleSql {
     // path must hash-equal this, which is the IVM correctness theorem
     // checked end-to-end (groups whose count reaches 0 disappear from
     // both sides).
-    "q_incr_rollup" ->
-      s"""$cdcAppliedCtes
-        |SELECT o_custkey % 50 AS grp, CAST(count(*) AS BIGINT) AS cnt,
-        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE), 4)
-        |    AS vsum
-        |FROM applied GROUP BY o_custkey % 50 ORDER BY grp""".stripMargin,
+    "q_incr_rollup" -> incrRollupRecomputeSql,
+
+    // the STREAMING maintainer lands on the identical rollup for any
+    // commit-ordered batch split — same recompute oracle, by design
+    "q_stream_incr_rollup" -> incrRollupRecomputeSql,
 
     "q_drift_profile" ->
       s"""$cdcAppliedCtes,

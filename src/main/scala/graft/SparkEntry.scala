@@ -2216,6 +2216,24 @@ object SparkEntry {
         .orderBy("col_name")
     }),
 
+    // K3++ — STREAMING incremental view maintenance: the same rollup as
+    // q_incr_rollup, maintained batch-by-batch as the commit-ordered
+    // CDC log lands (batch 0 = jan/feb changes, batch 1 = march).
+    // Stored sums stay exact DECIMAL between batches, so the final
+    // rollup equals the one-shot apply — the SAME full-recompute
+    // oracle checks the whole loop.
+    "q_stream_incr_rollup" -> ((s, dir) => {
+      val o = cdcSnapshot(s, dir)
+      graft.streaming.Streaming.streamingIncrementalRollup(s, o,
+          cdcChangeLog(o),
+          batchOf = when(
+            col("ts") < lit("2024-02-15").cast("timestamp"), 0).otherwise(1),
+          "o_orderkey", "ts", "seq", "op",
+          Seq("o_custkey", "o_totalprice"),
+          group = col("o_custkey") % 50, value = col("o_totalprice"))
+        .orderBy("grp")
+    }),
+
     // K3+ — STREAMING CDC materializer: the same change log consumed as
     // a file stream (one file per micro-batch), per-key frontier merged
     // batch-over-batch in foreachBatch, final state applied to the

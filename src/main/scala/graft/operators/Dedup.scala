@@ -215,32 +215,63 @@ object Dedup {
     */
   def incrementalRollup(snapshot: DataFrame, changes: DataFrame, key: String,
       tsCol: String, seqCol: String, opCol: String, valueCols: Seq[String],
+      group: Column, value: Column): DataFrame =
+    finishRollup(mergeRollup(
+      baseRollup(snapshot, group, value), // in production: the stored rollup
+      rollupDeltas(snapshot, changes, key, tsCol, seqCol, opCol, valueCols,
+        group, value)))
+
+  /** The stored-rollup representation: (grp, cnt, s) with `s` kept as
+    * DECIMAL — rounding happens only at the output boundary
+    * ([[finishRollup]]) so maintenance CYCLES stay exact. */
+  def baseRollup(df: DataFrame, group: Column, value: Column): DataFrame =
+    df.groupBy(group.as("grp"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(value.cast("decimal(30,10)")).cast("decimal(38,10)").as("s"))
+
+  /** Per-group (Δcount, Δsum) a change log induces:
+    * Σ(new state of affected keys) − Σ(old state of affected keys) —
+    * log-sized work only. The streaming maintainer applies these to its
+    * STORED rollup per micro-batch; the one-shot form to the base. */
+  def rollupDeltas(snapshot: DataFrame, changes: DataFrame, key: String,
+      tsCol: String, seqCol: String, opCol: String, valueCols: Seq[String],
       group: Column, value: Column): DataFrame = {
     val affected = changes.select(col(key)).distinct()
     val oldAffected = snapshot.join(affected, Seq(key), "left_semi")
     val newAffected =
       applyChangeLog(oldAffected, changes, key, tsCol, seqCol, opCol, valueCols)
-    def roll(df: DataFrame, n: String, s: String): DataFrame =
-      df.groupBy(group.as("grp"))
-        .agg(count(lit(1)).as(n), sum(value.cast("decimal(30,10)")).as(s))
-    val base = roll(snapshot, "n0", "s0") // in production: the stored rollup
-    val minus = roll(oldAffected, "nm", "sm")
-    val plus = roll(newAffected, "np", "sp")
-    val dec0 = lit(0).cast("decimal(30,10)")
-    base
-      .join(minus, Seq("grp"), "full_outer")
-      .join(plus, Seq("grp"), "full_outer")
+    val minus = baseRollup(oldAffected, group, value)
+      .select(col("grp"), col("cnt").as("nm"), col("s").as("sm"))
+    val plus = baseRollup(newAffected, group, value)
+      .select(col("grp"), col("cnt").as("np"), col("s").as("sp"))
+    val dec0 = lit(0).cast("decimal(38,10)")
+    minus.join(plus, Seq("grp"), "full_outer")
       .select(col("grp"),
-        (coalesce(col("n0"), lit(0L)) + coalesce(col("np"), lit(0L)) -
-          coalesce(col("nm"), lit(0L))).as("cnt"),
-        // rounded: a >2^53-unscaled decimal's cast to double is
-        // correctly rounded in Spark but two-step (int→double, ÷10^s)
-        // in DuckDB — off by an ulp exactly when sums get big (seen at
-        // sf0.1); 4 dp is still 100× finer than the cent-grained data
-        round((coalesce(col("s0"), dec0) + coalesce(col("sp"), dec0) -
-          coalesce(col("sm"), dec0)).cast("double"), 4).as("vsum"))
+        (coalesce(col("np"), lit(0L)) - coalesce(col("nm"), lit(0L))).as("dn"),
+        (coalesce(col("sp"), dec0) - coalesce(col("sm"), dec0))
+          .cast("decimal(38,10)").as("ds"))
+  }
+
+  /** Apply deltas to a stored rollup; groups whose count reaches 0
+    * disappear, exactly as a recompute would drop them. */
+  def mergeRollup(rollup: DataFrame, deltas: DataFrame): DataFrame = {
+    val dec0 = lit(0).cast("decimal(38,10)")
+    rollup.join(deltas, Seq("grp"), "full_outer")
+      .select(col("grp"),
+        (coalesce(col("cnt"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("cnt"),
+        (coalesce(col("s"), dec0) + coalesce(col("ds"), dec0))
+          .cast("decimal(38,10)").as("s"))
       .filter(col("cnt") > 0)
   }
+
+  /** Output boundary: surface the exact decimal sum as a rounded
+    * double. Rounded because a >2^53-unscaled decimal's cast to double
+    * is correctly rounded in Spark but two-step (int→double, ÷10^s) in
+    * DuckDB — off by an ulp exactly when sums get big (seen at sf0.1);
+    * 4 dp is still 100× finer than the cent-grained data. */
+  def finishRollup(rollup: DataFrame): DataFrame =
+    rollup.select(col("grp"), col("cnt"),
+      round(col("s").cast("double"), 4).as("vsum"))
 
   /** Exact content dedup for document corpora: hash-groupBy on a
     * normalized content digest, keeping the representative with the

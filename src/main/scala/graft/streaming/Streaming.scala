@@ -429,6 +429,83 @@ object Streaming {
       key, tsCol, seqCol, opCol, valueCols)
   }
 
+  /** Streaming INCREMENTAL VIEW MAINTENANCE — the deployment form of
+    * [[graft.operators.Dedup.incrementalRollup]]: the CDC log lands as
+    * one file per `batchOf` value (ascending — commit order, the
+    * binlog/WAL-shipping contract; per-key changes must not go back in
+    * time across batches) and each micro-batch advances BOTH maintained
+    * artifacts with log-bounded compute:
+    *
+    *   rollup ← rollup ⊕ Δ(table, batch)   (per-group count/sum deltas)
+    *   table  ← (table ∖ affected) ∪ applyChangeLog(affected, batch)
+    *
+    * The stored rollup keeps its sums as exact DECIMAL between batches
+    * (rounding only at the output boundary), so ANY batch split of a
+    * commit-ordered log lands on the same rollup as the one-shot apply
+    * — which is exactly what the shared oracle (full recompute) checks.
+    * State is versioned parquet per batch ([[streamingCdc]]'s pattern);
+    * the table rewrite is log-bounded COMPUTE (anti-join + union of
+    * affected keys) — at lake scale the file-level form is a
+    * merge-on-read upsert, orthogonal to the maintenance algebra.
+    */
+  def streamingIncrementalRollup(spark: SparkSession, snapshot: DataFrame,
+      changes: DataFrame, batchOf: org.apache.spark.sql.Column,
+      key: String, tsCol: String, seqCol: String, opCol: String,
+      valueCols: Seq[String], group: org.apache.spark.sql.Column,
+      value: org.apache.spark.sql.Column): DataFrame = {
+    import graft.operators.Dedup
+    val land = freshDir("ivm_land")
+    val tableRoot = freshDir("ivm_table")
+    val rollupRoot = freshDir("ivm_rollup")
+    val tagged = changes.withColumn("__b", batchOf)
+    // batch ids sort numerically (commit order) — same contract and
+    // driver-side id-only collect as streamingNearDupCumulative
+    val raw = tagged.select("__b").distinct().collect().map(_.get(0))
+    val batches =
+      if (raw.forall(_.isInstanceOf[java.lang.Number]))
+        raw.sortBy(_.asInstanceOf[java.lang.Number].doubleValue)
+      else raw.sortBy(_.toString)
+    batches.zipWithIndex.foreach { case (b, i) =>
+      tagged.filter(col("__b") === lit(b)).drop("__b")
+        .coalesce(1).write.mode("overwrite").parquet(f"$land/b$i%04d.parquet")
+    }
+    val schema = spark.read.parquet(s"$land/b0000.parquet").schema
+    def latest(root: String): Option[String] =
+      (new java.io.File(root).listFiles() match {
+        case null => Array.empty[java.io.File]
+        case fs => fs.filter(f => f.isDirectory && f.getName.startsWith("v"))
+      }).sortBy(_.getName.drop(1).toLong).lastOption.map(_.toString)
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(land)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val tablePrev = latest(tableRoot).map(spark.read.parquet(_))
+          .getOrElse(snapshot)
+        val rollupPrev = latest(rollupRoot).map(spark.read.parquet(_))
+          .getOrElse(Dedup.baseRollup(snapshot, group, value))
+        Dedup.mergeRollup(rollupPrev,
+            Dedup.rollupDeltas(tablePrev, batch, key, tsCol, seqCol, opCol,
+              valueCols, group, value))
+          .write.mode("overwrite").parquet(s"$rollupRoot/v$id")
+        val affected = batch.select(col(key)).distinct()
+        val newAffected = Dedup.applyChangeLog(
+          tablePrev.join(affected, Seq(key), "left_semi"),
+          batch, key, tsCol, seqCol, opCol, valueCols)
+        tablePrev.join(affected, Seq(key), "left_anti")
+          .unionByName(newAffected)
+          .write.mode("overwrite").parquet(s"$tableRoot/v$id")
+        ()
+      }
+      .option("checkpointLocation", freshDir("ivm_ck"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    Dedup.finishRollup(latest(rollupRoot).map(spark.read.parquet(_))
+      .getOrElse(Dedup.baseRollup(snapshot, group, value)))
+  }
+
   /** Streaming near-dup probe against a MATERIALIZED band/set index
     * ([[graft.operators.NearDup.writeNearDupIndex]]) — the production
     * crawl-ingest pipeline: documents land as files, every micro-batch

@@ -222,6 +222,35 @@ class StreamingSinksSpec extends AnyFunSuite {
     }
   }
 
+  test("streamingIncrementalRollup equals the one-shot apply across batch splits") {
+    import graft.operators.Dedup
+    def ts(x: String) = java.sql.Timestamp.valueOf(x)
+    val snap = Seq((1L, 1L, 10.0), (2L, 1L, 11.0), (3L, 2L, 20.0),
+      (4L, 3L, 30.0)).toDF("k", "g", "v")
+    // commit-ordered log: batch 0 (jan) inserts + updates; batch 1
+    // (mar) re-updates k=1 (so batch 1's delta must be computed
+    // against batch 0's MAINTAINED table, not the snapshot), moves
+    // k=3 to group 1, and deletes k=4 (group 3 empties)
+    val changes = Seq(
+      (1L, ts("2024-01-10 00:00:00"), 1L, "U", 1L, 15.0),
+      (9L, ts("2024-01-20 00:00:00"), 1L, "I", 9L, 90.0),
+      (1L, ts("2024-03-01 00:00:00"), 1L, "U", 1L, 17.0),
+      (3L, ts("2024-03-02 00:00:00"), 1L, "U", 1L, 21.0),
+      (4L, ts("2024-03-03 00:00:00"), 1L, "D", 3L, 30.0)
+    ).toDF("k", "ts", "seq", "op", "g", "v")
+    val streamed = Streaming.streamingIncrementalRollup(spark, snap, changes,
+        batchOf = when(month(col("ts")) === 1, 0).otherwise(1),
+        "k", "ts", "seq", "op", Seq("g", "v"), col("g"), col("v"))
+      .orderBy("grp").as[(Long, Long, Double)].collect()
+    val oneShot = Dedup.incrementalRollup(snap, changes, "k", "ts", "seq",
+        "op", Seq("g", "v"), col("g"), col("v"))
+      .orderBy("grp").as[(Long, Long, Double)].collect()
+    assert(streamed.toSeq === oneShot.toSeq)
+    // hand-checked: group 1 = {k1=17, k2=11, k3=21}, group 9 = {k9=90};
+    // groups 2 and 3 emptied by the move and the delete
+    assert(streamed.toSeq === Seq((1L, 3L, 49.0), (9L, 1L, 90.0)))
+  }
+
   test("streamingSessions merges events within the 30-minute gap") {
     val got = Streaming.streamingSessions(spark, sf)
     assert(got.count() > 0)
