@@ -41,18 +41,46 @@ object Bench {
     // infrastructure, never swept; everything above this baseline was
     // created by a completed query and is fair game for the sweep.
     val bcBaseline = graft.operators.Eager.broadcastSnapshot(spark)
-    // Per-query storage evidence (round-7 verdict #2): broadcast block
-    // count/bytes at each query's START. With the sweep working these
-    // stay at ~baseline for all 179 queries; un-swept accumulation would
-    // show as a monotone ramp. Dumped as JSONL next to the full bench
-    // file, summarized (max count/bytes) on the stdout line.
-    val storageLog = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Long, Long)]
+    // Cumulative spill counters (round-8 verdict #1): the two channels
+    // the storage log did NOT cover while the persist-heavy family kept
+    // inflating in the driver session only. Task-metrics listener —
+    // public API, counts memory- and disk-spilled bytes across all
+    // tasks since session start; the per-query JSONL samples the
+    // cumulative value at each query's start so the delta per query is
+    // readable straight off adjacent lines.
+    val spillMem = new java.util.concurrent.atomic.AtomicLong(0)
+    val spillDisk = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = e.taskMetrics
+          if (m != null) {
+            spillMem.addAndGet(m.memoryBytesSpilled)
+            spillDisk.addAndGet(m.diskBytesSpilled)
+          }
+        }
+      })
+    // Per-query storage evidence (round-7 verdict #2, widened round 9):
+    // broadcast blocks, cumulative spill, storage-pool occupancy, and
+    // block-manager local-disk usage at each query's START. With the
+    // sweeps working these stay flat for all queries; accumulation in
+    // any channel shows as a monotone ramp in the committed JSONL.
+    final case class StorageRow(name: String, bcN: Int, bcMem: Long,
+      bcDisk: Long, spillM: Long, spillD: Long, stUsed: Long, stMax: Long,
+      diskN: Int, diskBytes: Long, shuffles: Int)
+    val storageLog = scala.collection.mutable.ArrayBuffer.empty[StorageRow]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
+      val sc = spark.sparkContext
       val (bcN, bcMem, bcDisk) =
-        org.apache.spark.graft.Storage.broadcastSummary(spark.sparkContext)
-      storageLog += ((name, bcN, bcMem, bcDisk))
+        org.apache.spark.graft.Storage.broadcastSummary(sc)
+      val (stUsed, stMax) = org.apache.spark.graft.Storage.storageMemory(sc)
+      val (diskN, diskBytes) = org.apache.spark.graft.Storage.localDiskUsage(sc)
+      storageLog += StorageRow(name, bcN, bcMem, bcDisk, spillMem.get,
+        spillDisk.get, stUsed, stMax, diskN, diskBytes,
+        org.apache.spark.graft.Storage.shuffleIds(sc).size)
       // one UNTIMED warm-up execution first: a fresh JVM pays ~seconds of
       // whole-stage-codegen JIT inside the first run of a heavy pipeline
       // (round-4 driver capture: q_dedup_clusters 10.4 s cold vs 4.8 s
@@ -82,6 +110,17 @@ object Bench {
           .foreach(_.unpersist(blocking = false))
         graft.operators.Eager
           .releaseBroadcastsSince(spark, bcBaseline, force = true)
+        // ...and shuffle state (round-9): each completed wide stage
+        // leaves map-output files on local disk plus driver-side
+        // ShuffleStatus, reclaimed only via GC + ContextCleaner — the
+        // same asynchronous latency that inflated RDD blocks (round 6)
+        // and broadcast blocks (round 7). Exchange reuse never crosses
+        // separate query executions, and everything persisted was just
+        // dropped above, so every registered shuffle is dead here.
+        val sc = spark.sparkContext
+        org.apache.spark.graft.Storage.shuffleIds(sc)
+          .foreach(id =>
+            org.apache.spark.graft.Storage.removeShuffle(sc, id, blocking = false))
       }
       sweep()
       // Codegen'd classes for this query's plan stay referenced by the
@@ -111,15 +150,24 @@ object Bench {
     try {
       val p = java.nio.file.Paths.get("docs", "BENCH_storage_last.jsonl")
       java.nio.file.Files.createDirectories(p.getParent)
-      val lines = storageLog.map { case (n, c, m, d) =>
-        s"""{"query":"$n","bc_blocks":$c,"bc_mem":$m,"bc_disk":$d}"""
+      val lines = storageLog.map { r =>
+        s"""{"query":"${r.name}","bc_blocks":${r.bcN},"bc_mem":${r.bcMem},""" +
+          s""""bc_disk":${r.bcDisk},"spill_mem_cum":${r.spillM},""" +
+          s""""spill_disk_cum":${r.spillD},"storage_used":${r.stUsed},""" +
+          s""""storage_max":${r.stMax},"local_disk_files":${r.diskN},""" +
+          s""""local_disk_bytes":${r.diskBytes},"shuffles":${r.shuffles}}"""
       }.mkString("", "\n", "\n")
       java.nio.file.Files.write(p, lines.getBytes("UTF-8"))
     } catch { case e: Exception =>
       System.err.println(s"warn: storage log not written: ${e.getMessage}")
     }
-    val bcMaxBlocks = if (storageLog.isEmpty) 0 else storageLog.map(_._2).max
-    val bcMaxMem = if (storageLog.isEmpty) 0L else storageLog.map(_._3).max
+    val bcMaxBlocks = if (storageLog.isEmpty) 0 else storageLog.map(_.bcN).max
+    val bcMaxMem = if (storageLog.isEmpty) 0L else storageLog.map(_.bcMem).max
+    // headline accumulation indicators for the stdout line: peak
+    // local-disk bytes at a query start (flat ≈ no file accumulation)
+    // and total spill over the whole suite
+    val diskMaxBytes = if (storageLog.isEmpty) 0L else storageLog.map(_.diskBytes).max
+    val spillTotal = spillDisk.get
     // Full-precision per-query map goes to a FILE: the harness captures
     // only the last ~2000 chars of stdout, and 90 queries at full double
     // precision overflow that window — round 3's bench line was cut
@@ -148,7 +196,7 @@ object Bench {
       val qs = byTime.take(n).sortBy(_._1)
         .map { case (k, v) => s"\"" + k + "\":" + r3(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"n_queries":${results.length},"top_n":${math.min(n, results.length)},$fullRef"bc_max_blocks":$bcMaxBlocks,"bc_max_mem":$bcMaxMem,"sf":"$sfDir","runs_per_query":$runs}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"n_queries":${results.length},"top_n":${math.min(n, results.length)},$fullRef"bc_max_blocks":$bcMaxBlocks,"bc_max_mem":$bcMaxMem,"disk_max_bytes":$diskMaxBytes,"spill_disk_total":$spillTotal,"sf":"$sfDir","runs_per_query":$runs}"""
     }
     val out = (results.length to 1 by -1).view.map(line).find(_.length <= 1500).getOrElse(line(1))
     println(out)

@@ -1082,6 +1082,9 @@ object OracleSql {
       // equal-length strings — on '0'/'1' fingerprints that is exactly
       // Spark's bit_count(sig_a XOR sig_b) over the parsed integers
       val ham = "hamming(sig_a, sig_b)"
+      // eligible = the maxBucket=200 posting-list cap, in lockstep with
+      // NearDup.simhashPairs (buckets of 2..200 members participate;
+      // the dropped buckets are audited by q_simhash_band_stats)
       s"""WITH corpus AS (
          |  SELECT doc_id AS key, text AS t FROM documents
          |  UNION ALL
@@ -1100,13 +1103,57 @@ object OracleSql {
          |bands AS (
          |  SELECT key, simhash, b, substr(simhash, 1 + 15 * b, 15) AS band_val
          |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b)),
+         |eligible AS (
+         |  SELECT bands.* FROM bands
+         |  JOIN (SELECT b, band_val FROM bands GROUP BY b, band_val
+         |        HAVING count(*) BETWEEN 2 AND 200) g
+         |    ON bands.b = g.b AND bands.band_val = g.band_val),
          |cand AS (
          |  SELECT DISTINCT a.key AS key_a, c.key AS key_b,
          |    a.simhash AS sig_a, c.simhash AS sig_b
-         |  FROM bands a JOIN bands c
+         |  FROM eligible a JOIN eligible c
          |    ON a.b = c.b AND a.band_val = c.band_val AND a.key < c.key)
          |SELECT key_a, key_b, CAST($ham AS INTEGER) AS hamming
          |FROM cand WHERE ($ham) <= 3 ORDER BY key_a, key_b""".stripMargin
+    },
+
+    "q_simhash_band_stats" -> {
+      val sums = (0 until 60).map { b =>
+        val plane = 3 - b / 32
+        val nib = b % 32
+        val isSet =
+          if (plane == 3) s"substr(h, ${nib + 1}, 1) >= '8'"
+          else s"((strpos('0123456789abcdef', substr(h, ${nib + 1}, 1)) - 1) & ${1 << plane}) <> 0"
+        s"sum(CASE WHEN $isSet THEN 1 ELSE -1 END) AS s$b"
+      }.mkString(",\n    ")
+      val bits = (0 until 60).map(b =>
+        s"CASE WHEN s$b > 0 THEN '1' ELSE '0' END").mkString(" || ")
+      s"""WITH corpus AS (
+         |  SELECT doc_id AS key, text AS t FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, substr(text, 1, length(text) - 10)
+         |  FROM documents),
+         |tok AS (
+         |  SELECT key,
+         |    md5(unnest(list_filter(string_split_regex(t, '\\s+'),
+         |      x -> x <> ''))) AS h
+         |  FROM corpus),
+         |votes AS (
+         |  SELECT key,
+         |    $sums
+         |  FROM tok GROUP BY key),
+         |sig AS (SELECT key, $bits AS simhash FROM votes),
+         |bands AS (
+         |  SELECT key, b, substr(simhash, 1 + 15 * b, 15) AS band_val
+         |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b)),
+         |bsz AS (
+         |  SELECT b, band_val, count(*) AS c FROM bands
+         |  GROUP BY b, band_val HAVING count(*) > 1)
+         |SELECT count(*) AS n_buckets_ge2,
+         |  sum(CASE WHEN c > 200 THEN 1 ELSE 0 END) AS n_buckets_dropped,
+         |  sum(CASE WHEN c <= 200 THEN c * (c - 1) // 2 ELSE 0 END) AS cand_kept,
+         |  sum(CASE WHEN c > 200 THEN c * (c - 1) // 2 ELSE 0 END) AS cand_dropped
+         |FROM bsz""".stripMargin
     },
 
     "q_image_neardup" -> {
@@ -3144,6 +3191,145 @@ object OracleSql {
          |SELECT e.key, e.score, e.n_tokens FROM exact e
          |WHERE NOT EXISTS (SELECT 1 FROM dropk d WHERE d.key = e.key)
          |ORDER BY e.key""".stripMargin,
+
+    // Round-9 capstone: chained CTE replay of the FULL curation
+    // pipeline — gopher gate (no-stopword form) → exact dedup →
+    // minhash near-dup (same CTEs as q_corpus_clean) → 3-gram
+    // decontamination vs the doc_id%97 eval split → √n temperature
+    // rates at budget 500 → 512-token sequence packing. Each stage is
+    // the same SQL as its standalone oracle over the previous stage's
+    // output, so the hash compare proves the COMPOSITION.
+    "q_pipeline_curate" ->
+      """WITH base AS (
+        |  SELECT doc_id, text, lang, source FROM documents),
+        |corpus AS (
+        |  SELECT doc_id AS key, text AS t, lang, source FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text, lang, source FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, substr(text, 1, length(text) - 10),
+        |    lang, source FROM base),
+        |fw AS (
+        |  SELECT key, t,
+        |    list_filter(string_split_regex(t, '\s+'), x -> x <> '') AS ws,
+        |    list_filter(string_split(t, chr(10)), l -> trim(l) <> '') AS ls
+        |  FROM corpus),
+        |g AS (
+        |  SELECT key,
+        |    CAST(len(ws) AS BIGINT) AS n_words,
+        |    round(CAST(list_aggregate(list_transform(ws, x -> length(x)),
+        |        'sum') AS DOUBLE) / CAST(greatest(len(ws), 1) AS DOUBLE), 6)
+        |      AS mean_word_len,
+        |    round((CAST(length(t) - length(replace(t, '#', '')) AS DOUBLE) +
+        |      CAST(length(t) - length(replace(t, '...', '')) AS DOUBLE) / 3)
+        |      / CAST(greatest(len(ws), 1) AS DOUBLE), 6) AS symbol_ratio,
+        |    round(CAST(len(list_filter(ls, l ->
+        |        starts_with(trim(l), '-') OR starts_with(trim(l), '*')
+        |        OR starts_with(trim(l), '•'))) AS DOUBLE) /
+        |      CAST(greatest(len(ls), 1) AS DOUBLE), 6) AS bullet_ratio,
+        |    round(CAST(len(list_filter(ws, x ->
+        |        regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) /
+        |      CAST(greatest(len(ws), 1) AS DOUBLE), 6) AS alpha_word_frac
+        |  FROM fw),
+        |gated AS (
+        |  SELECT c.key, c.t, c.lang, c.source FROM corpus c
+        |  JOIN g ON g.key = c.key
+        |  WHERE g.n_words >= 20 AND g.n_words <= 100000
+        |    AND g.mean_word_len >= 3.0 AND g.mean_word_len <= 10.0
+        |    AND g.symbol_ratio < 0.1 AND g.bullet_ratio < 0.9
+        |    AND g.alpha_word_frac >= 0.8),
+        |exact AS (
+        |  SELECT key, t, lang, source FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY md5(t)
+        |      ORDER BY key) AS rn
+        |    FROM gated) WHERE rn = 1),
+        |sh AS (
+        |  SELECT DISTINCT key, md5(array_to_string(w[i:i+4], ' ')) AS shingle
+        |  FROM (
+        |    SELECT key, string_split_regex(t, '\s+') AS w,
+        |      unnest(generate_series(1,
+        |        greatest(len(string_split_regex(t, '\s+')) - 4, 1))) AS i
+        |    FROM exact)),
+        |mh AS (
+        |  SELECT key, seed,
+        |    min(substr(shingle || shingle, 1 + 4 * seed, 16)) AS mh
+        |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS seed)
+        |  GROUP BY key, seed),
+        |bands AS (
+        |  SELECT key, seed // 2 AS band,
+        |    min(CASE WHEN seed % 2 = 0 THEN mh END) || '|' ||
+        |    min(CASE WHEN seed % 2 = 1 THEN mh END) AS band_val
+        |  FROM mh GROUP BY key, seed // 2),
+        |cand AS (
+        |  SELECT DISTINCT a.key AS key_a, b.key AS key_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.band_val = b.band_val AND a.key < b.key),
+        |cnt AS (SELECT key, count(*) AS cnt FROM sh GROUP BY key),
+        |inter AS (
+        |  SELECT c.key_a, c.key_b, count(*) AS n_inter
+        |  FROM cand c
+        |  JOIN sh a ON a.key = c.key_a
+        |  JOIN sh b ON b.key = c.key_b AND b.shingle = a.shingle
+        |  GROUP BY c.key_a, c.key_b),
+        |dropk AS (
+        |  SELECT DISTINCT i.key_b AS key FROM inter i
+        |  JOIN cnt ca ON ca.key = i.key_a
+        |  JOIN cnt cb ON cb.key = i.key_b
+        |  WHERE CAST(n_inter AS DOUBLE) /
+        |    CAST(ca.cnt + cb.cnt - n_inter AS DOUBLE) >= 0.5),
+        |nd AS (
+        |  SELECT e.* FROM exact e
+        |  WHERE NOT EXISTS (SELECT 1 FROM dropk d WHERE d.key = e.key)),
+        |evsh AS (
+        |  SELECT DISTINCT array_to_string(w[i:i+2], ' ') AS sg
+        |  FROM (
+        |    SELECT string_split_regex(text, '\s+') AS w,
+        |      unnest(generate_series(1,
+        |        greatest(len(string_split_regex(text, '\s+')) - 2, 1))) AS i
+        |    FROM documents WHERE doc_id % 97 = 0)),
+        |flag AS (
+        |  SELECT DISTINCT s.key FROM (
+        |    SELECT key, array_to_string(w[i:i+2], ' ') AS sg
+        |    FROM (
+        |      SELECT key, string_split_regex(t, '\s+') AS w,
+        |        unnest(generate_series(1,
+        |          greatest(len(string_split_regex(t, '\s+')) - 2, 1))) AS i
+        |      FROM nd)) s
+        |  JOIN evsh e ON e.sg = s.sg),
+        |clean AS (
+        |  SELECT * FROM nd
+        |  WHERE NOT EXISTS (SELECT 1 FROM flag f WHERE f.key = nd.key)),
+        |counts AS (
+        |  SELECT source AS grp, CAST(count(*) AS BIGINT) AS n_in
+        |  FROM clean GROUP BY source),
+        |z AS (
+        |  SELECT sum(CAST(sqrt(CAST(n_in AS DOUBLE)) AS DECIMAL(38,12))) AS z
+        |  FROM counts),
+        |rates AS (
+        |  SELECT grp,
+        |    least(1.0, 500.0 * sqrt(CAST(n_in AS DOUBLE)) /
+        |      CAST(z.z AS DOUBLE) / CAST(n_in AS DOUBLE)) AS rate
+        |  FROM counts CROSS JOIN z),
+        |kept AS (
+        |  SELECT c.* FROM clean c JOIN rates r ON r.grp = c.source
+        |  WHERE (CAST(CAST(concat('0x',
+        |      substr(md5(CAST(c.key AS VARCHAR)), 1, 8)) AS BIGINT)
+        |      AS DOUBLE) + 0.5) / 4294967296.0 < r.rate),
+        |pk AS (
+        |  SELECT key, lang AS shard,
+        |    CAST(len(string_split_regex(t, '\s+')) AS BIGINT) AS n_tokens
+        |  FROM kept),
+        |po AS (
+        |  SELECT key, shard, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY key
+        |      ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS "offset"
+        |  FROM pk)
+        |SELECT key, shard, n_tokens, "offset",
+        |  CAST(floor("offset" / 512) AS BIGINT) AS block,
+        |  CASE WHEN n_tokens <= 0 THEN CAST(0 AS BIGINT)
+        |       ELSE CAST(floor(("offset" + n_tokens - 1) / 512) -
+        |         floor("offset" / 512) + 1 AS BIGINT) END AS n_blocks
+        |FROM po ORDER BY key""".stripMargin,
 
     "q_line_dedup" ->
       """WITH corpus AS (

@@ -1376,13 +1376,28 @@ object SparkEntry {
     // 60 bits (not 32) because band width IS the candidate-volume dial:
     // 15-bit bands split this corpus's fat fingerprint buckets ~10×
     // finer than 8-bit bands (10.9M → 1.06M candidate pairs at sf0.1).
+    // maxBucket=200 (round-9): the posting-list cap — a >200-wide
+    // 15-bit-band bucket is a fingerprint cluster whose Σ|bucket|² pair
+    // volume dominated the whole join (sf0.1: candidates 2.14M → 0.80M,
+    // pairs 12798 → 9519, planted-twin recall 96%); the drop is audited
+    // by q_simhash_band_stats, not silent.
     "q_simhash_pairs" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       val corpus = dupCorpus(d)
       NearDup.simhashPairs(
         NearDup.simhashBits(corpus, col("doc_id"), col("text"), nBits = 60),
-        nBits = 60, nBands = 4, maxHam = 3)
+        nBits = 60, nBands = 4, maxHam = 3, maxBucket = 200)
         .orderBy("key_a", "key_b")
+    }),
+
+    // The cap's audit counters (no silent truncation): bucket and
+    // candidate counts kept/dropped by q_simhash_pairs' maxBucket=200.
+    "q_simhash_band_stats" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val corpus = dupCorpus(d)
+      NearDup.simhashBandStats(
+        NearDup.simhashBits(corpus, col("doc_id"), col("text"), nBits = 60),
+        nBits = 60, nBands = 4, maxBucket = 200)
     }),
 
     // Brute-force n-gram Jaccard on known candidate pairs (LSH baseline).
@@ -1674,6 +1689,31 @@ object SparkEntry {
       graft.operators.Corpus.cleanCorpus(corpus, col("doc_id"), col("text"),
           targetLang = "de", minScore = 0.25, n = 5, k = 8,
           jaccThreshold = 0.5)
+        .orderBy("key")
+    }),
+
+    // Capstone #2 (round-9): the FULL curation assembly line — quality
+    // gate → exact dedup → index-backed near-dup → decontaminate →
+    // temperature mix → seq-pack, one composed plan over documents ∪
+    // exact copies (+1M, exact-dedup fodder) ∪ truncated twins (+2M,
+    // near-dup fodder); eval split = doc_id % 97 (removed with
+    // everything sharing a 3-gram with it). Output: the packed
+    // training-batch layout of the surviving mix.
+    "q_pipeline_curate" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val base = d.select(col("doc_id"), col("text"), col("lang"), col("source"))
+      val corpus = base
+        .unionByName(base.select((col("doc_id") + 1000000).as("doc_id"),
+          col("text"), col("lang"), col("source")))
+        .unionByName(base.select((col("doc_id") + 2000000).as("doc_id"),
+          col("text").substr(lit(1), length(col("text")) - 10).as("text"),
+          col("lang"), col("source")))
+      graft.operators.Corpus.curatePipeline(s, corpus,
+          d.filter(col("doc_id") % 97 === 0).select("doc_id", "text"),
+          nearDupIndexPath(dir, "curate"),
+          minWords = 20, maxWords = 100000,
+          nNear = 5, kNear = 8, jaccThreshold = 0.5,
+          nContam = 3, budget = 500L, capacity = 512)
         .orderBy("key")
     }),
 

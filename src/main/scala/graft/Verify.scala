@@ -29,14 +29,21 @@ object Verify {
         // MapType output column crashes its compare (r7: q_cluster_reps).
         // Fail HERE, locally, so shape bugs never reach the driver:
         // string-join arrays (array_join/concat_ws + string_agg oracle).
-        val bad = df.schema.fields.filter(f => f.dataType match {
-          case _: org.apache.spark.sql.types.ArrayType |
-               _: org.apache.spark.sql.types.MapType => true
-          case _ => false
-        })
+        // Recursive (round-9 ADVICE): a StructType column — or a nested
+        // array INSIDE a struct — reaches the pandas compare as an
+        // unsortable cell just like a top-level array; flag the whole
+        // non-scalar family at any nesting depth.
+        def nonScalar(dt: org.apache.spark.sql.types.DataType): Boolean =
+          dt match {
+            case _: org.apache.spark.sql.types.ArrayType |
+                 _: org.apache.spark.sql.types.MapType |
+                 _: org.apache.spark.sql.types.StructType => true
+            case _ => false
+          }
+        val bad = df.schema.fields.filter(f => nonScalar(f.dataType))
         require(bad.isEmpty, s"query $name emits non-scalar output " +
           s"column(s) ${bad.map(_.name).mkString(", ")} — string-join " +
-          "them; the driver compare cannot sort array/map cells")
+          "them; the driver compare cannot sort array/map/struct cells")
         df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       }
       catch { case e: Throwable =>
@@ -54,6 +61,12 @@ object Verify {
         // ...and broadcast blocks, the round-7 residual: one per
         // broadcast join, otherwise reclaimed only via GC+ContextCleaner
         graft.operators.Eager.releaseBroadcastsSince(spark, bcBaseline, force = true)
+        // ...and shuffle state (round 9): map-output files + driver
+        // ShuffleStatus from completed queries, same GC-latency story
+        val sc = spark.sparkContext
+        org.apache.spark.graft.Storage.shuffleIds(sc)
+          .foreach(id =>
+            org.apache.spark.graft.Storage.removeShuffle(sc, id, blocking = false))
         System.gc()
       }
     }

@@ -192,23 +192,52 @@ object Curation {
     */
   def temperatureSample(df: DataFrame, key: Column, group: Column,
       budget: Long): DataFrame = {
-    require(budget > 0, s"temperatureSample: budget must be > 0, got $budget")
-    val counts = df.groupBy(group.as("grp")).agg(count(lit(1)).as("n_in"))
-    val z = counts.agg(
-      sum(sqrt(col("n_in").cast("double")).cast("decimal(38,12)")).as("z"))
-    val rates = counts.crossJoin(broadcast(z))
-      .withColumn("rate", least(lit(1.0),
-        lit(budget.toDouble) * sqrt(col("n_in").cast("double")) /
-          col("z").cast("double") / col("n_in").cast("double")))
-      .select("grp", "n_in", "rate")
-    val h = conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long")
-    val u = (h.cast("double") + lit(0.5)) / lit(4294967296.0)
-    df.select(group.as("grp"), u.as("u"))
+    val rates = temperatureRates(df, group, budget)
+    df.select(group.as("grp"), hashUniform(key).as("u"))
       .join(broadcast(rates), Seq("grp"))
       .groupBy(col("grp"), col("n_in"), col("rate"))
       .agg(sum(when(col("u") < col("rate"), 1L).otherwise(0L)).as("n_out"))
       .select(col("grp"), col("n_in"), round(col("rate"), 6).as("rate"),
         col("n_out"))
+  }
+
+  /** Per-group √n-flattened keep rates against a fixed doc budget —
+    * shared by the [[temperatureSample]] report and the
+    * [[temperatureFilter]] pipeline stage so they cannot drift. */
+  private def temperatureRates(df: DataFrame, group: Column,
+      budget: Long): DataFrame = {
+    require(budget > 0, s"temperature sampling: budget must be > 0, got $budget")
+    val counts = df.groupBy(group.as("grp")).agg(count(lit(1)).as("n_in"))
+    val z = counts.agg(
+      sum(sqrt(col("n_in").cast("double")).cast("decimal(38,12)")).as("z"))
+    counts.crossJoin(broadcast(z))
+      .withColumn("rate", least(lit(1.0),
+        lit(budget.toDouble) * sqrt(col("n_in").cast("double")) /
+          col("z").cast("double") / col("n_in").cast("double")))
+      .select("grp", "n_in", "rate")
+  }
+
+  /** The engine-portable hash uniform u ∈ (0,1) shared by the sampling
+    * family: (first-8-hex(md5(key)) + 0.5) / 2³². */
+  private def hashUniform(key: Column): Column = {
+    val h = conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long")
+    (h.cast("double") + lit(0.5)) / lit(4294967296.0)
+  }
+
+  /** Row-level temperature sampling — [[temperatureSample]]'s keep rule
+    * applied as a pipeline FILTER, all input columns preserved: a row
+    * survives iff its hash uniform is below its group's √n-flattened
+    * rate. The rate table is group-sized and broadcast; the data side
+    * is one narrow tagging pass — no corpus shuffle beyond the
+    * per-group count that prices the rates. */
+  def temperatureFilter(df: DataFrame, key: Column, group: Column,
+      budget: Long): DataFrame = {
+    val rates = temperatureRates(df, group, budget)
+    df.withColumn("__grp", group).withColumn("__u", hashUniform(key))
+      .join(broadcast(rates.select(col("grp").as("__grp"), col("rate"))),
+        Seq("__grp"))
+      .filter(col("__u") < col("rate"))
+      .drop("__grp", "__u", "rate")
   }
 
   def mixtureSample(df: DataFrame, key: Column, group: Column,

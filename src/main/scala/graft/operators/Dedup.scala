@@ -245,8 +245,14 @@ object Dedup {
     val plus = baseRollup(newAffected, group, value)
       .select(col("grp"), col("cnt").as("np"), col("s").as("sp"))
     val dec0 = lit(0).cast("decimal(38,10)")
-    minus.join(plus, Seq("grp"), "full_outer")
-      .select(col("grp"),
+    // null-SAFE group match (round-9 ADVICE): a NULL grouping key never
+    // equals itself under a plain full_outer USING join, so a null
+    // group's minus and plus rows would stay on separate output rows
+    // and the delta algebra would double-count it
+    val m = minus.withColumnRenamed("grp", "grp_m")
+    val p = plus.withColumnRenamed("grp", "grp_p")
+    m.join(p, m("grp_m") <=> p("grp_p"), "full_outer")
+      .select(coalesce(col("grp_m"), col("grp_p")).as("grp"),
         (coalesce(col("np"), lit(0L)) - coalesce(col("nm"), lit(0L))).as("dn"),
         (coalesce(col("sp"), dec0) - coalesce(col("sm"), dec0))
           .cast("decimal(38,10)").as("ds"))
@@ -256,8 +262,13 @@ object Dedup {
     * disappear, exactly as a recompute would drop them. */
   def mergeRollup(rollup: DataFrame, deltas: DataFrame): DataFrame = {
     val dec0 = lit(0).cast("decimal(38,10)")
-    rollup.join(deltas, Seq("grp"), "full_outer")
-      .select(col("grp"),
+    // null-safe on grp for the same reason as [[rollupDeltas]]: a null
+    // group's stored row and delta row must land on ONE output row or
+    // incremental diverges from recompute exactly on the null group
+    val r = rollup.withColumnRenamed("grp", "grp_r")
+    val d = deltas.withColumnRenamed("grp", "grp_d")
+    r.join(d, r("grp_r") <=> d("grp_d"), "full_outer")
+      .select(coalesce(col("grp_r"), col("grp_d")).as("grp"),
         (coalesce(col("cnt"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("cnt"),
         (coalesce(col("s"), dec0) + coalesce(col("ds"), dec0))
           .cast("decimal(38,10)").as("s"))

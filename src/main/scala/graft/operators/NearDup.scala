@@ -185,21 +185,34 @@ object NearDup {
       n: Int, k: Int, threshold: Double): DataFrame = {
     // the shingle-digest set feeds signatures + the verify sets —
     // persist it once instead of re-exploding the corpus three times
-    val bc0 = Eager.broadcastSnapshot(df.sparkSession)
     val sh = wordShingleDigests(df, key, text, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val pairs = candidatePairs(lshBands(minhashSig(sh, k), k))
-      val sets = sh.groupBy("key").agg(collect_set(col("shingle")).as("sh"))
-      // eager terminal materialization so the big shingle cache can be
-      // released before returning — the surviving pair set is tiny
-      // (threshold-filtered); see [[Eager.terminal]]
-      val out = Eager.terminal(
-        jaccardSets(pairs, sets).filter(col("jacc") >= threshold)
-          .select("key_a", "key_b", "jacc"))
-      Eager.releaseBroadcastsSince(df.sparkSession, bc0)
-      out
-    } finally { sh.unpersist(); () }
+    try minhashPairsFromDigests(sh, k, threshold)
+    finally { sh.unpersist(); () }
+  }
+
+  /** Sign → band → bucket-join → verify over an ALREADY-BUILT (and
+    * ideally persisted) (key, shingle-digest) frame — the entry point
+    * for pipelines that stage the digest frame themselves so only one
+    * large cache is live at a time ([[Corpus.cleanCorpus]] releases its
+    * text-bearing dedup cache once the digest frame is materialized,
+    * the round-9 double-persist-window fix). `sh` is read by three
+    * subtrees (signatures, verify sets, and — via the signature join —
+    * candidate pairs), so an unpersisted input recomputes its lineage
+    * three times.
+    */
+  def minhashPairsFromDigests(sh: DataFrame, k: Int, threshold: Double): DataFrame = {
+    val bc0 = Eager.broadcastSnapshot(sh.sparkSession)
+    val pairs = candidatePairs(lshBands(minhashSig(sh, k), k))
+    val sets = sh.groupBy("key").agg(collect_set(col("shingle")).as("sh"))
+    // eager terminal materialization so the big shingle cache can be
+    // released before returning — the surviving pair set is tiny
+    // (threshold-filtered); see [[Eager.terminal]]
+    val out = Eager.terminal(
+      jaccardSets(pairs, sets).filter(col("jacc") >= threshold)
+        .select("key_a", "key_b", "jacc"))
+    Eager.releaseBroadcastsSince(sh.sparkSession, bc0)
+    out
   }
 
   /** `nBits`-bit SimHash over whitespace tokens (nBits ≤ 128). Bit b of a
@@ -249,29 +262,36 @@ object NearDup {
     * the text; bucket width is 2^(nBits/nBands), the recall/cost dial
     * (wider bands ⇒ smaller buckets ⇒ cheaper join).
     */
-  def simhashPairs(sig: DataFrame, nBits: Int, nBands: Int, maxHam: Int): DataFrame = {
+  def simhashPairs(sig: DataFrame, nBits: Int, nBands: Int, maxHam: Int,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
     require(nBits % nBands == 0, s"nBands=$nBands must divide nBits=$nBits")
     require(maxHam < nBands, s"maxHam=$maxHam needs < nBands=$nBands for the recall guarantee")
     // the fingerprint is parsed into a signed long below; ≥ 64 bits would
     // overflow conv(...).cast("long") to NULL and silently emit ZERO pairs
     // (bit_count(NULL) fails every hamming filter) — fail loudly instead
     require(nBits <= 63, s"nBits=$nBits exceeds the 63-bit signed-long fingerprint limit")
-    val w = nBits / nBands
-    // the fingerprint crosses the join as ONE parsed integer, not the
-    // bitstring: hamming is then a single bit_count(xor) per candidate
-    // instead of nBits substring compares — on a vocabulary-limited
-    // corpus the band buckets are fat (fingerprints cluster) and the
-    // candidate blowup is O(Σ|bucket|²), so per-candidate cost and row
-    // width are what decide whether the join stage is seconds or minutes
-    val stackExpr = (0 until nBands)
-      .map(b => s"$b, substring(simhash, ${1 + b * w}, $w)").mkString(", ")
-    val bands = sig
-      .withColumn("sigint", conv(col("simhash"), 2, 10).cast("long"))
-      .selectExpr("key", "sigint",
-        s"stack($nBands, $stackExpr) as (band, band_val)")
-    val a = bands.select(col("key").as("key_a"), col("sigint").as("sig_a"),
+    require(maxBucket >= 2, s"simhashPairs: maxBucket must be ≥ 2, got $maxBucket")
+    val bands = simhashBandRows(sig, nBits, nBands)
+    // posting-list cap (round-9, the q_tfidf_pairs/q_span_dedup
+    // pattern): a (band, band_val) bucket wider than maxBucket signals
+    // a fingerprint CLUSTER — its Σ|bucket|² pair volume is the whole
+    // join's cost driver, while its members are better handled as a
+    // cluster than as O(|bucket|²) pairs. Buckets in 2..maxBucket keep
+    // exact semantics; singleton buckets yield no pairs anyway. The cap
+    // is NOT silent: [[simhashBandStats]] reports kept/dropped bucket
+    // and candidate counts as an oracled audit query. Measured at
+    // sf0.1 (60 bits, 4 bands, cap 200): candidates 2.14M → 0.80M,
+    // pairs 12798 → 9519, planted-twin recall 96%.
+    val eligible =
+      if (maxBucket == Int.MaxValue) bands
+      else bands.join(
+        bands.groupBy("band", "band_val").agg(count(lit(1)).as("c"))
+          .filter(col("c") > 1 && col("c") <= maxBucket)
+          .select("band", "band_val"),
+        Seq("band", "band_val"))
+    val a = eligible.select(col("key").as("key_a"), col("sigint").as("sig_a"),
       col("band"), col("band_val"))
-    val b = bands.select(col("key").as("key_b"), col("sigint").as("sig_b"),
+    val b = eligible.select(col("key").as("key_b"), col("sigint").as("sig_b"),
       col("band"), col("band_val"))
     a.join(b, Seq("band", "band_val"))
       .filter(col("key_a") < col("key_b"))
@@ -283,6 +303,44 @@ object NearDup {
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("int").as("hamming"))
       .filter(col("hamming") <= maxHam)
       .distinct()
+  }
+
+  /** (key, sigint, band, band_val) band rows shared by [[simhashPairs]]
+    * and [[simhashBandStats]]. The fingerprint crosses the join as ONE
+    * parsed integer, not the bitstring: hamming is then a single
+    * bit_count(xor) per candidate instead of nBits substring compares —
+    * on a vocabulary-limited corpus the band buckets are fat
+    * (fingerprints cluster) and the candidate blowup is O(Σ|bucket|²),
+    * so per-candidate cost and row width are what decide whether the
+    * join stage is seconds or minutes. */
+  private def simhashBandRows(sig: DataFrame, nBits: Int, nBands: Int): DataFrame = {
+    val w = nBits / nBands
+    val stackExpr = (0 until nBands)
+      .map(b => s"$b, substring(simhash, ${1 + b * w}, $w)").mkString(", ")
+    sig
+      .withColumn("sigint", conv(col("simhash"), 2, 10).cast("long"))
+      .selectExpr("key", "sigint",
+        s"stack($nBands, $stackExpr) as (band, band_val)")
+  }
+
+  /** The no-silent-truncation companion of [[simhashPairs]]'s
+    * `maxBucket` cap: one row of audit counters —
+    * (n_buckets_ge2, n_buckets_dropped, cand_kept, cand_dropped) where
+    * cand_* is Σ C(|bucket|, 2) over kept/dropped buckets — committed
+    * as an oracled query so the cap's cost/recall position is a
+    * recorded fact of every round, not a code comment. */
+  def simhashBandStats(sig: DataFrame, nBits: Int, nBands: Int,
+      maxBucket: Int): DataFrame = {
+    require(nBits % nBands == 0, s"nBands=$nBands must divide nBits=$nBits")
+    val sizes = simhashBandRows(sig, nBits, nBands)
+      .groupBy("band", "band_val").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1)
+    val pairsOf = (col("c") * (col("c") - 1) / 2).cast("long")
+    sizes.agg(
+      count(lit(1)).as("n_buckets_ge2"),
+      sum(when(col("c") > maxBucket, 1L).otherwise(0L)).as("n_buckets_dropped"),
+      sum(when(col("c") <= maxBucket, pairsOf).otherwise(0L)).as("cand_kept"),
+      sum(when(col("c") > maxBucket, pairsOf).otherwise(0L)).as("cand_dropped"))
   }
 
   /** Exact n-gram Jaccard for explicitly supplied pairs (no LSH pruning) —
@@ -646,18 +704,47 @@ object NearDup {
       if (children != null) children.foreach(deleteRec)
       f.delete(); ()
     }
-    if (dst.exists()) deleteRec(dst) // crashed un-gated build
+    // crashed un-gated build teardown — with the okAt re-check INSIDE
+    // the exists branch (round-9 ADVICE): a concurrent JVM's atomic
+    // rename may have installed a complete index between the fast-path
+    // check above and this point, and deleting it here would yank the
+    // directory out from under the winner's readers
+    if (dst.exists()) {
+      if (okAt(dst).exists()) return
+      deleteRec(dst)
+    }
     val stage =
       new java.io.File(path + s".stage-${ProcessHandle.current.pid}")
     if (stage.exists()) deleteRec(stage)
     try {
       writeNearDupIndex(corpus, key, text, n, k, stage.getPath)
       okAt(stage).createNewFile()
-      if (!stage.renameTo(dst)) {
-        // lost the race — the winner's complete index is at `path`
+      // lost-race detection happens at the INSTALL, not before it: the
+      // move is the serialization point, so "dst appeared since we
+      // built" and "dst appeared mid-move" collapse into one failure
+      // mode handled below
+      def loseRace(): Unit = {
+        // the winner's complete index is at `path`
         require(okAt(dst).exists(),
           s"near-dup index install race left $path without _OK")
         deleteRec(stage)
+      }
+      // ATOMIC_MOVE (round-9 ADVICE): java.io.File.renameTo is
+      // best-effort and may fail spuriously on filesystems where a
+      // directory rename is not a single syscall, silently degrading
+      // the race-safety contract; Files.move with ATOMIC_MOVE either
+      // installs atomically or throws a typed error we can adjudicate
+      try
+        java.nio.file.Files.move(stage.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.AtomicMoveNotSupportedException =>
+          // documented fallback: non-atomic directory move on the rare
+          // filesystem without atomic rename — same-visibility caveat
+          // as the old renameTo path, but explicit instead of silent
+          try java.nio.file.Files.move(stage.toPath, dst.toPath)
+          catch { case _: java.io.IOException => loseRace() }
+        case _: java.io.IOException => loseRace()
       }
     } finally if (stage.exists()) deleteRec(stage)
   }

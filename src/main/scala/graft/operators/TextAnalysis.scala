@@ -104,6 +104,16 @@ object TextAnalysis {
     */
   def gopherRules(df: DataFrame, key: Column, text: Column,
       minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val f = gopherFeatureCols(text)
+    df.select((key.as("key") +: f.map { case (n, c) => c.as(n) }): _*)
+      .withColumn("passes", gopherPasses(minWords, maxWords,
+        requireStopwords = true))
+  }
+
+  /** The shared feature expressions behind [[gopherRules]] and
+    * [[gopherGate]] — one definition so the audit query and the inline
+    * pipeline gate can never drift. */
+  private def gopherFeatureCols(text: Column): Seq[(String, Column)] = {
     val ws = filter(split(text, "\\s+"), w => w =!= "")
     val nWords = size(ws).cast("long")
     // clamped denominator, same as the line path below: a whitespace-only
@@ -131,15 +141,37 @@ object TextAnalysis {
       "have", "with").map(lit): _*)
     val nReqStop = size(array_intersect(
       array_distinct(transform(ws, w => lower(w))), reqStops)).cast("long")
-    df.select(key.as("key"), nWords.as("n_words"),
-        meanLen.as("mean_word_len"), symbolRatio.as("symbol_ratio"),
-        bulletRatio.as("bullet_ratio"), alphaFrac.as("alpha_word_frac"),
-        nReqStop.as("n_req_stop"))
-      .withColumn("passes",
-        col("n_words") >= minWords && col("n_words") <= maxWords &&
-          col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
-          col("symbol_ratio") < 0.1 && col("bullet_ratio") < 0.9 &&
-          col("alpha_word_frac") >= 0.8 && col("n_req_stop") >= 2L)
+    Seq("n_words" -> nWords, "mean_word_len" -> meanLen,
+      "symbol_ratio" -> symbolRatio, "bullet_ratio" -> bulletRatio,
+      "alpha_word_frac" -> alphaFrac, "n_req_stop" -> nReqStop)
+  }
+
+  private def gopherPasses(minWords: Int, maxWords: Int,
+      requireStopwords: Boolean): Column = {
+    val base = col("n_words") >= minWords && col("n_words") <= maxWords &&
+      col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
+      col("symbol_ratio") < 0.1 && col("bullet_ratio") < 0.9 &&
+      col("alpha_word_frac") >= 0.8
+    if (requireStopwords) base && col("n_req_stop") >= 2L else base
+  }
+
+  /** Filter `df` to the documents that pass the Gopher gate, keeping
+    * ALL input columns — the pipeline form of [[gopherRules]] (which
+    * projects to the audit feature table). The gate evaluates in the
+    * scan stage: no join back on key, no second pass over the corpus —
+    * at 100 TB the rejected docs are never carried past the scan.
+    * `requireStopwords=false` drops the English-function-word rule (the
+    * right dial for non-English or synthetic corpora). */
+  def gopherGate(df: DataFrame, text: Column, minWords: Int, maxWords: Int,
+      requireStopwords: Boolean = true): DataFrame = {
+    val feats = gopherFeatureCols(text).toMap
+    def g(n: String) = feats(n)
+    val base = g("n_words") >= minWords && g("n_words") <= maxWords &&
+      g("mean_word_len") >= 3.0 && g("mean_word_len") <= 10.0 &&
+      g("symbol_ratio") < 0.1 && g("bullet_ratio") < 0.9 &&
+      g("alpha_word_frac") >= 0.8
+    df.filter(
+      if (requireStopwords) base && g("n_req_stop") >= 2L else base)
   }
 
   /** Repetition statistics — the Gopher/C4-style quality signals that

@@ -119,6 +119,32 @@ object Streaming {
     p.toString
   }
 
+  /** Commit-order sort for driver-collected batch ids. Numeric ids sort
+    * via BigDecimal — doubleValue loses precision above 2^53, silently
+    * reordering adjacent long ids (round-9 ADVICE); everything else
+    * falls back to string order. */
+  private def sortBatchIds(raw: Array[Any]): Array[Any] =
+    if (raw.forall(_.isInstanceOf[java.lang.Number]))
+      raw.sortBy(x => scala.math.BigDecimal(x.toString))
+    else raw.sortBy(_.toString)
+
+  /** Stamp every file under `dir` with a strictly increasing (per batch
+    * index) modification time. FileStreamSource orders files by MTIME,
+    * not name — two batch files written within the same mtime
+    * granularity could be delivered out of order, silently violating
+    * the commit-order contract the cumulative folds depend on (round-9
+    * ADVICE). An explicit 60 s spacing makes listing order == batch
+    * order on every filesystem timestamp granularity. */
+  private def stampBatchMtime(dir: String, i: Int): Unit = {
+    val base = 1600000000000L // fixed epoch base: only ORDER matters
+    def walk(f: java.io.File): Unit = {
+      val kids = f.listFiles()
+      if (kids != null) kids.foreach(walk)
+      f.setLastModified(base + i * 60000L); ()
+    }
+    walk(new java.io.File(dir))
+  }
+
   private def runToCompletion(df: DataFrame, mode: OutputMode, table: String)(
       implicit spark: SparkSession): DataFrame = {
     // Stateful operators allocate one state-store instance per shuffle
@@ -460,14 +486,12 @@ object Streaming {
     val tagged = changes.withColumn("__b", batchOf)
     // batch ids sort numerically (commit order) — same contract and
     // driver-side id-only collect as streamingNearDupCumulative
-    val raw = tagged.select("__b").distinct().collect().map(_.get(0))
-    val batches =
-      if (raw.forall(_.isInstanceOf[java.lang.Number]))
-        raw.sortBy(_.asInstanceOf[java.lang.Number].doubleValue)
-      else raw.sortBy(_.toString)
+    val batches = sortBatchIds(
+      tagged.select("__b").distinct().collect().map(_.get(0)))
     batches.zipWithIndex.foreach { case (b, i) =>
       tagged.filter(col("__b") === lit(b)).drop("__b")
         .coalesce(1).write.mode("overwrite").parquet(f"$land/b$i%04d.parquet")
+      stampBatchMtime(f"$land/b$i%04d.parquet", i)
     }
     val schema = spark.read.parquet(s"$land/b0000.parquet").schema
     def latest(root: String): Option[String] =
@@ -604,15 +628,13 @@ object Streaming {
     // imitate for data columns). Numeric batch values sort NUMERICALLY:
     // toString ordering would put batch 10 before batch 2, silently
     // changing which member of a cross-batch dup pair survives.
-    val raw = tagged.select("__b").distinct().collect().map(_.get(0))
-    val batches =
-      if (raw.forall(_.isInstanceOf[java.lang.Number]))
-        raw.sortBy(_.asInstanceOf[java.lang.Number].doubleValue)
-      else raw.sortBy(_.toString)
+    val batches = sortBatchIds(
+      tagged.select("__b").distinct().collect().map(_.get(0)))
     batches.zipWithIndex.foreach { case (b, i) =>
       tagged.filter(col("__b") === lit(b)).drop("__b")
         .coalesce(1).write.mode("overwrite")
         .parquet(f"$land/b$i%04d.parquet")
+      stampBatchMtime(f"$land/b$i%04d.parquet", i)
     }
     val schema = spark.read.parquet(s"$land/b0000.parquet").schema
     val q = spark.readStream.schema(schema)

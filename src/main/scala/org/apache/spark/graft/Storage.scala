@@ -51,4 +51,57 @@ object Storage {
   def removeBroadcast(sc: SparkContext, id: Long, blocking: Boolean): Unit =
     sc.env.blockManager.master
       .removeBroadcast(id, removeFromMaster = true, blocking = blocking)
+
+  /** (storage memory used, storage memory max) in bytes — the unified
+    * memory manager's storage-pool occupancy. Round-8 verdict: the
+    * driver-session inflation of the persist-heavy bench family
+    * survived the broadcast+RDD sweeps, so the remaining suspects
+    * (executor storage-memory pressure, shuffle-spill files) must be
+    * IN the per-query evidence log before they can be ruled in or out. */
+  def storageMemory(sc: SparkContext): (Long, Long) = {
+    val mm = sc.env.memoryManager
+    (mm.storageMemoryUsed,
+      mm.maxOnHeapStorageMemory + mm.maxOffHeapStorageMemory)
+  }
+
+  /** (file count, total bytes) under the block manager's local dirs —
+    * shuffle data/index files, disk-store blocks, and spill temp files
+    * all live here, so growth across a long session is exactly the
+    * "third mechanism" disk-accumulation signal the round-8 verdict
+    * asks to instrument. Walks the directory tree; local mode only
+    * (one JVM's dirs == the whole cluster's). */
+  def localDiskUsage(sc: SparkContext): (Int, Long) = {
+    var n = 0
+    var bytes = 0L
+    def walk(f: java.io.File): Unit = {
+      val kids = f.listFiles()
+      if (kids != null) kids.foreach { k =>
+        if (k.isDirectory) walk(k)
+        else { n += 1; bytes += k.length() }
+      }
+    }
+    sc.env.blockManager.diskBlockManager.localDirs.foreach(walk)
+    (n, bytes)
+  }
+
+  /** Shuffle ids with registered map outputs. Each completed wide stage
+    * leaves one — files on local disk + a driver-side ShuffleStatus —
+    * reclaimed only when GC lets the ContextCleaner notice the
+    * ShuffleDependency is unreachable (the identical latency mechanism
+    * as the round-6 RDD blocks and round-7 broadcast blocks). */
+  def shuffleIds(sc: SparkContext): Seq[Int] =
+    sc.env.mapOutputTracker match {
+      case m: org.apache.spark.MapOutputTrackerMaster =>
+        m.shuffleStatuses.keySet.toSeq
+      case _ => Seq.empty
+    }
+
+  /** Synchronously unregister a shuffle and delete its files — the
+    * by-handle analogue of [[removeBroadcast]] for shuffle state. Safe
+    * ONLY between sequential queries: exchange reuse never crosses
+    * separate query executions, so once a query's terminal action has
+    * returned (and its persisted/checkpointed frames are dropped),
+    * nothing can re-read its map outputs. */
+  def removeShuffle(sc: SparkContext, id: Int, blocking: Boolean): Unit =
+    sc.cleaner.foreach(_.doCleanupShuffle(id, blocking = blocking))
 }

@@ -115,6 +115,39 @@ class NearDupSpec extends AnyFunSuite {
     assert(!got.exists { case (a, b, _) => (a, b) == (1L, 4L) })
   }
 
+  test("simhashPairs maxBucket caps fat buckets; simhashBandStats audits the drop") {
+    // 4 bands of 8 bits. Keys 1-10: the all-zero signature — a 10-wide
+    // bucket in band 0 and fat shared buckets everywhere. Key 20 flips
+    // bits 0-8 (band 0 fully + band 1's first bit); key 21 flips bits
+    // 0-7 (band 0 only). Bucket census:
+    //   band 0: "00000000"×10 (cluster), "11111111"×2 ({20,21})
+    //   band 1: "00000000"×11 (cluster + 21), "10000000"×1 (20)
+    //   band 2: "00000000"×12      band 3: "00000000"×12
+    // With maxBucket=9 only the {20,21} 2-bucket survives, so the
+    // cluster's 45 ham-0 intra-pairs vanish while (20,21) (ham 1, found
+    // through the SMALL bucket) is kept — the cap drops fat-bucket-only
+    // pairs and nothing else.
+    val zero = "0" * 32
+    def flip(s: String, idxs: Int*): String =
+      idxs.foldLeft(s)((acc, i) => acc.updated(i, if (acc(i) == '0') '1' else '0'))
+    val cluster = (1L to 10L).map(_ -> zero)
+    val sigs = (cluster :+ (20L -> flip(zero, 0 to 8: _*))
+      :+ (21L -> flip(zero, 0 to 7: _*))).toDF("key", "simhash")
+    val uncapped = NearDup.simhashPairs(sigs, 32, 4, maxHam = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(uncapped.count { case (x, y, _) => x <= 10 && y <= 10 } === 45)
+    assert(uncapped.contains((20L, 21L, 1)))
+    assert(uncapped.size === 46) // cluster↔20/21 are ham 9/8, verify-dropped
+    val capped = NearDup.simhashPairs(sigs, 32, 4, maxHam = 3, maxBucket = 9)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(capped === Set((20L, 21L, 1)))
+    // audit counters match the census: 5 buckets ≥2; 4 exceed the cap;
+    // kept candidates C(2,2)=1; dropped C(10,2)+C(11,2)+2·C(12,2)=232
+    val st = NearDup.simhashBandStats(sigs, 32, 4, maxBucket = 9)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(st === ((5L, 4L, 1L, 232L)))
+  }
+
   test("repetitionStats computes top-word share and duplicate 2-gram fraction") {
     val d = Seq(
       (1L, "a a b"),      // top word a: 2/3; grams "a a","a b" distinct → dup 0

@@ -82,6 +82,29 @@ class WarehouseSpec extends AnyFunSuite {
     assert(got.toSeq === Seq((1L, 3L, 47.0), (9L, 1L, 90.0)))
   }
 
+  test("incrementalRollup: NULL grouping key lands on ONE row (null-safe merge joins)") {
+    import graft.operators.Dedup
+    // round-9 ADVICE: the base row and delta row of a NULL group never
+    // matched under plain full_outer equality, so the incremental path
+    // emitted duplicate null-grp rows and broke incremental==recompute
+    // exactly on nullable group columns
+    val snap = Seq((1L, Option.empty[Long], 10.0), (2L, None, 11.0),
+      (3L, Some(2L), 20.0)).toDF("k", "g", "v")
+    val changes = Seq(
+      // k=1: value update INSIDE the null group
+      (1L, ts("2024-02-01 00:00:00"), 1L, "U", Option.empty[Long], 15.0),
+      // k=5: insert into the null group
+      (5L, ts("2024-02-01 00:00:00"), 1L, "I", Option.empty[Long], 50.0),
+      // k=3: move OUT of group 2 INTO the null group (group 2 empties)
+      (3L, ts("2024-02-01 00:00:00"), 1L, "U", Option.empty[Long], 21.0)
+    ).toDF("k", "ts", "seq", "op", "g", "v")
+    val got = Dedup.incrementalRollup(snap, changes, "k", "ts", "seq", "op",
+        Seq("g", "v"), group = col("g"), value = col("v"))
+      .orderBy("grp").as[(Option[Long], Long, Double)].collect()
+    // ONE null-group row: {15, 11, 50, 21} → cnt 4, sum 97; group 2 gone
+    assert(got.toSeq === Seq((None, 4L, 97.0)))
+  }
+
   test("driftProfile: per-column null fractions, means, and shift on a hand fixture") {
     import graft.operators.Analytics
     val a = Seq((Some(1.0), Some(10.0)), (Some(3.0), None),
