@@ -404,6 +404,118 @@ object OracleSql {
         |    AND alpha_word_frac >= 0.8 AND n_req_stop >= 2 AS passes
         |FROM feats ORDER BY key""".stripMargin
 
+  /** ANN recall + candidate-coverage audit over an arbitrary
+    * (vec_id, embedding) source query — shared by q_ann_recall
+    * (uniform corpus) and q_ann_recall_clustered (planted clusters).
+    * Each method's pre-top-k scored CTE IS its candidate set, so the
+    * coverage counts price exactly what the top-k examined — mirroring
+    * the factored `*Candidates` functions on the Spark side. */
+  private def annRecallSql(src: String): String =
+    s"""WITH src AS (
+       |  $src),
+       |n AS (
+       |  SELECT vec_id, embedding,
+       |    ${dotSql("embedding", "embedding")} AS n2,
+       |    ${seededBucketSql(4, 64, "embedding")} AS bucket
+       |  FROM src),
+       |q AS (SELECT * FROM n WHERE vec_id < 10),
+       |gp AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    CAST(${dotSql("q.embedding", "c.embedding")} AS DOUBLE) /
+       |      (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(c.n2 AS DOUBLE))) AS cos
+       |  FROM q, n c WHERE c.vec_id <> q.vec_id),
+       |ground AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, neighbor_id) AS rnk FROM gp)
+       |  WHERE rnk <= 5),
+       |lp AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    CAST(${dotSql("q.embedding", "c.embedding")} AS DOUBLE) /
+       |      (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(c.n2 AS DOUBLE))) AS cos
+       |  FROM q JOIN n c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id),
+       |lsh AS (
+       |  SELECT 'lsh_bucket' AS method, query_id, neighbor_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, neighbor_id) AS rnk FROM lp)
+       |  WHERE rnk <= 5),
+       |${multiProbeCtes(4, 64, 3, "mp_")},
+       |mpp AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    CAST(${dotSql("q.embedding", "c.embedding")} AS DOUBLE) /
+       |      (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(c.n2 AS DOUBLE))) AS cos
+       |  FROM mp_probes q JOIN n c
+       |    ON c.bucket = q.probe AND c.vec_id <> q.vec_id),
+       |mp AS (
+       |  SELECT 'lsh_multiprobe' AS method, query_id, neighbor_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, neighbor_id) AS rnk FROM mpp)
+       |  WHERE rnk <= 5),
+       |cents AS (SELECT vec_id AS cent_id, embedding AS cvec, n2 AS cn2
+       |  FROM n WHERE vec_id < 16),
+       |corpus_sc AS (
+       |  SELECT a.vec_id, a.embedding, a.n2, c.cent_id,
+       |    CAST(${dotSql("a.embedding", "c.cvec")} AS DOUBLE) /
+       |      (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE)))
+       |      AS ccos
+       |  FROM n a, cents c),
+       |assigned AS (
+       |  SELECT vec_id AS neighbor_id, embedding AS nv, n2 AS nn2, cent_id
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY ccos DESC, cent_id) AS crn FROM corpus_sc)
+       |  WHERE crn = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, embedding AS qv, n2 AS qn2, cent_id
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY ccos DESC, cent_id) AS crn FROM corpus_sc
+       |    WHERE vec_id < 10)
+       |  WHERE crn <= 2),
+       |iscored AS (
+       |  SELECT p.query_id, a.neighbor_id,
+       |    CAST(${dotSql("p.qv", "a.nv")} AS DOUBLE) /
+       |      (sqrt(CAST(p.qn2 AS DOUBLE)) * sqrt(CAST(a.nn2 AS DOUBLE)))
+       |      AS cos
+       |  FROM probes p JOIN assigned a ON a.cent_id = p.cent_id
+       |    AND a.neighbor_id <> p.query_id),
+       |ivf AS (
+       |  SELECT 'ivf' AS method, query_id, neighbor_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, neighbor_id) AS rnk FROM iscored)
+       |  WHERE rnk <= 5),
+       |${orLshCtes(4, 64, 16)},
+       |orl AS (
+       |  SELECT 'lsh_or' AS method, query_id, neighbor_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, neighbor_id) AS rnk FROM or_sc)
+       |  WHERE rnk <= 5),
+       |approx AS (SELECT * FROM lsh UNION ALL SELECT * FROM mp
+       |  UNION ALL SELECT * FROM ivf UNION ALL SELECT * FROM orl),
+       |hits AS (
+       |  SELECT a.method,
+       |    CAST(sum(CASE WHEN g.query_id IS NOT NULL THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS hits
+       |  FROM approx a LEFT JOIN ground g
+       |    ON g.query_id = a.query_id AND g.neighbor_id = a.neighbor_id
+       |  GROUP BY a.method),
+       |cov AS (
+       |  SELECT 'lsh_bucket' AS method, CAST(count(*) AS BIGINT) AS n_cand
+       |    FROM lp
+       |  UNION ALL SELECT 'lsh_multiprobe', CAST(count(*) AS BIGINT)
+       |    FROM mpp
+       |  UNION ALL SELECT 'ivf', CAST(count(*) AS BIGINT) FROM iscored
+       |  UNION ALL SELECT 'lsh_or', CAST(count(*) AS BIGINT) FROM or_cand),
+       |nq AS (SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries
+       |  FROM ground),
+       |ncorp AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus FROM n)
+       |SELECT h.method, h.hits, n_queries,
+       |  round(CAST(h.hits AS DOUBLE) / CAST(n_queries * 5 AS DOUBLE), 6)
+       |    AS recall_at_k,
+       |  cov.n_cand,
+       |  round(CAST(cov.n_cand AS DOUBLE) /
+       |    CAST(n_queries * (n_corpus - 1) AS DOUBLE), 6) AS coverage
+       |FROM hits h JOIN cov ON cov.method = h.method
+       |CROSS JOIN nq CROSS JOIN ncorp ORDER BY h.method""".stripMargin
+
   /** Embedding near-dup CTE chain (documents ∪ planted perturbed
     * copies → seeded 8-bit sign buckets → exact decimal cosine ≥ 0.999
     * pairs) — shared by q_embed_neardup and q_semantic_dedup. */
@@ -1418,96 +1530,23 @@ object OracleSql {
     // the bucketed and IVF pipelines replayed at k=5, hit-joined to the
     // exact top-5.
     "q_ann_recall" ->
-      s"""WITH n AS (
-        |  SELECT vec_id, embedding,
-        |    ${dotSql("embedding", "embedding")} AS n2,
-        |    ${seededBucketSql(4, 64, "embedding")} AS bucket
-        |  FROM embeddings),
-        |q AS (SELECT * FROM n WHERE vec_id < 10),
-        |gp AS (
-        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |    CAST(${dotSql("q.embedding", "c.embedding")} AS DOUBLE) /
-        |      (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(c.n2 AS DOUBLE))) AS cos
-        |  FROM q, n c WHERE c.vec_id <> q.vec_id),
-        |ground AS (
-        |  SELECT query_id, neighbor_id FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY query_id
-        |      ORDER BY cos DESC, neighbor_id) AS rnk FROM gp)
-        |  WHERE rnk <= 5),
-        |lp AS (
-        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |    CAST(${dotSql("q.embedding", "c.embedding")} AS DOUBLE) /
-        |      (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(c.n2 AS DOUBLE))) AS cos
-        |  FROM q JOIN n c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id),
-        |lsh AS (
-        |  SELECT 'lsh_bucket' AS method, query_id, neighbor_id FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY query_id
-        |      ORDER BY cos DESC, neighbor_id) AS rnk FROM lp)
-        |  WHERE rnk <= 5),
-        |${multiProbeCtes(4, 64, 3, "mp_")},
-        |mpp AS (
-        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |    CAST(${dotSql("q.embedding", "c.embedding")} AS DOUBLE) /
-        |      (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(c.n2 AS DOUBLE))) AS cos
-        |  FROM mp_probes q JOIN n c
-        |    ON c.bucket = q.probe AND c.vec_id <> q.vec_id),
-        |mp AS (
-        |  SELECT 'lsh_multiprobe' AS method, query_id, neighbor_id FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY query_id
-        |      ORDER BY cos DESC, neighbor_id) AS rnk FROM mpp)
-        |  WHERE rnk <= 5),
-        |cents AS (SELECT vec_id AS cent_id, embedding AS cvec, n2 AS cn2
-        |  FROM n WHERE vec_id < 16),
-        |corpus_sc AS (
-        |  SELECT a.vec_id, a.embedding, a.n2, c.cent_id,
-        |    CAST(${dotSql("a.embedding", "c.cvec")} AS DOUBLE) /
-        |      (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE)))
-        |      AS ccos
-        |  FROM n a, cents c),
-        |assigned AS (
-        |  SELECT vec_id AS neighbor_id, embedding AS nv, n2 AS nn2, cent_id
-        |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
-        |    ORDER BY ccos DESC, cent_id) AS crn FROM corpus_sc)
-        |  WHERE crn = 1),
-        |probes AS (
-        |  SELECT vec_id AS query_id, embedding AS qv, n2 AS qn2, cent_id
-        |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
-        |    ORDER BY ccos DESC, cent_id) AS crn FROM corpus_sc
-        |    WHERE vec_id < 10)
-        |  WHERE crn <= 2),
-        |iscored AS (
-        |  SELECT p.query_id, a.neighbor_id,
-        |    CAST(${dotSql("p.qv", "a.nv")} AS DOUBLE) /
-        |      (sqrt(CAST(p.qn2 AS DOUBLE)) * sqrt(CAST(a.nn2 AS DOUBLE)))
-        |      AS cos
-        |  FROM probes p JOIN assigned a ON a.cent_id = p.cent_id
-        |    AND a.neighbor_id <> p.query_id),
-        |ivf AS (
-        |  SELECT 'ivf' AS method, query_id, neighbor_id FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY query_id
-        |      ORDER BY cos DESC, neighbor_id) AS rnk FROM iscored)
-        |  WHERE rnk <= 5),
-        |${orLshCtes(4, 64, 16)},
-        |orl AS (
-        |  SELECT 'lsh_or' AS method, query_id, neighbor_id FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY query_id
-        |      ORDER BY cos DESC, neighbor_id) AS rnk FROM or_sc)
-        |  WHERE rnk <= 5),
-        |approx AS (SELECT * FROM lsh UNION ALL SELECT * FROM mp
-        |  UNION ALL SELECT * FROM ivf UNION ALL SELECT * FROM orl),
-        |hits AS (
-        |  SELECT a.method,
-        |    CAST(sum(CASE WHEN g.query_id IS NOT NULL THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS hits
-        |  FROM approx a LEFT JOIN ground g
-        |    ON g.query_id = a.query_id AND g.neighbor_id = a.neighbor_id
-        |  GROUP BY a.method),
-        |nq AS (SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries
-        |  FROM ground)
-        |SELECT method, hits, n_queries,
-        |  round(CAST(hits AS DOUBLE) / CAST(n_queries * 5 AS DOUBLE), 6)
-        |    AS recall_at_k
-        |FROM hits CROSS JOIN nq ORDER BY method""".stripMargin,
+      annRecallSql("SELECT vec_id, embedding FROM embeddings"),
+
+    // clustered fixture: centroid = original embedding of (vec_id % 16),
+    // jitter ±0.05 per dim by md5 parity of (vec_id, dim) — mirrors
+    // SparkEntry.clusteredEmbeddings exactly (double add, one float cast)
+    "q_ann_recall_clustered" ->
+      annRecallSql(
+        """SELECT e.vec_id,
+          |    list_transform(generate_series(1, len(c.embedding)),
+          |      i -> CAST(CAST(c.embedding[i] AS DOUBLE) +
+          |        CASE WHEN strpos('13579bdf', substr(md5('j:' ||
+          |            CAST(e.vec_id AS VARCHAR) || ':' ||
+          |            CAST(i - 1 AS VARCHAR)), 1, 1)) > 0
+          |          THEN CAST(0.05 AS DOUBLE)
+          |          ELSE CAST(-0.05 AS DOUBLE) END AS FLOAT)) AS embedding
+          |  FROM embeddings e
+          |  JOIN embeddings c ON c.vec_id = e.vec_id % 16""".stripMargin),
 
     "q_knn_graph" -> {
       s"""WITH n AS (
@@ -2860,6 +2899,12 @@ object OracleSql {
     // the STREAMING maintainer lands on the identical rollup for any
     // commit-ordered batch split — same recompute oracle, by design
     "q_stream_incr_rollup" -> incrRollupRecomputeSql,
+
+    // Out-of-order delivery of the same log through the sequence
+    // frontier converges to the identical full recompute — the
+    // order-independence theorem checked end-to-end by sharing the
+    // oracle verbatim.
+    "q_stream_incr_ooo" -> incrRollupRecomputeSql,
 
     "q_drift_profile" ->
       s"""$cdcAppliedCtes,

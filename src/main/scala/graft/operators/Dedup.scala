@@ -240,6 +240,17 @@ object Dedup {
     val oldAffected = snapshot.join(affected, Seq(key), "left_semi")
     val newAffected =
       applyChangeLog(oldAffected, changes, key, tsCol, seqCol, opCol, valueCols)
+    rollupDeltaFromStates(oldAffected, newAffected, group, value)
+  }
+
+  /** Per-group (Δcount, Δsum) between two STATES of the affected keys —
+    * the algebra core shared by [[rollupDeltas]] (commit-ordered log)
+    * and the out-of-order frontier maintainer
+    * ([[graft.streaming.Streaming.streamingIncrementalRollupOutOfOrder]]),
+    * where the new state comes from the per-key sequence frontier
+    * rather than from applying this batch to the previous table. */
+  def rollupDeltaFromStates(oldAffected: DataFrame, newAffected: DataFrame,
+      group: Column, value: Column): DataFrame = {
     val minus = baseRollup(oldAffected, group, value)
       .select(col("grp"), col("cnt").as("nm"), col("s").as("sm"))
     val plus = baseRollup(newAffected, group, value)

@@ -682,6 +682,22 @@ object NearDup {
     } finally { sh.unpersist(); () }
   }
 
+  private def okAt(dir: java.io.File) = new java.io.File(dir, "_OK")
+
+  private def deleteRec(f: java.io.File): Unit = {
+    val children = f.listFiles()
+    if (children != null) children.foreach(deleteRec)
+    f.delete(); ()
+  }
+
+  /** Count regular files under `dir` (recursive) — the small-file
+    * readout [[compactNearDupIndex]] reports. */
+  private def countFiles(f: java.io.File): Long = {
+    val children = f.listFiles()
+    if (children == null) { if (f.isFile) 1L else 0L }
+    else children.map(countFiles).sum
+  }
+
   /** Build the shared on-disk index at `path` exactly once, RACE-SAFELY:
     * concurrent JVMs (the Bench + Verify pair) may both observe a
     * missing `_OK`. Each builds into its own pid-scoped staging
@@ -696,14 +712,8 @@ object NearDup {
     */
   def ensureNearDupIndex(corpus: DataFrame, key: Column, text: Column,
       n: Int, k: Int, path: String): Unit = {
-    def okAt(dir: java.io.File) = new java.io.File(dir, "_OK")
     val dst = new java.io.File(path)
     if (okAt(dst).exists()) return
-    def deleteRec(f: java.io.File): Unit = {
-      val children = f.listFiles()
-      if (children != null) children.foreach(deleteRec)
-      f.delete(); ()
-    }
     // crashed un-gated build teardown — with the okAt re-check INSIDE
     // the exists branch (round-9 ADVICE): a concurrent JVM's atomic
     // rename may have installed a complete index between the fast-path
@@ -840,6 +850,56 @@ object NearDup {
       sh.groupBy("key").agg(collect_set(col("shingle")).as("sh"))
         .write.mode("append").parquet(s"$path/sets")
     } finally { sh.unpersist(); () }
+  }
+
+  /** Compact an accumulated near-dup index IN PLACE (round-9 verdict
+    * #4) — [[appendToNearDupIndex]] grows one small parquet file per
+    * band per accepted batch, and after enough crawl batches the
+    * listing/open cost of those files dominates every probe; this is
+    * the lake's standard small-file compaction job made real for the
+    * index layout. Rewrites the band table to ONE file per band
+    * partition (`repartition(band)` so each band's rows land in a
+    * single task) and the set table to `setFiles` files, stages the
+    * rewrite next to the index, and swaps it in with the same
+    * ATOMIC_MOVE + `_OK` gating as [[ensureNearDupIndex]] — a reader
+    * never observes a half-compacted index (crash between the two
+    * moves leaves either the old gated index or no index, which the
+    * ensure path rebuilds). Probe results are IDENTICAL before and
+    * after — compaction moves rows between files, never changes them —
+    * which NearDupSpec asserts along with the file-count reduction.
+    *
+    * Returns (filesBefore, filesAfter).
+    */
+  def compactNearDupIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, setFiles: Int = 1): (Long, Long) = {
+    require(setFiles > 0, s"compactNearDupIndex: setFiles must be > 0, got $setFiles")
+    val dst = new java.io.File(path)
+    require(okAt(dst).exists(),
+      s"compactNearDupIndex: no complete index at $path (missing _OK)")
+    val before = countFiles(dst)
+    val stage =
+      new java.io.File(path + s".compact-${ProcessHandle.current.pid}")
+    if (stage.exists()) deleteRec(stage)
+    spark.read.parquet(s"$path/bands")
+      .repartition(col("band"))
+      .write.mode("overwrite").partitionBy("band")
+      .parquet(s"${stage.getPath}/bands")
+    spark.read.parquet(s"$path/sets")
+      .repartition(setFiles)
+      .write.mode("overwrite").parquet(s"${stage.getPath}/sets")
+    okAt(stage).createNewFile()
+    // swap: old index aside (atomic), compacted in (atomic), old gone.
+    // Single-maintainer discipline (same as append): concurrent
+    // APPENDS during a compact would be lost — the lake job's usual
+    // table-level lock is out of scope here and documented as such.
+    val old = new java.io.File(path + s".old-${ProcessHandle.current.pid}")
+    if (old.exists()) deleteRec(old)
+    java.nio.file.Files.move(dst.toPath, old.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    java.nio.file.Files.move(stage.toPath, dst.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    deleteRec(old)
+    (before, countFiles(dst))
   }
 
   /** [[minhashPairs]] backed by the MATERIALIZED index: builds the

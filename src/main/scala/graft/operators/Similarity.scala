@@ -161,24 +161,14 @@ object Similarity {
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, nBits: Int, dim: Int,
       nTables: Int, k: Int): DataFrame = {
-    require(nTables >= 1, s"orLshTopK: nTables must be ≥ 1, got $nTables")
-    def buckets(v: Column): Column = array((0 until nTables).map(t =>
-      struct(lit(t).as("tbl"), signBucketTable(v, t, nBits, dim).as("bucket"))): _*)
     val q = withNorm2(queries, col(vecCol))
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         col("n2").as("qn2"))
     val c = withNorm2(corpus, col(vecCol))
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"),
         col("n2").as("nn2"))
-    val qb = queries.select(col(idCol).as("query_id"),
-        explode(buckets(col(vecCol))).as("tb"))
-      .select(col("query_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
-    val cb = corpus.select(col(idCol).as("neighbor_id"),
-        explode(buckets(col(vecCol))).as("tb"))
-      .select(col("neighbor_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
-    val cand = broadcast(qb).join(cb, Seq("tbl", "bucket"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "neighbor_id").distinct()
+    val cand = orLshCandidates(queries, corpus, idCol, vecCol, nBits, dim,
+      nTables)
     val scored = cand
       .join(c, Seq("neighbor_id"))
       .join(broadcast(q), Seq("query_id"))
@@ -189,6 +179,29 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
+  /** The deduped (query_id, neighbor_id) candidate set the
+    * OR-amplified join examines — exposed so the ANN audit
+    * (q_ann_coverage) can price each method's candidate coverage next
+    * to its recall (round-9 verdict #6). [[orLshTopK]] scores exactly
+    * this set. */
+  def orLshCandidates(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, nBits: Int, dim: Int,
+      nTables: Int): DataFrame = {
+    require(nTables >= 1, s"orLshCandidates: nTables must be ≥ 1, got $nTables")
+    def buckets(v: Column): Column = array((0 until nTables).map(t =>
+      struct(lit(t).as("tbl"), signBucketTable(v, t, nBits, dim).as("bucket"))): _*)
+    val qb = queries.select(col(idCol).as("query_id"),
+        explode(buckets(col(vecCol))).as("tb"))
+      .select(col("query_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val cb = corpus.select(col(idCol).as("neighbor_id"),
+        explode(buckets(col(vecCol))).as("tb"))
+      .select(col("neighbor_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    broadcast(qb).join(cb, Seq("tbl", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id").distinct()
   }
 
   /** Multi-probe sign-LSH top-k (Lv et al., "Multi-Probe LSH", VLDB'07):
@@ -212,11 +225,30 @@ object Similarity {
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, nBits: Int, dim: Int,
       nProbe: Int, k: Int): DataFrame = {
-    require(nProbe >= 1 && nProbe <= nBits + 1,
-      s"multiProbeTopK: nProbe must be in [1, nBits+1], got $nProbe")
     val c = withNorm2(corpus, col(vecCol))
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"),
         col("n2").as("nn2"), signBucket(col(vecCol), nBits, dim).as("bucket"))
+    val q = multiProbeQueryFrame(queries, idCol, vecCol, nBits, dim, nProbe)
+    val scored = broadcast(q).join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos",
+        cosine(dotDecimal(col("qv"), col("nv")), col("qn2"), col("nn2")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
+  /** The exploded (query_id, qv, qn2, bucket) probe frame behind
+    * [[multiProbeTopK]]: one row per (query, probe bucket), probe order
+    * fully deterministic (|projection| asc, bit index asc). Factored
+    * out so [[multiProbeCandidates]] prices exactly the probe set the
+    * top-k scores. */
+  private def multiProbeQueryFrame(queries: DataFrame, idCol: String,
+      vecCol: String, nBits: Int, dim: Int, nProbe: Int): DataFrame = {
+    require(nProbe >= 1 && nProbe <= nBits + 1,
+      s"multiProbe: nProbe must be in [1, nBits+1], got $nProbe")
     val exact = concat((0 until nBits).map(i =>
       when(element_at(col("d"), i + 1) >= 0, "1").otherwise("0")): _*)
     // bits ranked by how close the query sits to each plane
@@ -238,17 +270,36 @@ object Similarity {
           col("b0").substr(bit + 2, lit(nBits)))
       }
     }
-    val q = qb.withColumn("bucket", explode(array(probes: _*)))
+    qb.withColumn("bucket", explode(array(probes: _*)))
       .select("query_id", "qv", "qn2", "bucket")
-    val scored = broadcast(q).join(c, Seq("bucket"))
+  }
+
+  /** The (query_id, neighbor_id) pairs multi-probe examines (distinct
+    * by construction — probe buckets are pairwise distinct). */
+  def multiProbeCandidates(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, nBits: Int, dim: Int,
+      nProbe: Int): DataFrame = {
+    val cb = corpus.select(col(idCol).as("neighbor_id"),
+      signBucket(col(vecCol), nBits, dim).as("bucket"))
+    broadcast(multiProbeQueryFrame(queries, idCol, vecCol, nBits, dim, nProbe)
+        .select("query_id", "bucket"))
+      .join(cb, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos",
-        cosine(dotDecimal(col("qv"), col("nv")), col("qn2"), col("nn2")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cos", "rank")
+      .select("query_id", "neighbor_id")
+  }
+
+  /** The (query_id, neighbor_id) pairs the single-bucket probe examines. */
+  def bucketedCandidates(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, nBits: Int, dim: Int): DataFrame = {
+    val qb = queries.select(col(idCol).as("query_id"),
+      signBucket(col(vecCol), nBits, dim).as("bucket"))
+    val cb = corpus.select(col(idCol).as("neighbor_id"),
+      signBucket(col(vecCol), nBits, dim).as("bucket"))
+    broadcast(qb).join(cb, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id")
   }
 
   /** IVF (inverted-file) ANN: a coarse quantizer assigns every vector to
@@ -265,6 +316,26 @@ object Similarity {
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String,
       nCentroids: Int, nProbe: Int, k: Int): DataFrame = {
+    val (corpusAssigned, queryProbes) =
+      ivfFrames(queries, corpus, idCol, vecCol, nCentroids, nProbe)
+    val scored = broadcast(queryProbes).join(corpusAssigned, Seq("cent_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", dotDecimal(col("qv"), col("nv")).cast("double") /
+        (sqrt(col("qn2").cast("double")) * sqrt(col("nn2").cast("double"))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "cos", "rnk")
+    // (query, neighbor) pairs are unique: each corpus vector lives in
+    // exactly one posting list, so no dedup pass is needed
+  }
+
+  /** (corpusAssigned, queryProbes) — the posting-list and probe frames
+    * behind [[ivfTopK]], factored out so [[ivfCandidates]] prices
+    * exactly the posting lists the top-k scans. */
+  private def ivfFrames(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String,
+      nCentroids: Int, nProbe: Int): (DataFrame, DataFrame) = {
     val cents = corpus.filter(col(idCol) < nCentroids)
       .select(col(idCol).as("cent_id"), col(vecCol).as("cvec"))
     val cWithN2 = withNorm2(cents, col("cvec"))
@@ -300,16 +371,20 @@ object Similarity {
       withNorm2(queries, col(vecCol))
         .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("n2").as("qn2")),
       "query_id", "qv", "qn2", keep = nProbe)
-    val scored = broadcast(queryProbes).join(corpusAssigned, Seq("cent_id"))
+    (corpusAssigned, queryProbes)
+  }
+
+  /** The (query_id, neighbor_id) posting-list pairs IVF examines. */
+  def ivfCandidates(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String,
+      nCentroids: Int, nProbe: Int): DataFrame = {
+    val (corpusAssigned, queryProbes) =
+      ivfFrames(queries, corpus, idCol, vecCol, nCentroids, nProbe)
+    broadcast(queryProbes.select("query_id", "cent_id"))
+      .join(corpusAssigned.select("neighbor_id", "cent_id"), Seq("cent_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", dotDecimal(col("qv"), col("nv")).cast("double") /
-        (sqrt(col("qn2").cast("double")) * sqrt(col("nn2").cast("double"))))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
-      .select("query_id", "neighbor_id", "cos", "rnk")
-    // (query, neighbor) pairs are unique: each corpus vector lives in
-    // exactly one posting list, so no dedup pass is needed
+      .select("query_id", "neighbor_id")
   }
 
   /** Bucketed ANN: candidates limited to the query's sign bucket, then

@@ -530,6 +530,133 @@ object Streaming {
       .getOrElse(Dedup.baseRollup(snapshot, group, value)))
   }
 
+  /** OUT-OF-ORDER streaming IVM (round-9 verdict #5) — the
+    * [[streamingIncrementalRollup]] contract without the commit-order
+    * assumption: real CDC arrives late and shuffled, so a micro-batch
+    * may carry an EARLIER (ts, seq) for a key a later change already
+    * updated. Correctness comes from a per-key SEQUENCE FRONTIER: the
+    * maintained state keeps, for every key ever touched, the
+    * (ts, seq)-maximal change seen so far, and each batch's winner is
+    * recomputed as max(frontier row, batch rows). Because per-key max
+    * is commutative and associative, ANY delivery order of the same
+    * log converges to the same frontier = the one-shot
+    * [[graft.operators.Dedup.applyChangeLog]] winner — which is
+    * exactly what the shared full-recompute oracle checks. A batch
+    * whose change loses to the frontier contributes a zero delta; the
+    * rollup algebra ([[graft.operators.Dedup.rollupDeltaFromStates]])
+    * handles both directions with no special cases.
+    *
+    * Bounded lateness: `maxLatenessSec` is the event-time watermark —
+    * a change older than (high-water-mark − bound) is REJECTED (and
+    * counted per batch in the versioned `late` state), which is what
+    * bounds frontier state retention in a production deployment: once
+    * the watermark passes a key's last activity the frontier row is
+    * immovable and could be compacted into the table. The fixture
+    * query passes a bound wider than the log's disorder so the result
+    * is the full recompute; the rejection path is spec-covered.
+    *
+    * Scale shape: per batch, all joins/aggregates touch log-sized and
+    * affected-key-sized frames only (the frontier is touched-key-sized,
+    * far smaller than the table under normal churn); the table rewrite
+    * is the same merge-on-read stand-in as the ordered maintainer.
+    */
+  def streamingIncrementalRollupOutOfOrder(spark: SparkSession,
+      snapshot: DataFrame, changes: DataFrame,
+      batchOf: org.apache.spark.sql.Column,
+      key: String, tsCol: String, seqCol: String, opCol: String,
+      valueCols: Seq[String], group: org.apache.spark.sql.Column,
+      value: org.apache.spark.sql.Column, maxLatenessSec: Long): DataFrame = {
+    import graft.operators.Dedup
+    val land = freshDir("ivm_ooo_land")
+    val tableRoot = freshDir("ivm_ooo_table")
+    val rollupRoot = freshDir("ivm_ooo_rollup")
+    val frontRoot = freshDir("ivm_ooo_front")
+    val hwmRoot = freshDir("ivm_ooo_hwm")
+    val tagged = changes.withColumn("__b", batchOf)
+    val batches = sortBatchIds(
+      tagged.select("__b").distinct().collect().map(_.get(0)))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      tagged.filter(col("__b") === lit(b)).drop("__b")
+        .coalesce(1).write.mode("overwrite").parquet(f"$land/b$i%04d.parquet")
+      stampBatchMtime(f"$land/b$i%04d.parquet", i)
+    }
+    val schema = spark.read.parquet(s"$land/b0000.parquet").schema
+    def latest(root: String): Option[String] =
+      (new java.io.File(root).listFiles() match {
+        case null => Array.empty[java.io.File]
+        case fs => fs.filter(f => f.isDirectory && f.getName.startsWith("v"))
+      }).sortBy(_.getName.drop(1).toLong).lastOption.map(_.toString)
+    def winner(changes: DataFrame): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col(key))
+        .orderBy(col(tsCol).desc, col(seqCol).desc)
+      changes.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+    }
+    val chCols = (Seq(key, tsCol, seqCol, opCol) ++ valueCols).map(col)
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(land)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val tablePrev = latest(tableRoot).map(spark.read.parquet(_))
+          .getOrElse(snapshot)
+        val rollupPrev = latest(rollupRoot).map(spark.read.parquet(_))
+          .getOrElse(Dedup.baseRollup(snapshot, group, value))
+        val frontPrev = latest(frontRoot).map(spark.read.parquet(_))
+          .getOrElse(batch.select(chCols: _*).limit(0))
+        // flatten guards the all-rejected edge: a version whose stored
+        // hwm is NULL (empty accepted batch before any hwm existed)
+        val hwmPrev: Option[java.sql.Timestamp] =
+          latest(hwmRoot).flatMap(p => Option(
+            spark.read.parquet(p).collect().head.getTimestamp(0)))
+        // event-time watermark: reject changes older than the bound
+        // below the running high-water mark (1-row driver orchestration,
+        // never row data)
+        val cutoff = hwmPrev.map(h =>
+          new java.sql.Timestamp(h.getTime - maxLatenessSec * 1000L))
+        val accepted = cutoff
+          .map(c => batch.filter(col(tsCol) >= lit(c))).getOrElse(batch)
+        val nLate = cutoff
+          .map(c => batch.filter(col(tsCol) < lit(c)).count()).getOrElse(0L)
+        if (nLate > 0)
+          System.err.println(
+            s"[ivm-ooo] batch $id: rejected $nLate change(s) beyond the " +
+              s"$maxLatenessSec s lateness bound")
+        val bestB = winner(accepted.select(chCols: _*))
+        val affected = bestB.select(col(key)).distinct()
+        // frontier merge: per-key max over (previous frontier ∪ batch)
+        val frontNew = winner(frontPrev.unionByName(bestB))
+        // old state: the maintained table's rows for the affected keys;
+        // new state: the merged frontier applied to the ORIGINAL
+        // snapshot (a frontier winner fully determines the row — the
+        // snapshot matters only for keys the winner does not delete)
+        val oldAffected = tablePrev.join(affected, Seq(key), "left_semi")
+        val newAffected = Dedup.applyChangeLog(
+          snapshot.join(affected, Seq(key), "left_semi"),
+          frontNew.join(affected, Seq(key), "left_semi"),
+          key, tsCol, seqCol, opCol, valueCols)
+        Dedup.mergeRollup(rollupPrev,
+            Dedup.rollupDeltaFromStates(oldAffected, newAffected, group, value))
+          .write.mode("overwrite").parquet(s"$rollupRoot/v$id")
+        tablePrev.join(affected, Seq(key), "left_anti")
+          .unionByName(newAffected)
+          .write.mode("overwrite").parquet(s"$tableRoot/v$id")
+        frontNew.write.mode("overwrite").parquet(s"$frontRoot/v$id")
+        val hwmRow = accepted.agg(
+          greatest(max(col(tsCol)),
+            lit(hwmPrev.orNull).cast("timestamp")).as("hwm"))
+        hwmRow.write.mode("overwrite").parquet(s"$hwmRoot/v$id")
+        ()
+      }
+      .option("checkpointLocation", freshDir("ivm_ooo_ck"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    Dedup.finishRollup(latest(rollupRoot).map(spark.read.parquet(_))
+      .getOrElse(Dedup.baseRollup(snapshot, group, value)))
+  }
+
   /** Streaming near-dup probe against a MATERIALIZED band/set index
     * ([[graft.operators.NearDup.writeNearDupIndex]]) — the production
     * crawl-ingest pipeline: documents land as files, every micro-batch

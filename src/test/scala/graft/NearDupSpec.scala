@@ -298,6 +298,58 @@ class NearDupSpec extends AnyFunSuite {
     }
   }
 
+  test("compactNearDupIndex shrinks file count and is probe-equivalent on a ≥3-batch index") {
+    val d = graft.sources.Sources.table(spark, "/root/testdata/sf0.001", "documents")
+    val base = d.filter(col("doc_id") % 4 === 0).select("doc_id", "text")
+    val idxDir = java.nio.file.Files.createTempDirectory("neardup_compact_idx")
+    try {
+      NearDup.ensureNearDupIndex(base, col("doc_id"), col("text"),
+        n = 5, k = 8, path = idxDir.toString)
+      // three append batches of novel docs — one small file per band per
+      // batch, the accumulation compaction exists to clean up
+      (1 to 3).foreach { b =>
+        NearDup.appendToNearDupIndex(
+          d.filter(col("doc_id") % 4 === b).limit(30).select("doc_id", "text"),
+          col("doc_id"), col("text"), n = 5, k = 8, path = idxDir.toString)
+      }
+      // near-dup copies of indexed docs (dropped by the probe) PLUS
+      // genuinely novel docs (reversed text → disjoint shingles) that
+      // must SURVIVE — so the before/after equality below compares a
+      // non-empty survivor set, not two vacuous empties
+      val incoming = d.limit(60)
+        .select((col("doc_id") + 700000).as("doc_id"),
+          col("text").substr(lit(1), length(col("text")) - 5).as("text"))
+        .unionByName(d.limit(5)
+          .select((col("doc_id") + 800000).as("doc_id"),
+            reverse(col("text")).as("text")))
+      val before = NearDup.incrementalSurvivorsIndexed(spark, idxDir.toString,
+          incoming, col("doc_id"), col("text"), n = 5, k = 8, threshold = 0.5)
+        .as[Long].collect().toSet
+      assert(before.nonEmpty, "novel reversed docs must survive the probe")
+      val (nBefore, nAfter) =
+        NearDup.compactNearDupIndex(spark, idxDir.toString)
+      assert(nAfter < nBefore,
+        s"compaction must reduce file count, got $nBefore -> $nAfter")
+      assert(new java.io.File(idxDir.toFile, "_OK").exists())
+      val after = NearDup.incrementalSurvivorsIndexed(spark, idxDir.toString,
+          incoming, col("doc_id"), col("text"), n = 5, k = 8, threshold = 0.5)
+        .as[Long].collect().toSet
+      assert(after === before)
+      // the index is still appendable and probe-consistent post-compact
+      NearDup.appendToNearDupIndex(
+        d.filter(col("doc_id") % 4 === 1).limit(10).select("doc_id", "text"),
+        col("doc_id"), col("text"), n = 5, k = 8, path = idxDir.toString)
+      assert(NearDup.incrementalSurvivorsIndexed(spark, idxDir.toString,
+        incoming, col("doc_id"), col("text"), n = 5, k = 8,
+        threshold = 0.5).count() > 0)
+    } finally {
+      val s = java.nio.file.Files.walk(idxDir)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+      finally s.close()
+    }
+  }
+
   test("minhashPairsIndexed equals minhashPairs and reuses the built index") {
     val d = graft.sources.Sources.table(spark, "/root/testdata/sf0.001", "documents")
       .filter(col("doc_id") < 100)

@@ -251,6 +251,64 @@ class StreamingSinksSpec extends AnyFunSuite {
     assert(streamed.toSeq === Seq((1L, 3L, 49.0), (9L, 1L, 90.0)))
   }
 
+  test("out-of-order IVM: late batch with an EARLIER seq for an updated key converges") {
+    import graft.operators.Dedup
+    def ts(x: String) = java.sql.Timestamp.valueOf(x)
+    val snap = Seq((1L, 1L, 10.0), (2L, 1L, 11.0), (3L, 2L, 20.0),
+      (4L, 3L, 30.0)).toDF("k", "g", "v")
+    // the round-9 verdict fixture: k=1 is updated to 17.0 (March, seq 2)
+    // in batch 0, then batch 1 delivers an EARLIER January change
+    // (seq 1, v=15.0) for the SAME already-updated key — the frontier
+    // must keep March's 17.0. Batch 1 also carries a genuinely novel
+    // insert and a delete that must still apply.
+    val changes = Seq(
+      (1L, ts("2024-03-01 00:00:00"), 2L, "U", 1L, 17.0),
+      (3L, ts("2024-03-02 00:00:00"), 1L, "U", 1L, 21.0),
+      // late batch (delivered second, event time earlier):
+      (1L, ts("2024-01-10 00:00:00"), 1L, "U", 1L, 15.0),
+      (9L, ts("2024-01-20 00:00:00"), 1L, "I", 9L, 90.0),
+      (4L, ts("2024-01-25 00:00:00"), 1L, "D", 3L, 30.0)
+    ).toDF("k", "ts", "seq", "op", "g", "v")
+    val streamed = Streaming.streamingIncrementalRollupOutOfOrder(spark,
+        snap, changes,
+        batchOf = when(month(col("ts")) === 3, 0).otherwise(1),
+        "k", "ts", "seq", "op", Seq("g", "v"), col("g"), col("v"),
+        maxLatenessSec = 365L * 24 * 3600)
+      .orderBy("grp").as[(Long, Long, Double)].collect()
+    val oneShot = Dedup.incrementalRollup(snap, changes, "k", "ts", "seq",
+        "op", Seq("g", "v"), col("g"), col("v"))
+      .orderBy("grp").as[(Long, Long, Double)].collect()
+    assert(streamed.toSeq === oneShot.toSeq)
+    // hand-checked: k1 keeps 17.0 (late 15.0 loses the frontier),
+    // group 1 = {17, 11, 21}, group 9 = {90}; groups 2 and 3 empty
+    assert(streamed.toSeq === Seq((1L, 3L, 49.0), (9L, 1L, 90.0)))
+  }
+
+  test("out-of-order IVM: changes beyond the lateness bound are rejected, not applied") {
+    import graft.operators.Dedup
+    def ts(x: String) = java.sql.Timestamp.valueOf(x)
+    val snap = Seq((1L, 1L, 10.0), (2L, 1L, 11.0)).toDF("k", "g", "v")
+    val accepted = Seq(
+      (1L, ts("2024-03-01 00:00:00"), 1L, "U", 1L, 17.0)
+    ).toDF("k", "ts", "seq", "op", "g", "v")
+    val lateRejected = Seq(
+      // 50 days behind the 2024-03-01 high-water mark, bound is 30 days
+      (2L, ts("2024-01-10 00:00:00"), 1L, "U", 1L, 99.0)
+    ).toDF("k", "ts", "seq", "op", "g", "v")
+    val streamed = Streaming.streamingIncrementalRollupOutOfOrder(spark,
+        snap, accepted.unionByName(lateRejected),
+        batchOf = when(month(col("ts")) === 3, 0).otherwise(1),
+        "k", "ts", "seq", "op", Seq("g", "v"), col("g"), col("v"),
+        maxLatenessSec = 30L * 24 * 3600)
+      .orderBy("grp").as[(Long, Long, Double)].collect()
+    // only the accepted change applies: k1 → 17, k2 keeps 11
+    val recomputeAcceptedOnly = Dedup.incrementalRollup(snap, accepted,
+        "k", "ts", "seq", "op", Seq("g", "v"), col("g"), col("v"))
+      .orderBy("grp").as[(Long, Long, Double)].collect()
+    assert(streamed.toSeq === recomputeAcceptedOnly.toSeq)
+    assert(streamed.toSeq === Seq((1L, 2L, 28.0)))
+  }
+
   test("streamingSessions merges events within the 30-minute gap") {
     val got = Streaming.streamingSessions(spark, sf)
     assert(got.count() > 0)
