@@ -47,23 +47,24 @@ object OracleSql {
     * per (query, neighbor) pair before scoring, exactly like
     * [[graft.operators.Similarity.orLshTopK]].
     */
-  private def orLshCtes(nBits: Int, dim: Int, nTables: Int): String = {
+  private def orLshCtes(nBits: Int, dim: Int, nTables: Int,
+      p: String = "or_"): String = {
     val tables = (0 until nTables).map { t =>
       val b = seededBucketSql(nBits, dim, "embedding", offset = t * nBits)
       s"  SELECT vec_id, $t AS tbl, $b AS bucket FROM n"
     }.mkString("\n  UNION ALL\n")
-    s"""or_bt AS (
+    s"""${p}bt AS (
        |$tables),
-       |or_cand AS (
+       |${p}cand AS (
        |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
-       |  FROM or_bt q JOIN or_bt c
+       |  FROM ${p}bt q JOIN ${p}bt c
        |    ON c.tbl = q.tbl AND c.bucket = q.bucket AND c.vec_id <> q.vec_id
        |  WHERE q.vec_id < 10),
-       |or_sc AS (
+       |${p}sc AS (
        |  SELECT d.query_id, d.neighbor_id,
        |    CAST(${dotSql("q.embedding", "c.embedding")} AS DOUBLE) /
        |      (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(c.n2 AS DOUBLE))) AS cos
-       |  FROM or_cand d
+       |  FROM ${p}cand d
        |  JOIN n q ON q.vec_id = d.query_id
        |  JOIN n c ON c.vec_id = d.neighbor_id)""".stripMargin
   }
@@ -488,8 +489,15 @@ object OracleSql {
        |    SELECT *, row_number() OVER (PARTITION BY query_id
        |      ORDER BY cos DESC, neighbor_id) AS rnk FROM or_sc)
        |  WHERE rnk <= 5),
+       |${orLshCtes(8, 64, 4, "orw_")},
+       |orw AS (
+       |  SELECT 'lsh_or_wide' AS method, query_id, neighbor_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, neighbor_id) AS rnk FROM orw_sc)
+       |  WHERE rnk <= 5),
        |approx AS (SELECT * FROM lsh UNION ALL SELECT * FROM mp
-       |  UNION ALL SELECT * FROM ivf UNION ALL SELECT * FROM orl),
+       |  UNION ALL SELECT * FROM ivf UNION ALL SELECT * FROM orl
+       |  UNION ALL SELECT * FROM orw),
        |hits AS (
        |  SELECT a.method,
        |    CAST(sum(CASE WHEN g.query_id IS NOT NULL THEN 1 ELSE 0 END)
@@ -503,7 +511,9 @@ object OracleSql {
        |  UNION ALL SELECT 'lsh_multiprobe', CAST(count(*) AS BIGINT)
        |    FROM mpp
        |  UNION ALL SELECT 'ivf', CAST(count(*) AS BIGINT) FROM iscored
-       |  UNION ALL SELECT 'lsh_or', CAST(count(*) AS BIGINT) FROM or_cand),
+       |  UNION ALL SELECT 'lsh_or', CAST(count(*) AS BIGINT) FROM or_cand
+       |  UNION ALL SELECT 'lsh_or_wide', CAST(count(*) AS BIGINT)
+       |    FROM orw_cand),
        |nq AS (SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries
        |  FROM ground),
        |ncorp AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus FROM n)
@@ -515,6 +525,46 @@ object OracleSql {
        |    CAST(n_queries * (n_corpus - 1) AS DOUBLE), 6) AS coverage
        |FROM hits h JOIN cov ON cov.method = h.method
        |CROSS JOIN nq CROSS JOIN ncorp ORDER BY h.method""".stripMargin
+
+  /** IVF ANN recompute (assignment from scratch, nCentroids=16,
+    * nProbe=2) at `qMax` queries and top-`k` — shared by q_ann_ivf,
+    * q_ann_ivf_indexed (indexed == recomputed contract) and
+    * q_stream_ann (micro-batch union == batch probe). */
+  private def ivfRecomputeSql(qMax: Int, k: Int): String =
+    s"""WITH n AS (
+       |  SELECT vec_id, embedding,
+       |    ${dotSql("embedding", "embedding")} AS n2
+       |  FROM embeddings),
+       |cents AS (SELECT vec_id AS cent_id, embedding AS cvec, n2 AS cn2
+       |  FROM n WHERE vec_id < 16),
+       |corpus_sc AS (
+       |  SELECT a.vec_id, a.embedding, a.n2, c.cent_id,
+       |    CAST(${dotSql("a.embedding", "c.cvec")} AS DOUBLE) /
+       |      (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE)))
+       |      AS ccos
+       |  FROM n a, cents c),
+       |assigned AS (
+       |  SELECT vec_id AS neighbor_id, embedding AS nv, n2 AS nn2, cent_id
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY ccos DESC, cent_id) AS crn FROM corpus_sc)
+       |  WHERE crn = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, embedding AS qv, n2 AS qn2, cent_id
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY ccos DESC, cent_id) AS crn FROM corpus_sc
+       |    WHERE vec_id < $qMax)
+       |  WHERE crn <= 2),
+       |scored AS (
+       |  SELECT p.query_id, a.neighbor_id,
+       |    CAST(${dotSql("p.qv", "a.nv")} AS DOUBLE) /
+       |      (sqrt(CAST(p.qn2 AS DOUBLE)) * sqrt(CAST(a.nn2 AS DOUBLE)))
+       |      AS cos
+       |  FROM probes p JOIN assigned a ON a.cent_id = p.cent_id
+       |    AND a.neighbor_id <> p.query_id)
+       |SELECT query_id, neighbor_id, cos, CAST(rnk AS INTEGER) AS rnk
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |  ORDER BY cos DESC, neighbor_id) AS rnk FROM scored)
+       |WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
 
   /** Embedding near-dup CTE chain (documents ∪ planted perturbed
     * copies → seeded 8-bit sign buckets → exact decimal cosine ≥ 0.999
@@ -2539,50 +2589,18 @@ object OracleSql {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
-    "q_ann_ivf" ->
-      """WITH n AS (
-        |  SELECT vec_id, embedding,
-        |    list_aggregate(list_transform(generate_series(1, len(embedding)),
-        |      i -> CAST(CAST(embedding[i] AS DOUBLE) *
-        |                CAST(embedding[i] AS DOUBLE) AS DECIMAL(30,12))),
-        |      'sum') AS n2
-        |  FROM embeddings),
-        |cents AS (SELECT vec_id AS cent_id, embedding AS cvec, n2 AS cn2
-        |  FROM n WHERE vec_id < 16),
-        |corpus_sc AS (
-        |  SELECT a.vec_id, a.embedding, a.n2, c.cent_id,
-        |    CAST(list_aggregate(list_transform(generate_series(1, len(a.embedding)),
-        |      i -> CAST(CAST(a.embedding[i] AS DOUBLE) *
-        |                CAST(c.cvec[i] AS DOUBLE) AS DECIMAL(30,12))),
-        |      'sum') AS DOUBLE) /
-        |      (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE)))
-        |      AS ccos
-        |  FROM n a, cents c),
-        |assigned AS (
-        |  SELECT vec_id AS neighbor_id, embedding AS nv, n2 AS nn2, cent_id
-        |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
-        |    ORDER BY ccos DESC, cent_id) AS crn FROM corpus_sc)
-        |  WHERE crn = 1),
-        |probes AS (
-        |  SELECT vec_id AS query_id, embedding AS qv, n2 AS qn2, cent_id
-        |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
-        |    ORDER BY ccos DESC, cent_id) AS crn FROM corpus_sc
-        |    WHERE vec_id < 10)
-        |  WHERE crn <= 2),
-        |scored AS (
-        |  SELECT p.query_id, a.neighbor_id,
-        |    CAST(list_aggregate(list_transform(generate_series(1, len(p.qv)),
-        |      i -> CAST(CAST(p.qv[i] AS DOUBLE) *
-        |                CAST(a.nv[i] AS DOUBLE) AS DECIMAL(30,12))),
-        |      'sum') AS DOUBLE) /
-        |      (sqrt(CAST(p.qn2 AS DOUBLE)) * sqrt(CAST(a.nn2 AS DOUBLE)))
-        |      AS cos
-        |  FROM probes p JOIN assigned a ON a.cent_id = p.cent_id
-        |    AND a.neighbor_id <> p.query_id)
-        |SELECT query_id, neighbor_id, cos, CAST(rnk AS INTEGER) AS rnk
-        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-        |  ORDER BY cos DESC, neighbor_id) AS rnk FROM scored)
-        |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+    "q_ann_ivf" -> ivfRecomputeSql(qMax = 10, k = 3),
+
+    // The indexed probe stores the same centroid assignment it would
+    // recompute (parquet round-trips floats and decimals exactly), so
+    // indexed == recomputed IS the contract, checked by sharing the
+    // recompute oracle verbatim.
+    "q_ann_ivf_indexed" -> ivfRecomputeSql(qMax = 10, k = 3),
+
+    // Streaming probe: per-query top-k depends only on the stored index
+    // and that query row, so the union over micro-batches equals the
+    // batch recompute.
+    "q_stream_ann" -> ivfRecomputeSql(qMax = 40, k = 3),
 
     "q_stream_enrich" ->
       """SELECT c_mktsegment, count(*) AS n,

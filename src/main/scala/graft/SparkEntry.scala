@@ -85,7 +85,7 @@ object SparkEntry {
   }
 
   /** ANN recall + candidate-coverage audit over an arbitrary
-    * (vec_id, embedding) corpus — the 4-method comparison shared by
+    * (vec_id, embedding) corpus — the 5-method comparison shared by
     * q_ann_recall (near-uniform directions, the LSH-adversarial case)
     * and q_ann_recall_clustered (planted cluster structure, where LSH
     * prunes hard). Per method: recall@5 against the brute-force ground
@@ -110,6 +110,14 @@ object SparkEntry {
     val orl = Similarity.orLshTopK(q, emb, "vec_id", "embedding",
         nBits = 4, dim = 64, nTables = 16, k = k)
       .select(lit("lsh_or").as("method"), col("query_id"), col("neighbor_id"))
+    // the WIDE configuration (8 bits × 4 tables): 256 buckets per table
+    // prune below cluster granularity — on uniform directions recall
+    // collapses (nothing shares a wide bucket), on clustered data the
+    // cluster rides one bucket and recall stays ≈1 at ~10% coverage.
+    // This row is what makes the two-fixture frontier legible.
+    val orw = Similarity.orLshTopK(q, emb, "vec_id", "embedding",
+        nBits = 8, dim = 64, nTables = 4, k = k)
+      .select(lit("lsh_or_wide").as("method"), col("query_id"), col("neighbor_id"))
     // candidate sets each method actually examines (same frames the
     // top-k scores — factored in Similarity so they cannot drift)
     val cands = Similarity.bucketedCandidates(q, emb, "vec_id", "embedding", 4, 64)
@@ -123,10 +131,13 @@ object SparkEntry {
       .unionByName(Similarity
         .orLshCandidates(q, emb, "vec_id", "embedding", 4, 64, nTables = 16)
         .select(lit("lsh_or").as("method")))
+      .unionByName(Similarity
+        .orLshCandidates(q, emb, "vec_id", "embedding", 8, 64, nTables = 4)
+        .select(lit("lsh_or_wide").as("method")))
       .groupBy("method").agg(count(lit(1)).as("n_cand"))
     val nq = ground.agg(countDistinct(col("query_id")).as("n_queries"))
     val nc = emb.agg(count(lit(1)).as("n_corpus"))
-    lsh.unionByName(mp).unionByName(ivf).unionByName(orl)
+    lsh.unionByName(mp).unionByName(ivf).unionByName(orl).unionByName(orw)
       .join(ground.withColumn("__hit", lit(1L)),
         Seq("query_id", "neighbor_id"), "left")
       .groupBy("method")
@@ -172,8 +183,18 @@ object SparkEntry {
     * (path + mtime + size) so a regenerated testdata tree gets a fresh
     * index instead of stale pairs.
     */
-  private def nearDupIndexPath(dir: String, variant: String = "dup"): String = {
-    val src = new java.io.File(s"$dir/documents.parquet")
+  private def nearDupIndexPath(dir: String, variant: String = "dup"): String =
+    indexPathFor(dir, "documents", "neardup", variant)
+
+  /** Session-stable path for the materialized IVF index over the
+    * embeddings table at `dir` — same corpus-identity keying as the
+    * near-dup index. */
+  private def ivfIndexPath(dir: String, variant: String = "ivf16"): String =
+    indexPathFor(dir, "embeddings", "ivf", variant)
+
+  private def indexPathFor(dir: String, table: String, family: String,
+      variant: String): String = {
+    val src = new java.io.File(s"$dir/$table.parquet")
     // identity from the actual DATA FILES: parquet sources arrive both
     // as a single file and as a directory of part files, and
     // File.length on a directory is meaningless — every part's
@@ -187,7 +208,7 @@ object SparkEntry {
       .map(f => s"${f.getName}:${f.lastModified}:${f.length}")
       .mkString(dir + "|", "|", "")
     val tag = java.lang.Integer.toHexString(ident.hashCode)
-    s"${sys.props("java.io.tmpdir")}/graft_neardup_idx_${variant}_$tag"
+    s"${sys.props("java.io.tmpdir")}/graft_${family}_idx_${variant}_$tag"
   }
 
   /** Build the band/set index for `corpus` at `path` once — delegates
@@ -2040,6 +2061,36 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb,
           "vec_id", "embedding", nCentroids = 16, nProbe = 2, k = 3)
+        .orderBy("query_id", "rnk")
+    }),
+
+    // IVF against the MATERIALIZED index (round 9): the corpus's
+    // centroid assignment is stored once per corpus identity
+    // (centroids + cent_id-partitioned posting lists); this query pays
+    // only probe selection + the posting-list join. Same oracle as
+    // q_ann_ivf — indexed == recomputed is the contract.
+    "q_ann_ivf_indexed" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ensureIvfIndex(emb, "vec_id", "embedding",
+        nCentroids = 16, path = ivfIndexPath(dir))
+      Similarity.ivfTopKIndexed(s, ivfIndexPath(dir),
+          emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          nProbe = 2, k = 3)
+        .orderBy("query_id", "rnk")
+    }),
+
+    // K3+ — STREAMING ANN: query embeddings land as files and every
+    // micro-batch probes the stored IVF index. Per-query top-k depends
+    // only on the index and that query row, so the union of per-batch
+    // results equals the batch probe — shared recompute oracle at
+    // vec_id < 40.
+    "q_stream_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ensureIvfIndex(emb, "vec_id", "embedding",
+        nCentroids = 16, path = ivfIndexPath(dir))
+      graft.streaming.Streaming.streamingAnnProbe(s, ivfIndexPath(dir),
+          emb.filter(col("vec_id") < 40), "vec_id", "embedding",
+          nProbe = 2, k = 3)
         .orderBy("query_id", "rnk")
     }),
 

@@ -228,16 +228,29 @@ object NearDup {
     */
   def simhashBits(df: DataFrame, key: Column, text: Column, nBits: Int): DataFrame = {
     require(nBits <= 128, s"nBits=$nBits: md5 has only 128 bits")
+    // parse the 128-bit digest into three longs ONCE per token
+    // occurrence; each bit vote is then one shiftright+mask on a long.
+    // The previous form paid a per-bit substring+conv STRING parse —
+    // 60 parses per token row — which profiling showed was the whole
+    // cost of the simhash family (q_simhash_band_stats, which never
+    // joins pairs, priced within 1 s of q_simhash_pairs). Bit layout is
+    // unchanged: bit b reads plane (3 − b/32) of hex nibble (b mod 32),
+    // so fingerprints are identical to the oracle's replication.
     val tok = df.select(key.as("key"), explode(split(text, "\\s+")).as("token"))
       .filter(col("token") =!= "")
       .withColumn("h", md5(col("token")))
+      .withColumn("h1", conv(substring(col("h"), 1, 15), 16, 10).cast("long"))
+      .withColumn("h2", conv(substring(col("h"), 16, 15), 16, 10).cast("long"))
+      .withColumn("h3", conv(substring(col("h"), 31, 2), 16, 10).cast("long"))
     val votes = (0 until nBits).map { b =>
       val plane = 3 - b / 32
       val nibble = b % 32
+      val (src, nibShift) =
+        if (nibble <= 14) (col("h1"), 4 * (14 - nibble))
+        else if (nibble <= 29) (col("h2"), 4 * (29 - nibble))
+        else (col("h3"), 4 * (31 - nibble))
       val isSet =
-        if (plane == 3) substring(col("h"), nibble + 1, 1) >= "8"
-        else (conv(substring(col("h"), nibble + 1, 1), 16, 10).cast("int")
-          .bitwiseAND(lit(1 << plane))) > 0
+        shiftright(src, nibShift + plane).bitwiseAND(lit(1L)) === lit(1L)
       sum(when(isSet, 1).otherwise(-1)).as(s"s$b")
     }
     val bits = (0 until nBits).map(b => when(col(s"s$b") > 0, "1").otherwise("0"))
@@ -682,82 +695,15 @@ object NearDup {
     } finally { sh.unpersist(); () }
   }
 
-  private def okAt(dir: java.io.File) = new java.io.File(dir, "_OK")
 
-  private def deleteRec(f: java.io.File): Unit = {
-    val children = f.listFiles()
-    if (children != null) children.foreach(deleteRec)
-    f.delete(); ()
-  }
-
-  /** Count regular files under `dir` (recursive) — the small-file
-    * readout [[compactNearDupIndex]] reports. */
-  private def countFiles(f: java.io.File): Long = {
-    val children = f.listFiles()
-    if (children == null) { if (f.isFile) 1L else 0L }
-    else children.map(countFiles).sum
-  }
-
-  /** Build the shared on-disk index at `path` exactly once, RACE-SAFELY:
-    * concurrent JVMs (the Bench + Verify pair) may both observe a
-    * missing `_OK`. Each builds into its own pid-scoped staging
-    * directory and a single atomic directory rename installs one of
-    * them; the loser (rename fails because the winner's directory now
-    * exists) discards its staging copy and reads the winner's. `_OK` is
-    * written INSIDE the staging dir before the rename, so a reader can
-    * never observe a half-built index under `path` — either the rename
-    * happened (complete index + `_OK`) or `path` is absent. A `path`
-    * left WITHOUT `_OK` (a build crashed mid-write in an older layout)
-    * is torn down and rebuilt.
-    */
+  /** Build the shared on-disk index at `path` exactly once, RACE-SAFELY —
+    * the [[IndexStore.ensure]] contract (pid-scoped staged build,
+    * `_OK` written pre-install, one atomic directory move as the
+    * serialization point) applied to [[writeNearDupIndex]]. */
   def ensureNearDupIndex(corpus: DataFrame, key: Column, text: Column,
-      n: Int, k: Int, path: String): Unit = {
-    val dst = new java.io.File(path)
-    if (okAt(dst).exists()) return
-    // crashed un-gated build teardown — with the okAt re-check INSIDE
-    // the exists branch (round-9 ADVICE): a concurrent JVM's atomic
-    // rename may have installed a complete index between the fast-path
-    // check above and this point, and deleting it here would yank the
-    // directory out from under the winner's readers
-    if (dst.exists()) {
-      if (okAt(dst).exists()) return
-      deleteRec(dst)
-    }
-    val stage =
-      new java.io.File(path + s".stage-${ProcessHandle.current.pid}")
-    if (stage.exists()) deleteRec(stage)
-    try {
-      writeNearDupIndex(corpus, key, text, n, k, stage.getPath)
-      okAt(stage).createNewFile()
-      // lost-race detection happens at the INSTALL, not before it: the
-      // move is the serialization point, so "dst appeared since we
-      // built" and "dst appeared mid-move" collapse into one failure
-      // mode handled below
-      def loseRace(): Unit = {
-        // the winner's complete index is at `path`
-        require(okAt(dst).exists(),
-          s"near-dup index install race left $path without _OK")
-        deleteRec(stage)
-      }
-      // ATOMIC_MOVE (round-9 ADVICE): java.io.File.renameTo is
-      // best-effort and may fail spuriously on filesystems where a
-      // directory rename is not a single syscall, silently degrading
-      // the race-safety contract; Files.move with ATOMIC_MOVE either
-      // installs atomically or throws a typed error we can adjudicate
-      try
-        java.nio.file.Files.move(stage.toPath, dst.toPath,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      catch {
-        case _: java.nio.file.AtomicMoveNotSupportedException =>
-          // documented fallback: non-atomic directory move on the rare
-          // filesystem without atomic rename — same-visibility caveat
-          // as the old renameTo path, but explicit instead of silent
-          try java.nio.file.Files.move(stage.toPath, dst.toPath)
-          catch { case _: java.io.IOException => loseRace() }
-        case _: java.io.IOException => loseRace()
-      }
-    } finally if (stage.exists()) deleteRec(stage)
-  }
+      n: Int, k: Int, path: String): Unit =
+    IndexStore.ensure(path)(stage =>
+      writeNearDupIndex(corpus, key, text, n, k, stage))
 
   /** Asymmetric near-CONTAINMENT pairs (Broder 1997's containment
     * c(A→B) = |A∩B| / |A|): detects documents mostly INSIDE another —
@@ -873,33 +819,15 @@ object NearDup {
   def compactNearDupIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, setFiles: Int = 1): (Long, Long) = {
     require(setFiles > 0, s"compactNearDupIndex: setFiles must be > 0, got $setFiles")
-    val dst = new java.io.File(path)
-    require(okAt(dst).exists(),
-      s"compactNearDupIndex: no complete index at $path (missing _OK)")
-    val before = countFiles(dst)
-    val stage =
-      new java.io.File(path + s".compact-${ProcessHandle.current.pid}")
-    if (stage.exists()) deleteRec(stage)
-    spark.read.parquet(s"$path/bands")
-      .repartition(col("band"))
-      .write.mode("overwrite").partitionBy("band")
-      .parquet(s"${stage.getPath}/bands")
-    spark.read.parquet(s"$path/sets")
-      .repartition(setFiles)
-      .write.mode("overwrite").parquet(s"${stage.getPath}/sets")
-    okAt(stage).createNewFile()
-    // swap: old index aside (atomic), compacted in (atomic), old gone.
-    // Single-maintainer discipline (same as append): concurrent
-    // APPENDS during a compact would be lost — the lake job's usual
-    // table-level lock is out of scope here and documented as such.
-    val old = new java.io.File(path + s".old-${ProcessHandle.current.pid}")
-    if (old.exists()) deleteRec(old)
-    java.nio.file.Files.move(dst.toPath, old.toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    java.nio.file.Files.move(stage.toPath, dst.toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    deleteRec(old)
-    (before, countFiles(dst))
+    IndexStore.rewriteInPlace(path) { stage =>
+      spark.read.parquet(s"$path/bands")
+        .repartition(col("band"))
+        .write.mode("overwrite").partitionBy("band")
+        .parquet(s"$stage/bands")
+      spark.read.parquet(s"$path/sets")
+        .repartition(setFiles)
+        .write.mode("overwrite").parquet(s"$stage/sets")
+    }
   }
 
   /** [[minhashPairs]] backed by the MATERIALIZED index: builds the

@@ -333,41 +333,50 @@ object Similarity {
   /** (corpusAssigned, queryProbes) — the posting-list and probe frames
     * behind [[ivfTopK]], factored out so [[ivfCandidates]] prices
     * exactly the posting lists the top-k scans. */
+  /** (cent_id, cvec, cn2) — the coarse quantizer's centroid frame. */
+  private def ivfCentroids(corpus: DataFrame, idCol: String,
+      vecCol: String, nCentroids: Int): DataFrame = {
+    val cents = corpus.filter(col(idCol) < nCentroids)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("cvec"))
+    withNorm2(cents, col("cvec")).withColumnRenamed("n2", "cn2")
+  }
+
+  /** Assign each vector of `df` to its `keep` nearest centroids of
+    * `cWithN2` (a (cent_id, cvec, cn2) frame, broadcast). */
+  private def ivfAssign(cWithN2: DataFrame, df: DataFrame,
+      id: String, vec: String, n2: String, keep: Int): DataFrame = {
+    val scored = df.crossJoin(broadcast(cWithN2))
+      .withColumn("ccos",
+        dotDecimal(col(vec), col("cvec")).cast("double") /
+          (sqrt(col(n2).cast("double")) * sqrt(col("cn2").cast("double"))))
+    if (keep == 1) {
+      // argmax via partial/final max_by: the nCentroids×-amplified frame
+      // collapses map-side to one row per vector BEFORE the shuffle —
+      // the window variant would shuffle all amplified rows to sort an
+      // argmax. Tie-break (equal ccos → smallest cent_id) matches the
+      // window's ordering via the negated id in the ordering struct.
+      scored.groupBy(col(id))
+        .agg(max_by(
+          struct(col("cent_id"), col(vec), col(n2)),
+          struct(col("ccos"), (-col("cent_id")).as("tb"))).as("best"))
+        .select(col(id), col("best.cent_id").as("cent_id"),
+          col(s"best.$vec").as(vec), col(s"best.$n2").as(n2))
+    } else {
+      val w = Window.partitionBy(col(id)).orderBy(col("ccos").desc, col("cent_id"))
+      scored.withColumn("crn", row_number().over(w)).filter(col("crn") <= keep)
+        .drop("cvec", "cn2", "ccos", "crn")
+    }
+  }
+
   private def ivfFrames(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String,
       nCentroids: Int, nProbe: Int): (DataFrame, DataFrame) = {
-    val cents = corpus.filter(col(idCol) < nCentroids)
-      .select(col(idCol).as("cent_id"), col(vecCol).as("cvec"))
-    val cWithN2 = withNorm2(cents, col("cvec"))
-      .withColumnRenamed("n2", "cn2")
-    def assign(df: DataFrame, id: String, vec: String, n2: String, keep: Int) = {
-      val scored = df.crossJoin(broadcast(cWithN2))
-        .withColumn("ccos",
-          dotDecimal(col(vec), col("cvec")).cast("double") /
-            (sqrt(col(n2).cast("double")) * sqrt(col("cn2").cast("double"))))
-      if (keep == 1) {
-        // argmax via partial/final max_by: the nCentroids×-amplified frame
-        // collapses map-side to one row per vector BEFORE the shuffle —
-        // the window variant would shuffle all amplified rows to sort an
-        // argmax. Tie-break (equal ccos → smallest cent_id) matches the
-        // window's ordering via the negated id in the ordering struct.
-        scored.groupBy(col(id))
-          .agg(max_by(
-            struct(col("cent_id"), col(vec), col(n2)),
-            struct(col("ccos"), (-col("cent_id")).as("tb"))).as("best"))
-          .select(col(id), col("best.cent_id").as("cent_id"),
-            col(s"best.$vec").as(vec), col(s"best.$n2").as(n2))
-      } else {
-        val w = Window.partitionBy(col(id)).orderBy(col("ccos").desc, col("cent_id"))
-        scored.withColumn("crn", row_number().over(w)).filter(col("crn") <= keep)
-          .drop("cvec", "cn2", "ccos", "crn")
-      }
-    }
-    val corpusAssigned = assign(
+    val cWithN2 = ivfCentroids(corpus, idCol, vecCol, nCentroids)
+    val corpusAssigned = ivfAssign(cWithN2,
       withNorm2(corpus, col(vecCol))
         .select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"), col("n2").as("nn2")),
       "neighbor_id", "nv", "nn2", keep = 1)
-    val queryProbes = assign(
+    val queryProbes = ivfAssign(cWithN2,
       withNorm2(queries, col(vecCol))
         .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("n2").as("qn2")),
       "query_id", "qv", "qn2", keep = nProbe)
@@ -385,6 +394,121 @@ object Similarity {
       .join(corpusAssigned.select("neighbor_id", "cent_id"), Seq("cent_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id")
+  }
+
+  /** Materialize the IVF index — the vector-side counterpart of the
+    * near-dup band/set index ([[graft.operators.NearDup.writeNearDupIndex]]):
+    * the corpus's centroid assignment is the expensive pass
+    * (nCentroids exact dot products per vector), and it depends only on
+    * the corpus, so it is computed ONCE per corpus identity and every
+    * query batch — batch or streaming — prices only its own probe
+    * selection + posting-list joins. Layout:
+    *
+    *  - `path/centroids`: (cent_id, cvec, cn2) — the coarse quantizer,
+    *    tiny, broadcast by every probe.
+    *  - `path/postings`: (neighbor_id, nv, nn2) PARTITIONED BY cent_id —
+    *    each posting list is its own directory, so a probe that touches
+    *    few lists prunes at the directory level (and a degraded
+    *    centroid's list can be rebuilt alone).
+    *
+    * All stored values round-trip parquet exactly (float arrays,
+    * DECIMAL(30,12) norms), so the indexed probe is bit-identical to
+    * the recomputed one — spec-asserted and shared-oracle-checked.
+    */
+  def writeIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int, path: String): Unit = {
+    val cWithN2 = ivfCentroids(corpus, idCol, vecCol, nCentroids)
+    cWithN2.write.mode("overwrite").parquet(s"$path/centroids")
+    ivfAssign(cWithN2,
+        withNorm2(corpus, col(vecCol))
+          .select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"),
+            col("n2").as("nn2")),
+        "neighbor_id", "nv", "nn2", keep = 1)
+      .write.mode("overwrite").partitionBy("cent_id")
+      .parquet(s"$path/postings")
+  }
+
+  /** [[writeIvfIndex]] exactly once per path, race-safely
+    * ([[IndexStore.ensure]]: staged build + atomic install, `_OK`
+    * gated). */
+  def ensureIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int, path: String): Unit =
+    IndexStore.ensure(path)(stage =>
+      writeIvfIndex(corpus, idCol, vecCol, nCentroids, stage))
+
+  /** Append a batch of new vectors to a MATERIALIZED IVF index: each is
+    * assigned to its nearest STORED centroid (the quantizer is frozen at
+    * build time — the standard IVF ingest contract; re-training
+    * centroids is a rebuild, not an append) and appended to that
+    * posting list's partition. Same accumulation shape as
+    * [[graft.operators.NearDup.appendToNearDupIndex]] — one small file
+    * per touched list per batch, periodically folded by
+    * [[compactIvfIndex]]. */
+  def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame, idCol: String, vecCol: String,
+      path: String): Unit = {
+    val cWithN2 = spark.read.parquet(s"$path/centroids")
+      .withColumn("cent_id", col("cent_id").cast("long"))
+    ivfAssign(cWithN2,
+        withNorm2(batch, col(vecCol))
+          .select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"),
+            col("n2").as("nn2")),
+        "neighbor_id", "nv", "nn2", keep = 1)
+      .write.mode("append").partitionBy("cent_id")
+      .parquet(s"$path/postings")
+  }
+
+  /** Compact an accumulated IVF index in place
+    * ([[IndexStore.rewriteInPlace]]): rewrites the posting-list table
+    * to one file per list and the centroid table to one file, staged +
+    * atomically swapped so a reader never observes a half-compacted
+    * index. Probe results identical before/after (spec-asserted).
+    * Returns (filesBefore, filesAfter). */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Long, Long) =
+    IndexStore.rewriteInPlace(path) { stage =>
+      spark.read.parquet(s"$path/postings")
+        .repartition(col("cent_id"))
+        .write.mode("overwrite").partitionBy("cent_id")
+        .parquet(s"$stage/postings")
+      spark.read.parquet(s"$path/centroids")
+        .repartition(1)
+        .write.mode("overwrite").parquet(s"$stage/centroids")
+    }
+
+  /** [[ivfTopK]] against the MATERIALIZED index: the corpus assignment
+    * is read from storage, queries pay only probe selection against the
+    * stored centroids + the posting-list join. Results are identical to
+    * [[ivfTopK]] on the same corpus (same arithmetic over the same
+    * stored values — SimilaritySpec asserts equality, and the shared
+    * DuckDB oracle recomputes from scratch).
+    */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, queries: DataFrame,
+      idCol: String, vecCol: String, nProbe: Int, k: Int): DataFrame = {
+    val bc0 = Eager.broadcastSnapshot(spark)
+    // partition-column cent_id comes back widened per partition
+    // inference; cast to the assignment's type so joins stay co-typed
+    val postings = spark.read.parquet(s"$indexPath/postings")
+      .withColumn("cent_id", col("cent_id").cast("long"))
+    val cWithN2 = spark.read.parquet(s"$indexPath/centroids")
+      .withColumn("cent_id", col("cent_id").cast("long"))
+    val queryProbes = ivfAssign(cWithN2,
+      withNorm2(queries, col(vecCol))
+        .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+          col("n2").as("qn2")),
+      "query_id", "qv", "qn2", keep = nProbe)
+    val scored = broadcast(queryProbes).join(postings, Seq("cent_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", dotDecimal(col("qv"), col("nv")).cast("double") /
+        (sqrt(col("qn2").cast("double")) * sqrt(col("nn2").cast("double"))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    val out = Eager.terminal(
+      scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cos", "rnk"))
+    Eager.releaseBroadcastsSince(spark, bc0)
+    out
   }
 
   /** Bucketed ANN: candidates limited to the query's sign bucket, then

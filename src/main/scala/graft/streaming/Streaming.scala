@@ -674,6 +674,42 @@ object Streaming {
     * for both — that is [[graft.operators.NearDup.minhashPairs]] on
     * the accumulated corpus.)
     */
+  /** Streaming ANN probe against a MATERIALIZED IVF index
+    * ([[graft.operators.Similarity.writeIvfIndex]]) — the vector-side
+    * twin of [[streamingNearDup]]: query embeddings land as files,
+    * every micro-batch probes the STORED posting lists
+    * ([[graft.operators.Similarity.ivfTopKIndexed]] — probe selection
+    * against the stored centroids + posting-list join; the corpus is
+    * never re-assigned), and per-batch top-k results are appended.
+    * Each query's top-k depends only on the index and that query row,
+    * so the union of per-batch results IS the batch probe — the same
+    * per-row-independence argument as the near-dup stream, and why the
+    * shared recompute oracle applies verbatim.
+    */
+  def streamingAnnProbe(spark: SparkSession, indexPath: String,
+      queries: DataFrame, idCol: String, vecCol: String,
+      nProbe: Int, k: Int): DataFrame = {
+    val land = freshDir("ann_land")
+    val out = freshDir("ann_out")
+    queries.repartition(4).write.mode("overwrite").parquet(land)
+    val schema = spark.read.parquet(land).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(land)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Similarity.ivfTopKIndexed(
+            spark, indexPath, batch, idCol, vecCol, nProbe, k)
+          .write.mode("append").parquet(out)
+        ()
+      }
+      .option("checkpointLocation", freshDir("ann_ck"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out)
+  }
+
   def streamingNearDup(spark: SparkSession, indexPath: String,
       incoming: DataFrame, n: Int, k: Int, threshold: Double): DataFrame = {
     val land = freshDir("neardup_land")

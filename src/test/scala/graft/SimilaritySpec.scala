@@ -117,4 +117,68 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.toSeq === Seq(
       (1L, 2, 5.0, Some(0.6)), (2L, 2, 0.0, None), (3L, 2, 1.0, Some(-1.0))))
   }
+
+  test("ivfTopKIndexed equals ivfTopK on a real corpus slice") {
+    val emb = graft.sources.Sources
+      .table(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding")
+    val q = emb.filter(col("vec_id") < 8)
+    val direct = Similarity.ivfTopK(q, emb, "vec_id", "embedding",
+        nCentroids = 16, nProbe = 2, k = 3)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val idxDir = java.nio.file.Files.createTempDirectory("ivf_idx")
+    try {
+      Similarity.ensureIvfIndex(emb, "vec_id", "embedding",
+        nCentroids = 16, path = idxDir.toString)
+      assert(new java.io.File(idxDir.toFile, "_OK").exists())
+      // cent_id-partitioned posting lists — one directory per list
+      assert(Option(new java.io.File(idxDir.toFile, "postings").listFiles())
+        .getOrElse(Array.empty)
+        .count(f => f.isDirectory && f.getName.startsWith("cent_id=")) === 16)
+      val indexed = Similarity.ivfTopKIndexed(spark, idxDir.toString, q,
+          "vec_id", "embedding", nProbe = 2, k = 3)
+        .as[(Long, Long, Double, Int)].collect().toSet
+      assert(indexed === direct)
+      // second ensure is a no-op fast path (index already gated)
+      Similarity.ensureIvfIndex(emb, "vec_id", "embedding",
+        nCentroids = 16, path = idxDir.toString)
+      assert(indexed.nonEmpty)
+
+      // append: new vectors join their nearest STORED centroid's list
+      // and become reachable by the probe; then compact folds the
+      // per-batch small files with probe results unchanged
+      (1 to 3).foreach { b =>
+        Similarity.appendToIvfIndex(spark,
+          emb.filter(col("vec_id") >= 16 + 20 * (b - 1) &&
+              col("vec_id") < 16 + 20 * b)
+            .select((col("vec_id") + 100000L).as("vec_id"),
+              col("embedding")),
+          "vec_id", "embedding", idxDir.toString)
+      }
+      // an appended vector is an exact copy of its original, so probing
+      // with the original must rank the copy at cos 1.0 — top-1 unless
+      // the corpus already contains another exact duplicate
+      val dupProbe = Similarity.ivfTopKIndexed(spark, idxDir.toString,
+          emb.filter(col("vec_id") === 20), "vec_id", "embedding",
+          nProbe = 2, k = 3)
+        .as[(Long, Long, Double, Int)].collect()
+      assert(dupProbe.exists(r => r._2 === 100020L && r._3 > 0.999999),
+        s"appended copy not reachable: ${dupProbe.toSeq}")
+      val afterAppend = Similarity.ivfTopKIndexed(spark, idxDir.toString, q,
+          "vec_id", "embedding", nProbe = 2, k = 3)
+        .as[(Long, Long, Double, Int)].collect().toSet
+      val (nBefore, nAfter) = Similarity.compactIvfIndex(spark, idxDir.toString)
+      assert(nAfter < nBefore,
+        s"IVF compaction must reduce file count, got $nBefore -> $nAfter")
+      val afterCompact = Similarity.ivfTopKIndexed(spark, idxDir.toString, q,
+          "vec_id", "embedding", nProbe = 2, k = 3)
+        .as[(Long, Long, Double, Int)].collect().toSet
+      assert(afterCompact === afterAppend)
+    } finally {
+      val s = java.nio.file.Files.walk(idxDir)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+      finally s.close()
+    }
+  }
 }
