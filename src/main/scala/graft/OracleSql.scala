@@ -489,7 +489,7 @@ object OracleSql {
        |    SELECT *, row_number() OVER (PARTITION BY query_id
        |      ORDER BY cos DESC, neighbor_id) AS rnk FROM or_sc)
        |  WHERE rnk <= 5),
-       |${orLshCtes(8, 64, 4, "orw_")},
+       |${orLshCtes(8, 64, 8, "orw_")},
        |orw AS (
        |  SELECT 'lsh_or_wide' AS method, query_id, neighbor_id FROM (
        |    SELECT *, row_number() OVER (PARTITION BY query_id

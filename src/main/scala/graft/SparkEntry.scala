@@ -110,13 +110,15 @@ object SparkEntry {
     val orl = Similarity.orLshTopK(q, emb, "vec_id", "embedding",
         nBits = 4, dim = 64, nTables = 16, k = k)
       .select(lit("lsh_or").as("method"), col("query_id"), col("neighbor_id"))
-    // the WIDE configuration (8 bits × 4 tables): 256 buckets per table
-    // prune below cluster granularity — on uniform directions recall
-    // collapses (nothing shares a wide bucket), on clustered data the
-    // cluster rides one bucket and recall stays ≈1 at ~10% coverage.
-    // This row is what makes the two-fixture frontier legible.
+    // the WIDE configuration (8 bits × 8 tables): 256 buckets per table
+    // prune below cluster granularity — measured at sf0.01, recall@5
+    // collapses to 0.12 at 3.9% coverage on the uniform corpus (nothing
+    // near shares a wide bucket) but holds 0.86 at 8.9% coverage on the
+    // clustered one. This row is what makes the two-fixture frontier
+    // legible: same construction, opposite verdicts, decided by the
+    // data's cluster structure.
     val orw = Similarity.orLshTopK(q, emb, "vec_id", "embedding",
-        nBits = 8, dim = 64, nTables = 4, k = k)
+        nBits = 8, dim = 64, nTables = 8, k = k)
       .select(lit("lsh_or_wide").as("method"), col("query_id"), col("neighbor_id"))
     // candidate sets each method actually examines (same frames the
     // top-k scores — factored in Similarity so they cannot drift)
@@ -132,7 +134,7 @@ object SparkEntry {
         .orLshCandidates(q, emb, "vec_id", "embedding", 4, 64, nTables = 16)
         .select(lit("lsh_or").as("method")))
       .unionByName(Similarity
-        .orLshCandidates(q, emb, "vec_id", "embedding", 8, 64, nTables = 4)
+        .orLshCandidates(q, emb, "vec_id", "embedding", 8, 64, nTables = 8)
         .select(lit("lsh_or_wide").as("method")))
       .groupBy("method").agg(count(lit(1)).as("n_cand"))
     val nq = ground.agg(countDistinct(col("query_id")).as("n_queries"))
