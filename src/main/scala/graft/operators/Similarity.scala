@@ -396,6 +396,36 @@ object Similarity {
       .select("query_id", "neighbor_id")
   }
 
+  /** Exact cosine top-k over an EXPLICIT candidate-pair frame — the
+    * scoring stage every ANN method here ends with, factored out so the
+    * recall audits can checkpoint one candidate frame per method and
+    * derive BOTH its coverage count and its top-k from it (the method
+    * top-k functions otherwise re-derive the same bucket joins their
+    * `*Candidates` twins price). Identical results to each method's own
+    * top-k: every candidate frame holds distinct (query, neighbor)
+    * pairs, and scoring + the (cos desc, neighbor_id) window is the
+    * same fixed double op sequence in all of them.
+    */
+  def exactTopKFor(cand: DataFrame, queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val c = withNorm2(corpus, col(vecCol))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"),
+        col("n2").as("nn2"))
+    val q = withNorm2(queries, col(vecCol))
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        col("n2").as("qn2"))
+    val scored = cand
+      .join(c, Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cos",
+        cosine(dotDecimal(col("qv"), col("nv")), col("qn2"), col("nn2")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
   /** Materialize the IVF index — the vector-side counterpart of the
     * near-dup band/set index ([[graft.operators.NearDup.writeNearDupIndex]]):
     * the corpus's centroid assignment is the expensive pass
