@@ -70,6 +70,7 @@ object Bench {
       bcDisk: Long, spillM: Long, spillD: Long, stUsed: Long, stMax: Long,
       diskN: Int, diskBytes: Long, shuffles: Int)
     val storageLog = scala.collection.mutable.ArrayBuffer.empty[StorageRow]
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -126,14 +127,27 @@ object Bench {
       // Codegen'd classes for this query's plan stay referenced by the
       // codegen cache, so the JIT warm-up survives the GC.
       System.gc()
+      // A swallowed exception is WORSE than a crash here: the failed
+      // run's wall time is near-zero and its "median" reads as a
+      // spectacular speedup (round 9: an UNRESOLVED_ROUTINE registration
+      // bug benched q_ann_recall at 0.2 s for a 14 s query). Failures
+      // are now LOUD — logged per run with the real exception, counted
+      // into the stdout JSON's "errors" field, and the query's time is
+      // poisoned to a sentinel so no one mistakes it for a result.
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val failed =
+          try { fn(spark, sfDir).count(); false }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: $e")
+            errors(name) = e.toString.takeWhile(_ != '\n').take(200)
+            true
+          }
         val dt = (System.nanoTime() - t0) / 1e9
         // release per-query persisted frames (e.g. near-dup shingle
         // sets) AND this run's checkpoint blocks before the next run
         sweep()
-        dt
+        if (failed) -1.0 else dt
       }.sorted
       // Full GC BETWEEN queries, not between the runs of one query: the
       // sweep above already freed storage deterministically, but
@@ -196,8 +210,11 @@ object Bench {
       val qs = byTime.take(n).sortBy(_._1)
         .map { case (k, v) => s"\"" + k + "\":" + r3(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"n_queries":${results.length},"top_n":${math.min(n, results.length)},$fullRef"bc_max_blocks":$bcMaxBlocks,"bc_max_mem":$bcMaxMem,"disk_max_bytes":$diskMaxBytes,"spill_disk_total":$spillTotal,"sf":"$sfDir","runs_per_query":$runs}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"n_queries":${results.length},"n_errors":${errors.size},"top_n":${math.min(n, results.length)},$fullRef"bc_max_blocks":$bcMaxBlocks,"bc_max_mem":$bcMaxMem,"disk_max_bytes":$diskMaxBytes,"spill_disk_total":$spillTotal,"sf":"$sfDir","runs_per_query":$runs}"""
     }
+    if (errors.nonEmpty)
+      System.err.println(s"[bench] ${errors.size} QUERY FAILURE(S): " +
+        errors.map { case (q, e) => s"$q -> $e" }.mkString("; "))
     val out = (results.length to 1 by -1).view.map(line).find(_.length <= 1500).getOrElse(line(1))
     println(out)
     spark.stop()

@@ -93,58 +93,58 @@ object SparkEntry {
     * pairs) — the frontier that decides which method earns its keep on
     * a given corpus (round-9 verdict #6).
     */
-  private def annRecallReport(embIn: DataFrame): DataFrame = {
-    import graft.operators.Eager
-    val spark = embIn.sparkSession
-    val bc0 = Eager.broadcastSnapshot(spark)
-    // materialize the corpus once: the clustered fixture's jitter
-    // construction would otherwise re-run inside every method's scan
-    val (emb, relEmb) = Eager.tracked(embIn)
+  private def annRecallReport(emb: DataFrame): DataFrame = {
     val q = emb.filter(col("vec_id") < 10)
     val k = 5
-    // ONE candidate frame per method, checkpointed, then BOTH the
-    // coverage count and the exact top-k derive from it — the method
-    // top-k functions would re-pay the same bucket joins their
-    // *Candidates twins price (measured ~2× on this audit). The shared
-    // scorer (Similarity.exactTopKFor) is result-identical to each
-    // method's own top-k: distinct pairs in, same fixed double cosine
-    // and (cos desc, neighbor_id) window out.
-    //
-    // The WIDE OR row (8 bits × 8 tables): 256 buckets per table prune
-    // below cluster granularity — measured at sf0.01, recall@5
-    // collapses to 0.12 at 3.9% coverage on the uniform corpus
-    // (nothing near shares a wide bucket) but holds 0.86 at 8.9%
-    // coverage on the clustered one. Same construction, opposite
-    // verdicts, decided by the data's cluster structure.
-    val cands: Seq[(String, DataFrame, () => Unit)] = Seq(
-      ("lsh_bucket", Similarity
-        .bucketedCandidates(q, emb, "vec_id", "embedding", 4, 64)),
-      ("lsh_multiprobe", Similarity
-        .multiProbeCandidates(q, emb, "vec_id", "embedding", 4, 64, nProbe = 3)),
-      ("ivf", Similarity
-        .ivfCandidates(q, emb, "vec_id", "embedding", nCentroids = 16, nProbe = 2)),
-      ("lsh_or", Similarity
-        .orLshCandidates(q, emb, "vec_id", "embedding", 4, 64, nTables = 16)),
-      ("lsh_or_wide", Similarity
-        .orLshCandidates(q, emb, "vec_id", "embedding", 8, 64, nTables = 8))
-    ).map { case (m, c) => val (cc, rel) = Eager.tracked(c); (m, cc, rel) }
     val ground = Similarity.cosineTopK(q, emb, "vec_id", "embedding", k)
       .select(col("query_id"), col("neighbor_id"))
-    val topk = cands.map { case (m, c, _) =>
-      Similarity.exactTopKFor(c, q, emb, "vec_id", "embedding", k)
-        .select(lit(m).as("method"), col("query_id"), col("neighbor_id"))
-    }.reduce(_.unionByName(_))
-    val candCounts = cands.map { case (m, c, _) =>
-      c.agg(count(lit(1)).as("n_cand")).select(lit(m).as("method"), col("n_cand"))
-    }.reduce(_.unionByName(_))
+    val lsh = Similarity.bucketedTopK(q, emb, "vec_id", "embedding",
+        nBits = 4, dim = 64, k = k)
+      .select(lit("lsh_bucket").as("method"), col("query_id"), col("neighbor_id"))
+    val mp = Similarity.multiProbeTopK(q, emb, "vec_id", "embedding",
+        nBits = 4, dim = 64, nProbe = 3, k = k)
+      .select(lit("lsh_multiprobe").as("method"), col("query_id"), col("neighbor_id"))
+    val ivf = Similarity.ivfTopK(q, emb, "vec_id", "embedding",
+        nCentroids = 16, nProbe = 2, k = k)
+      .select(lit("ivf").as("method"), col("query_id"), col("neighbor_id"))
+    val orl = Similarity.orLshTopK(q, emb, "vec_id", "embedding",
+        nBits = 4, dim = 64, nTables = 16, k = k)
+      .select(lit("lsh_or").as("method"), col("query_id"), col("neighbor_id"))
+    // the WIDE configuration (8 bits × 8 tables): 256 buckets per table
+    // prune below cluster granularity — measured at sf0.01, recall@5
+    // collapses to 0.12 at 3.9% coverage on the uniform corpus (nothing
+    // near shares a wide bucket) but holds 0.86 at 8.9% coverage on the
+    // clustered one. This row is what makes the two-fixture frontier
+    // legible: same construction, opposite verdicts, decided by the
+    // data's cluster structure.
+    val orw = Similarity.orLshTopK(q, emb, "vec_id", "embedding",
+        nBits = 8, dim = 64, nTables = 8, k = k)
+      .select(lit("lsh_or_wide").as("method"), col("query_id"), col("neighbor_id"))
+    // candidate sets each method actually examines (same frames the
+    // top-k scores — factored in Similarity so they cannot drift)
+    val cands = Similarity.bucketedCandidates(q, emb, "vec_id", "embedding", 4, 64)
+      .select(lit("lsh_bucket").as("method"))
+      .unionByName(Similarity
+        .multiProbeCandidates(q, emb, "vec_id", "embedding", 4, 64, nProbe = 3)
+        .select(lit("lsh_multiprobe").as("method")))
+      .unionByName(Similarity
+        .ivfCandidates(q, emb, "vec_id", "embedding", nCentroids = 16, nProbe = 2)
+        .select(lit("ivf").as("method")))
+      .unionByName(Similarity
+        .orLshCandidates(q, emb, "vec_id", "embedding", 4, 64, nTables = 16)
+        .select(lit("lsh_or").as("method")))
+      .unionByName(Similarity
+        .orLshCandidates(q, emb, "vec_id", "embedding", 8, 64, nTables = 8)
+        .select(lit("lsh_or_wide").as("method")))
+      .groupBy("method").agg(count(lit(1)).as("n_cand"))
     val nq = ground.agg(countDistinct(col("query_id")).as("n_queries"))
     val nc = emb.agg(count(lit(1)).as("n_corpus"))
-    val report = topk
+    lsh.unionByName(mp).unionByName(ivf).unionByName(orl).unionByName(orw)
       .join(ground.withColumn("__hit", lit(1L)),
         Seq("query_id", "neighbor_id"), "left")
       .groupBy("method")
       .agg(sum(coalesce(col("__hit"), lit(0L))).as("hits"))
-      .join(candCounts, Seq("method"))
+      .join(cands, Seq("method"))
       .crossJoin(broadcast(nq))
       .crossJoin(broadcast(nc))
       .select(col("method"), col("hits"), col("n_queries"),
@@ -155,10 +155,6 @@ object SparkEntry {
           (col("n_queries") * (col("n_corpus") - 1)).cast("double"), 6)
           .as("coverage"))
       .orderBy("method")
-    val out = Eager.terminalReleasing(report,
-      (relEmb +: cands.map(_._3)): _*)
-    Eager.releaseBroadcastsSince(spark, bc0)
-    out
   }
 
   /** Clustered-embedding fixture (round-9 verdict #6): centroid c =

@@ -87,11 +87,8 @@ object Similarity {
     * windows: reproducible everywhere (driver, executors, the DuckDB
     * oracle — which embeds the identical literals), no RNG state.
     */
-  def planeSign(bit: Int, dim1: Int): Float = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$bit:$dim1".getBytes("UTF-8"))
-    if (((d(0) >> 4) & 1) == 1) 1.0f else -1.0f
-  }
+  def planeSign(bit: Int, dim1: Int): Float =
+    if (graft.functions.SignBucket.planeSignPositive(bit, dim1)) 1.0f else -1.0f
 
   /** Sign-LSH bucket: `nBits` random-hyperplane sign bits, plane i a
     * deterministic md5-seeded ±1 vector ([[planeSign]]) over all `dim`
@@ -108,6 +105,13 @@ object Similarity {
     * shuffle, same scale shape as the axis form.
     */
   def signBucket(vec: Column, nBits: Int, dim: Int): Column =
+    signBucketTable(vec, 0, nBits, dim)
+
+  /** The pre-round-9 column composition of [[signBucket]] — one decimal
+    * dot per plane, each re-casting every element. Kept as the
+    * REFERENCE implementation the native [[graft.functions.SignBucket]]
+    * is spec-asserted byte-identical to (SimilaritySpec). */
+  def signBucketHof(vec: Column, nBits: Int, dim: Int): Column =
     concat((0 until nBits).map { i =>
       val planes = array((1 to dim).map(j => lit(planeSign(i, j))): _*)
       when(dotDecimal(vec, planes) >= 0, "1").otherwise("0")
@@ -128,12 +132,11 @@ object Similarity {
     * table t uses bit indices t·nBits … t·nBits+nBits−1 of the same
     * md5-seeded plane stream, so tables are pairwise independent and
     * table 0 IS the single-table [[signBucket]] (spec-asserted). */
-  def signBucketTable(vec: Column, table: Int, nBits: Int, dim: Int): Column =
-    concat((0 until nBits).map { i =>
-      val planes =
-        array((1 to dim).map(j => lit(planeSign(table * nBits + i, j))): _*)
-      when(dotDecimal(vec, planes) >= 0, "1").otherwise("0")
-    }: _*)
+  def signBucketTable(vec: Column, table: Int, nBits: Int, dim: Int): Column = {
+    import org.apache.spark.sql.graft.Cols
+    Cols.of(graft.functions.SignBucket(Cols.exprOf(vec),
+      offset = table * nBits, nBits = nBits, dim = dim))
+  }
 
   /** OR-amplified sign-LSH top-k: `nTables` INDEPENDENT hyperplane
     * tables (the standard OR-construction — a pair is a candidate if it
@@ -191,6 +194,7 @@ object Similarity {
       idCol: String, vecCol: String, nBits: Int, dim: Int,
       nTables: Int): DataFrame = {
     require(nTables >= 1, s"orLshCandidates: nTables must be ≥ 1, got $nTables")
+    registerNative(queries.sparkSession)
     def buckets(v: Column): Column = array((0 until nTables).map(t =>
       struct(lit(t).as("tbl"), signBucketTable(v, t, nBits, dim).as("bucket"))): _*)
     val qb = queries.select(col(idCol).as("query_id"),
@@ -249,6 +253,7 @@ object Similarity {
       vecCol: String, nBits: Int, dim: Int, nProbe: Int): DataFrame = {
     require(nProbe >= 1 && nProbe <= nBits + 1,
       s"multiProbe: nProbe must be in [1, nBits+1], got $nProbe")
+    registerNative(queries.sparkSession)
     val exact = concat((0 until nBits).map(i =>
       when(element_at(col("d"), i + 1) >= 0, "1").otherwise("0")): _*)
     // bits ranked by how close the query sits to each plane
@@ -293,6 +298,7 @@ object Similarity {
   def bucketedCandidates(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, nBits: Int, dim: Int): DataFrame = {
+    registerNative(queries.sparkSession)
     val qb = queries.select(col(idCol).as("query_id"),
       signBucket(col(vecCol), nBits, dim).as("bucket"))
     val cb = corpus.select(col(idCol).as("neighbor_id"),
@@ -394,36 +400,6 @@ object Similarity {
       .join(corpusAssigned.select("neighbor_id", "cent_id"), Seq("cent_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id")
-  }
-
-  /** Exact cosine top-k over an EXPLICIT candidate-pair frame — the
-    * scoring stage every ANN method here ends with, factored out so the
-    * recall audits can checkpoint one candidate frame per method and
-    * derive BOTH its coverage count and its top-k from it (the method
-    * top-k functions otherwise re-derive the same bucket joins their
-    * `*Candidates` twins price). Identical results to each method's own
-    * top-k: every candidate frame holds distinct (query, neighbor)
-    * pairs, and scoring + the (cos desc, neighbor_id) window is the
-    * same fixed double op sequence in all of them.
-    */
-  def exactTopKFor(cand: DataFrame, queries: DataFrame, corpus: DataFrame,
-      idCol: String, vecCol: String, k: Int): DataFrame = {
-    val c = withNorm2(corpus, col(vecCol))
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"),
-        col("n2").as("nn2"))
-    val q = withNorm2(queries, col(vecCol))
-      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-        col("n2").as("qn2"))
-    val scored = cand
-      .join(c, Seq("neighbor_id"))
-      .join(broadcast(q), Seq("query_id"))
-      .withColumn("cos",
-        cosine(dotDecimal(col("qv"), col("nv")), col("qn2"), col("nn2")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cos", "rank")
   }
 
   /** Materialize the IVF index — the vector-side counterpart of the

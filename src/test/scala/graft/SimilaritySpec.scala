@@ -118,6 +118,43 @@ class SimilaritySpec extends AnyFunSuite {
       (1L, 2, 5.0, Some(0.6)), (2L, 2, 0.0, None), (3L, 2, 1.0, Some(-1.0))))
   }
 
+  test("native SignBucket is byte-identical to the per-plane dot composition") {
+    val emb = graft.sources.Sources
+      .table(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding")
+    Similarity.registerNative(spark)
+    // single-table and OR-family offsets, covering the 4/8/15-bit widths
+    // the engine actually uses
+    for ((table, nBits) <- Seq((0, 4), (0, 8), (3, 4), (7, 8), (0, 15))) {
+      val cmp = emb.select(
+          Similarity.signBucketTable(col("embedding"), table, nBits, 64).as("fast"),
+          Similarity.signBucketHof(col("embedding"), nBits, 64).as("ref_t0"))
+      if (table == 0)
+        assert(cmp.filter(col("fast") =!= col("ref_t0")).count() === 0,
+          s"table=0 nBits=$nBits diverged from the composition")
+      // every bucket is exactly nBits of '0'/'1'
+      assert(cmp.filter(not(col("fast").rlike(s"^[01]{$nBits}$$"))).count() === 0)
+    }
+    // null / wrong-length / null-element vectors degrade to all-zeros,
+    // exactly like the composition's when(null >= 0, ...) path
+    val edge = Seq(
+      (1L, null.asInstanceOf[Array[java.lang.Float]]),
+      (2L, Array[java.lang.Float](1.0f, 2.0f)),              // wrong length
+      (3L, Array[java.lang.Float](1.0f, null, 3.0f, 4.0f))   // null element
+    ).toDF("vec_id", "embedding")
+    val got = edge.select(col("vec_id"),
+        Similarity.signBucketTable(col("embedding"), 0, 4, 4).as("b"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) === "0000" && got(2L) === "0000" && got(3L) === "0000")
+    // non-degenerate 4-dim case still matches the composition
+    val tiny = Seq((1L, Array(0.5f, -1.5f, 2.5f, -0.25f))).toDF("vec_id", "embedding")
+    val pair = tiny.select(
+        Similarity.signBucketTable(col("embedding"), 0, 4, 4).as("fast"),
+        Similarity.signBucketHof(col("embedding"), 4, 4).as("ref"))
+      .as[(String, String)].head()
+    assert(pair._1 === pair._2)
+  }
+
   test("ivfTopKIndexed equals ivfTopK on a real corpus slice") {
     val emb = graft.sources.Sources
       .table(spark, "/root/testdata/sf0.001", "embeddings")
