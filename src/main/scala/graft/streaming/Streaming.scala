@@ -548,7 +548,9 @@ object Streaming {
     *
     * Bounded lateness: `maxLatenessSec` is the event-time watermark —
     * a change older than (high-water-mark − bound) is REJECTED (and
-    * counted per batch in the versioned `late` state), which is what
+    * counted per batch on stderr); the mark itself is the frontier's
+    * max event time — every accepted change's ts is ≤ its key's
+    * frontier ts, so no separate hwm state exists. Bounding is what
     * bounds frontier state retention in a production deployment: once
     * the watermark passes a key's last activity the frontier row is
     * immovable and could be compacted into the table. The fixture
@@ -571,7 +573,6 @@ object Streaming {
     val tableRoot = freshDir("ivm_ooo_table")
     val rollupRoot = freshDir("ivm_ooo_rollup")
     val frontRoot = freshDir("ivm_ooo_front")
-    val hwmRoot = freshDir("ivm_ooo_hwm")
     val tagged = changes.withColumn("__b", batchOf)
     val batches = sortBatchIds(
       tagged.select("__b").distinct().collect().map(_.get(0)))
@@ -605,11 +606,15 @@ object Streaming {
           .getOrElse(Dedup.baseRollup(snapshot, group, value))
         val frontPrev = latest(frontRoot).map(spark.read.parquet(_))
           .getOrElse(batch.select(chCols: _*).limit(0))
-        // flatten guards the all-rejected edge: a version whose stored
-        // hwm is NULL (empty accepted batch before any hwm existed)
+        // the high-water mark IS the frontier's max event time: every
+        // accepted change's ts is ≤ its key's frontier ts (the frontier
+        // keeps the per-key max), so the global max over frontier rows
+        // equals the running max of all accepted ts — no separate
+        // versioned hwm table to write/read per batch. Option() guards
+        // the empty-frontier first batch (max of zero rows is NULL).
         val hwmPrev: Option[java.sql.Timestamp] =
-          latest(hwmRoot).flatMap(p => Option(
-            spark.read.parquet(p).collect().head.getTimestamp(0)))
+          latest(frontRoot).flatMap(_ => Option(
+            frontPrev.agg(max(col(tsCol))).collect().head.getTimestamp(0)))
         // event-time watermark: reject changes older than the bound
         // below the running high-water mark (1-row driver orchestration,
         // never row data)
@@ -643,10 +648,6 @@ object Streaming {
           .unionByName(newAffected)
           .write.mode("overwrite").parquet(s"$tableRoot/v$id")
         frontNew.write.mode("overwrite").parquet(s"$frontRoot/v$id")
-        val hwmRow = accepted.agg(
-          greatest(max(col(tsCol)),
-            lit(hwmPrev.orNull).cast("timestamp")).as("hwm"))
-        hwmRow.write.mode("overwrite").parquet(s"$hwmRoot/v$id")
         ()
       }
       .option("checkpointLocation", freshDir("ivm_ooo_ck"))
