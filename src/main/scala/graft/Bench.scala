@@ -61,27 +61,97 @@ object Bench {
           }
         }
       })
-    // Per-query storage evidence (round-7 verdict #2, widened round 9):
-    // broadcast blocks, cumulative spill, storage-pool occupancy, and
-    // block-manager local-disk usage at each query's START. With the
-    // sweeps working these stay flat for all queries; accumulation in
-    // any channel shows as a monotone ramp in the committed JSONL.
+    // Round-10 verdict #2: round 9 proved the driver-session-only
+    // inflation is OUTSIDE Spark's storage accounting (every instrumented
+    // channel flat at zero in the driver's own JSONL), so instrument the
+    // channels that are still dark — cumulative JVM GC time, process CPU
+    // vs wall over each query's timed runs (wall ≫ cpu ⇒ external/host
+    // contention; cpu ≈ wall but gc-heavy ⇒ heap), and a PIVOT DRIFT
+    // probe (re-time q_star_join periodically) so a mid-run host-epoch
+    // shift is visible and per-query medians can be drift-normalized.
+    def gcCumMs: Long = {
+      val it = java.lang.management.ManagementFactory
+        .getGarbageCollectorMXBeans.iterator()
+      var s = 0L
+      while (it.hasNext) { val t = it.next().getCollectionTime; if (t > 0) s += t }
+      s
+    }
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    def procCpuNs: Long = osBean match {
+      case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime
+      case _ => -1L
+    }
+    // Deterministic storage sweep: clearCache drops table caches but is
+    // blind to localCheckpoint blocks (terminal results, any round
+    // frames an operator failed to release), which otherwise wait for
+    // a driver GC to let the ContextCleaner run — demonstrably too
+    // late 150 queries into a suite (round-6 driver medians for the
+    // checkpoint-heavy family inflated 3.5–4.8× vs isolated runs while
+    // System.gc() alone was in place). Between queries NOTHING is
+    // legitimately persisted, so unpersist every surviving RDD by
+    // handle — synchronous map removal, no GC required. Round 7's
+    // residual driver-only inflation moved the same mechanism to
+    // BROADCAST blocks (one per broadcast join, GC+ContextCleaner
+    // reclaimed), so the sweep destroys those by id too — every
+    // broadcast created since session baseline is from a completed
+    // run of this single-query-at-a-time loop, so none can be read
+    // again. ...and shuffle state (round 9): each completed wide stage
+    // leaves map-output files on local disk plus driver-side
+    // ShuffleStatus, reclaimed only via GC + ContextCleaner — swept by
+    // id for the same reason.
+    def sweep(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      graft.operators.Eager
+        .releaseBroadcastsSince(spark, bcBaseline, force = true)
+      val sc = spark.sparkContext
+      org.apache.spark.graft.Storage.shuffleIds(sc)
+        .foreach(id =>
+          org.apache.spark.graft.Storage.removeShuffle(sc, id, blocking = false))
+    }
+    // The pivot probe: q_star_join (the round-6 adjudication pivot) timed
+    // as min-of-2 at suite start, every 25th query, and suite end. Its
+    // trajectory IS the host epoch: a flat pivot with an inflated query
+    // median means the query; a ramping pivot means the session/host.
+    final case class PivotRow(atIndex: Int, afterQuery: String, sec: Double,
+      gcCum: Long)
+    val pivotLog = scala.collection.mutable.ArrayBuffer.empty[PivotRow]
+    val pivotFn = SparkEntry.queries.get("q_star_join")
+    def probePivot(at: Int, after: String): Unit = pivotFn.foreach { fn =>
+      val t = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => }
+        sweep()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      pivotLog += PivotRow(at, after, t, gcCumMs)
+    }
+    // Per-query storage + host evidence (round-7 verdict #2, widened
+    // rounds 9–10): broadcast blocks, cumulative spill, storage-pool
+    // occupancy, block-manager local-disk usage, and registered shuffles
+    // at each query's START (flat under working sweeps; accumulation in
+    // any channel shows as a monotone ramp), plus the round-10 host
+    // channels measured OVER the timed runs.
     final case class StorageRow(name: String, bcN: Int, bcMem: Long,
       bcDisk: Long, spillM: Long, spillD: Long, stUsed: Long, stMax: Long,
-      diskN: Int, diskBytes: Long, shuffles: Int)
+      diskN: Int, diskBytes: Long, shuffles: Int,
+      gcCum: Long, wallRuns: Double, cpuRuns: Double, gcRuns: Long)
     val storageLog = scala.collection.mutable.ArrayBuffer.empty[StorageRow]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    var qIndex = 0
+    probePivot(0, "<start>")
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
+      qIndex += 1
       val sc = spark.sparkContext
       val (bcN, bcMem, bcDisk) =
         org.apache.spark.graft.Storage.broadcastSummary(sc)
       val (stUsed, stMax) = org.apache.spark.graft.Storage.storageMemory(sc)
       val (diskN, diskBytes) = org.apache.spark.graft.Storage.localDiskUsage(sc)
-      storageLog += StorageRow(name, bcN, bcMem, bcDisk, spillMem.get,
-        spillDisk.get, stUsed, stMax, diskN, diskBytes,
-        org.apache.spark.graft.Storage.shuffleIds(sc).size)
+      val shufflesAtStart = org.apache.spark.graft.Storage.shuffleIds(sc).size
+      val gcAtStart = gcCumMs
       // one UNTIMED warm-up execution first: a fresh JVM pays ~seconds of
       // whole-stage-codegen JIT inside the first run of a heavy pipeline
       // (round-4 driver capture: q_dedup_clusters 10.4 s cold vs 4.8 s
@@ -90,39 +160,6 @@ object Bench {
       // Warming per-query (not one global pass) also keeps the isolated-
       // heap discipline below intact.
       try { fn(spark, sfDir).count() } catch { case _: Throwable => }
-      // Deterministic storage sweep: clearCache drops table caches but is
-      // blind to localCheckpoint blocks (terminal results, any round
-      // frames an operator failed to release), which otherwise wait for
-      // a driver GC to let the ContextCleaner run — demonstrably too
-      // late 150 queries into a suite (round-6 driver medians for the
-      // checkpoint-heavy family inflated 3.5–4.8× vs isolated runs while
-      // System.gc() alone was in place). Between queries NOTHING is
-      // legitimately persisted, so unpersist every surviving RDD by
-      // handle — synchronous map removal, no GC required. Round 7's
-      // residual driver-only inflation moved the same mechanism to
-      // BROADCAST blocks (one per broadcast join, GC+ContextCleaner
-      // reclaimed), so the sweep now destroys those by id too — every
-      // broadcast created since session baseline is from a completed
-      // run of this single-query-at-a-time loop, so none can be read
-      // again.
-      def sweep(): Unit = {
-        spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
-        graft.operators.Eager
-          .releaseBroadcastsSince(spark, bcBaseline, force = true)
-        // ...and shuffle state (round-9): each completed wide stage
-        // leaves map-output files on local disk plus driver-side
-        // ShuffleStatus, reclaimed only via GC + ContextCleaner — the
-        // same asynchronous latency that inflated RDD blocks (round 6)
-        // and broadcast blocks (round 7). Exchange reuse never crosses
-        // separate query executions, and everything persisted was just
-        // dropped above, so every registered shuffle is dead here.
-        val sc = spark.sparkContext
-        org.apache.spark.graft.Storage.shuffleIds(sc)
-          .foreach(id =>
-            org.apache.spark.graft.Storage.removeShuffle(sc, id, blocking = false))
-      }
       sweep()
       // Codegen'd classes for this query's plan stay referenced by the
       // codegen cache, so the JIT warm-up survives the GC.
@@ -131,9 +168,12 @@ object Bench {
       // run's wall time is near-zero and its "median" reads as a
       // spectacular speedup (round 9: an UNRESOLVED_ROUTINE registration
       // bug benched q_ann_recall at 0.2 s for a 14 s query). Failures
-      // are now LOUD — logged per run with the real exception, counted
+      // are LOUD — logged per run with the real exception, counted
       // into the stdout JSON's "errors" field, and the query's time is
       // poisoned to a sentinel so no one mistakes it for a result.
+      val blockT0 = System.nanoTime()
+      val cpuT0 = procCpuNs
+      val gcT0 = gcCumMs
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         val failed =
@@ -149,6 +189,15 @@ object Bench {
         sweep()
         if (failed) -1.0 else dt
       }.sorted
+      // cpu-vs-wall over the WHOLE timed block (runs + their sweeps):
+      // same interval for both clocks, so the ratio is meaningful
+      val wallRuns = (System.nanoTime() - blockT0) / 1e9
+      val cpuRuns =
+        if (cpuT0 < 0) -1.0 else (procCpuNs - cpuT0) / 1e9
+      val gcRuns = gcCumMs - gcT0
+      storageLog += StorageRow(name, bcN, bcMem, bcDisk, spillMem.get,
+        spillDisk.get, stUsed, stMax, diskN, diskBytes, shufflesAtStart,
+        gcAtStart, wallRuns, cpuRuns, gcRuns)
       // Full GC BETWEEN queries, not between the runs of one query: the
       // sweep above already freed storage deterministically, but
       // broadcasts/codegen-cache churn still benefit from one collection
@@ -157,20 +206,34 @@ object Bench {
       // (measured: q_stream_interval_outer 5.4 s → 12 s). Each query
       // starts from an isolated heap; its repeats measure steady state.
       System.gc()
+      if (qIndex % 25 == 0) probePivot(qIndex, name)
       name -> times(times.length / 2)
     }
+    probePivot(qIndex, "<end>")
     val total = results.map(_._2).sum
-    // storage evidence file: one line per query, broadcast blocks at start
+    def r3(d: Double): Double = math.rint(d * 1000) / 1000
+    def r2(d: Double): Double = math.rint(d * 100) / 100
+    // storage + host evidence file: one line per query (fields at query
+    // start + the timed-block host channels), pivot probes interleaved
+    // as their own records (distinguished by the "pivot" key)
     try {
       val p = java.nio.file.Paths.get("docs", "BENCH_storage_last.jsonl")
       java.nio.file.Files.createDirectories(p.getParent)
-      val lines = storageLog.map { r =>
+      val qLines = storageLog.map { r =>
         s"""{"query":"${r.name}","bc_blocks":${r.bcN},"bc_mem":${r.bcMem},""" +
           s""""bc_disk":${r.bcDisk},"spill_mem_cum":${r.spillM},""" +
           s""""spill_disk_cum":${r.spillD},"storage_used":${r.stUsed},""" +
           s""""storage_max":${r.stMax},"local_disk_files":${r.diskN},""" +
-          s""""local_disk_bytes":${r.diskBytes},"shuffles":${r.shuffles}}"""
-      }.mkString("", "\n", "\n")
+          s""""local_disk_bytes":${r.diskBytes},"shuffles":${r.shuffles},""" +
+          s""""gc_cum_ms":${r.gcCum},"wall_runs_sec":${r2(r.wallRuns)},""" +
+          s""""cpu_runs_sec":${r2(r.cpuRuns)},"gc_runs_ms":${r.gcRuns}}"""
+      }
+      val pLines = pivotLog.map { r =>
+        s"""{"pivot":"q_star_join","at_index":${r.atIndex},""" +
+          s""""after":"${r.afterQuery}","sec":${r3(r.sec)},""" +
+          s""""gc_cum_ms":${r.gcCum}}"""
+      }
+      val lines = (qLines ++ pLines).mkString("", "\n", "\n")
       java.nio.file.Files.write(p, lines.getBytes("UTF-8"))
     } catch { case e: Exception =>
       System.err.println(s"warn: storage log not written: ${e.getMessage}")
@@ -182,6 +245,12 @@ object Bench {
     // and total spill over the whole suite
     val diskMaxBytes = if (storageLog.isEmpty) 0L else storageLog.map(_.diskBytes).max
     val spillTotal = spillDisk.get
+    // suite-level host summary: total GC ms, total cpu vs wall over all
+    // timed blocks, and the pivot drift series (first→last trajectory)
+    val gcTotalMs = if (storageLog.isEmpty) 0L else storageLog.map(_.gcRuns).sum
+    val cpuTotal = storageLog.map(r => math.max(0.0, r.cpuRuns)).sum
+    val wallTotal = storageLog.map(_.wallRuns).sum
+    val pivotSeries = pivotLog.map(r => r3(r.sec)).mkString("[", ",", "]")
     // Full-precision per-query map goes to a FILE: the harness captures
     // only the last ~2000 chars of stdout, and 90 queries at full double
     // precision overflow that window — round 3's bench line was cut
@@ -189,7 +258,7 @@ object Bench {
     // (total + the slowest queries, 3-decimal) and always fits.
     val fullQs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir","runs_per_query":$runs}"""
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"pivot_drift":$pivotSeries,"gc_total_ms":$gcTotalMs,"cpu_total_sec":${r2(cpuTotal)},"wall_total_sec":${r2(wallTotal)},"sf":"$sfDir","runs_per_query":$runs}"""
     val fullPath = java.nio.file.Paths.get("docs", "BENCH_last_full.json")
     // advertise the file in the stdout line only if THIS run's write
     // succeeded — otherwise a consumer would resolve the path to a stale
@@ -203,14 +272,13 @@ object Bench {
         System.err.println(s"warn: could not write $fullPath: ${e.getMessage}")
         ""
       }
-    def r3(d: Double): Double = math.rint(d * 1000) / 1000
     // largest top-N (by time) that keeps the printed line under budget
     val byTime = results.sortBy(-_._2)
     def line(n: Int): String = {
       val qs = byTime.take(n).sortBy(_._1)
         .map { case (k, v) => s"\"" + k + "\":" + r3(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"n_queries":${results.length},"n_errors":${errors.size},"top_n":${math.min(n, results.length)},$fullRef"bc_max_blocks":$bcMaxBlocks,"bc_max_mem":$bcMaxMem,"disk_max_bytes":$diskMaxBytes,"spill_disk_total":$spillTotal,"sf":"$sfDir","runs_per_query":$runs}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"n_queries":${results.length},"n_errors":${errors.size},"top_n":${math.min(n, results.length)},$fullRef"bc_max_blocks":$bcMaxBlocks,"bc_max_mem":$bcMaxMem,"disk_max_bytes":$diskMaxBytes,"spill_disk_total":$spillTotal,"gc_total_ms":$gcTotalMs,"cpu_total_sec":${r2(cpuTotal)},"wall_total_sec":${r2(wallTotal)},"pivot_drift":$pivotSeries,"sf":"$sfDir","runs_per_query":$runs}"""
     }
     if (errors.nonEmpty)
       System.err.println(s"[bench] ${errors.size} QUERY FAILURE(S): " +

@@ -1312,9 +1312,9 @@ object OracleSql {
          |  SELECT b, band_val, count(*) AS c FROM bands
          |  GROUP BY b, band_val HAVING count(*) > 1)
          |SELECT count(*) AS n_buckets_ge2,
-         |  sum(CASE WHEN c > 200 THEN 1 ELSE 0 END) AS n_buckets_dropped,
-         |  sum(CASE WHEN c <= 200 THEN c * (c - 1) // 2 ELSE 0 END) AS cand_kept,
-         |  sum(CASE WHEN c > 200 THEN c * (c - 1) // 2 ELSE 0 END) AS cand_dropped
+         |  CAST(sum(CASE WHEN c > 200 THEN 1 ELSE 0 END) AS BIGINT) AS n_buckets_dropped,
+         |  CAST(sum(CASE WHEN c <= 200 THEN c * (c - 1) // 2 ELSE 0 END) AS BIGINT) AS cand_kept,
+         |  CAST(sum(CASE WHEN c > 200 THEN c * (c - 1) // 2 ELSE 0 END) AS BIGINT) AS cand_dropped
          |FROM bsz""".stripMargin
     },
 

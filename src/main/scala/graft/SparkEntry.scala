@@ -185,17 +185,20 @@ object SparkEntry {
     * (path + mtime + size) so a regenerated testdata tree gets a fresh
     * index instead of stale pairs.
     */
-  private def nearDupIndexPath(dir: String, variant: String = "dup"): String =
-    indexPathFor(dir, "documents", "neardup", variant)
+  private def nearDupIndexPath(dir: String, variant: String = "dup",
+      n: Int = 5, k: Int = 8, params: String = ""): String =
+    indexPathFor(dir, "documents", "neardup", variant,
+      s"n=$n,k=$k" + (if (params.isEmpty) "" else s",$params"))
 
   /** Session-stable path for the materialized IVF index over the
     * embeddings table at `dir` — same corpus-identity keying as the
     * near-dup index. */
-  private def ivfIndexPath(dir: String, variant: String = "ivf16"): String =
-    indexPathFor(dir, "embeddings", "ivf", variant)
+  private def ivfIndexPath(dir: String, variant: String = "ivf16",
+      nCentroids: Int = 16): String =
+    indexPathFor(dir, "embeddings", "ivf", variant, s"nc=$nCentroids")
 
   private def indexPathFor(dir: String, table: String, family: String,
-      variant: String): String = {
+      variant: String, params: String): String = {
     val src = new java.io.File(s"$dir/$table.parquet")
     // identity from the actual DATA FILES: parquet sources arrive both
     // as a single file and as a directory of part files, and
@@ -206,9 +209,13 @@ object SparkEntry {
       if (src.isDirectory) Option(src.listFiles()).map(_.toSeq)
         .getOrElse(Seq.empty).sortBy(_.getName)
       else Seq(src)
+    // build PARAMETERS join the identity too (not just source files):
+    // an index built with different n/k/nCentroids/gate params is a
+    // different artifact, and silently reusing the old one would probe
+    // with the wrong banding — constant changes must retire the cache
     val ident = files
       .map(f => s"${f.getName}:${f.lastModified}:${f.length}")
-      .mkString(dir + "|", "|", "")
+      .mkString(dir + "|", "|", "|" + params)
     val tag = java.lang.Integer.toHexString(ident.hashCode)
     s"${sys.props("java.io.tmpdir")}/graft_${family}_idx_${variant}_$tag"
   }
@@ -1793,7 +1800,8 @@ object SparkEntry {
           col("lang"), col("source")))
       graft.operators.Corpus.curatePipeline(s, corpus,
           d.filter(col("doc_id") % 97 === 0).select("doc_id", "text"),
-          nearDupIndexPath(dir, "curate"),
+          nearDupIndexPath(dir, "curate", n = 5, k = 8,
+            params = "minw=20,maxw=100000"),
           minWords = 20, maxWords = 100000,
           nNear = 5, kNear = 8, jaccThreshold = 0.5,
           nContam = 3, budget = 500L, capacity = 512)

@@ -4,8 +4,9 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, Decimal, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, Decimal, FloatType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native sign-LSH bucket: all `nBits` hyperplane sign bits of one
@@ -38,6 +39,16 @@ case class SignBucket(child: Expression, offset: Int, nBits: Int, dim: Int)
 
   override def dataType: DataType = StringType
   override def nullable: Boolean = false
+
+  /** `compute` reads elements via `ArrayData.getFloat` — 4-byte
+    * offsets on unsafe arrays — so any other element width would read
+    * garbage silently. Fail analysis instead (the HOF composition this
+    * replaces would have cast; callers feed `array<float>` embeddings). */
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float> input, got ${other.catalogString}")
+  }
 
   @transient private lazy val signs: Array[Array[Boolean]] =
     SignBucket.signMatrix(offset, nBits, dim)

@@ -470,9 +470,12 @@ object Streaming {
     * commit-ordered log lands on the same rollup as the one-shot apply
     * — which is exactly what the shared oracle (full recompute) checks.
     * State is versioned parquet per batch ([[streamingCdc]]'s pattern);
-    * the table rewrite is log-bounded COMPUTE (anti-join + union of
-    * affected keys) — at lake scale the file-level form is a
-    * merge-on-read upsert, orthogonal to the maintenance algebra.
+    * the table is BUCKET-versioned ([[BucketedTable]], round-10): the
+    * rewrite is log-bounded in COMPUTE (anti-join + union of affected
+    * keys) and now in I/O too — a batch writes only the key buckets it
+    * touches, the current table is assembled merge-on-read from each
+    * bucket's newest version, and untouched buckets' files stay
+    * byte-identical on disk (checksum-spec'd).
     */
   def streamingIncrementalRollup(spark: SparkSession, snapshot: DataFrame,
       changes: DataFrame, batchOf: org.apache.spark.sql.Column,
@@ -505,8 +508,11 @@ object Streaming {
       .parquet(land)
       .writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        val tablePrev = latest(tableRoot).map(spark.read.parquet(_))
-          .getOrElse(snapshot)
+        // maintained table is BUCKET-versioned (round-10 verdict #3):
+        // the batch commits only the key buckets it touches; untouched
+        // buckets' files are never rewritten — the rollup algebra was
+        // already log-bounded, now the table write is too
+        val tablePrev = BucketedTable.current(spark, tableRoot, snapshot, key)
         val rollupPrev = latest(rollupRoot).map(spark.read.parquet(_))
           .getOrElse(Dedup.baseRollup(snapshot, group, value))
         Dedup.mergeRollup(rollupPrev,
@@ -517,9 +523,11 @@ object Streaming {
         val newAffected = Dedup.applyChangeLog(
           tablePrev.join(affected, Seq(key), "left_semi"),
           batch, key, tsCol, seqCol, opCol, valueCols)
-        tablePrev.join(affected, Seq(key), "left_anti")
-          .unionByName(newAffected)
-          .write.mode("overwrite").parquet(s"$tableRoot/v$id")
+        BucketedTable.commit(tableRoot, id,
+          BucketedTable.affectedBucketRows(tablePrev, affected, key)
+            .join(affected, Seq(key), "left_anti")
+            .unionByName(newAffected),
+          affected, key)
         ()
       }
       .option("checkpointLocation", freshDir("ivm_ck"))
@@ -559,8 +567,10 @@ object Streaming {
     *
     * Scale shape: per batch, all joins/aggregates touch log-sized and
     * affected-key-sized frames only (the frontier is touched-key-sized,
-    * far smaller than the table under normal churn); the table rewrite
-    * is the same merge-on-read stand-in as the ordered maintainer.
+    * far smaller than the table under normal churn); the table is
+    * bucket-versioned ([[BucketedTable]]) — each batch rewrites only
+    * the key buckets it touches, untouched buckets' files stay
+    * byte-identical on disk.
     */
   def streamingIncrementalRollupOutOfOrder(spark: SparkSession,
       snapshot: DataFrame, changes: DataFrame,
@@ -600,8 +610,11 @@ object Streaming {
       .parquet(land)
       .writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        val tablePrev = latest(tableRoot).map(spark.read.parquet(_))
-          .getOrElse(snapshot)
+        // bucket-versioned maintained table, as in the ordered
+        // maintainer (round-10 verdict #3); frontier and rollup stay
+        // whole-version — both are touched-key-/group-sized, far
+        // smaller than the table under normal churn
+        val tablePrev = BucketedTable.current(spark, tableRoot, snapshot, key)
         val rollupPrev = latest(rollupRoot).map(spark.read.parquet(_))
           .getOrElse(Dedup.baseRollup(snapshot, group, value))
         val frontPrev = latest(frontRoot).map(spark.read.parquet(_))
@@ -644,9 +657,11 @@ object Streaming {
         Dedup.mergeRollup(rollupPrev,
             Dedup.rollupDeltaFromStates(oldAffected, newAffected, group, value))
           .write.mode("overwrite").parquet(s"$rollupRoot/v$id")
-        tablePrev.join(affected, Seq(key), "left_anti")
-          .unionByName(newAffected)
-          .write.mode("overwrite").parquet(s"$tableRoot/v$id")
+        BucketedTable.commit(tableRoot, id,
+          BucketedTable.affectedBucketRows(tablePrev, affected, key)
+            .join(affected, Seq(key), "left_anti")
+            .unionByName(newAffected),
+          affected, key)
         frontNew.write.mode("overwrite").parquet(s"$frontRoot/v$id")
         ()
       }

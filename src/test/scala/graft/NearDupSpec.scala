@@ -721,4 +721,108 @@ class NearDupSpec extends AnyFunSuite {
       .select("key_a", "key_b").as[(Long, Long)].collect().toSet
     assert(out === Set((1L, 101L), (2L, 102L)))
   }
+
+  test("IndexStore.ensure recovers a gated .old backup from a crashed swap without rebuilding") {
+    import graft.operators.IndexStore
+    val root = java.nio.file.Files.createTempDirectory("idxstore_crash")
+    val idx = new java.io.File(root.toFile, "art")
+    try {
+      // v1 artifact: gated, with a marker only the ORIGINAL build has
+      idx.mkdirs()
+      java.nio.file.Files.writeString(
+        new java.io.File(idx, "payload").toPath, "v1-with-appends")
+      IndexStore.okAt(idx).createNewFile()
+      // crash window of rewriteInPlace: old moved aside (still gated),
+      // replacement never installed — plus a gateless husk at the path
+      // (a concurrent crashed build) that must LOSE to the gated backup
+      val old = new java.io.File(root.toFile, "art.old-424242")
+      java.nio.file.Files.move(idx.toPath, old.toPath)
+      new java.io.File(idx, "junk").mkdirs()
+      var built = false
+      IndexStore.ensure(idx.getPath) { _ => built = true }
+      assert(!built, "recovery must NOT rebuild (a rebuild loses appends)")
+      assert(IndexStore.okAt(idx).exists(), "recovered artifact must be gated")
+      assert(java.nio.file.Files.readString(
+        new java.io.File(idx, "payload").toPath) === "v1-with-appends")
+      assert(!old.exists(), ".old backup must be consumed by recovery")
+      assert(!new java.io.File(idx, "junk").exists(),
+        "the gateless husk must be torn down, not merged")
+    } finally {
+      val s = java.nio.file.Files.walk(root)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+      finally s.close()
+    }
+  }
+
+  test("IndexStore.rewriteInPlace cleans its stage dir and keeps the artifact when rewrite throws") {
+    import graft.operators.IndexStore
+    val root = java.nio.file.Files.createTempDirectory("idxstore_throw")
+    val idx = new java.io.File(root.toFile, "art")
+    try {
+      idx.mkdirs()
+      java.nio.file.Files.writeString(
+        new java.io.File(idx, "payload").toPath, "intact")
+      IndexStore.okAt(idx).createNewFile()
+      val boom = intercept[RuntimeException] {
+        IndexStore.rewriteInPlace(idx.getPath) { stage =>
+          // partial stage output, then failure mid-rewrite
+          new java.io.File(stage).mkdirs()
+          java.nio.file.Files.writeString(
+            new java.io.File(stage, "half").toPath, "partial")
+          throw new RuntimeException("rewrite blew up")
+        }
+      }
+      assert(boom.getMessage === "rewrite blew up")
+      assert(IndexStore.okAt(idx).exists() &&
+        java.nio.file.Files.readString(
+          new java.io.File(idx, "payload").toPath) === "intact",
+        "a failed rewrite must leave the artifact untouched")
+      val leaked = Option(root.toFile.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("art.compact-"))
+      assert(leaked.isEmpty, s"stage dir leaked: ${leaked.mkString(",")}")
+    } finally {
+      val s = java.nio.file.Files.walk(root)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+      finally s.close()
+    }
+  }
+
+  test("crashed-swap recovery preserves appended near-dup batches (no silent rebuild from corpus)") {
+    val d = graft.sources.Sources.table(spark, "/root/testdata/sf0.001", "documents")
+    val base = d.filter(col("doc_id") % 2 === 0).select("doc_id", "text")
+    val appended = d.filter(col("doc_id") % 2 === 1).limit(20)
+      .select("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("neardup_recover")
+    val idx = new java.io.File(root.toFile, "idx")
+    try {
+      NearDup.ensureNearDupIndex(base, col("doc_id"), col("text"),
+        n = 5, k = 8, path = idx.getPath)
+      NearDup.appendToNearDupIndex(appended, col("doc_id"), col("text"),
+        n = 5, k = 8, path = idx.getPath)
+      // simulate the rewriteInPlace crash window, then re-ensure with
+      // ONLY the base corpus — a rebuild would silently forget the
+      // appended odd docs; recovery must not
+      java.nio.file.Files.move(idx.toPath,
+        new java.io.File(root.toFile, "idx.old-777").toPath)
+      NearDup.ensureNearDupIndex(base, col("doc_id"), col("text"),
+        n = 5, k = 8, path = idx.getPath)
+      assert(new java.io.File(idx, "_OK").exists())
+      val incoming = appended.select((col("doc_id") + 500000).as("doc_id"),
+        col("text").substr(lit(1), length(col("text")) - 5).as("text"))
+      val survivors = NearDup.incrementalSurvivorsIndexed(spark,
+          idx.getPath, incoming, col("doc_id"), col("text"),
+          n = 5, k = 8, threshold = 0.5)
+        .as[Long].collect()
+      assert(survivors.isEmpty,
+        s"near-dups of APPENDED docs survived => index was rebuilt, " +
+          s"appends lost: ${survivors.toSeq.take(5)}")
+    } finally {
+      val s = java.nio.file.Files.walk(root)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+      finally s.close()
+    }
+  }
 }

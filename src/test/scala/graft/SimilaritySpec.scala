@@ -218,4 +218,41 @@ class SimilaritySpec extends AnyFunSuite {
       finally s.close()
     }
   }
+
+  test("crashed-swap recovery preserves appended IVF postings (no silent rebuild from corpus)") {
+    val emb = graft.sources.Sources
+      .table(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding")
+    val base = emb.filter(col("vec_id") < 40)
+    val root = java.nio.file.Files.createTempDirectory("ivf_recover")
+    val idx = new java.io.File(root.toFile, "idx")
+    try {
+      Similarity.ensureIvfIndex(base, "vec_id", "embedding",
+        nCentroids = 8, path = idx.getPath)
+      // appended copies of base vectors, reachable only via the append
+      Similarity.appendToIvfIndex(spark,
+        base.filter(col("vec_id") < 5)
+          .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")),
+        "vec_id", "embedding", idx.getPath)
+      // rewriteInPlace crash window: gated artifact parked at .old-<pid>,
+      // nothing installed; re-ensure sees only the BASE corpus
+      java.nio.file.Files.move(idx.toPath,
+        new java.io.File(root.toFile, "idx.old-888").toPath)
+      Similarity.ensureIvfIndex(base, "vec_id", "embedding",
+        nCentroids = 8, path = idx.getPath)
+      assert(new java.io.File(idx, "_OK").exists())
+      val probe = Similarity.ivfTopKIndexed(spark, idx.getPath,
+          base.filter(col("vec_id") === 2), "vec_id", "embedding",
+          nProbe = 2, k = 3)
+        .as[(Long, Long, Double, Int)].collect()
+      assert(probe.exists(r => r._2 === 100002L && r._3 > 0.999999),
+        s"appended exact copy unreachable => index was rebuilt, " +
+          s"appends lost: ${probe.toSeq}")
+    } finally {
+      val s = java.nio.file.Files.walk(root)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+      finally s.close()
+    }
+  }
 }

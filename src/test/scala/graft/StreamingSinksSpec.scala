@@ -373,4 +373,110 @@ class StreamingSinksSpec extends AnyFunSuite {
     assert(Sinks.appendNew(batch2, dir, Seq("id")) === 1L) // only id=3
     assert(spark.read.parquet(dir).count() === 3)
   }
+
+  test("BucketedTable: a commit leaves untouched buckets' files byte-identical") {
+    import graft.streaming.BucketedTable
+    def md5(p: java.nio.file.Path): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(java.nio.file.Files.readAllBytes(p))
+        .map("%02x".format(_)).mkString
+    def checksums(root: java.nio.file.Path): Map[String, String] = {
+      val s = java.nio.file.Files.walk(root)
+      try s.filter(java.nio.file.Files.isRegularFile(_))
+        .toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
+        .map(p => root.relativize(p).toString -> md5(p)).toMap
+      finally s.close()
+    }
+    def bucketsOf(ks: Seq[Long]): Set[Int] =
+      ks.toDF("k").select(BucketedTable.bucketOf("k"))
+        .collect().map(_.getInt(0)).toSet
+    val snap = (1L to 20L).map(k => (k, k * 1.0)).toDF("k", "v")
+    val rootDir = java.nio.file.Files.createTempDirectory("bucketed_table")
+    val root = rootDir.toString
+    try {
+      // batch 0 updates keys 1 and 2
+      val aff0 = Seq(1L, 2L).toDF("k")
+      val t0 = BucketedTable.current(spark, root, snap, "k")
+      BucketedTable.commit(root, 0,
+        BucketedTable.affectedBucketRows(t0, aff0, "k")
+          .join(aff0, Seq("k"), "left_anti")
+          .unionByName(Seq((1L, 100.0), (2L, 100.0)).toDF("k", "v")),
+        aff0, "k")
+      val before = checksums(rootDir)
+      // batch 1 touches ONE key from a bucket batch 0 did not write
+      val b0 = bucketsOf(Seq(1L, 2L))
+      val k1 = (3L to 20L).find(k => !b0.contains(bucketsOf(Seq(k)).head)).get
+      val aff1 = Seq(k1).toDF("k")
+      val t1 = BucketedTable.current(spark, root, snap, "k")
+      BucketedTable.commit(root, 1,
+        BucketedTable.affectedBucketRows(t1, aff1, "k")
+          .join(aff1, Seq("k"), "left_anti")
+          .unionByName(Seq((k1, 200.0)).toDF("k", "v")),
+        aff1, "k")
+      // THE invariant: every file that existed before the second commit
+      // is byte-identical after it (untouched buckets never rewritten)
+      val after = checksums(rootDir)
+      before.foreach { case (rel, sum) =>
+        assert(after.get(rel).contains(sum),
+          s"file $rel changed or vanished across an unrelated commit")
+      }
+      // v1 claims exactly k1's bucket and writes no other bucket dir
+      val v1 = new java.io.File(root, "v1")
+      val claimed = java.nio.file.Files.readString(
+        new java.io.File(v1, "_buckets").toPath).trim
+      assert(claimed === bucketsOf(Seq(k1)).head.toString)
+      val v1Buckets = Option(v1.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("__bucket="))
+        .map(_.getName).toSet
+      assert(v1Buckets === Set(s"__bucket=${bucketsOf(Seq(k1)).head}"))
+      // merged current state: both commits visible, snapshot elsewhere
+      val cur = BucketedTable.current(spark, root, snap, "k")
+        .as[(Long, Double)].collect().toMap
+      assert(cur(1L) === 100.0 && cur(2L) === 100.0 && cur(k1) === 200.0)
+      assert(cur.size === 20)
+      ((3L to 20L).filterNot(_ == k1)).foreach(k => assert(cur(k) === k * 1.0))
+    } finally {
+      val s = java.nio.file.Files.walk(rootDir)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+      finally s.close()
+    }
+  }
+
+  test("BucketedTable: deleting a bucket's last row does not resurrect older versions") {
+    import graft.streaming.BucketedTable
+    val snap = (1L to 20L).map(k => (k, k * 1.0)).toDF("k", "v")
+    val rootDir = java.nio.file.Files.createTempDirectory("bucketed_delete")
+    val root = rootDir.toString
+    try {
+      // find the full key set of one bucket, write it at v0, then
+      // delete EVERY key of that bucket at v1 — v1's manifest claims
+      // the bucket with no partition dir (empty), so current() must
+      // not fall through to v0's rows
+      val byBucket = (1L to 20L).toDF("k")
+        .select(col("k"), BucketedTable.bucketOf("k").as("b"))
+        .as[(Long, Int)].collect().groupBy(_._2)
+      val (_, members) = byBucket.maxBy(_._2.length)
+      val ks = members.map(_._1).toSeq
+      val aff = ks.toDF("k")
+      val t0 = BucketedTable.current(spark, root, snap, "k")
+      BucketedTable.commit(root, 0,
+        BucketedTable.affectedBucketRows(t0, aff, "k"), aff, "k")
+      val t1 = BucketedTable.current(spark, root, snap, "k")
+      BucketedTable.commit(root, 1,
+        BucketedTable.affectedBucketRows(t1, aff, "k")
+          .join(aff, Seq("k"), "left_anti"), // all rows deleted
+        aff, "k")
+      val cur = BucketedTable.current(spark, root, snap, "k")
+        .as[(Long, Double)].collect().toMap
+      assert(ks.forall(k => !cur.contains(k)),
+        s"deleted keys resurrected: ${ks.filter(cur.contains)}")
+      assert(cur.size === 20 - ks.size)
+    } finally {
+      val s = java.nio.file.Files.walk(rootDir)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+      finally s.close()
+    }
+  }
 }
