@@ -2478,14 +2478,20 @@ object SparkEntry {
       // from the corpus artifact
       val pristine = ensureNearDupIndex(existing,
         nearDupIndexPath(dir, "cumbase"), n = 5, k = 8)
+      // HARD-LINK the restore, not byte-copy: the index is append-only
+      // (the operator adds new files, never rewrites existing ones), so
+      // linking the pristine files is safe and makes the per-run
+      // restore metadata-cheap instead of re-copying every band file
       def copyRec(from: java.io.File, to: java.io.File): Unit = {
         if (from.isDirectory) {
           to.mkdirs()
           from.listFiles().foreach(f =>
             copyRec(f, new java.io.File(to, f.getName)))
         } else {
-          java.nio.file.Files.copy(from.toPath, to.toPath)
-          ()
+          try { java.nio.file.Files.createLink(to.toPath, from.toPath); () }
+          catch { case _: UnsupportedOperationException | _: java.io.IOException =>
+            java.nio.file.Files.copy(from.toPath, to.toPath); ()
+          }
         }
       }
       copyRec(new java.io.File(pristine), dirF)
