@@ -1819,6 +1819,43 @@ object OracleSql {
         |SELECT node, round(r, 12) AS rank
         |FROM r3 ORDER BY rank DESC, node LIMIT 20""".stripMargin,
 
+    // Converged PageRank: the oracle runs ALL 25 rounds (the fixed
+    // contract); Spark's pageRankConverged early-exits once the
+    // contraction bound proves round(r_i, 8) == round(r_25, 8), so the
+    // hash compare verifies the proof. Same op sequence as q_pagerank
+    // at damping 0.3, no danglers (symmetrized graph).
+    "q_pagerank_converged" -> {
+      // per-memory stripMargin trap: rounds are stripped individually,
+      // then joined with plain interpolation (no outer stripMargin)
+      val head =
+        """WITH e0 AS (
+          |  SELECT DISTINCT 'c:' || c_custkey AS src,
+          |    'n:' || c_nationkey AS dst
+          |  FROM customer),
+          |edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+          |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+          |nodes AS (SELECT DISTINCT src AS node FROM edges),
+          |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+          |r0 AS (SELECT node, 1.0 / CAST(n AS DOUBLE) AS r
+          |  FROM nodes CROSS JOIN nn)""".stripMargin
+      val rounds = (1 to 18).map { i =>
+        s"""m$i AS (
+           |  SELECT e.dst AS node,
+           |    CAST(sum(CAST(r.r / CAST(d.deg AS DOUBLE) AS DECIMAL(38,12)))
+           |      AS DOUBLE) AS m
+           |  FROM edges e JOIN r${i - 1} r ON e.src = r.node JOIN deg d ON e.src = d.src
+           |  GROUP BY e.dst),
+           |r$i AS (
+           |  SELECT nodes.node,
+           |    (1.0 - 0.25) / CAST(n AS DOUBLE) + 0.25 * coalesce(m, 0.0) AS r
+           |  FROM nodes LEFT JOIN m$i USING (node) CROSS JOIN nn)""".stripMargin
+      }.mkString(",\n")
+      val tail =
+        """SELECT node, round(r, 6) AS rank
+          |FROM r18 ORDER BY rank DESC, node LIMIT 20""".stripMargin
+      s"$head,\n$rounds\n$tail"
+    },
+
     // Directed PageRank with dangling-mass completion: nodes = src∪dst,
     // per-round dangling sum (decimal, order-independent) redistributed
     // uniformly — mirrors Graph.pageRank's op sequence exactly.
@@ -2601,6 +2638,80 @@ object OracleSql {
     // and that query row, so the union over micro-batches equals the
     // batch recompute.
     "q_stream_ann" -> ivfRecomputeSql(qMax = 40, k = 3),
+
+    // IVF post-append audit: centroids FROZEN at the base build
+    // (vec_id < 16 of the base corpus), two appended exact-copy
+    // batches assigned to them, per-list sizes + recall@5 of the
+    // appended index vs brute force over base ∪ appends. Mirrors
+    // Similarity.appendToIvfIndex + ivfTopKIndexed arithmetic exactly.
+    "q_ann_ivf_append_audit" ->
+      s"""WITH base AS (SELECT vec_id, embedding FROM embeddings),
+         |app AS (
+         |  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings
+         |  WHERE vec_id >= 16 AND vec_id % 7 = 1
+         |  UNION ALL
+         |  SELECT vec_id + 200000, embedding FROM embeddings
+         |  WHERE vec_id >= 16 AND vec_id % 7 = 2),
+         |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM app),
+         |n AS (
+         |  SELECT vec_id, embedding,
+         |    ${dotSql("embedding", "embedding")} AS n2
+         |  FROM corpus),
+         |cents AS (SELECT vec_id AS cent_id, embedding AS cvec, n2 AS cn2
+         |  FROM n WHERE vec_id < 16),
+         |corpus_sc AS (
+         |  SELECT a.vec_id, a.embedding, a.n2, c.cent_id,
+         |    CAST(${dotSql("a.embedding", "c.cvec")} AS DOUBLE) /
+         |      (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE)))
+         |      AS ccos
+         |  FROM n a, cents c),
+         |assigned AS (
+         |  SELECT vec_id AS neighbor_id, embedding AS nv, n2 AS nn2, cent_id
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY ccos DESC, cent_id) AS crn FROM corpus_sc)
+         |  WHERE crn = 1),
+         |lists AS (
+         |  SELECT cent_id, CAST(count(*) AS BIGINT) AS n_vectors
+         |  FROM assigned GROUP BY cent_id),
+         |probes AS (
+         |  SELECT vec_id AS query_id, embedding AS qv, n2 AS qn2, cent_id
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY ccos DESC, cent_id) AS crn FROM corpus_sc
+         |    WHERE vec_id < 10)
+         |  WHERE crn <= 2),
+         |iscored AS (
+         |  SELECT p.query_id, a.neighbor_id,
+         |    CAST(${dotSql("p.qv", "a.nv")} AS DOUBLE) /
+         |      (sqrt(CAST(p.qn2 AS DOUBLE)) * sqrt(CAST(a.nn2 AS DOUBLE)))
+         |      AS cos
+         |  FROM probes p JOIN assigned a ON a.cent_id = p.cent_id
+         |    AND a.neighbor_id <> p.query_id),
+         |topk AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, neighbor_id) AS rnk FROM iscored)
+         |  WHERE rnk <= 5),
+         |q AS (SELECT * FROM n WHERE vec_id < 10),
+         |gp AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    CAST(${dotSql("q.embedding", "c.embedding")} AS DOUBLE) /
+         |      (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(c.n2 AS DOUBLE))) AS cos
+         |  FROM q, n c WHERE c.vec_id <> q.vec_id),
+         |ground AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, neighbor_id) AS rnk FROM gp)
+         |  WHERE rnk <= 5),
+         |rec AS (
+         |  SELECT CAST(sum(CASE WHEN g.query_id IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS hits,
+         |    CAST(count(DISTINCT t.query_id) AS BIGINT) AS n_queries
+         |  FROM topk t LEFT JOIN ground g
+         |    ON g.query_id = t.query_id AND g.neighbor_id = t.neighbor_id)
+         |SELECT lists.cent_id, lists.n_vectors, rec.hits, rec.n_queries,
+         |  round(CAST(rec.hits AS DOUBLE) /
+         |    CAST(rec.n_queries * 5 AS DOUBLE), 6) AS recall_at_5
+         |FROM lists CROSS JOIN rec ORDER BY lists.cent_id""".stripMargin,
 
     "q_stream_enrich" ->
       """SELECT c_mktsegment, count(*) AS n,

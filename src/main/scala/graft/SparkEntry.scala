@@ -45,6 +45,32 @@ object SparkEntry {
   private def scratchDir(name: String): String =
     scratchBase.resolve(name).toString
 
+  /** Wipe `scratch` and restore it from the immutable `pristine`
+    * artifact by HARD LINK (byte-copy fallback): the mutable-index
+    * fixtures (q_stream_neardup_cum, q_ann_ivf_append_audit) append
+    * new files but never rewrite existing ones, so linking is safe and
+    * the per-run restore is metadata-cheap. */
+  private def restoreMutableCopy(pristine: String, scratch: String): Unit = {
+    def wipe(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(wipe)
+      f.delete(); ()
+    }
+    def linkRec(from: java.io.File, to: java.io.File): Unit = {
+      if (from.isDirectory) {
+        to.mkdirs()
+        from.listFiles().foreach(f => linkRec(f, new java.io.File(to, f.getName)))
+      } else {
+        try { java.nio.file.Files.createLink(to.toPath, from.toPath); () }
+        catch { case _: UnsupportedOperationException | _: java.io.IOException =>
+          java.nio.file.Files.copy(from.toPath, to.toPath); ()
+        }
+      }
+    }
+    val dirF = new java.io.File(scratch)
+    if (dirF.exists()) wipe(dirF)
+    linkRec(new java.io.File(pristine), dirF)
+  }
+
   /** documents ∪ truncated copies (ids +1,000,000; last 10 chars cut) —
     * the shared synthetic near-dup corpus of the near-dup queries. Any
     * change here must be mirrored in the `corpus` CTE of each of their
@@ -826,6 +852,27 @@ object SparkEntry {
         .distinct()
       graft.operators.Graph.pageRank(edges, iters = 3, damping = 0.85)
         .select(col("node"), round(col("r"), 9).as("rank"))
+        .orderBy(col("rank").desc, col("node")).limit(20)
+    }),
+
+    // J+ iterative graph — PageRank with the PROVABLE convergence
+    // early-exit (round-10 verdict #6): maxIters=18 is the safety
+    // contract, but the ℓ1-contraction bound (δ·d/(1−d) per node, ×2
+    // slop margin) plus the rounding-boundary check let the operator
+    // stop as soon as round(r_i, 6) provably equals round(r_18, 6) —
+    // on this hub graph at damping 0.25 that is ~10-11 rounds, with
+    // the probe jobs themselves skipped predictively off the measured
+    // δ. The oracle runs the FULL 18 unrolled rounds, so the hash
+    // compare IS the proof's verification.
+    "q_pagerank_converged" -> ((s, dir) => {
+      val e0 = t(s, dir, "customer").select(
+          concat(lit("c:"), col("c_custkey")).as("src"),
+          concat(lit("n:"), col("c_nationkey")).as("dst")).distinct()
+      val edges = e0.unionByName(
+          e0.select(col("dst").as("src"), col("src").as("dst")))
+      graft.operators.Graph.pageRankConverged(edges,
+          maxIters = 18, damping = 0.25, roundDp = 6)
+        .select(col("node"), round(col("r"), 6).as("rank"))
         .orderBy(col("rank").desc, col("node")).limit(20)
     }),
 
@@ -2089,6 +2136,50 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    // IVF POST-APPEND audit (round-10 verdict #4): appendToIvfIndex
+    // assigns new vectors to FROZEN centroids, so over many appends
+    // list skew grows and recall can decay invisibly. This query makes
+    // both facts recorded: after TWO append batches land in a per-run
+    // mutable copy of the stored index, it reports every posting
+    // list's size plus recall@5 of the appended index against brute
+    // force over base ∪ appends — the rebuild-vs-append decision as a
+    // hash-checked table. Appends are exact copies under shifted ids,
+    // so the oracle replays the frozen-quantizer assignment literally.
+    "q_ann_ivf_append_audit" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val pristine = ivfIndexPath(dir, "ivfappend")
+      Similarity.ensureIvfIndex(emb, "vec_id", "embedding",
+        nCentroids = 16, path = pristine)
+      val scratch = scratchDir("ivf_append_audit")
+      restoreMutableCopy(pristine, scratch)
+      def batch(b: Int) = emb
+        .filter(col("vec_id") >= 16 && col("vec_id") % 7 === b)
+        .select((col("vec_id") + lit(100000L) * b).as("vec_id"),
+          col("embedding"))
+      (1 to 2).foreach(b => Similarity.appendToIvfIndex(s, batch(b),
+        "vec_id", "embedding", scratch))
+      val q = emb.filter(col("vec_id") < 10)
+      val topk = Similarity.ivfTopKIndexed(s, scratch, q,
+        "vec_id", "embedding", nProbe = 2, k = 5)
+      val ground = Similarity.cosineTopK(q,
+          emb.unionByName(batch(1)).unionByName(batch(2)),
+          "vec_id", "embedding", 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val recall = topk
+        .join(ground.withColumn("__hit", lit(1L)),
+          Seq("query_id", "neighbor_id"), "left")
+        .agg(sum(coalesce(col("__hit"), lit(0L))).as("hits"),
+          countDistinct(col("query_id")).as("n_queries"))
+        .select(col("hits"), col("n_queries"),
+          round(col("hits").cast("double") /
+            (col("n_queries") * 5).cast("double"), 6).as("recall_at_5"))
+      s.read.parquet(s"$scratch/postings")
+        .groupBy(col("cent_id").cast("long").as("cent_id"))
+        .agg(count(lit(1)).as("n_vectors"))
+        .crossJoin(broadcast(recall))
+        .orderBy("cent_id")
+    }),
+
     // K3+ — STREAMING ANN: query embeddings land as files and every
     // micro-batch probes the stored IVF index. Per-query top-k depends
     // only on the index and that query row, so the union of per-batch
@@ -2465,36 +2556,13 @@ object SparkEntry {
       // unlike createTempDirectory this cannot accumulate orphan dirs
       // across a 3-runs-per-query bench
       val scratch = scratchDir("neardup_cum_idx")
-      val dirF = new java.io.File(scratch)
-      def wipe(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(wipe)
-        f.delete(); ()
-      }
-      if (dirF.exists()) wipe(dirF)
       // RESTORE the mutable run copy from a pristine immutable snapshot
       // (built once per corpus identity) instead of re-shingling the
-      // evens every run — a file copy vs a full index build per bench
-      // repeat; exactly how production restores a mutable staging index
-      // from the corpus artifact
+      // evens every run — exactly how production restores a mutable
+      // staging index from the corpus artifact
       val pristine = ensureNearDupIndex(existing,
         nearDupIndexPath(dir, "cumbase"), n = 5, k = 8)
-      // HARD-LINK the restore, not byte-copy: the index is append-only
-      // (the operator adds new files, never rewrites existing ones), so
-      // linking the pristine files is safe and makes the per-run
-      // restore metadata-cheap instead of re-copying every band file
-      def copyRec(from: java.io.File, to: java.io.File): Unit = {
-        if (from.isDirectory) {
-          to.mkdirs()
-          from.listFiles().foreach(f =>
-            copyRec(f, new java.io.File(to, f.getName)))
-        } else {
-          try { java.nio.file.Files.createLink(to.toPath, from.toPath); () }
-          catch { case _: UnsupportedOperationException | _: java.io.IOException =>
-            java.nio.file.Files.copy(from.toPath, to.toPath); ()
-          }
-        }
-      }
-      copyRec(new java.io.File(pristine), dirF)
+      restoreMutableCopy(pristine, scratch)
       // batch 0: odd originals (novel); batch 1: their truncated copies
       val b0 = d.filter(col("doc_id") % 2 === 1)
       val incoming = b0.unionByName(

@@ -57,65 +57,162 @@ object Graph {
     * sequential barriers by nature of the algorithm; iteration count is
     * the dial (3-5 captures the ranking for most graphs).
     */
-  def pageRank(edges: DataFrame, iters: Int, damping: Double): DataFrame = {
+  def pageRank(edges: DataFrame, iters: Int, damping: Double): DataFrame =
+    pageRankImpl(edges, iters, damping, stopDp = None)._1
+
+  /** [[pageRank]] with a PROVABLE convergence early-exit (round-10
+    * verdict #6): runs at most `maxIters` rounds but stops after round
+    * i as soon as the remaining iterations provably cannot change the
+    * output ROUNDED to `roundDp` decimals. The proof: PageRank's
+    * iteration matrix is column-stochastic, so differences contract in
+    * ℓ1 by the damping factor per round — with δᵢ = ‖rᵢ − rᵢ₋₁‖₁
+    * measured, every later iterate (including r_maxIters) lies within
+    * ε = 2·δᵢ·d/(1−d) of rᵢ per node (×2 absorbs double-sum slop).
+    * The exit additionally requires NO node's rank to be within ε of a
+    * HALF_UP rounding boundary of the 10^-roundDp grid — only then is
+    * round(rᵢ) = round(r_maxIters) certain, which is what the
+    * fixed-iteration DuckDB oracle compares. A graph that converges
+    * slower than the grid simply runs all `maxIters` rounds; the
+    * per-round probe is two node-sized 1-row aggregates
+    * (orchestration, never row data).
+    */
+  def pageRankConverged(edges: DataFrame, maxIters: Int, damping: Double,
+      roundDp: Int): DataFrame =
+    pageRankImpl(edges, maxIters, damping, stopDp = Some(roundDp))._1
+
+  /** Spec hook: [[pageRankConverged]] plus the number of rounds
+    * actually executed. */
+  private[graft] def pageRankConvergedCounting(edges: DataFrame,
+      maxIters: Int, damping: Double, roundDp: Int): (DataFrame, Int) =
+    pageRankImpl(edges, maxIters, damping, stopDp = Some(roundDp))
+
+  private def pageRankImpl(edges: DataFrame, iters: Int, damping: Double,
+      stopDp: Option[Int]): (DataFrame, Int) = {
     require(iters >= 1, s"pageRank: iters must be ≥ 1, got $iters")
     require(damping > 0 && damping < 1,
       s"pageRank: damping must be in (0,1), got $damping")
     val bc0 = Eager.broadcastSnapshot(edges.sparkSession)
-    val (ed, edRel) = Eager.tracked(edges
-      .join(edges.groupBy("src").agg(count(lit(1)).as("deg")), Seq("src"))
+    // Materialize the caller's edge plan ONCE (round-10 verdict #6 —
+    // profiling showed the setup consumed the raw plan twice, re-paying
+    // the caller's scan+distinct+union per consumer), then build the
+    // whole node universe in ONE aggregation pass: exploding each edge
+    // into (src,1) and (dst,0) and summing per node yields nodes,
+    // out-degrees, AND danglers (deg=0) from a single shuffle, where
+    // the previous shape paid three (degree agg, node distinct,
+    // dangling anti-join), each with its own checkpoint. The raw-edge
+    // checkpoint is released as soon as the degree-annotated frame
+    // exists — rounds only touch `ed`.
+    val (eck, eckRel) = Eager.tracked(edges)
+    val (info, infoRel) = Eager.tracked(nodeOutDegrees(eck))
+    val (ed, edRel) = Eager.tracked(eck
+      .join(info.filter(col("deg") > 0)
+        .select(col("node").as("src"), col("deg")), Seq("src"))
       .select(col("src"), col("dst"), col("deg")))
-    val (nodes, nodesRel) = Eager.tracked(ed
-      .select(explode(array(col("src"), col("dst"))).as("node")).distinct())
+    eckRel()
+    val nodes = info.select("node")
     // nodes with no out-edge: their rank re-enters uniformly each round
-    val (dang, dangRel) = Eager.tracked(nodes
-      .join(ed.select(col("src").as("node")).distinct(), Seq("node"), "left_anti"))
-    // one O(1) driver check on the (checkpointed, node-sized) dangler
-    // frame: a symmetrized graph has none, and its correction term is
-    // exactly +0.0 per node — skipping it drops one join + aggregate +
-    // broadcast per round while producing bit-identical ranks
+    val dang = info.filter(col("deg") === 0).select("node")
+    // one O(1) driver check on the (checkpointed, node-sized) info
+    // frame: a symmetrized graph has no danglers, and their correction
+    // term is exactly +0.0 per node — skipping it drops one join +
+    // aggregate + broadcast per round while producing bit-identical
+    // ranks
     val hasDanglers = !dang.isEmpty
-    val nn = nodes.agg(count(lit(1)).as("n"))
-    val init = nodes.crossJoin(broadcast(nn))
-      .select(col("node"), (lit(1.0) / col("n").cast("double")).as("r"))
-    var relPrev: () => Unit = () => ()
-    val last = (1 to iters).foldLeft(init) { (r, i) =>
+    // node COUNT is orchestration metadata (an O(1) read off the cached
+    // info frame, like the dangler check above); inlining it as a
+    // literal removes a count-aggregate + broadcast subtree from every
+    // round's plan. Same IEEE divisions as the per-row cast form.
+    val nD = info.count().toDouble
+    val init = nodes.select(col("node"), lit(1.0 / nD).as("r"))
+    def round(r: DataFrame): DataFrame = {
       val m = ed
         .join(r.withColumnRenamed("node", "src"), Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg(sum((col("r") / col("deg").cast("double")).cast("decimal(38,12)"))
           .cast("double").as("m"))
-      val recombined = nodes.join(m, Seq("node"), "left").crossJoin(broadcast(nn))
-      val next =
-        if (hasDanglers) {
-          val dm = r.join(dang, Seq("node"))
-            .agg(coalesce(sum(col("r").cast("decimal(38,12)")),
-              lit(0).cast("decimal(38,12)")).cast("double").as("dmass"))
-          recombined.crossJoin(broadcast(dm))
-            .select(col("node"),
-              ((lit(1.0) - lit(damping)) / col("n").cast("double") +
-                lit(damping) * (coalesce(col("m"), lit(0.0)) +
-                  col("dmass") / col("n").cast("double"))).as("r"))
-        } else recombined
+      val recombined = nodes.join(m, Seq("node"), "left")
+      if (hasDanglers) {
+        val dm = r.join(dang, Seq("node"))
+          .agg(coalesce(sum(col("r").cast("decimal(38,12)")),
+            lit(0).cast("decimal(38,12)")).cast("double").as("dmass"))
+        recombined.crossJoin(broadcast(dm))
           .select(col("node"),
-            ((lit(1.0) - lit(damping)) / col("n").cast("double") +
-              lit(damping) * coalesce(col("m"), lit(0.0))).as("r"))
-      if (i == iters) next
+            ((lit(1.0) - lit(damping)) / lit(nD) +
+              lit(damping) * (coalesce(col("m"), lit(0.0)) +
+                col("dmass") / lit(nD))).as("r"))
+      } else recombined
+        .select(col("node"),
+          ((lit(1.0) - lit(damping)) / lit(nD) +
+            lit(damping) * coalesce(col("m"), lit(0.0))).as("r"))
+    }
+    var relPrev: () => Unit = () => ()
+    var r = init
+    var i = 0
+    var converged = false
+    // first round whose convergence probe could possibly fire — pushed
+    // forward predictively from each measured δ (contraction guarantees
+    // a factor-d shrink per round, so probing before δ can reach the
+    // grid target is a wasted job)
+    var nextProbe = 1
+    while (i < iters && !converged) {
+      i += 1
+      val next = round(r)
+      if (i == iters) r = next // last round stays lazy for the terminal
       else {
         val (ck, rel) = Eager.tracked(next)
+        stopDp.foreach { dp =>
+          if (i >= nextProbe) {
+            val grid = math.pow(10.0, dp)
+            // ONE probe job: δᵢ = ‖rᵢ−rᵢ₋₁‖₁ and the minimum distance
+            // of any rank to a HALF_UP boundary of the 10^-dp grid
+            // (1-row driver read, orchestration only)
+            val row = ck.select(col("node"), col("r").as("rn"))
+              .join(r.select(col("node"), col("r").as("rp")), Seq("node"))
+              .agg(sum(abs(col("rn") - col("rp"))).as("d"),
+                min(abs((col("rn") * lit(grid)) % lit(1.0) - lit(0.5)))
+                  .as("b"))
+              .head()
+            val delta = row.getDouble(0)
+            val minDist = row.getDouble(1)
+            val eps = 2.0 * delta * damping / (1.0 - damping)
+            // stop iff the bound is inside the grid AND every node
+            // clears its nearest rounding boundary by ε
+            if (eps * grid < 0.45 && minDist > eps * grid) converged = true
+            else {
+              // δ must shrink to ~target before the bound can fire;
+              // the guaranteed rate is d per round — skip ahead
+              val target = 0.45 * (1.0 - damping) / (2.0 * damping * grid)
+              val skip = if (delta <= target) 1
+                else math.ceil(math.log(target / delta) /
+                  math.log(damping)).toInt.max(1)
+              nextProbe = i + skip
+            }
+          }
+        }
         relPrev(); relPrev = rel
-        ck
+        r = ck
       }
     }
     // the terminal checkpoint frees EVERYTHING internal (last round's
-    // frame, edges, nodes, danglers) deterministically; the caller /
-    // harness owns the terminal's own node-sized blocks. The rounds
-    // also left one broadcast exchange each (rank/mass frames) — dead
-    // now that the terminal is an RDD scan, destroyed by handle.
-    val out = Eager.terminalReleasing(last, relPrev, edRel, nodesRel, dangRel)
+    // frame, edges, node info) deterministically; the caller / harness
+    // owns the terminal's own node-sized blocks. The rounds also left
+    // one broadcast exchange each (rank/mass frames) — dead now that
+    // the terminal is an RDD scan, destroyed by handle.
+    val out = Eager.terminalReleasing(r, relPrev, edRel, infoRel)
     Eager.releaseBroadcastsSince(edges.sparkSession, bc0)
-    out
+    (out, i)
   }
+
+  /** One-pass node summary for the PageRank family: each edge explodes
+    * to (src, 1) and (dst, 0); the per-node sum is the OUT-degree, so
+    * one shuffle yields the node universe, the degrees, and the
+    * danglers (deg = 0) at once. */
+  private def nodeOutDegrees(edges: DataFrame): DataFrame =
+    edges.select(explode(array(
+        struct(col("src").as("node"), lit(1L).as("o")),
+        struct(col("dst").as("node"), lit(0L).as("o")))).as("x"))
+      .select(col("x.node").as("node"), col("x.o").as("o"))
+      .groupBy("node").agg(sum(col("o")).as("deg"))
 
   /** Personalized PageRank — [[pageRank]] with the teleport mass
     * returning to a SEED set instead of all nodes: r₀ = tele;
@@ -140,13 +237,17 @@ object Graph {
     require(damping > 0 && damping < 1,
       s"personalizedPageRank: damping must be in (0,1), got $damping")
     val bc0 = Eager.broadcastSnapshot(edges.sparkSession)
-    val (ed, edRel) = Eager.tracked(edges
-      .join(edges.groupBy("src").agg(count(lit(1)).as("deg")), Seq("src"))
+    // same one-pass setup as [[pageRank]] (edges materialized once,
+    // node universe from one aggregation — see [[nodeOutDegrees]])
+    val (eck, eckRel) = Eager.tracked(edges)
+    val (info, infoRel) = Eager.tracked(nodeOutDegrees(eck))
+    val (ed, edRel) = Eager.tracked(eck
+      .join(info.filter(col("deg") > 0)
+        .select(col("node").as("src"), col("deg")), Seq("src"))
       .select(col("src"), col("dst"), col("deg")))
-    val (nodes, nodesRel) = Eager.tracked(ed
-      .select(explode(array(col("src"), col("dst"))).as("node")).distinct())
-    val (dang, dangRel) = Eager.tracked(nodes
-      .join(ed.select(col("src").as("node")).distinct(), Seq("node"), "left_anti"))
+    eckRel()
+    val nodes = info.select("node")
+    val dang = info.filter(col("deg") === 0).select("node")
     // same fast path as [[pageRank]]: no danglers → the correction term
     // is exactly +0.0·tele, skip its per-round join + aggregate
     val hasDanglers = !dang.isEmpty
@@ -189,7 +290,7 @@ object Graph {
       }
     }
     val out =
-      Eager.terminalReleasing(last, relPrev, edRel, nodesRel, dangRel, teleRel)
+      Eager.terminalReleasing(last, relPrev, edRel, infoRel, teleRel)
     Eager.releaseBroadcastsSince(edges.sparkSession, bc0)
     out
   }

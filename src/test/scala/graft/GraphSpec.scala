@@ -163,4 +163,37 @@ class GraphSpec extends AnyFunSuite {
     // mass re-enters at the seed, so the seed keeps a solid share
     assert(r("a") > 0.3 && r("c") > 0.0)
   }
+
+  test("pageRankConverged early-exits and matches the full fixed-iteration run rounded") {
+    // hub graph at damping 0.3: the ℓ1 bound contracts 0.3× per round,
+    // so the rounded-output proof fires well before maxIters
+    val edges = sym((1 to 40).map(i => ("hub" + (i % 3), f"leaf$i%02d")): _*)
+    val maxIters = 40
+    val dp = 6
+    val (conv, rounds) = Graph.pageRankConvergedCounting(
+      edges, maxIters, damping = 0.3, roundDp = dp)
+    assert(rounds < maxIters,
+      s"expected a provable early exit, ran all $rounds rounds")
+    val got = conv.select(col("node"), round(col("r"), dp).as("rank"))
+      .as[(String, Double)].collect().toMap
+    val full = Graph.pageRank(edges, maxIters, damping = 0.3)
+      .select(col("node"), round(col("r"), dp).as("rank"))
+      .as[(String, Double)].collect().toMap
+    assert(got === full,
+      s"early-exit output diverges from the $maxIters-round run")
+  }
+
+  test("pageRankConverged on a slow-converging graph runs every round (no unsound exit)") {
+    // damping 0.95 → bound factor d/(1−d) = 19: at 9-decimal rounding
+    // the proof cannot fire within 4 rounds, so all 4 must run and the
+    // result must equal the plain fixed-iteration operator exactly
+    val edges = sym(("a", "b"), ("b", "c"), ("c", "d"))
+    val (conv, rounds) = Graph.pageRankConvergedCounting(
+      edges, maxIters = 4, damping = 0.95, roundDp = 9)
+    assert(rounds === 4)
+    val got = conv.as[(String, Double)].collect().toMap
+    val full = Graph.pageRank(edges, 4, 0.95)
+      .as[(String, Double)].collect().toMap
+    assert(got === full)
+  }
 }

@@ -219,6 +219,43 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("IVF append drift: skewed appends grow exactly their list — the audit's readout") {
+    val emb = graft.sources.Sources
+      .table(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding")
+    val base = emb.filter(col("vec_id") < 40)
+    val idxDir = java.nio.file.Files.createTempDirectory("ivf_drift")
+    try {
+      Similarity.ensureIvfIndex(base, "vec_id", "embedding",
+        nCentroids = 8, path = idxDir.toString)
+      def listSizes: Map[Long, Long] = spark.read
+        .parquet(s"$idxDir/postings")
+        .groupBy(col("cent_id").cast("long").as("c")).count()
+        .as[(Long, Long)].collect().toMap
+      val before = listSizes
+      // three skewed batches: copies of ONE vector — all land in its
+      // frozen nearest centroid's list, the drift the audit must show
+      (1 to 3).foreach { b =>
+        Similarity.appendToIvfIndex(spark,
+          base.filter(col("vec_id") === 20)
+            .select((col("vec_id") + 1000L * b).as("vec_id"),
+              col("embedding")),
+          "vec_id", "embedding", idxDir.toString)
+      }
+      val after = listSizes
+      val grew = after.filter { case (c, n) => n != before.getOrElse(c, 0L) }
+      assert(grew.size === 1, s"expected exactly one list to grow: $grew")
+      val (c, n) = grew.head
+      assert(n === before(c) + 3,
+        s"list $c should grow by the 3 appended copies: ${before(c)} -> $n")
+    } finally {
+      val s = java.nio.file.Files.walk(idxDir)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+      finally s.close()
+    }
+  }
+
   test("crashed-swap recovery preserves appended IVF postings (no silent rebuild from corpus)") {
     val emb = graft.sources.Sources
       .table(spark, "/root/testdata/sf0.001", "embeddings")
