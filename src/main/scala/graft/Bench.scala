@@ -251,6 +251,29 @@ object Bench {
     val cpuTotal = storageLog.map(r => math.max(0.0, r.cpuRuns)).sum
     val wallTotal = storageLog.map(_.wallRuns).sum
     val pivotSeries = pivotLog.map(r => r3(r.sec)).mkString("[", ",", "]")
+    // Pivot-drift-NORMALIZED medians (round-10 verdict #2): each
+    // query's median divided by the pivot time interpolated to that
+    // query's position in the run, so a mid-session host-epoch shift
+    // divides out and the round-over-round 2× gate compares like with
+    // like. Unit: pivot-multiples (q_star_join ≡ ~1.0).
+    val pivotByIdx = pivotLog.map(p => (p.atIndex, p.sec)).toSeq.sortBy(_._1)
+    def pivotAt(j: Int): Double =
+      if (pivotByIdx.isEmpty) 1.0
+      else {
+        val before = pivotByIdx.filter(_._1 <= j)
+        val after = pivotByIdx.filter(_._1 >= j)
+        (before.lastOption, after.headOption) match {
+          case (Some((i0, p0)), Some((i1, p1))) if i1 > i0 =>
+            p0 + (p1 - p0) * (j - i0).toDouble / (i1 - i0).toDouble
+          case (Some((_, p0)), _) => p0
+          case (_, Some((_, p1))) => p1
+          case _ => 1.0
+        }
+      }
+    val normQs = results.zipWithIndex.map { case ((k, v), idx) =>
+      val p = pivotAt(idx + 1)
+      s"\"" + k + "\":" + (if (v < 0 || p <= 0) -1.0 else r3(v / p))
+    }.mkString("{", ",", "}")
     // Full-precision per-query map goes to a FILE: the harness captures
     // only the last ~2000 chars of stdout, and 90 queries at full double
     // precision overflow that window — round 3's bench line was cut
@@ -258,7 +281,7 @@ object Bench {
     // (total + the slowest queries, 3-decimal) and always fits.
     val fullQs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"pivot_drift":$pivotSeries,"gc_total_ms":$gcTotalMs,"cpu_total_sec":${r2(cpuTotal)},"wall_total_sec":${r2(wallTotal)},"sf":"$sfDir","runs_per_query":$runs}"""
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"queries_pivot_norm":$normQs,"pivot_drift":$pivotSeries,"gc_total_ms":$gcTotalMs,"cpu_total_sec":${r2(cpuTotal)},"wall_total_sec":${r2(wallTotal)},"sf":"$sfDir","runs_per_query":$runs}"""
     val fullPath = java.nio.file.Paths.get("docs", "BENCH_last_full.json")
     // advertise the file in the stdout line only if THIS run's write
     // succeeded — otherwise a consumer would resolve the path to a stale

@@ -128,6 +128,30 @@ object Streaming {
       raw.sortBy(x => scala.math.BigDecimal(x.toString))
     else raw.sortBy(_.toString)
 
+  /** Land a tagged change frame as ONE FILE PER DISTINCT `__b` value,
+    * named (and mtime-stamped) in ascending batch order — the shared
+    * landing step of the cumulative/IVM folds. Batch ids are a
+    * driver-side collect of ORCHESTRATION metadata only (a handful of
+    * values, never row data), sorted numerically via [[sortBatchIds]]
+    * (string order would put batch 10 before 2). The frame is locally
+    * checkpointed first: the id collect and each per-batch write then
+    * scan one materialized snapshot instead of re-running the caller's
+    * (often multi-union) fixture plan once per consumer (round-10: the
+    * OOO-CDC fixture's 4-way union was recomputed three times). */
+  private def landBatchFiles(tagged: DataFrame, land: String): Unit = {
+    val (tck, rel) = graft.operators.Eager.tracked(tagged)
+    try {
+      val batches = sortBatchIds(
+        tck.select("__b").distinct().collect().map(_.get(0)))
+      batches.zipWithIndex.foreach { case (b, i) =>
+        tck.filter(col("__b") === lit(b)).drop("__b")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(f"$land/b$i%04d.parquet")
+        stampBatchMtime(f"$land/b$i%04d.parquet", i)
+      }
+    } finally rel()
+  }
+
   /** Stamp every file under `dir` with a strictly increasing (per batch
     * index) modification time. FileStreamSource orders files by MTIME,
     * not name — two batch files written within the same mtime
@@ -486,16 +510,7 @@ object Streaming {
     val land = freshDir("ivm_land")
     val tableRoot = freshDir("ivm_table")
     val rollupRoot = freshDir("ivm_rollup")
-    val tagged = changes.withColumn("__b", batchOf)
-    // batch ids sort numerically (commit order) — same contract and
-    // driver-side id-only collect as streamingNearDupCumulative
-    val batches = sortBatchIds(
-      tagged.select("__b").distinct().collect().map(_.get(0)))
-    batches.zipWithIndex.foreach { case (b, i) =>
-      tagged.filter(col("__b") === lit(b)).drop("__b")
-        .coalesce(1).write.mode("overwrite").parquet(f"$land/b$i%04d.parquet")
-      stampBatchMtime(f"$land/b$i%04d.parquet", i)
-    }
+    landBatchFiles(changes.withColumn("__b", batchOf), land)
     val schema = spark.read.parquet(s"$land/b0000.parquet").schema
     def latest(root: String): Option[String] =
       (new java.io.File(root).listFiles() match {
@@ -583,14 +598,7 @@ object Streaming {
     val tableRoot = freshDir("ivm_ooo_table")
     val rollupRoot = freshDir("ivm_ooo_rollup")
     val frontRoot = freshDir("ivm_ooo_front")
-    val tagged = changes.withColumn("__b", batchOf)
-    val batches = sortBatchIds(
-      tagged.select("__b").distinct().collect().map(_.get(0)))
-    batches.zipWithIndex.foreach { case (b, i) =>
-      tagged.filter(col("__b") === lit(b)).drop("__b")
-        .coalesce(1).write.mode("overwrite").parquet(f"$land/b$i%04d.parquet")
-      stampBatchMtime(f"$land/b$i%04d.parquet", i)
-    }
+    landBatchFiles(changes.withColumn("__b", batchOf), land)
     val schema = spark.read.parquet(s"$land/b0000.parquet").schema
     def latest(root: String): Option[String] =
       (new java.io.File(root).listFiles() match {
@@ -604,6 +612,14 @@ object Streaming {
         .filter(col("__rn") === 1).drop("__rn")
     }
     val chCols = (Seq(key, tsCol, seqCol, opCol) ++ valueCols).map(col)
+    // the high-water mark IS the frontier's max event time: every
+    // accepted change's ts is ≤ its key's frontier ts (the frontier
+    // keeps the per-key max), so the global max over frontier rows
+    // equals the running max of all accepted ts — carried as a DRIVER
+    // variable across the synchronous AvailableNow fold (round-10:
+    // replaces a frontier-scan aggregate per batch; max is idempotent
+    // under batch retry)
+    var hwmVar: Option[java.sql.Timestamp] = None
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .option("recursiveFileLookup", "true")
@@ -619,24 +635,27 @@ object Streaming {
           .getOrElse(Dedup.baseRollup(snapshot, group, value))
         val frontPrev = latest(frontRoot).map(spark.read.parquet(_))
           .getOrElse(batch.select(chCols: _*).limit(0))
-        // the high-water mark IS the frontier's max event time: every
-        // accepted change's ts is ≤ its key's frontier ts (the frontier
-        // keeps the per-key max), so the global max over frontier rows
-        // equals the running max of all accepted ts — no separate
-        // versioned hwm table to write/read per batch. Option() guards
-        // the empty-frontier first batch (max of zero rows is NULL).
-        val hwmPrev: Option[java.sql.Timestamp] =
-          latest(frontRoot).flatMap(_ => Option(
-            frontPrev.agg(max(col(tsCol))).collect().head.getTimestamp(0)))
         // event-time watermark: reject changes older than the bound
-        // below the running high-water mark (1-row driver orchestration,
-        // never row data)
-        val cutoff = hwmPrev.map(h =>
+        // below the running high-water mark. ONE 1-row orchestration
+        // aggregate per batch yields both the rejection count and the
+        // accepted max event time (previously two jobs: a frontier
+        // scan for the hwm plus a filtered count for the lates).
+        val cutoff = hwmVar.map(h =>
           new java.sql.Timestamp(h.getTime - maxLatenessSec * 1000L))
+        val stats = (cutoff match {
+          case Some(c) => batch.agg(
+            coalesce(sum(when(col(tsCol) < lit(c), lit(1L))
+              .otherwise(lit(0L))), lit(0L)).as("late"),
+            max(when(col(tsCol) >= lit(c), col(tsCol))).as("mx"))
+          case None => batch.agg(
+            lit(0L).as("late"), max(col(tsCol)).as("mx"))
+        }).head()
+        val nLate = stats.getLong(0)
+        val mxAccepted = Option(stats.getTimestamp(1))
+        hwmVar = (hwmVar.toSeq ++ mxAccepted.toSeq)
+          .sortBy(_.getTime).lastOption
         val accepted = cutoff
           .map(c => batch.filter(col(tsCol) >= lit(c))).getOrElse(batch)
-        val nLate = cutoff
-          .map(c => batch.filter(col(tsCol) < lit(c)).count()).getOrElse(0L)
         if (nLate > 0)
           System.err.println(
             s"[ivm-ooo] batch $id: rejected $nLate change(s) beyond the " +
@@ -817,20 +836,7 @@ object Streaming {
       n: Int, k: Int, threshold: Double): DataFrame = {
     val land = freshDir("neardup_cum_land")
     val out = freshDir("neardup_cum_out")
-    val tagged = incoming.withColumn("__b", batchOf)
-    // driver-side collect of BATCH IDS only (test-harness orchestration
-    // of batch arrival — a handful of values, never row data; do not
-    // imitate for data columns). Numeric batch values sort NUMERICALLY:
-    // toString ordering would put batch 10 before batch 2, silently
-    // changing which member of a cross-batch dup pair survives.
-    val batches = sortBatchIds(
-      tagged.select("__b").distinct().collect().map(_.get(0)))
-    batches.zipWithIndex.foreach { case (b, i) =>
-      tagged.filter(col("__b") === lit(b)).drop("__b")
-        .coalesce(1).write.mode("overwrite")
-        .parquet(f"$land/b$i%04d.parquet")
-      stampBatchMtime(f"$land/b$i%04d.parquet", i)
-    }
+    landBatchFiles(incoming.withColumn("__b", batchOf), land)
     val schema = spark.read.parquet(s"$land/b0000.parquet").schema
     // Fold only the DELTA bands (round-10 verdict #5): the disk index
     // still receives every batch's appended rows (the documented
