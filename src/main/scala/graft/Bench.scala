@@ -50,6 +50,21 @@ object Bench {
     // readable straight off adjacent lines.
     val spillMem = new java.util.concurrent.atomic.AtomicLong(0)
     val spillDisk = new java.util.concurrent.atomic.AtomicLong(0)
+    // Stage-level CPU attribution (round-10 verdict #1a): for the
+    // queries named in SPARK_GRAFT_STAGE_QUERIES (default: the
+    // long-inflating q_minhash_pairs), every stage completed during the
+    // TIMED runs is recorded with its executor CPU/run time and the
+    // ObjectHashAggregate "sort fallback" SQL metric — so a venue
+    // comparison (driver vs isolated) names WHICH stage multiplies its
+    // CPU, and whether collect_set/min-agg fell back to sort-based
+    // aggregation (which burns CPU while every spill counter stays 0).
+    final case class StageRec(name: String, cpuMs: Long, runMs: Long,
+      sortFallback: Long, tasks: Int)
+    val stageQueries = sys.env.get("SPARK_GRAFT_STAGE_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set("q_minhash_pairs"))
+    val stageBuf = new java.util.concurrent.ConcurrentLinkedQueue[StageRec]()
+    @volatile var stageCapture = false
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onTaskEnd(
@@ -60,7 +75,26 @@ object Bench {
             spillDisk.addAndGet(m.diskBytesSpilled)
           }
         }
+        override def onStageCompleted(
+            e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          if (stageCapture) {
+            val si = e.stageInfo
+            val tm = si.taskMetrics
+            if (tm != null) {
+              val fb = si.accumulables.values
+                .filter(a => a.name.exists(_.contains("sort fallback")))
+                .flatMap(_.value.map(_.toString).flatMap(v =>
+                  scala.util.Try(v.toLong).toOption))
+                .sum
+              stageBuf.add(StageRec(si.name.takeWhile(_ != '\n').take(120),
+                tm.executorCpuTime / 1000000L, tm.executorRunTime, fb,
+                si.numTasks))
+              ()
+            }
+          }
       })
+    val stageLog =
+      scala.collection.mutable.ArrayBuffer.empty[(String, Seq[StageRec])]
     // Round-10 verdict #2: round 9 proved the driver-session-only
     // inflation is OUTSIDE Spark's storage accounting (every instrumented
     // channel flat at zero in the driver's own JSONL), so instrument the
@@ -171,6 +205,8 @@ object Bench {
       // are LOUD — logged per run with the real exception, counted
       // into the stdout JSON's "errors" field, and the query's time is
       // poisoned to a sentinel so no one mistakes it for a result.
+      val captureStages = stageQueries.contains(name)
+      if (captureStages) { stageBuf.clear(); stageCapture = true }
       val blockT0 = System.nanoTime()
       val cpuT0 = procCpuNs
       val gcT0 = gcCumMs
@@ -195,6 +231,18 @@ object Bench {
       val cpuRuns =
         if (cpuT0 < 0) -1.0 else (procCpuNs - cpuT0) / 1e9
       val gcRuns = gcCumMs - gcT0
+      if (captureStages) {
+        stageCapture = false
+        val recs = Iterator.continually(stageBuf.poll())
+          .takeWhile(_ != null).toSeq
+        // aggregate by stage name across the timed runs; top CPU burners
+        // only — enough to name the multiplying stage without flooding
+        val agg = recs.groupBy(_.name).map { case (n, rs) =>
+          StageRec(n, rs.map(_.cpuMs).sum, rs.map(_.runMs).sum,
+            rs.map(_.sortFallback).sum, rs.map(_.tasks).sum)
+        }.toSeq.sortBy(-_.cpuMs).take(10)
+        stageLog += name -> agg
+      }
       storageLog += StorageRow(name, bcN, bcMem, bcDisk, spillMem.get,
         spillDisk.get, stUsed, stMax, diskN, diskBytes, shufflesAtStart,
         gcAtStart, wallRuns, cpuRuns, gcRuns)
@@ -233,7 +281,16 @@ object Bench {
           s""""after":"${r.afterQuery}","sec":${r3(r.sec)},""" +
           s""""gc_cum_ms":${r.gcCum}}"""
       }
-      val lines = (qLines ++ pLines).mkString("", "\n", "\n")
+      def esc(s: String): String =
+        s.replace("\\", "\\\\").replace("\"", "\\\"")
+      val sLines = stageLog.map { case (q, recs) =>
+        val arr = recs.map(r =>
+          s"""{"stage":"${esc(r.name)}","cpu_ms":${r.cpuMs},""" +
+            s""""run_ms":${r.runMs},"sort_fallback_tasks":${r.sortFallback},""" +
+            s""""tasks":${r.tasks}}""").mkString("[", ",", "]")
+        s"""{"stages_for":"$q","stages":$arr}"""
+      }
+      val lines = (qLines ++ pLines ++ sLines).mkString("", "\n", "\n")
       java.nio.file.Files.write(p, lines.getBytes("UTF-8"))
     } catch { case e: Exception =>
       System.err.println(s"warn: storage log not written: ${e.getMessage}")
@@ -270,10 +327,17 @@ object Bench {
           case _ => 1.0
         }
       }
-    val normQs = results.zipWithIndex.map { case ((k, v), idx) =>
+    val normVals = results.zipWithIndex.map { case ((k, v), idx) =>
       val p = pivotAt(idx + 1)
-      s"\"" + k + "\":" + (if (v < 0 || p <= 0) -1.0 else r3(v / p))
+      k -> (if (v < 0 || p <= 0) -1.0 else v / p)
+    }
+    val normQs = normVals.map { case (k, v) =>
+      s"\"" + k + "\":" + (if (v < 0) -1.0 else r3(v))
     }.mkString("{", ",", "}")
+    // pivot-normalized TOTAL (round-10 verdict #7): the round-over-round
+    // gate should compare this, not the raw wall total — unit is
+    // pivot-multiples (Σ median/pivot), immune to host-epoch shifts
+    val totalPivotNorm = r2(normVals.collect { case (_, v) if v >= 0 => v }.sum)
     // Full-precision per-query map goes to a FILE: the harness captures
     // only the last ~2000 chars of stdout, and 90 queries at full double
     // precision overflow that window — round 3's bench line was cut
@@ -281,7 +345,7 @@ object Bench {
     // (total + the slowest queries, 3-decimal) and always fits.
     val fullQs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"queries_pivot_norm":$normQs,"pivot_drift":$pivotSeries,"gc_total_ms":$gcTotalMs,"cpu_total_sec":${r2(cpuTotal)},"wall_total_sec":${r2(wallTotal)},"sf":"$sfDir","runs_per_query":$runs}"""
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","total_pivot_norm":$totalPivotNorm,"queries":$fullQs,"queries_pivot_norm":$normQs,"pivot_drift":$pivotSeries,"gc_total_ms":$gcTotalMs,"cpu_total_sec":${r2(cpuTotal)},"wall_total_sec":${r2(wallTotal)},"sf":"$sfDir","runs_per_query":$runs}"""
     val fullPath = java.nio.file.Paths.get("docs", "BENCH_last_full.json")
     // advertise the file in the stdout line only if THIS run's write
     // succeeded — otherwise a consumer would resolve the path to a stale
@@ -301,7 +365,7 @@ object Bench {
       val qs = byTime.take(n).sortBy(_._1)
         .map { case (k, v) => s"\"" + k + "\":" + r3(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"n_queries":${results.length},"n_errors":${errors.size},"top_n":${math.min(n, results.length)},$fullRef"bc_max_blocks":$bcMaxBlocks,"bc_max_mem":$bcMaxMem,"disk_max_bytes":$diskMaxBytes,"spill_disk_total":$spillTotal,"gc_total_ms":$gcTotalMs,"cpu_total_sec":${r2(cpuTotal)},"wall_total_sec":${r2(wallTotal)},"pivot_drift":$pivotSeries,"sf":"$sfDir","runs_per_query":$runs}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","total_pivot_norm":$totalPivotNorm,"queries":$qs,"n_queries":${results.length},"n_errors":${errors.size},"top_n":${math.min(n, results.length)},$fullRef"bc_max_blocks":$bcMaxBlocks,"bc_max_mem":$bcMaxMem,"disk_max_bytes":$diskMaxBytes,"spill_disk_total":$spillTotal,"gc_total_ms":$gcTotalMs,"cpu_total_sec":${r2(cpuTotal)},"wall_total_sec":${r2(wallTotal)},"pivot_drift":$pivotSeries,"sf":"$sfDir","runs_per_query":$runs}"""
     }
     if (errors.nonEmpty)
       System.err.println(s"[bench] ${errors.size} QUERY FAILURE(S): " +

@@ -1819,11 +1819,11 @@ object OracleSql {
         |SELECT node, round(r, 12) AS rank
         |FROM r3 ORDER BY rank DESC, node LIMIT 20""".stripMargin,
 
-    // Converged PageRank: the oracle runs ALL 25 rounds (the fixed
+    // Converged PageRank: the oracle runs ALL 18 rounds (the fixed
     // contract); Spark's pageRankConverged early-exits once the
-    // contraction bound proves round(r_i, 8) == round(r_25, 8), so the
+    // contraction bound proves round(r_i, 6) == round(r_18, 6), so the
     // hash compare verifies the proof. Same op sequence as q_pagerank
-    // at damping 0.3, no danglers (symmetrized graph).
+    // at damping 0.25, no danglers (symmetrized graph).
     "q_pagerank_converged" -> {
       // per-memory stripMargin trap: rounds are stripped individually,
       // then joined with plain interpolation (no outer stripMargin)

@@ -49,7 +49,16 @@ object SparkEntry {
     * artifact by HARD LINK (byte-copy fallback): the mutable-index
     * fixtures (q_stream_neardup_cum, q_ann_ivf_append_audit) append
     * new files but never rewrite existing ones, so linking is safe and
-    * the per-run restore is metadata-cheap. */
+    * the per-run restore is metadata-cheap.
+    *
+    * Append-only invariant (round-10 ADVICE): linking shares inodes, so
+    * any IN-PLACE rewrite through a linked file would corrupt the
+    * pristine artifact across runs. Data files (parquet parts) are
+    * write-once by Spark's committer, so they link; metadata files a
+    * maintainer may legitimately rewrite or truncate in place
+    * (`_SUCCESS`, `_buckets` manifests, commit markers — anything
+    * `_`/`.`-prefixed) are BYTE-COPIED instead, so even a future
+    * non-staged rewrite path cannot reach the pristine inode. */
   private def restoreMutableCopy(pristine: String, scratch: String): Unit = {
     def wipe(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(wipe)
@@ -59,6 +68,8 @@ object SparkEntry {
       if (from.isDirectory) {
         to.mkdirs()
         from.listFiles().foreach(f => linkRec(f, new java.io.File(to, f.getName)))
+      } else if (from.getName.startsWith("_") || from.getName.startsWith(".")) {
+        java.nio.file.Files.copy(from.toPath, to.toPath); ()
       } else {
         try { java.nio.file.Files.createLink(to.toPath, from.toPath); () }
         catch { case _: UnsupportedOperationException | _: java.io.IOException =>

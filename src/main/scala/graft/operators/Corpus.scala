@@ -179,20 +179,19 @@ object Corpus {
       // final anti-join reads THIS instead of the text-bearing cache
       val (exactMeta, metaRel) = Eager.tracked(
         exact.select("key", "score", "n_tokens"))
+      // NO staged shingle cache since the round-11 sig/set fusion: the
+      // digest frame feeds exactly ONE aggregation inside
+      // minhashPairsFromDigests (which checkpoints the doc-sized fused
+      // result internally), so the only corpus-sized cache ever live is
+      // the dedup cache — read once by the fused shingle pass, released
+      // as soon as that returns (its terminal is materialized eagerly)
       val sh = NearDup.wordShingleDigests(exact, col("key"), col("t"), n)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        // materialize the digest cache from the dedup cache, then drop
-        // the text before the banding/verify joins run
-        sh.count()
-        exact.unpersist()
-        val nearDup = NearDup.minhashPairsFromDigests(sh, k, jaccThreshold)
-        Eager.terminalReleasing(
-          exactMeta.join(nearDup.select(col("key_b").as("key")).distinct(),
-              Seq("key"), "left_anti")
-            .select(col("key"), col("score"), col("n_tokens")),
-          metaRel)
-      } finally { sh.unpersist(); () }
+      val nearDup = NearDup.minhashPairsFromDigests(sh, k, jaccThreshold)
+      Eager.terminalReleasing(
+        exactMeta.join(nearDup.select(col("key_b").as("key")).distinct(),
+            Seq("key"), "left_anti")
+          .select(col("key"), col("score"), col("n_tokens")),
+        metaRel)
     } finally { exact.unpersist(); () }
   }
 

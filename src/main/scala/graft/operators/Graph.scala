@@ -123,6 +123,10 @@ object Graph {
     // literal removes a count-aggregate + broadcast subtree from every
     // round's plan. Same IEEE divisions as the per-row cast form.
     val nD = info.count().toDouble
+    // degenerate empty graph: init ranks would be 1/0 = Infinity and the
+    // convergence probe's sum/min aggregates would come back NULL (NPE on
+    // getDouble) — fail like the other argument checks instead
+    require(nD > 0, "pageRank: edges frame is empty (no nodes)")
     val init = nodes.select(col("node"), lit(1.0 / nD).as("r"))
     def round(r: DataFrame): DataFrame = {
       val m = ed

@@ -182,14 +182,12 @@ object NearDup {
     */
   def minhashPairs(
       df: DataFrame, key: Column, text: Column,
-      n: Int, k: Int, threshold: Double): DataFrame = {
-    // the shingle-digest set feeds signatures + the verify sets —
-    // persist it once instead of re-exploding the corpus three times
-    val sh = wordShingleDigests(df, key, text, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try minhashPairsFromDigests(sh, k, threshold)
-    finally { sh.unpersist(); () }
-  }
+      n: Int, k: Int, threshold: Double): DataFrame =
+    // no shingle-frame persist: since the sig/set fusion the digest
+    // frame feeds exactly ONE aggregation, so a cache would only add a
+    // corpus-sized write (the round-9/10 long-session interference
+    // surface) for zero reuse
+    minhashPairsFromDigests(wordShingleDigests(df, key, text, n), k, threshold)
 
   /** Sign → band → bucket-join → verify over an ALREADY-BUILT (and
     * ideally persisted) (key, shingle-digest) frame — the entry point
@@ -203,14 +201,24 @@ object NearDup {
     */
   def minhashPairsFromDigests(sh: DataFrame, k: Int, threshold: Double): DataFrame = {
     val bc0 = Eager.broadcastSnapshot(sh.sparkSession)
-    val pairs = candidatePairs(lshBands(minhashSig(sh, k), k))
-    val sets = sh.groupBy("key").agg(collect_set(col("shingle")).as("sh"))
-    // eager terminal materialization so the big shingle cache can be
-    // released before returning — the surviving pair set is tiny
-    // (threshold-filtered); see [[Eager.terminal]]
-    val out = Eager.terminal(
+    // ONE fused aggregation ([[minhashSigWithSets]] — signatures AND
+    // verify sets from a single groupBy, the shape the streaming probe
+    // path validated in round 10) replaces the former sig/set split
+    // that exchanged the shingle table twice. The doc-sized fused frame
+    // is checkpointed so the banding self-join and the verify stage
+    // read an RDD scan instead of re-running the collect_set aggregate
+    // per consumer — also retiring the operator's dependence on the big
+    // shingle-row cache staying resident across a long session (the
+    // round-10 driver-CPU-multiplication suspect).
+    val (perDoc, rel) = Eager.tracked(minhashSigWithSets(sh, k))
+    val pairs = candidatePairs(lshBands(perDoc, k))
+    val sets = perDoc.select(col("key"), col("sh"))
+    // eager terminal materialization so the checkpointed per-doc frame
+    // can be released before returning — the surviving pair set is tiny
+    // (threshold-filtered); see [[Eager.terminalReleasing]]
+    val out = Eager.terminalReleasing(
       jaccardSets(pairs, sets).filter(col("jacc") >= threshold)
-        .select("key_a", "key_b", "jacc"))
+        .select("key_a", "key_b", "jacc"), rel)
     Eager.releaseBroadcastsSince(sh.sparkSession, bc0)
     out
   }
