@@ -1856,6 +1856,97 @@ object OracleSql {
       s"$head,\n$rounds\n$tail"
     },
 
+    // Directed converged PageRank: full 18-round unroll INCLUDING the
+    // per-round dangling-mass sum (every nation is a sink on the
+    // unsymmetrized customer→nation graph); Spark early-exits via the
+    // contraction proof, so hash-green here verifies the proof holds
+    // with the dangling completion in the recurrence.
+    "q_pagerank_directed_converged" -> {
+      // per-memory stripMargin trap: rounds are stripped individually,
+      // then joined with plain interpolation (no outer stripMargin)
+      // every r$i is referenced TWICE per round (mass join + dangling
+      // sum) — without MATERIALIZED, CTE inlining doubles the plan per
+      // round (2^18 expansion; observed as DuckDB fd exhaustion)
+      val head =
+        """WITH edges AS MATERIALIZED (
+          |  SELECT DISTINCT 'c:' || c_custkey AS src,
+          |    'n:' || c_nationkey AS dst
+          |  FROM customer),
+          |deg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+          |nodes AS MATERIALIZED (SELECT DISTINCT node FROM (
+          |  SELECT src AS node FROM edges
+          |  UNION ALL SELECT dst AS node FROM edges)),
+          |dang AS MATERIALIZED (
+          |  SELECT n.node FROM nodes n
+          |  LEFT JOIN (SELECT DISTINCT src FROM edges) s ON n.node = s.src
+          |  WHERE s.src IS NULL),
+          |nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+          |r0 AS MATERIALIZED (SELECT node, 1.0 / CAST(n AS DOUBLE) AS r
+          |  FROM nodes CROSS JOIN nn)""".stripMargin
+      val rounds = (1 to 18).map { i =>
+        s"""m$i AS (
+           |  SELECT e.dst AS node,
+           |    CAST(sum(CAST(r.r / CAST(d.deg AS DOUBLE) AS DECIMAL(38,12)))
+           |      AS DOUBLE) AS m
+           |  FROM edges e JOIN r${i - 1} r ON e.src = r.node JOIN deg d ON e.src = d.src
+           |  GROUP BY e.dst),
+           |d$i AS (
+           |  SELECT CAST(coalesce(sum(CAST(r.r AS DECIMAL(38,12))),
+           |    CAST(0 AS DECIMAL(38,12))) AS DOUBLE) AS dmass
+           |  FROM r${i - 1} r JOIN dang g ON r.node = g.node),
+           |r$i AS MATERIALIZED (
+           |  SELECT nodes.node,
+           |    (1.0 - 0.25) / CAST(n AS DOUBLE) +
+           |      0.25 * (coalesce(m, 0.0) + dmass / CAST(n AS DOUBLE)) AS r
+           |  FROM nodes LEFT JOIN m$i USING (node) CROSS JOIN nn CROSS JOIN d$i)""".stripMargin
+      }.mkString(",\n")
+      val tail =
+        """SELECT node, round(r, 6) AS rank
+          |FROM r18 ORDER BY rank DESC, node LIMIT 20""".stripMargin
+      s"$head,\n$rounds\n$tail"
+    },
+
+    // Converged PERSONALIZED PageRank: full 18-round unroll of the
+    // seed-teleport recurrence (no danglers on the symmetrized graph);
+    // Spark early-exits via the same contraction proof — the teleport
+    // only changes the affine constant, not the contraction factor.
+    "q_ppr_converged" -> {
+      val head =
+        """WITH e0 AS (
+          |  SELECT DISTINCT 'c:' || c_custkey AS src,
+          |    'n:' || c_nationkey AS dst
+          |  FROM customer),
+          |edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+          |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+          |nodes AS (SELECT DISTINCT src AS node FROM edges),
+          |sd AS (
+          |  SELECT DISTINCT 'n:' || n_nationkey AS node FROM nation
+          |  WHERE n_nationkey < 5),
+          |s AS (SELECT sd.node FROM sd JOIN nodes USING (node)),
+          |ns AS (SELECT CAST(count(*) AS BIGINT) AS n_s FROM s),
+          |tele AS (
+          |  SELECT nodes.node,
+          |    CASE WHEN s.node IS NOT NULL THEN 1.0 / CAST(n_s AS DOUBLE)
+          |         ELSE 0.0 END AS tele
+          |  FROM nodes LEFT JOIN s ON nodes.node = s.node CROSS JOIN ns),
+          |r0 AS (SELECT node, tele AS r FROM tele)""".stripMargin
+      val rounds = (1 to 18).map { i =>
+        s"""m$i AS (
+           |  SELECT e.dst AS node,
+           |    CAST(sum(CAST(r.r / CAST(d.deg AS DOUBLE) AS DECIMAL(38,12)))
+           |      AS DOUBLE) AS m
+           |  FROM edges e JOIN r${i - 1} r ON e.src = r.node JOIN deg d ON e.src = d.src
+           |  GROUP BY e.dst),
+           |r$i AS (
+           |  SELECT t.node, (1.0 - 0.25) * t.tele + 0.25 * coalesce(m, 0.0) AS r
+           |  FROM tele t LEFT JOIN m$i USING (node))""".stripMargin
+      }.mkString(",\n")
+      val tail =
+        """SELECT node, round(r, 6) AS rank
+          |FROM r18 ORDER BY rank DESC, node LIMIT 20""".stripMargin
+      s"$head,\n$rounds\n$tail"
+    },
+
     // Directed PageRank with dangling-mass completion: nodes = src∪dst,
     // per-round dangling sum (decimal, order-independent) redistributed
     // uniformly — mirrors Graph.pageRank's op sequence exactly.
@@ -2712,6 +2803,160 @@ object OracleSql {
          |  round(CAST(rec.hits AS DOUBLE) /
          |    CAST(rec.n_queries * 5 AS DOUBLE), 6) AS recall_at_5
          |FROM lists CROSS JOIN rec ORDER BY lists.cent_id""".stripMargin,
+
+    // IVF rebalance: replays the FULL chain — frozen assignment of 150
+    // exact copies of vec 20, the integer-exact oversize rule
+    // (n·2·lists > 3·total ⇔ n > 1.5×mean ⇔ Spark's n > 3t DIV 2l),
+    // smallest-two-ids seeds, TWO Lloyd rounds of cosine 2-means with
+    // decimal-exact positionwise means (one double division, cast to
+    // FLOAT — the stored vector type), renumbered sub-lists
+    // (1000000 + 2·cent + sub), then probes against the rebalanced
+    // centroid set. Hash-green = the rebalance equals this recompute.
+    "q_ann_ivf_rebalance" -> {
+      def meansSql(aTbl: String): String =
+        s"""  SELECT cent_id, sub, pos,
+           |    CAST(CAST(sum(dv) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+           |      AS FLOAT) AS mv
+           |  FROM (
+           |    SELECT a.cent_id, a.sub,
+           |      unnest(generate_series(1, len(m.nv))) AS pos,
+           |      unnest(list_transform(m.nv,
+           |        x -> CAST(CAST(x AS DOUBLE) AS DECIMAL(30,12)))) AS dv
+           |    FROM $aTbl a JOIN mem m USING (cent_id, neighbor_id))
+           |  GROUP BY cent_id, sub, pos""".stripMargin
+      def assignSql(seedTbl: String): String =
+        s"""  SELECT cent_id, neighbor_id, sub FROM (
+           |    SELECT m.cent_id, m.neighbor_id, s.sub,
+           |      row_number() OVER (PARTITION BY m.cent_id, m.neighbor_id
+           |        ORDER BY CAST(${dotSql("m.nv", "s.svec")} AS DOUBLE) /
+           |          (sqrt(CAST(m.nn2 AS DOUBLE)) *
+           |            sqrt(CAST(s.sn2 AS DOUBLE))) DESC,
+           |          s.sub ASC) AS arn
+           |    FROM mem m JOIN $seedTbl s USING (cent_id))
+           |  WHERE arn = 1""".stripMargin
+      val head =
+        s"""WITH base AS (SELECT vec_id, embedding FROM embeddings),
+           |app AS (
+           |  SELECT 100000 + i AS vec_id, e.embedding
+           |  FROM generate_series(1, 150) AS g(i)
+           |  CROSS JOIN (SELECT embedding FROM embeddings
+           |    WHERE vec_id = 20) e),
+           |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM app),
+           |n AS (
+           |  SELECT vec_id, embedding,
+           |    ${dotSql("embedding", "embedding")} AS n2
+           |  FROM corpus),
+           |cents AS (SELECT vec_id AS cent_id, embedding AS cvec, n2 AS cn2
+           |  FROM n WHERE vec_id < 16),
+           |corpus_sc AS (
+           |  SELECT a.vec_id, a.embedding, a.n2, c.cent_id,
+           |    CAST(${dotSql("a.embedding", "c.cvec")} AS DOUBLE) /
+           |      (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE)))
+           |      AS ccos
+           |  FROM n a, cents c),
+           |assigned AS (
+           |  SELECT vec_id AS neighbor_id, embedding AS nv, n2 AS nn2, cent_id
+           |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+           |    ORDER BY ccos DESC, cent_id) AS crn FROM corpus_sc)
+           |  WHERE crn = 1),
+           |stats AS (SELECT CAST(count(*) AS BIGINT) AS t,
+           |    CAST(count(DISTINCT cent_id) AS BIGINT) AS l
+           |  FROM assigned),
+           |over_l AS (
+           |  SELECT cent_id FROM
+           |    (SELECT cent_id, CAST(count(*) AS BIGINT) AS nn
+           |     FROM assigned GROUP BY cent_id)
+           |    CROSS JOIN stats
+           |  WHERE nn * 2 * l > 3 * t),
+           |mem AS (SELECT a.* FROM assigned a JOIN over_l USING (cent_id)),
+           |seeds AS (
+           |  SELECT cent_id, CAST(rn - 1 AS INTEGER) AS sub,
+           |    nv AS svec, nn2 AS sn2
+           |  FROM (SELECT *, row_number() OVER (PARTITION BY cent_id
+           |    ORDER BY neighbor_id) AS rn FROM mem)
+           |  WHERE rn <= 2),
+           |a1 AS (
+           |${assignSql("seeds")}),
+           |m1pos AS (
+           |${meansSql("a1")}),
+           |m1 AS (
+           |  SELECT cent_id, sub, list(mv ORDER BY pos) AS svec
+           |  FROM m1pos GROUP BY cent_id, sub),
+           |m1n AS (SELECT cent_id, sub, svec,
+           |  ${dotSql("svec", "svec")} AS sn2 FROM m1),
+           |a2 AS (
+           |${assignSql("m1n")}),
+           |m2pos AS (
+           |${meansSql("a2")}),
+           |m2 AS (
+           |  SELECT cent_id, sub, list(mv ORDER BY pos) AS svec
+           |  FROM m2pos GROUP BY cent_id, sub),
+           |m2n AS (SELECT cent_id, sub, svec,
+           |  ${dotSql("svec", "svec")} AS sn2 FROM m2),
+           |newpost AS (
+           |  SELECT m.neighbor_id, m.nv, m.nn2,
+           |    1000000 + 2 * a.cent_id + a.sub AS cent_id
+           |  FROM a2 a JOIN mem m USING (cent_id, neighbor_id)),
+           |allpost AS (
+           |  SELECT neighbor_id, nv, nn2, cent_id FROM assigned
+           |  WHERE cent_id NOT IN (SELECT cent_id FROM over_l)
+           |  UNION ALL SELECT neighbor_id, nv, nn2, cent_id FROM newpost),
+           |allcents AS (
+           |  SELECT cent_id, cvec, cn2 FROM cents
+           |  WHERE cent_id NOT IN (SELECT cent_id FROM over_l)
+           |  UNION ALL
+           |  SELECT 1000000 + 2 * cent_id + sub AS cent_id,
+           |    svec AS cvec, sn2 AS cn2 FROM m2n),
+           |qn AS (SELECT * FROM n WHERE vec_id < 10),
+           |probe_sc AS (
+           |  SELECT q.vec_id, q.embedding, q.n2, c.cent_id,
+           |    CAST(${dotSql("q.embedding", "c.cvec")} AS DOUBLE) /
+           |      (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE)))
+           |      AS ccos
+           |  FROM qn q, allcents c),
+           |probes AS (
+           |  SELECT vec_id AS query_id, embedding AS qv, n2 AS qn2, cent_id
+           |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+           |    ORDER BY ccos DESC, cent_id) AS crn FROM probe_sc)
+           |  WHERE crn <= 2),
+           |iscored AS (
+           |  SELECT p.query_id, a.neighbor_id,
+           |    CAST(${dotSql("p.qv", "a.nv")} AS DOUBLE) /
+           |      (sqrt(CAST(p.qn2 AS DOUBLE)) * sqrt(CAST(a.nn2 AS DOUBLE)))
+           |      AS cos
+           |  FROM probes p JOIN allpost a ON a.cent_id = p.cent_id
+           |    AND a.neighbor_id <> p.query_id),
+           |topk AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY query_id
+           |      ORDER BY cos DESC, neighbor_id) AS rnk FROM iscored)
+           |  WHERE rnk <= 5),
+           |gp AS (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |    CAST(${dotSql("q.embedding", "c.embedding")} AS DOUBLE) /
+           |      (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(c.n2 AS DOUBLE)))
+           |      AS cos
+           |  FROM qn q, n c WHERE c.vec_id <> q.vec_id),
+           |ground AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY query_id
+           |      ORDER BY cos DESC, neighbor_id) AS rnk FROM gp)
+           |  WHERE rnk <= 5),
+           |rec AS (
+           |  SELECT CAST(sum(CASE WHEN g.query_id IS NOT NULL THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS hits,
+           |    CAST(count(DISTINCT t.query_id) AS BIGINT) AS n_queries
+           |  FROM topk t LEFT JOIN ground g
+           |    ON g.query_id = t.query_id AND g.neighbor_id = t.neighbor_id),
+           |lists AS (
+           |  SELECT cent_id, CAST(count(*) AS BIGINT) AS n_vectors
+           |  FROM allpost GROUP BY cent_id)
+           |SELECT lists.cent_id, lists.n_vectors, rec.hits, rec.n_queries,
+           |  round(CAST(rec.hits AS DOUBLE) /
+           |    CAST(rec.n_queries * 5 AS DOUBLE), 6) AS recall_at_5
+           |FROM lists CROSS JOIN rec ORDER BY lists.cent_id""".stripMargin
+      head
+    },
 
     "q_stream_enrich" ->
       """SELECT c_mktsegment, count(*) AS n,

@@ -887,6 +887,46 @@ object SparkEntry {
         .orderBy(col("rank").desc, col("node")).limit(20)
     }),
 
+    // J+ iterative graph — the provable early-exit on a genuinely
+    // DIRECTED graph (round-10 verdict #4): customer→nation with NO
+    // symmetrization, so every nation is a pure sink and the per-round
+    // dangling-mass completion runs INSIDE the proved recurrence (the
+    // iteration matrix stays column-stochastic with the completion, so
+    // the same ℓ1 contraction factor applies). The oracle unrolls all
+    // 18 rounds including the per-round dangling sum — hash-green IS
+    // the proof check for the dangling variant.
+    "q_pagerank_directed_converged" -> ((s, dir) => {
+      val edges = t(s, dir, "customer").select(
+          concat(lit("c:"), col("c_custkey")).as("src"),
+          concat(lit("n:"), col("c_nationkey")).as("dst")).distinct()
+      graft.operators.Graph.pageRankConverged(edges,
+          maxIters = 18, damping = 0.25, roundDp = 6)
+        .select(col("node"), round(col("r"), 6).as("rank"))
+        .orderBy(col("rank").desc, col("node")).limit(20)
+    }),
+
+    // J+ iterative graph — the provable early-exit on PERSONALIZED
+    // PageRank (round-10 verdict #4): the teleport restriction changes
+    // only the recurrence's affine constant, not its damping ×
+    // column-stochastic linear part, so the identical contraction +
+    // boundary-clearance proof stops the loop once round(r_i, 6)
+    // provably equals round(r_18, 6) — verified against the full
+    // 18-round unrolled oracle. Components unreachable from the seeds
+    // hold rank exactly 0.0 (cleared boundary distance 0.5).
+    "q_ppr_converged" -> ((s, dir) => {
+      val e0 = t(s, dir, "customer").select(
+          concat(lit("c:"), col("c_custkey")).as("src"),
+          concat(lit("n:"), col("c_nationkey")).as("dst")).distinct()
+      val edges = e0.unionByName(
+          e0.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = t(s, dir, "nation").filter(col("n_nationkey") < 5)
+        .select(concat(lit("n:"), col("n_nationkey")).as("node"))
+      graft.operators.Graph.personalizedPageRankConverged(edges, seeds,
+          maxIters = 18, damping = 0.25, roundDp = 6)
+        .select(col("node"), round(col("r"), 6).as("rank"))
+        .orderBy(col("rank").desc, col("node")).limit(20)
+    }),
+
     // A6+ domain pack — time-weighted average per user-day (the vwap
     // sibling weighted by holding seconds, not volume): one lead()
     // window + one aggregate sharing the user partitioning.
@@ -2174,6 +2214,56 @@ object SparkEntry {
         "vec_id", "embedding", nProbe = 2, k = 5)
       val ground = Similarity.cosineTopK(q,
           emb.unionByName(batch(1)).unionByName(batch(2)),
+          "vec_id", "embedding", 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val recall = topk
+        .join(ground.withColumn("__hit", lit(1L)),
+          Seq("query_id", "neighbor_id"), "left")
+        .agg(sum(coalesce(col("__hit"), lit(0L))).as("hits"),
+          countDistinct(col("query_id")).as("n_queries"))
+        .select(col("hits"), col("n_queries"),
+          round(col("hits").cast("double") /
+            (col("n_queries") * 5).cast("double"), 6).as("recall_at_5"))
+      s.read.parquet(s"$scratch/postings")
+        .groupBy(col("cent_id").cast("long").as("cent_id"))
+        .agg(count(lit(1)).as("n_vectors"))
+        .crossJoin(broadcast(recall))
+        .orderBy("cent_id")
+    }),
+
+    // IVF posting-list REBALANCE (round-10 verdict #3 acted on): 150
+    // exact copies of one vector are appended under frozen centroids —
+    // exactly the skew the append audit measures — then every list
+    // above 1.5× the mean is split by deterministic local 2-means
+    // (Similarity.rebalanceIvfIndex) behind the IndexStore swap. The
+    // oracle replays the ENTIRE chain in SQL — frozen assignment,
+    // integer-exact oversize rule, seeds, both Lloyd rounds,
+    // decimal-exact positionwise means, renumbered probes — so the
+    // hash compare is the probe-equivalence-vs-recompute proof, and
+    // the output carries the post-rebalance list sizes plus recall@5
+    // vs brute force (the before/after audit readout).
+    "q_ann_ivf_rebalance" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val pristine = ivfIndexPath(dir, "ivfappend")
+      Similarity.ensureIvfIndex(emb, "vec_id", "embedding",
+        nCentroids = 16, path = pristine)
+      val scratch = scratchDir("ivf_rebalance")
+      restoreMutableCopy(pristine, scratch)
+      val copies = emb.filter(col("vec_id") === 20)
+        .crossJoin(s.range(1, 151))
+        .select((lit(100000L) + col("id")).as("vec_id"), col("embedding"))
+      Similarity.appendToIvfIndex(s, copies, "vec_id", "embedding", scratch)
+      // integer-exact oversize rule (n > 1.5× mean): n > 3·total DIV
+      // (2·lists) — 1-row orchestration read, mirrored by the oracle
+      val st = s.read.parquet(s"$scratch/postings")
+        .agg(count(lit(1)).as("t"),
+          countDistinct(col("cent_id")).as("l")).head()
+      val maxList = 3L * st.getLong(0) / (2L * st.getLong(1))
+      Similarity.rebalanceIvfIndex(s, scratch, maxList)
+      val q = emb.filter(col("vec_id") < 10)
+      val topk = Similarity.ivfTopKIndexed(s, scratch, q,
+        "vec_id", "embedding", nProbe = 2, k = 5)
+      val ground = Similarity.cosineTopK(q, emb.unionByName(copies),
           "vec_id", "embedding", 5)
         .select(col("query_id"), col("neighbor_id"))
       val recall = topk

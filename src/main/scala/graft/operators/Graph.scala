@@ -166,31 +166,8 @@ object Graph {
         val (ck, rel) = Eager.tracked(next)
         stopDp.foreach { dp =>
           if (i >= nextProbe) {
-            val grid = math.pow(10.0, dp)
-            // ONE probe job: δᵢ = ‖rᵢ−rᵢ₋₁‖₁ and the minimum distance
-            // of any rank to a HALF_UP boundary of the 10^-dp grid
-            // (1-row driver read, orchestration only)
-            val row = ck.select(col("node"), col("r").as("rn"))
-              .join(r.select(col("node"), col("r").as("rp")), Seq("node"))
-              .agg(sum(abs(col("rn") - col("rp"))).as("d"),
-                min(abs((col("rn") * lit(grid)) % lit(1.0) - lit(0.5)))
-                  .as("b"))
-              .head()
-            val delta = row.getDouble(0)
-            val minDist = row.getDouble(1)
-            val eps = 2.0 * delta * damping / (1.0 - damping)
-            // stop iff the bound is inside the grid AND every node
-            // clears its nearest rounding boundary by ε
-            if (eps * grid < 0.45 && minDist > eps * grid) converged = true
-            else {
-              // δ must shrink to ~target before the bound can fire;
-              // the guaranteed rate is d per round — skip ahead
-              val target = 0.45 * (1.0 - damping) / (2.0 * damping * grid)
-              val skip = if (delta <= target) 1
-                else math.ceil(math.log(target / delta) /
-                  math.log(damping)).toInt.max(1)
-              nextProbe = i + skip
-            }
+            val (stop, np) = probeConvergence(ck, r, damping, dp, i)
+            if (stop) converged = true else nextProbe = np
           }
         }
         relPrev(); relPrev = rel
@@ -205,6 +182,43 @@ object Graph {
     val out = Eager.terminalReleasing(r, relPrev, edRel, infoRel)
     Eager.releaseBroadcastsSince(edges.sparkSession, bc0)
     (out, i)
+  }
+
+  /** The shared convergence probe of the PageRank family (pageRank,
+    * [[personalizedPageRank]] — both recurrences are affine maps whose
+    * linear part is `damping` × a column-stochastic matrix, so
+    * differences contract in ℓ1 by the damping factor per round and
+    * the same bound covers uniform-teleport, dangling-completed, and
+    * seed-teleport variants alike). ONE probe job measures
+    * δᵢ = ‖rᵢ−rᵢ₋₁‖₁ plus the minimum distance of any rank to a
+    * HALF_UP boundary of the 10^-dp grid (1-row driver read,
+    * orchestration only); returns (stop, nextProbeRound) — when the
+    * bound cannot fire yet, the guaranteed factor-d shrink per round
+    * prices how many rounds to skip before probing again. */
+  private def probeConvergence(ck: DataFrame, prev: DataFrame,
+      damping: Double, dp: Int, i: Int): (Boolean, Int) = {
+    val grid = math.pow(10.0, dp)
+    val row = ck.select(col("node"), col("r").as("rn"))
+      .join(prev.select(col("node"), col("r").as("rp")), Seq("node"))
+      .agg(sum(abs(col("rn") - col("rp"))).as("d"),
+        min(abs((col("rn") * lit(grid)) % lit(1.0) - lit(0.5)))
+          .as("b"))
+      .head()
+    val delta = row.getDouble(0)
+    val minDist = row.getDouble(1)
+    val eps = 2.0 * delta * damping / (1.0 - damping)
+    // stop iff the bound is inside the grid AND every node clears its
+    // nearest rounding boundary by ε
+    if (eps * grid < 0.45 && minDist > eps * grid) (true, i + 1)
+    else {
+      // δ must shrink to ~target before the bound can fire; the
+      // guaranteed rate is d per round — skip ahead
+      val target = 0.45 * (1.0 - damping) / (2.0 * damping * grid)
+      val skip = if (delta <= target) 1
+        else math.ceil(math.log(target / delta) /
+          math.log(damping)).toInt.max(1)
+      (false, i + skip)
+    }
   }
 
   /** One-pass node summary for the PageRank family: each edge explodes
@@ -236,7 +250,29 @@ object Graph {
     * can neither receive nor emit mass).
     */
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
-      iters: Int, damping: Double): DataFrame = {
+      iters: Int, damping: Double): DataFrame =
+    pprImpl(edges, seeds, iters, damping, stopDp = None)._1
+
+  /** [[personalizedPageRank]] with the PROVABLE convergence early-exit
+    * of [[pageRankConverged]]: the PPR recurrence's linear part is the
+    * same damping × column-stochastic matrix (the teleport restriction
+    * changes only the affine constant), so the identical ℓ1-contraction
+    * + rounding-boundary-clearance proof applies — stop once
+    * round(rᵢ, roundDp) provably equals round(r_maxIters, roundDp),
+    * which is exactly what the full-unroll oracle compares. */
+  def personalizedPageRankConverged(edges: DataFrame, seeds: DataFrame,
+      maxIters: Int, damping: Double, roundDp: Int): DataFrame =
+    pprImpl(edges, seeds, maxIters, damping, stopDp = Some(roundDp))._1
+
+  /** Spec hook: [[personalizedPageRankConverged]] plus the number of
+    * rounds actually executed. */
+  private[graft] def personalizedPageRankConvergedCounting(
+      edges: DataFrame, seeds: DataFrame, maxIters: Int, damping: Double,
+      roundDp: Int): (DataFrame, Int) =
+    pprImpl(edges, seeds, maxIters, damping, stopDp = Some(roundDp))
+
+  private def pprImpl(edges: DataFrame, seeds: DataFrame,
+      iters: Int, damping: Double, stopDp: Option[Int]): (DataFrame, Int) = {
     require(iters >= 1, s"personalizedPageRank: iters must be ≥ 1, got $iters")
     require(damping > 0 && damping < 1,
       s"personalizedPageRank: damping must be in (0,1), got $damping")
@@ -252,6 +288,10 @@ object Graph {
     eckRel()
     val nodes = info.select("node")
     val dang = info.filter(col("deg") === 0).select("node")
+    // same degenerate guard as [[pageRank]]: an empty graph would NPE
+    // the convergence probe's aggregates instead of failing loudly
+    require(info.head(1).nonEmpty,
+      "personalizedPageRank: edges frame is empty (no nodes)")
     // same fast path as [[pageRank]]: no danglers → the correction term
     // is exactly +0.0·tele, skip its per-round join + aggregate
     val hasDanglers = !dang.isEmpty
@@ -264,39 +304,52 @@ object Graph {
         when(col("__seed"), lit(1.0) / col("n_s").cast("double"))
           .otherwise(lit(0.0)).as("tele")))
     val init = tele.select(col("node"), col("tele").as("r"))
-    var relPrev: () => Unit = () => ()
-    val last = (1 to iters).foldLeft(init) { (r, i) =>
+    def round(r: DataFrame): DataFrame = {
       val m = ed
         .join(r.withColumnRenamed("node", "src"), Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg(sum((col("r") / col("deg").cast("double")).cast("decimal(38,12)"))
           .cast("double").as("m"))
       val recombined = tele.join(m, Seq("node"), "left")
-      val next =
-        if (hasDanglers) {
-          val dm = r.join(dang, Seq("node"))
-            .agg(coalesce(sum(col("r").cast("decimal(38,12)")),
-              lit(0).cast("decimal(38,12)")).cast("double").as("dmass"))
-          recombined.crossJoin(broadcast(dm))
-            .select(col("node"),
-              ((lit(1.0) - lit(damping)) * col("tele") +
-                lit(damping) * (coalesce(col("m"), lit(0.0)) +
-                  col("dmass") * col("tele"))).as("r"))
-        } else recombined
+      if (hasDanglers) {
+        val dm = r.join(dang, Seq("node"))
+          .agg(coalesce(sum(col("r").cast("decimal(38,12)")),
+            lit(0).cast("decimal(38,12)")).cast("double").as("dmass"))
+        recombined.crossJoin(broadcast(dm))
           .select(col("node"),
             ((lit(1.0) - lit(damping)) * col("tele") +
-              lit(damping) * coalesce(col("m"), lit(0.0))).as("r"))
-      if (i == iters) next
+              lit(damping) * (coalesce(col("m"), lit(0.0)) +
+                col("dmass") * col("tele"))).as("r"))
+      } else recombined
+        .select(col("node"),
+          ((lit(1.0) - lit(damping)) * col("tele") +
+            lit(damping) * coalesce(col("m"), lit(0.0))).as("r"))
+    }
+    var relPrev: () => Unit = () => ()
+    var r = init
+    var i = 0
+    var converged = false
+    var nextProbe = 1
+    while (i < iters && !converged) {
+      i += 1
+      val next = round(r)
+      if (i == iters) r = next // last round stays lazy for the terminal
       else {
         val (ck, rel) = Eager.tracked(next)
+        stopDp.foreach { dp =>
+          if (i >= nextProbe) {
+            val (stop, np) = probeConvergence(ck, r, damping, dp, i)
+            if (stop) converged = true else nextProbe = np
+          }
+        }
         relPrev(); relPrev = rel
-        ck
+        r = ck
       }
     }
     val out =
-      Eager.terminalReleasing(last, relPrev, edRel, infoRel, teleRel)
+      Eager.terminalReleasing(r, relPrev, edRel, infoRel, teleRel)
     Eager.releaseBroadcastsSince(edges.sparkSession, bc0)
-    out
+    (out, i)
   }
 
   /** Fixed-iteration label propagation over a directed edge frame —

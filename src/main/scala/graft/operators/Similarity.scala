@@ -482,6 +482,118 @@ object Similarity {
         .write.mode("overwrite").parquet(s"$stage/centroids")
     }
 
+  /** Split every posting list larger than `maxListSize` by a LOCAL
+    * deterministic 2-means and swap the result in atomically — the
+    * posting-list maintenance step any frozen-quantizer IVF deployment
+    * needs once appends skew a list (round-10 verdict #3; the
+    * `q_ann_ivf_append_audit` readout is the trigger signal). Mechanics:
+    *
+    *  - lists with > `maxListSize` vectors are selected (driver reads
+    *    ≤ nCentroids ints of orchestration metadata);
+    *  - each is re-clustered ALONE by `lloydRounds` rounds of 2-means
+    *    under the index's cosine metric — deterministic end to end:
+    *    seeds are the list's two smallest neighbor_ids' vectors (the
+    *    build's "first-N" training convention), assignment ties break
+    *    to the smaller sub-id, and means are positionwise decimal-exact
+    *    sums with ONE double division (order-independent, so the DuckDB
+    *    oracle replays them bit-for-bit);
+    *  - the split lists get centroid ids `subIdBase + 2·cent_id + sub`
+    *    (collision-free, replayable numbering), the split centroid row
+    *    is dropped, untouched lists are carried over byte-unchanged in
+    *    content, and the whole index is staged + swapped via
+    *    [[IndexStore.rewriteInPlace]] so no reader observes a
+    *    half-rebalanced index.
+    *
+    * A sub-cluster that empties during Lloyd simply vanishes (its
+    * sibling keeps the whole list) — deterministic, and mirrored by the
+    * oracle's joins. Returns the number of lists split; 0 = provably
+    * no oversized list, index untouched (no swap, no write).
+    *
+    * Scale shape: only the oversized lists' vectors are ever scored
+    * (members ⋈ broadcast sub-centroids — 2 rows per list); untouched
+    * lists stream through the staged rewrite unmodified. At 100 TB the
+    * rewrite cost is the compaction cost, paid only when the audit says
+    * the skew warrants it.
+    */
+  def rebalanceIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, maxListSize: Long, lloydRounds: Int = 2,
+      subIdBase: Long = 1000000L): Long = {
+    require(maxListSize >= 2, s"rebalanceIvfIndex: maxListSize must be ≥ 2")
+    require(lloydRounds >= 1, s"rebalanceIvfIndex: lloydRounds must be ≥ 1")
+    registerNative(spark)
+    val postings0 = spark.read.parquet(s"$path/postings")
+      .withColumn("cent_id", col("cent_id").cast("long"))
+    val overIds = postings0.groupBy("cent_id").agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxListSize)
+      .select("cent_id").collect().map(_.getLong(0)).sorted.toSeq
+    if (overIds.isEmpty) return 0L
+    IndexStore.rewriteInPlace(path) { stage =>
+      val postings = spark.read.parquet(s"$path/postings")
+        .withColumn("cent_id", col("cent_id").cast("long"))
+      val cents = spark.read.parquet(s"$path/centroids")
+        .withColumn("cent_id", col("cent_id").cast("long"))
+      val members = postings.filter(col("cent_id").isin(overIds: _*))
+      // seeds: the list's two smallest ids — the build's deterministic
+      // "training" convention applied locally
+      val w = Window.partitionBy(col("cent_id")).orderBy(col("neighbor_id"))
+      val seeds0 = members.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .select(col("cent_id"), (col("rn") - 1).cast("int").as("sub"),
+          col("nv").as("svec"), col("nn2").as("sn2"))
+      // one Lloyd assignment: nearest sub-centroid by cosine, ties to
+      // the smaller sub (max_by over (scos, -sub))
+      def assign(seeds: DataFrame): DataFrame =
+        members.join(broadcast(seeds), Seq("cent_id"))
+          .withColumn("scos",
+            dotDecimal(col("nv"), col("svec")).cast("double") /
+              (sqrt(col("nn2").cast("double")) *
+                sqrt(col("sn2").cast("double"))))
+          .groupBy(col("cent_id"), col("neighbor_id"))
+          .agg(max_by(col("sub"),
+            struct(col("scos"), (-col("sub")).as("tb"))).as("sub"))
+      // positionwise mean of each sub-cluster: decimal-exact sum, one
+      // double division, stored back as float (the index vector type)
+      def means(assigned: DataFrame): DataFrame = {
+        val withVec = assigned
+          .join(members.select("cent_id", "neighbor_id", "nv"),
+            Seq("cent_id", "neighbor_id"))
+        val byPos = withVec
+          .select(col("cent_id"), col("sub"), posexplode(col("nv")))
+          .groupBy(col("cent_id"), col("sub"), col("pos"))
+          .agg((sum(col("col").cast("double").cast("decimal(30,12)"))
+            .cast("double") / count(lit(1)).cast("double"))
+            .cast("float").as("mv"))
+        byPos.groupBy(col("cent_id"), col("sub"))
+          .agg(transform(
+            array_sort(collect_list(struct(col("pos"), col("mv")))),
+            x => x.getField("mv")).as("svec"))
+          .withColumn("sn2", dotDecimal(col("svec"), col("svec")))
+      }
+      var assigned = assign(seeds0)
+      var subCents = means(assigned)
+      (2 to lloydRounds).foreach { _ =>
+        assigned = assign(subCents)
+        subCents = means(assigned)
+      }
+      val subKey = lit(subIdBase) + col("cent_id") * 2 + col("sub")
+      val rebuilt = assigned
+        .join(members.select("cent_id", "neighbor_id", "nv", "nn2"),
+          Seq("cent_id", "neighbor_id"))
+        .select(col("neighbor_id"), col("nv"), col("nn2"),
+          subKey.as("cent_id"))
+      postings.filter(!col("cent_id").isin(overIds: _*))
+        .select("neighbor_id", "nv", "nn2", "cent_id")
+        .unionByName(rebuilt)
+        .write.mode("overwrite").partitionBy("cent_id")
+        .parquet(s"$stage/postings")
+      cents.filter(!col("cent_id").isin(overIds: _*))
+        .unionByName(subCents.select(subKey.as("cent_id"),
+          col("svec").as("cvec"), col("sn2").as("cn2")))
+        .write.mode("overwrite").parquet(s"$stage/centroids")
+    }
+    overIds.length.toLong
+  }
+
   /** [[ivfTopK]] against the MATERIALIZED index: the corpus assignment
     * is read from storage, queries pay only probe selection against the
     * stored centroids + the posting-list join. Results are identical to

@@ -80,9 +80,28 @@ object BucketedTable {
     * leaf directories directly drops the partition column, so the
     * result has exactly the snapshot's columns. */
   def current(spark: SparkSession, root: String, snapshot: DataFrame,
-      key: String, nBuckets: Int = defaultBuckets): DataFrame = {
-    val claimed = latestBucketState(root)
-    val unwritten = (0 until nBuckets).filterNot(claimed.contains)
+      key: String, nBuckets: Int = defaultBuckets): DataFrame =
+    assemble(spark, latestBucketState(root), (0 until nBuckets),
+      snapshot, key, nBuckets)
+
+  /** Assemble ONLY the given `buckets` of the current table — the
+    * file-level pruning the maintainers' per-batch reads need (round-10
+    * verdict #6): a batch's delta and rewrite work touches exactly the
+    * affected keys' buckets, and because the version layout is
+    * per-bucket, those buckets' FILES are the only ones that need
+    * opening. A post-scan `filter(bucketOf(...))` could never do this —
+    * the bucket is a computed column, invisible to parquet pruning. */
+  def currentBuckets(spark: SparkSession, root: String, snapshot: DataFrame,
+      key: String, buckets: Seq[Int],
+      nBuckets: Int = defaultBuckets): DataFrame =
+    assemble(spark,
+      latestBucketState(root).filter { case (b, _) => buckets.contains(b) },
+      buckets, snapshot, key, nBuckets)
+
+  private def assemble(spark: SparkSession, claimed: Map[Int, Option[String]],
+      wanted: Seq[Int], snapshot: DataFrame, key: String,
+      nBuckets: Int): DataFrame = {
+    val unwritten = wanted.filterNot(claimed.contains)
     val paths = claimed.values.flatten.toSeq
     val fromSnap =
       if (unwritten.size == nBuckets) Some(snapshot)
@@ -97,7 +116,7 @@ object BucketedTable {
       case (Some(a), Some(b)) => a.unionByName(b)
       case (Some(a), None) => a
       case (None, Some(b)) => b
-      case (None, None) => snapshot.limit(0) // every bucket claimed-empty
+      case (None, None) => snapshot.limit(0) // every wanted bucket claimed-empty
     }
   }
 
@@ -113,24 +132,113 @@ object BucketedTable {
       .drop("__bucket")
   }
 
+  /** The distinct bucket ids of `affectedKeys` — ≤ `nBuckets` ints of
+    * orchestration metadata, never row data. Collected once per batch
+    * and shared by [[currentBuckets]] (pruned read) and [[commit]]
+    * (manifest claims). */
+  def bucketIds(affectedKeys: DataFrame, key: String,
+      nBuckets: Int = defaultBuckets): Seq[Int] =
+    affectedKeys
+      .select(bucketOf(key, nBuckets).as("__bucket")).distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+
   /** Commit version `id`: write `content` (the affected buckets' FULL
     * new content) partitioned by bucket, then claim exactly the
     * buckets of `affectedKeys` in the manifest — including buckets
     * `content` has no rows for (deleted-empty). Buckets not claimed
-    * are untouched on disk. The id collect is ≤ `nBuckets` ints of
-    * orchestration metadata, never row data. */
+    * are untouched on disk. */
   def commit(root: String, id: Long, content: DataFrame,
       affectedKeys: DataFrame, key: String,
-      nBuckets: Int = defaultBuckets): Unit = {
-    val ids = affectedKeys
-      .select(bucketOf(key, nBuckets).as("__bucket")).distinct()
-      .collect().map(_.getInt(0)).sorted
+      nBuckets: Int = defaultBuckets): Unit =
+    commitIds(root, id, content,
+      bucketIds(affectedKeys, key, nBuckets), key, nBuckets)
+
+  /** [[commit]] with the affected-bucket ids already collected (the
+    * maintainers compute them once per batch for the pruned read). */
+  def commitIds(root: String, id: Long, content: DataFrame,
+      claimIds: Seq[Int], key: String,
+      nBuckets: Int = defaultBuckets,
+      compactThreshold: Int = defaultCompactThreshold): Unit = {
     content.withColumn("__bucket", bucketOf(key, nBuckets))
       .write.mode("overwrite").partitionBy("__bucket")
       .parquet(s"$root/v$id")
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"$root/v$id", "_buckets"),
-      ids.mkString("", "\n", "\n").getBytes("UTF-8"))
+      claimIds.sorted.mkString("", "\n", "\n").getBytes("UTF-8"))
+    if (compactThreshold > 0 && versions(root).size > compactThreshold)
+      compact(content.sparkSession, root, key, nBuckets)
     ()
   }
+
+  /** Version-count threshold at which [[commitIds]] folds the tree
+    * (round-10 verdict #5): without compaction, [[latestBucketState]]
+    * re-lists every `v*` directory per batch — O(batches) driver
+    * listing per commit, O(batches²) over a long stream — and the tree
+    * grows without bound. 32 keeps the listing trivially cheap while
+    * amortizing each fold over ≥32 commits. */
+  val defaultCompactThreshold = 32
+
+  /** Fold the whole version tree into ONE new base version and drop the
+    * shadowed older versions. The new version's manifest claims the
+    * union of every claim below it, so it shadows all of them — written
+    * parquet-then-manifest like any commit (a crash in between leaves
+    * an invisible version and the old tree intact; a crash mid-delete
+    * leaves shadowed dirs a later compaction removes). Reads are
+    * identical across a compaction (spec-asserted): per-bucket content
+    * is the newest claim either way, and UNCLAIMED buckets stay
+    * unclaimed — still falling through to the base snapshot.
+    *
+    * Same single-writer assumption as the maintainers themselves (the
+    * [[graft.operators.IndexStore]] contract serializes multi-process
+    * writers; these synchronous foreachBatch folds have exactly one). */
+  def compact(spark: SparkSession, root: String, key: String,
+      nBuckets: Int = defaultBuckets): Unit = {
+    val vs = versions(root)
+    if (vs.size < 2) return
+    val claimed = latestBucketState(root)
+    if (claimed.isEmpty) return
+    val id = vs.last._1 + 1
+    val paths = claimed.values.flatten.toSeq
+    val vdir = new java.io.File(root, s"v$id")
+    if (paths.nonEmpty)
+      // bucket column recomputed from the key — deterministic murmur3,
+      // identical to the assignment that placed each row originally
+      spark.read.parquet(paths: _*)
+        .withColumn("__bucket", bucketOf(key, nBuckets))
+        .write.mode("overwrite").partitionBy("__bucket")
+        .parquet(vdir.getPath)
+    else { vdir.mkdirs(); () } // all claims are deleted-empty buckets
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(vdir.getPath, "_buckets"),
+      claimed.keys.toSeq.sorted.mkString("", "\n", "\n").getBytes("UTF-8"))
+    def wipe(f: java.io.File): Unit = {
+      val fs = f.listFiles(); if (fs != null) fs.foreach(wipe)
+      f.delete(); ()
+    }
+    vs.foreach { case (_, dir) => wipe(dir) }
+  }
+
+  /** Seed `root` with a version claiming ALL buckets — the maintainers
+    * write the (group-/key-sized) base state once before the stream so
+    * per-batch merge-on-read never re-executes the base's aggregate
+    * plan for unclaimed buckets. */
+  def seedBase(root: String, content: DataFrame, key: String,
+      nBuckets: Int = defaultBuckets): Unit =
+    commitIds(root, 0L, content, (0 until nBuckets), key, nBuckets)
+
+  /** True iff `root` has at least one committed (manifested) version —
+    * the cheap existence probe resume paths use before paying an
+    * assembly job. */
+  def hasVersions(root: String): Boolean =
+    versions(root).exists { case (_, d) => new java.io.File(d, "_buckets").isFile }
+
+  /** Next free version id: one past the highest existing. Version ids
+    * must be allocated MONOTONE (not reused from batch ids) because
+    * [[compact]] writes its fold at `last+1` — a later commit at a
+    * recycled smaller id would be silently shadowed by the fold. The
+    * algebra each maintainer commits (per-key max frontier, change-log
+    * winners, zero-delta on re-application) keeps a retried batch
+    * idempotent without deterministic ids. */
+  def nextVersionId(root: String): Long =
+    versions(root).lastOption.map(_._1 + 1).getOrElse(0L)
 }

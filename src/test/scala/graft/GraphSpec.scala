@@ -183,6 +183,56 @@ class GraphSpec extends AnyFunSuite {
       s"early-exit output diverges from the $maxIters-round run")
   }
 
+  test("pageRankConverged early-exits on a DIRECTED graph with danglers") {
+    // unsymmetrized hub→leaf graph: every leaf is a pure sink, so the
+    // per-round dangling completion runs inside the proved recurrence
+    val edges = (1 to 40).map(i => ("hub" + (i % 3), f"leaf$i%02d"))
+      .toDF("src", "dst")
+    val maxIters = 40
+    val dp = 6
+    val (conv, rounds) = Graph.pageRankConvergedCounting(
+      edges, maxIters, damping = 0.3, roundDp = dp)
+    assert(rounds < maxIters,
+      s"expected a provable early exit, ran all $rounds rounds")
+    val got = conv.select(col("node"), round(col("r"), dp).as("rank"))
+      .as[(String, Double)].collect().toMap
+    val full = Graph.pageRank(edges, maxIters, damping = 0.3)
+      .select(col("node"), round(col("r"), dp).as("rank"))
+      .as[(String, Double)].collect().toMap
+    assert(got === full,
+      s"early-exit output diverges from the $maxIters-round run")
+  }
+
+  test("personalizedPageRankConverged early-exits and matches the full run rounded") {
+    val edges = sym((1 to 40).map(i => ("hub" + (i % 3), f"leaf$i%02d")): _*)
+    val seeds = Seq("hub0", "hub1").toDF("node")
+    val maxIters = 40
+    val dp = 6
+    val (conv, rounds) = Graph.personalizedPageRankConvergedCounting(
+      edges, seeds, maxIters, damping = 0.3, roundDp = dp)
+    assert(rounds < maxIters,
+      s"expected a provable early exit, ran all $rounds rounds")
+    val got = conv.select(col("node"), round(col("r"), dp).as("rank"))
+      .as[(String, Double)].collect().toMap
+    val full = Graph.personalizedPageRank(edges, seeds, maxIters, damping = 0.3)
+      .select(col("node"), round(col("r"), dp).as("rank"))
+      .as[(String, Double)].collect().toMap
+    assert(got === full,
+      s"early-exit output diverges from the $maxIters-round run")
+  }
+
+  test("personalizedPageRankConverged on a slow-converging graph runs every round") {
+    val edges = sym(("a", "b"), ("b", "c"), ("c", "d"))
+    val seeds = Seq("a").toDF("node")
+    val (conv, rounds) = Graph.personalizedPageRankConvergedCounting(
+      edges, seeds, maxIters = 4, damping = 0.95, roundDp = 9)
+    assert(rounds === 4)
+    val got = conv.as[(String, Double)].collect().toMap
+    val full = Graph.personalizedPageRank(edges, seeds, 4, 0.95)
+      .as[(String, Double)].collect().toMap
+    assert(got === full)
+  }
+
   test("pageRankConverged on a slow-converging graph runs every round (no unsound exit)") {
     // damping 0.95 → bound factor d/(1−d) = 19: at 9-decimal rounding
     // the proof cannot fire within 4 rounds, so all 4 must run and the

@@ -256,6 +256,71 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("rebalanceIvfIndex splits exactly the oversized list, preserves membership, no-ops otherwise") {
+    val emb = graft.sources.Sources
+      .table(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding")
+    val base = emb.filter(col("vec_id") < 40)
+    val idxDir = java.nio.file.Files.createTempDirectory("ivf_rebal")
+    try {
+      Similarity.ensureIvfIndex(base, "vec_id", "embedding",
+        nCentroids = 8, path = idxDir.toString)
+      def listSizes: Map[Long, Long] = spark.read
+        .parquet(s"$idxDir/postings")
+        .groupBy(col("cent_id").cast("long").as("c")).count()
+        .as[(Long, Long)].collect().toMap
+      def memberIds: Set[Long] = spark.read.parquet(s"$idxDir/postings")
+        .select("neighbor_id").as[Long].collect().toSet
+      // no list oversized yet → provable no-op: zero splits, files
+      // untouched (the swap never runs)
+      val filesBefore = {
+        val s = java.nio.file.Files.walk(idxDir)
+        try s.toArray.toSeq.map(_.toString).sorted finally s.close()
+      }
+      assert(Similarity.rebalanceIvfIndex(spark, idxDir.toString,
+        maxListSize = 1000) === 0L)
+      val filesAfter = {
+        val s = java.nio.file.Files.walk(idxDir)
+        try s.toArray.toSeq.map(_.toString).sorted finally s.close()
+      }
+      assert(filesAfter === filesBefore, "no-op rebalance touched the index")
+      // fatten one list with 30 exact copies of vec 20
+      Similarity.appendToIvfIndex(spark,
+        base.filter(col("vec_id") === 20)
+          .crossJoin(spark.range(1, 31))
+          .select((lit(100000L) + col("id")).as("vec_id"), col("embedding")),
+        "vec_id", "embedding", idxDir.toString)
+      val before = listSizes
+      val idsBefore = memberIds
+      val fat = before.maxBy(_._2)
+      assert(fat._2 > 30)
+      val nSplit = Similarity.rebalanceIvfIndex(spark, idxDir.toString,
+        maxListSize = 25)
+      assert(nSplit === before.count(_._2 > 25))
+      val after = listSizes
+      // the fat list's id is gone, replaced by its two sub-lists whose
+      // union is the old membership; untouched lists keep their sizes
+      assert(!after.contains(fat._1), s"split list ${fat._1} still present")
+      val subs = after.keys.filter(_ >= 1000000L).toSeq
+      assert(subs.nonEmpty && subs.forall(c =>
+        c == 1000000L + 2 * fat._1 || c == 1000000L + 2 * fat._1 + 1))
+      assert(subs.map(after).sum === fat._2,
+        "sub-list sizes do not sum to the split list")
+      assert(memberIds === idsBefore, "rebalance lost or invented vectors")
+      before.filter(_._1 != fat._1).foreach { case (c, n) =>
+        assert(after(c) === n, s"untouched list $c changed size")
+      }
+      // every list now within bound (2-means on an exact-copy cluster
+      // separates the copies from the rest)
+      assert(after.values.max <= fat._2 - 1)
+    } finally {
+      val s = java.nio.file.Files.walk(idxDir)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+      finally s.close()
+    }
+  }
+
   test("crashed-swap recovery preserves appended IVF postings (no silent rebuild from corpus)") {
     val emb = graft.sources.Sources
       .table(spark, "/root/testdata/sf0.001", "embeddings")

@@ -443,6 +443,192 @@ class StreamingSinksSpec extends AnyFunSuite {
     }
   }
 
+  test("BucketedTable: compaction preserves reads and shrinks the tree") {
+    import graft.streaming.BucketedTable
+    val snap = (1L to 20L).map(k => (k, k * 1.0)).toDF("k", "v")
+    val rootDir = java.nio.file.Files.createTempDirectory("bucketed_compact")
+    val root = rootDir.toString
+    def vDirs = Option(new java.io.File(root).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("v")).map(_.getName)
+    try {
+      // three commits: update k=1,2; update k=3; delete EVERY key of
+      // k=1's bucket (claimed-empty must survive the fold)
+      val aff0 = Seq(1L, 2L).toDF("k")
+      BucketedTable.commit(root, 0,
+        BucketedTable.affectedBucketRows(
+            BucketedTable.current(spark, root, snap, "k"), aff0, "k")
+          .join(aff0, Seq("k"), "left_anti")
+          .unionByName(Seq((1L, 100.0), (2L, 100.0)).toDF("k", "v")),
+        aff0, "k")
+      val aff1 = Seq(3L).toDF("k")
+      BucketedTable.commit(root, 1,
+        BucketedTable.affectedBucketRows(
+            BucketedTable.current(spark, root, snap, "k"), aff1, "k")
+          .join(aff1, Seq("k"), "left_anti")
+          .unionByName(Seq((3L, 300.0)).toDF("k", "v")),
+        aff1, "k")
+      val b1 = Seq(1L).toDF("k").select(BucketedTable.bucketOf("k"))
+        .collect().head.getInt(0)
+      val b1Keys = (1L to 20L).toDF("k")
+        .select(col("k"), BucketedTable.bucketOf("k").as("b"))
+        .as[(Long, Int)].collect().filter(_._2 == b1).map(_._1).toSeq
+      val affDel = b1Keys.toDF("k")
+      BucketedTable.commit(root, 2,
+        BucketedTable.affectedBucketRows(
+            BucketedTable.current(spark, root, snap, "k"), affDel, "k")
+          .join(affDel, Seq("k"), "left_anti"), // bucket emptied
+        affDel, "k")
+      val before = BucketedTable.current(spark, root, snap, "k")
+        .as[(Long, Double)].collect().toMap
+      assert(vDirs.length === 3)
+      BucketedTable.compact(spark, root, "k")
+      // THE invariants: one version left, reads identical, the
+      // claimed-empty bucket stays deleted, unclaimed buckets still
+      // fall through to the snapshot
+      assert(vDirs.length === 1, s"tree did not shrink: ${vDirs.toSeq}")
+      val after = BucketedTable.current(spark, root, snap, "k")
+        .as[(Long, Double)].collect().toMap
+      assert(after === before)
+      assert(b1Keys.forall(k => !after.contains(k)))
+      assert(after(2L) === 100.0 && after(3L) === 300.0)
+      (4L to 20L).filterNot(b1Keys.contains).filterNot(_ == 3L)
+        .foreach(k => assert(after(k) === k * 1.0))
+    } finally {
+      val s = java.nio.file.Files.walk(rootDir)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+      finally s.close()
+    }
+  }
+
+  test("BucketedTable: commitIds auto-compacts past the version threshold") {
+    import graft.streaming.BucketedTable
+    val snap = (1L to 20L).map(k => (k, k * 1.0)).toDF("k", "v")
+    val rootDir = java.nio.file.Files.createTempDirectory("bucketed_auto")
+    val root = rootDir.toString
+    def nV = Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+      .count(f => f.isDirectory && f.getName.startsWith("v"))
+    try {
+      (1 to 6).foreach { i =>
+        val k = i.toLong
+        val aff = Seq(k).toDF("k")
+        val tPrev = BucketedTable.current(spark, root, snap, "k")
+        BucketedTable.commitIds(root, BucketedTable.nextVersionId(root),
+          BucketedTable.affectedBucketRows(tPrev, aff, "k")
+            .join(aff, Seq("k"), "left_anti")
+            .unionByName(Seq((k, k * 100.0)).toDF("k", "v")),
+          BucketedTable.bucketIds(aff, "k"), "k",
+          compactThreshold = 3)
+        assert(nV <= 4, s"tree grew past threshold+1: $nV versions")
+      }
+      val cur = BucketedTable.current(spark, root, snap, "k")
+        .as[(Long, Double)].collect().toMap
+      (1L to 6L).foreach(k => assert(cur(k) === k * 100.0))
+      (7L to 20L).foreach(k => assert(cur(k) === k * 1.0))
+      assert(cur.size === 20)
+    } finally {
+      val s = java.nio.file.Files.walk(rootDir)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+      finally s.close()
+    }
+  }
+
+  test("BucketedTable: currentBuckets equals the bucket-restriction of current") {
+    import graft.streaming.BucketedTable
+    val snap = (1L to 20L).map(k => (k, k * 1.0)).toDF("k", "v")
+    val rootDir = java.nio.file.Files.createTempDirectory("bucketed_pruned")
+    val root = rootDir.toString
+    try {
+      val aff0 = Seq(1L, 2L, 3L).toDF("k")
+      BucketedTable.commit(root, 0,
+        BucketedTable.affectedBucketRows(
+            BucketedTable.current(spark, root, snap, "k"), aff0, "k")
+          .join(aff0, Seq("k"), "left_anti")
+          .unionByName(Seq((1L, 100.0), (2L, 100.0), (3L, 100.0))
+            .toDF("k", "v")),
+        aff0, "k")
+      // wanted set straddles claimed AND never-claimed buckets
+      val wantedKeys = Seq(2L, 7L, 11L).toDF("k")
+      val wanted = BucketedTable.bucketIds(wantedKeys, "k")
+      val pruned = BucketedTable
+        .currentBuckets(spark, root, snap, "k", wanted)
+        .as[(Long, Double)].collect().toMap
+      val full = BucketedTable.current(spark, root, snap, "k")
+        .withColumn("__b", BucketedTable.bucketOf("k"))
+        .filter(col("__b").isin(wanted: _*)).drop("__b")
+        .as[(Long, Double)].collect().toMap
+      assert(pruned === full)
+      // the maintainers' contract: affected keys' rows are all there
+      assert(pruned(2L) === 100.0 && pruned(7L) === 7.0 && pruned(11L) === 11.0)
+    } finally {
+      val s = java.nio.file.Files.walk(rootDir)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+      finally s.close()
+    }
+  }
+
+  test("ooo IVM: rollup and frontier commits are bucket-scoped, never wholesale") {
+    import graft.operators.Dedup
+    def ts(x: String) = java.sql.Timestamp.valueOf(x)
+    // groups spread over many buckets so a one-group batch delta can
+    // never legitimately claim every bucket
+    val snap = (1L to 16L).map(k => (k, k % 8, k * 1.0)).toDF("k", "g", "v")
+    val changes = Seq(
+      (1L, ts("2024-01-10 00:00:00"), 1L, "U", 1L, 15.0),
+      (2L, ts("2024-02-10 00:00:00"), 1L, "U", 2L, 25.0),
+      (3L, ts("2024-03-10 00:00:00"), 1L, "U", 3L, 35.0)
+    ).toDF("k", "ts", "seq", "op", "g", "v")
+    val streamed = Streaming.streamingIncrementalRollupOutOfOrder(spark,
+        snap, changes, batchOf = month(col("ts")) - 1,
+        "k", "ts", "seq", "op", Seq("g", "v"), col("g"), col("v"),
+        maxLatenessSec = 365L * 24 * 3600)
+      .orderBy("grp").as[(Long, Long, Double)].collect()
+    val oneShot = Dedup.incrementalRollup(snap, changes, "k", "ts", "seq",
+        "op", Seq("g", "v"), col("g"), col("v"))
+      .orderBy("grp").as[(Long, Long, Double)].collect()
+    assert(streamed.toSeq === oneShot.toSeq)
+    // inspect the maintainer's actual version trees (they live under
+    // the streaming scratch root until the next invocation wipes them)
+    val scratch = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_stream_${ProcessHandle.current().pid()}")
+    def claims(rootName: String): Seq[(Long, Seq[Int])] = {
+      val d = scratch.resolve(rootName).toFile
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("v"))
+        .sortBy(_.getName.drop(1).toLong)
+        .flatMap { v =>
+          val m = new java.io.File(v, "_buckets")
+          if (!m.isFile) None
+          else Some(v.getName.drop(1).toLong ->
+            new String(java.nio.file.Files.readAllBytes(m.toPath), "UTF-8")
+              .split("\n").iterator.map(_.trim).filter(_.nonEmpty)
+              .map(_.toInt).toSeq)
+        }.toSeq
+    }
+    val nB = graft.streaming.BucketedTable.defaultBuckets
+    val roll = claims("ivm_ooo_rollup")
+    // seed claims ALL buckets; every per-batch commit claims a strict
+    // subset (one group's delta per batch here)
+    assert(roll.head._2 === (0 until nB).toSeq, s"no full seed: $roll")
+    assert(roll.tail.nonEmpty)
+    roll.tail.foreach { case (v, bs) =>
+      assert(bs.nonEmpty && bs.size < nB,
+        s"rollup v$v claims $bs — wholesale rewrite")
+    }
+    Seq("ivm_ooo_front", "ivm_ooo_table").foreach { rn =>
+      val cs = claims(rn)
+      assert(cs.nonEmpty, s"$rn has no committed versions")
+      cs.foreach { case (v, bs) =>
+        assert(bs.nonEmpty && bs.size < nB,
+          s"$rn v$v claims $bs — wholesale rewrite")
+      }
+    }
+  }
+
   test("BucketedTable: deleting a bucket's last row does not resurrect older versions") {
     import graft.streaming.BucketedTable
     val snap = (1L to 20L).map(k => (k, k * 1.0)).toDF("k", "v")
