@@ -502,6 +502,63 @@ class StreamingSinksSpec extends AnyFunSuite {
     }
   }
 
+  test("BucketedTable: a crash mid-compaction (fold written, old versions not deleted) reads identically") {
+    import graft.streaming.BucketedTable
+    val snap = (1L to 20L).map(k => (k, k * 1.0)).toDF("k", "v")
+    val rootDir = java.nio.file.Files.createTempDirectory("bucketed_crash")
+    val root = rootDir.toString
+    try {
+      val aff0 = Seq(1L, 2L).toDF("k")
+      BucketedTable.commit(root, 0,
+        BucketedTable.affectedBucketRows(
+            BucketedTable.current(spark, root, snap, "k"), aff0, "k")
+          .join(aff0, Seq("k"), "left_anti")
+          .unionByName(Seq((1L, 100.0), (2L, 100.0)).toDF("k", "v")),
+        aff0, "k")
+      val aff1 = Seq(3L).toDF("k")
+      BucketedTable.commit(root, 1,
+        BucketedTable.affectedBucketRows(
+            BucketedTable.current(spark, root, snap, "k"), aff1, "k")
+          .join(aff1, Seq("k"), "left_anti")
+          .unionByName(Seq((3L, 300.0)).toDF("k", "v")),
+        aff1, "k")
+      val before = BucketedTable.current(spark, root, snap, "k")
+        .as[(Long, Double)].collect().toMap
+      // simulate the crash: run compact, then RESTORE the old version
+      // dirs next to the fold (the state a crash mid-delete leaves) —
+      // the fold claims a superset of every claim below it, so it
+      // shadows the stale dirs and reads must be identical
+      val backup = java.nio.file.Files.createTempDirectory("bucketed_bak")
+      def copyRec(from: java.io.File, to: java.io.File): Unit = {
+        if (from.isDirectory) { to.mkdirs()
+          from.listFiles().foreach(f => copyRec(f, new java.io.File(to, f.getName)))
+        } else { java.nio.file.Files.copy(from.toPath, to.toPath); () }
+      }
+      Seq("v0", "v1").foreach(v =>
+        copyRec(new java.io.File(root, v), new java.io.File(backup.toFile, v)))
+      BucketedTable.compact(spark, root, "k")
+      Seq("v0", "v1").foreach(v =>
+        copyRec(new java.io.File(backup.toFile, v), new java.io.File(root, v)))
+      val crashed = BucketedTable.current(spark, root, snap, "k")
+        .as[(Long, Double)].collect().toMap
+      assert(crashed === before,
+        "stale pre-compaction versions changed reads — fold does not shadow them")
+      // and the NEXT compaction removes the stale dirs for good
+      BucketedTable.compact(spark, root, "k")
+      val dirs = Option(new java.io.File(root).listFiles())
+        .getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("v")).map(_.getName)
+      assert(dirs.length === 1, s"stale dirs survived re-compaction: ${dirs.toSeq}")
+      assert(BucketedTable.current(spark, root, snap, "k")
+        .as[(Long, Double)].collect().toMap === before)
+    } finally {
+      val s = java.nio.file.Files.walk(rootDir)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+      finally s.close()
+    }
+  }
+
   test("BucketedTable: commitIds auto-compacts past the version threshold") {
     import graft.streaming.BucketedTable
     val snap = (1L to 20L).map(k => (k, k * 1.0)).toDF("k", "v")
