@@ -542,11 +542,19 @@ object Streaming {
         val deltas = Dedup.rollupDeltas(tableAff, batch, key, tsCol,
           seqCol, opCol, valueCols, group, value)
         // rollup claim: a key MOVING groups deltas its OLD group too, so
-        // the claim comes from the delta frame itself (≤ nBuckets ints;
-        // the delta is affected-bucket-sized, re-executed once for the
-        // merge write below — cheaper than a checkpoint at these
-        // micro-batch floors, measured)
-        val gIds = BucketedTable.bucketIds(deltas.select(col("grp")), "grp")
+        // a precise claim must come from the delta frame itself. But a
+        // SUPERSET claim is always correct (the claimed buckets' full
+        // content is written either way — untouched groups pass through
+        // the merge), so the claim is ADAPTIVE on batch sparsity, which
+        // affIds measures for free: a batch already touching every KEY
+        // bucket is table-wide — claim all group buckets and skip the
+        // delta-collect job (write amplification is zero when the batch
+        // is dense); only a SPARSE batch — the 100 TB shape — pays the
+        // precise collect that makes its rollup write delta-sized.
+        val gIds =
+          if (affIds.size == BucketedTable.defaultBuckets)
+            (0 until BucketedTable.defaultBuckets)
+          else BucketedTable.bucketIds(deltas.select(col("grp")), "grp")
         val rollupAff = BucketedTable.currentBuckets(
           spark, rollupRoot, rollupBase, "grp", gIds)
         BucketedTable.commitIds(rollupRoot,
@@ -725,7 +733,14 @@ object Streaming {
             key, tsCol, seqCol, opCol, valueCols))
         val deltas =
           Dedup.rollupDeltaFromStates(oldAffected, newAffected, group, value)
-        val gIds = BucketedTable.bucketIds(deltas.select(col("grp")), "grp")
+        // adaptive rollup claim, as in the ordered maintainer: a batch
+        // already touching every key bucket is table-wide — claim all
+        // group buckets and skip the precise delta-collect job; only a
+        // sparse batch pays it (and gets a delta-sized rollup write)
+        val gIds =
+          if (affIds.size == BucketedTable.defaultBuckets)
+            (0 until BucketedTable.defaultBuckets)
+          else BucketedTable.bucketIds(deltas.select(col("grp")), "grp")
         BucketedTable.commitIds(rollupRoot,
           BucketedTable.nextVersionId(rollupRoot),
           Dedup.mergeRollup(
