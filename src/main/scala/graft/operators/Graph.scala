@@ -149,31 +149,8 @@ object Graph {
           ((lit(1.0) - lit(damping)) / lit(nD) +
             lit(damping) * coalesce(col("m"), lit(0.0))).as("r"))
     }
-    var relPrev: () => Unit = () => ()
-    var r = init
-    var i = 0
-    var converged = false
-    // first round whose convergence probe could possibly fire — pushed
-    // forward predictively from each measured δ (contraction guarantees
-    // a factor-d shrink per round, so probing before δ can reach the
-    // grid target is a wasted job)
-    var nextProbe = 1
-    while (i < iters && !converged) {
-      i += 1
-      val next = round(r)
-      if (i == iters) r = next // last round stays lazy for the terminal
-      else {
-        val (ck, rel) = Eager.tracked(next)
-        stopDp.foreach { dp =>
-          if (i >= nextProbe) {
-            val (stop, np) = probeConvergence(ck, r, damping, dp, i)
-            if (stop) converged = true else nextProbe = np
-          }
-        }
-        relPrev(); relPrev = rel
-        r = ck
-      }
-    }
+    val (r, i, relPrev) =
+      iterate(init, round, iters, damping, stopDp, chainable = !hasDanglers)
     // the terminal checkpoint frees EVERYTHING internal (last round's
     // frame, edges, node info) deterministically; the caller / harness
     // owns the terminal's own node-sized blocks. The rounds also left
@@ -182,6 +159,73 @@ object Graph {
     val out = Eager.terminalReleasing(r, relPrev, edRel, infoRel)
     Eager.releaseBroadcastsSince(edges.sparkSession, bc0)
     (out, i)
+  }
+
+  /** The shared round loop of the PageRank family, with BOUNDED LAZY
+    * CHAINING (round 11): when the recurrence reads the rank frame
+    * ONCE per round (`chainable` — the no-dangler paths), rounds
+    * between materialization points fold lazily into a single plan,
+    * so only probe endpoints and every-`maxChain`-th round pay a
+    * checkpoint job. The per-round localCheckpoint was the dominant
+    * cost of the converged variants — node-sized data, pure job
+    * floors — and a k-deep chain of single-reference rounds is linear
+    * in plan size. A recurrence that reads the rank frame TWICE per
+    * round (dangling completion) would DOUBLE its subtree per lazy
+    * level (the same exponential the directed oracle hit in DuckDB),
+    * so it keeps one-round-one-checkpoint. Probe rounds, measured δs,
+    * and results are identical to the per-round loop — only the
+    * materialization schedule changes.
+    *
+    * Returns (final frame — lazy past the last checkpoint, so the
+    * caller's terminal materializes it, rounds run, release handle
+    * for the last internal checkpoint). */
+  private def iterate(init: DataFrame, round: DataFrame => DataFrame,
+      iters: Int, damping: Double, stopDp: Option[Int],
+      chainable: Boolean): (DataFrame, Int, () => Unit) = {
+    val maxChain = if (chainable) 8 else 1
+    var relPrev: () => Unit = () => ()
+    var r = init
+    var i = 0
+    var lazyDepth = 0
+    var converged = false
+    // first round whose convergence probe could possibly fire — pushed
+    // forward predictively from each measured δ (contraction guarantees
+    // a factor-d shrink per round, so probing before δ can reach the
+    // grid target is a wasted job). A probe at the final round decides
+    // nothing — the run ends either way — so probing stops at iters−1.
+    var nextProbe = 1
+    def ckpt(df: DataFrame): DataFrame = {
+      val (c, rel) = Eager.tracked(df)
+      relPrev(); relPrev = rel
+      lazyDepth = 0
+      c
+    }
+    while (i < iters && !converged) {
+      val probing = stopDp.isDefined && nextProbe < iters &&
+        nextProbe <= i + maxChain
+      if (!probing) {
+        // advance one chain (or to the end); mid-run endpoints are
+        // checkpointed, the final round stays lazy for the terminal
+        val target = math.min(iters, i + maxChain)
+        while (i < target) { i += 1; r = round(r); lazyDepth += 1 }
+        if (i < iters) r = ckpt(r)
+      } else {
+        // fold lazily to the round BEFORE the probe, materialize it
+        // (the probe's δ join and round nextProbe both read it), then
+        // checkpoint the probed round itself
+        while (i < nextProbe - 1) { i += 1; r = round(r); lazyDepth += 1 }
+        if (lazyDepth > 0) r = ckpt(r)
+        i += 1
+        val prev = r
+        val (ck, rel) = Eager.tracked(round(prev))
+        val (stop, np) = probeConvergence(ck, prev, damping, stopDp.get, i)
+        if (stop) converged = true else nextProbe = np
+        relPrev(); relPrev = rel
+        lazyDepth = 0
+        r = ck
+      }
+    }
+    (r, i, relPrev)
   }
 
   /** The shared convergence probe of the PageRank family (pageRank,
@@ -325,27 +369,8 @@ object Graph {
           ((lit(1.0) - lit(damping)) * col("tele") +
             lit(damping) * coalesce(col("m"), lit(0.0))).as("r"))
     }
-    var relPrev: () => Unit = () => ()
-    var r = init
-    var i = 0
-    var converged = false
-    var nextProbe = 1
-    while (i < iters && !converged) {
-      i += 1
-      val next = round(r)
-      if (i == iters) r = next // last round stays lazy for the terminal
-      else {
-        val (ck, rel) = Eager.tracked(next)
-        stopDp.foreach { dp =>
-          if (i >= nextProbe) {
-            val (stop, np) = probeConvergence(ck, r, damping, dp, i)
-            if (stop) converged = true else nextProbe = np
-          }
-        }
-        relPrev(); relPrev = rel
-        r = ck
-      }
-    }
+    val (r, i, relPrev) =
+      iterate(init, round, iters, damping, stopDp, chainable = !hasDanglers)
     val out =
       Eager.terminalReleasing(r, relPrev, edRel, infoRel, teleRel)
     Eager.releaseBroadcastsSince(edges.sparkSession, bc0)
@@ -404,10 +429,21 @@ object Graph {
       sd.unionByName(
         prop.join(sd.select("node"), Seq("node"), "left_anti"))
     }
-    (1 to iters).foreach { _ =>
-      val (ck, rel) = Eager.tracked(step(labels))
-      relPrev(); relPrev = rel
-      labels = ck
+    // rounds fold LAZILY in bounded chains (round 11 — `cur` is read
+    // once per step, so the chain is linear in plan size); only every
+    // 6th round and the FINAL round checkpoint. The final checkpoint is
+    // mandatory: the returned frame must not reference e/sd, which are
+    // released below.
+    var depth = 0
+    (1 to iters).foreach { i =>
+      labels = step(labels)
+      depth += 1
+      if (depth == 6 || i == iters) {
+        val (ck, rel) = Eager.tracked(labels)
+        relPrev(); relPrev = rel
+        labels = ck
+        depth = 0
+      }
     }
     if (requireConverged) {
       // label-set signature: exact decimal sum of per-row hashes — the
@@ -505,10 +541,18 @@ object Graph {
     require(maxHops >= 1, s"kHopReachability: maxHops must be ≥ 1, got $maxHops")
     val bc0 = Eager.broadcastSnapshot(edges.sparkSession)
     val (e, eRel) = Eager.tracked(edges.select("src", "dst").distinct())
-    var (dist, relDist) = Eager.tracked(seeds.select(col("node")).distinct()
+    val (seed0, relSeed) = Eager.tracked(seeds.select(col("node")).distinct()
       .withColumn("dist", lit(0L)))
-    var frontier = dist.select("node")
-    var relFrontier: () => Unit = () => ()
+    // `dist` stays a LAZY union over the per-round CHECKPOINTED
+    // frontiers (round 11): every source is an RDD scan, so the
+    // anti-join re-reads blocks, never recomputes — the former
+    // per-round dist checkpoint paid one extra job per hop purely to
+    // flatten a union of already-materialized frames. One terminal
+    // checkpoint flattens it at the end and releases every round's
+    // blocks.
+    var dist = seed0
+    var rels: List[() => Unit] = List(relSeed)
+    var frontier = seed0.select("node")
     var hop = 1
     var done = false
     while (hop <= maxHops && !done) {
@@ -516,25 +560,17 @@ object Graph {
         e.join(frontier.withColumnRenamed("node", "src"), Seq("src"))
           .select(col("dst").as("node")).distinct()
           .join(dist.select("node"), Seq("node"), "left_anti"))
-      // the previous frontier's blocks were last read building
-      // `discovered` (its rows already live inside `dist`'s checkpoint)
-      relFrontier()
       if (discovered.isEmpty) { relDisc(); done = true }
       else {
-        val (nd, relNd) = Eager.tracked(dist.unionByName(
-          discovered.withColumn("dist", lit(hop.toLong))))
-        relDist(); relDist = relNd
-        dist = nd
+        dist = dist.unionByName(
+          discovered.withColumn("dist", lit(hop.toLong)))
         frontier = discovered.select("node")
-        relFrontier = relDisc
+        rels = relDisc :: rels
         hop += 1
       }
     }
-    // `dist` is already materialized (checkpointed every round), so the
-    // edge frame and the last frontier are dead; dist's own blocks are
-    // the terminal the caller/harness owns
-    relFrontier(); eRel()
+    val out = Eager.terminalReleasing(dist, (eRel :: rels): _*)
     Eager.releaseBroadcastsSince(edges.sparkSession, bc0)
-    dist
+    out
   }
 }

@@ -521,6 +521,10 @@ object Similarity {
     require(maxListSize >= 2, s"rebalanceIvfIndex: maxListSize must be ≥ 2")
     require(lloydRounds >= 1, s"rebalanceIvfIndex: lloydRounds must be ≥ 1")
     registerNative(spark)
+    // broadcast hygiene (the operator contract every cache-releasing
+    // operator follows): the Lloyd assigns broadcast the sub-centroid
+    // frames once per round — all dead after the staged writes land
+    val bc0 = Eager.broadcastSnapshot(spark)
     val postings0 = spark.read.parquet(s"$path/postings")
       .withColumn("cent_id", col("cent_id").cast("long"))
     val overIds = postings0.groupBy("cent_id").agg(count(lit(1)).as("n"))
@@ -591,6 +595,7 @@ object Similarity {
           col("svec").as("cvec"), col("sn2").as("cn2")))
         .write.mode("overwrite").parquet(s"$stage/centroids")
     }
+    Eager.releaseBroadcastsSince(spark, bc0)
     overIds.length.toLong
   }
 
