@@ -84,6 +84,38 @@ object BucketedTable {
     assemble(spark, latestBucketState(root), (0 until nBuckets),
       snapshot, key, nBuckets)
 
+  /** TIME-TRAVEL read: the table as of version `maxVersion` — per
+    * bucket, the newest claim with id ≤ `maxVersion`, base snapshot for
+    * buckets unclaimed by then. The lake-table "read a past training
+    * snapshot" primitive, free on this layout because versions are
+    * immutable once manifested.
+    *
+    * Horizon contract (the vacuum trade every lake format makes):
+    * [[compact]] folds history — claims below the fold are deleted, so
+    * asOf older than the oldest retained version degrades to the base
+    * snapshot for buckets whose pre-fold claims are gone. Readers that
+    * need deep history defer compaction; the spec pins both sides. */
+  def currentAsOf(spark: SparkSession, root: String, snapshot: DataFrame,
+      key: String, maxVersion: Long,
+      nBuckets: Int = defaultBuckets): DataFrame =
+    assemble(spark, latestBucketStateAsOf(root, maxVersion),
+      (0 until nBuckets), snapshot, key, nBuckets)
+
+  private def latestBucketStateAsOf(root: String,
+      maxVersion: Long): Map[Int, Option[String]] = {
+    val claimed = scala.collection.mutable.Map.empty[Int, Option[String]]
+    versions(root).reverse.foreach { case (id, vdir) =>
+      if (id <= maxVersion)
+        manifestAt(vdir).foreach(_.foreach { b =>
+          if (!claimed.contains(b)) {
+            val part = new java.io.File(vdir, s"__bucket=$b")
+            claimed(b) = if (part.isDirectory) Some(part.getPath) else None
+          }
+        })
+    }
+    claimed.toMap
+  }
+
   /** Assemble ONLY the given `buckets` of the current table — the
     * file-level pruning the maintainers' per-batch reads need (round-10
     * verdict #6): a batch's delta and rewrite work touches exactly the

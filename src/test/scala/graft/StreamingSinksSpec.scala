@@ -502,6 +502,51 @@ class StreamingSinksSpec extends AnyFunSuite {
     }
   }
 
+  test("BucketedTable: currentAsOf time-travels, and compaction retires the horizon") {
+    import graft.streaming.BucketedTable
+    val snap = (1L to 20L).map(k => (k, k * 1.0)).toDF("k", "v")
+    val rootDir = java.nio.file.Files.createTempDirectory("bucketed_asof")
+    val root = rootDir.toString
+    def commitOne(k: Long, v: Double): Unit = {
+      val aff = Seq(k).toDF("k")
+      BucketedTable.commitIds(root, BucketedTable.nextVersionId(root),
+        BucketedTable.affectedBucketRows(
+            BucketedTable.current(spark, root, snap, "k"), aff, "k")
+          .join(aff, Seq("k"), "left_anti")
+          .unionByName(Seq((k, v)).toDF("k", "v")),
+        BucketedTable.bucketIds(aff, "k"), "k")
+    }
+    try {
+      commitOne(1L, 100.0) // v0
+      commitOne(1L, 200.0) // v1
+      commitOne(2L, 300.0) // v2
+      def asOf(v: Long): Map[Long, Double] =
+        BucketedTable.currentAsOf(spark, root, snap, "k", v)
+          .as[(Long, Double)].collect().toMap
+      assert(asOf(0L)(1L) === 100.0 && asOf(0L)(2L) === 2.0)
+      assert(asOf(1L)(1L) === 200.0 && asOf(1L)(2L) === 2.0)
+      assert(asOf(2L)(1L) === 200.0 && asOf(2L)(2L) === 300.0)
+      // asOf before any version = the base snapshot
+      assert(asOf(-1L) === (1L to 20L).map(k => k -> k * 1.0).toMap)
+      // asOf(latest) == current, always
+      assert(asOf(Long.MaxValue) ===
+        BucketedTable.current(spark, root, snap, "k")
+          .as[(Long, Double)].collect().toMap)
+      // compaction retires history below the fold: reads at or past the
+      // fold are unchanged, reads before it degrade to the base snapshot
+      BucketedTable.compact(spark, root, "k")
+      assert(asOf(Long.MaxValue)(1L) === 200.0 &&
+        asOf(Long.MaxValue)(2L) === 300.0)
+      assert(asOf(1L)(1L) === 1.0,
+        "pre-fold history should be retired by compaction (vacuum trade)")
+    } finally {
+      val s = java.nio.file.Files.walk(rootDir)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+      finally s.close()
+    }
+  }
+
   test("BucketedTable: a crash mid-compaction (fold written, old versions not deleted) reads identically") {
     import graft.streaming.BucketedTable
     val snap = (1L to 20L).map(k => (k, k * 1.0)).toDF("k", "v")
