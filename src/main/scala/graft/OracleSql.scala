@@ -3274,6 +3274,74 @@ object OracleSql {
     // commit-ordered batch split — same recompute oracle, by design
     "q_stream_incr_rollup" -> incrRollupRecomputeSql,
 
+    // Time-travel: EACH as-of point recomputed from the restricted
+    // change log (batch 0 = ts < 2024-02-15 — u1 updates + inserts;
+    // latest = the full log). Same winner/apply/rollup algebra as
+    // incrRollupRecomputeSql, evaluated at two points in time.
+    "q_ivm_time_travel" ->
+      """WITH snap AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |  WHERE o_orderkey % 4 = 0),
+        |ch AS (
+        |  SELECT o_orderkey, TIMESTAMP '2024-02-01 00:00:00' AS ts,
+        |    1 AS seq, 'U' AS op, o_custkey,
+        |    o_totalprice + 1000 AS o_totalprice
+        |  FROM snap WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, TIMESTAMP '2024-03-01 00:00:00', 1, 'D',
+        |    o_custkey, o_totalprice
+        |  FROM snap WHERE o_orderkey % 5 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, TIMESTAMP '2024-03-15 00:00:00', 2, 'U',
+        |    o_custkey, o_totalprice * 2
+        |  FROM snap WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, TIMESTAMP '2024-01-15 00:00:00',
+        |    1, 'I', o_custkey, o_totalprice
+        |  FROM snap WHERE o_orderkey % 11 = 0),
+        |ch0 AS (SELECT * FROM ch WHERE ts < TIMESTAMP '2024-02-15 00:00:00'),
+        |latest0 AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY o_orderkey
+        |      ORDER BY ts DESC, seq DESC) AS rn FROM ch0)
+        |  WHERE rn = 1),
+        |applied0 AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN l.op IS NOT NULL THEN l.o_custkey
+        |         ELSE s.o_custkey END AS o_custkey,
+        |    CASE WHEN l.op IS NOT NULL THEN l.o_totalprice
+        |         ELSE s.o_totalprice END AS o_totalprice
+        |  FROM snap s FULL OUTER JOIN latest0 l USING (o_orderkey)
+        |  WHERE l.op IS NULL OR l.op <> 'D'),
+        |latest1 AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY o_orderkey
+        |      ORDER BY ts DESC, seq DESC) AS rn FROM ch)
+        |  WHERE rn = 1),
+        |applied1 AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN l.op IS NOT NULL THEN l.o_custkey
+        |         ELSE s.o_custkey END AS o_custkey,
+        |    CASE WHEN l.op IS NOT NULL THEN l.o_totalprice
+        |         ELSE s.o_totalprice END AS o_totalprice
+        |  FROM snap s FULL OUTER JOIN latest1 l USING (o_orderkey)
+        |  WHERE l.op IS NULL OR l.op <> 'D'),
+        |r0 AS (
+        |  SELECT 'batch0' AS as_of, o_custkey % 50 AS grp,
+        |    CAST(count(*) AS BIGINT) AS cnt,
+        |    round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE), 4)
+        |      AS vsum
+        |  FROM applied0 GROUP BY 2),
+        |r1 AS (
+        |  SELECT 'latest' AS as_of, o_custkey % 50 AS grp,
+        |    CAST(count(*) AS BIGINT) AS cnt,
+        |    round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE), 4)
+        |      AS vsum
+        |  FROM applied1 GROUP BY 2)
+        |SELECT as_of, grp, cnt, vsum FROM
+        |  (SELECT * FROM r0 UNION ALL SELECT * FROM r1)
+        |ORDER BY as_of, grp""".stripMargin,
+
     // Out-of-order delivery of the same log through the sequence
     // frontier converges to the identical full recompute — the
     // order-independence theorem checked end-to-end by sharing the

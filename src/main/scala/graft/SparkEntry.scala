@@ -2587,6 +2587,29 @@ object SparkEntry {
         .orderBy("grp")
     }),
 
+    // K3++ — TIME-TRAVEL over the maintained rollup's version tree
+    // (round-11): the stream commits version b+1 per batch over the
+    // seeded base v0, so "the rollup as of batch 0" is a plain
+    // currentAsOf read — the reproduce-the-training-mix-as-of-batch-k
+    // primitive. The oracle recomputes EACH as-of point from the
+    // restricted change log (batch 0 = ts < 2024-02-15), so hash-green
+    // proves point-in-time correctness, not just the final state.
+    "q_ivm_time_travel" -> ((s, dir) => {
+      // quarter snapshot: the point-in-time theorem is scale-free and
+      // the full maintainer already prices at q_stream_incr_rollup —
+      // this query pays for the TWO as-of reads, not a rerun at size
+      val o = cdcSnapshot(s, dir).filter(col("o_orderkey") % 4 === 0)
+      graft.streaming.Streaming.streamingIncrementalRollupTimeTravel(s, o,
+          cdcChangeLog(o),
+          batchOf = when(
+            col("ts") < lit("2024-02-15").cast("timestamp"), 0).otherwise(1),
+          "o_orderkey", "ts", "seq", "op",
+          Seq("o_custkey", "o_totalprice"),
+          group = col("o_custkey") % 50, value = col("o_totalprice"),
+          asOf = Seq(("batch0", 1L), ("latest", Long.MaxValue)))
+        .orderBy("as_of", "grp")
+    }),
+
     // K3++ — OUT-OF-ORDER streaming IVM (round-9): the same CDC log
     // delivered with the LATER changes first (batch 0 = ts ≥ 2024-03-01,
     // batch 1 = the earlier u1/inserts) — so keys touched by both see an

@@ -505,7 +505,45 @@ object Streaming {
       changes: DataFrame, batchOf: org.apache.spark.sql.Column,
       key: String, tsCol: String, seqCol: String, opCol: String,
       valueCols: Seq[String], group: org.apache.spark.sql.Column,
-      value: org.apache.spark.sql.Column): DataFrame = {
+      value: org.apache.spark.sql.Column): DataFrame =
+    streamingIncrementalRollupCore(spark, snapshot, changes, batchOf,
+      key, tsCol, seqCol, opCol, valueCols, group, value)._1
+
+  /** TIME-TRAVEL over the maintained rollup's version tree: runs the
+    * [[streamingIncrementalRollup]] fold, then reads the rollup AS OF
+    * each `(tag, versionId)` via [[BucketedTable.currentAsOf]] — the
+    * "reproduce the training mix as of batch k" primitive a versioned
+    * lake table gives for free. Version ids: 0 is the seeded base,
+    * batch b commits version b+1 (monotone by construction). Each
+    * as-of read is the SAME maintained state the stream held after
+    * that batch — the oracle recomputes each point from the restricted
+    * change log, so hash-green proves point-in-time correctness, not
+    * just the final state. */
+  def streamingIncrementalRollupTimeTravel(spark: SparkSession,
+      snapshot: DataFrame, changes: DataFrame,
+      batchOf: org.apache.spark.sql.Column,
+      key: String, tsCol: String, seqCol: String, opCol: String,
+      valueCols: Seq[String], group: org.apache.spark.sql.Column,
+      value: org.apache.spark.sql.Column,
+      asOf: Seq[(String, Long)]): DataFrame = {
+    import graft.operators.Dedup
+    require(asOf.nonEmpty, "time travel needs at least one (tag, version)")
+    val (_, rollupRoot, rollupBase) = streamingIncrementalRollupCore(
+      spark, snapshot, changes, batchOf, key, tsCol, seqCol, opCol,
+      valueCols, group, value)
+    asOf.map { case (tag, v) =>
+      Dedup.finishRollup(
+          BucketedTable.currentAsOf(spark, rollupRoot, rollupBase, "grp", v))
+        .withColumn("as_of", lit(tag))
+    }.reduce(_.unionByName(_))
+  }
+
+  private def streamingIncrementalRollupCore(spark: SparkSession,
+      snapshot: DataFrame,
+      changes: DataFrame, batchOf: org.apache.spark.sql.Column,
+      key: String, tsCol: String, seqCol: String, opCol: String,
+      valueCols: Seq[String], group: org.apache.spark.sql.Column,
+      value: org.apache.spark.sql.Column): (DataFrame, String, DataFrame) = {
     import graft.operators.Dedup
     val land = freshDir("ivm_land")
     val tableRoot = freshDir("ivm_table")
@@ -574,8 +612,9 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    Dedup.finishRollup(
-      BucketedTable.current(spark, rollupRoot, rollupBase, "grp"))
+    (Dedup.finishRollup(
+      BucketedTable.current(spark, rollupRoot, rollupBase, "grp")),
+      rollupRoot, rollupBase)
   }
 
   /** OUT-OF-ORDER streaming IVM (round-9 verdict #5) — the
