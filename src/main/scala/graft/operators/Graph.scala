@@ -182,7 +182,14 @@ object Graph {
   private def iterate(init: DataFrame, round: DataFrame => DataFrame,
       iters: Int, damping: Double, stopDp: Option[Int],
       chainable: Boolean): (DataFrame, Int, () => Unit) = {
-    val maxChain = if (chainable) 8 else 1
+    // chain FIXED runs only: a 3-5-iter fixed run folds into a single
+    // terminal job (measured −25% on q_pagerank/q_ppr at sf0.1), but
+    // A/B across chain depths 2/3/4/8 showed the CONVERGED runs
+    // flat-to-worse under any chaining (non-monotone, noise-dominated,
+    // all ≥ the per-round loop) — their probe points need materialized
+    // pairs anyway, so the probing path keeps one-round-one-checkpoint
+    val maxChain =
+      if (chainable && stopDp.isEmpty) 8 else 1
     var relPrev: () => Unit = () => ()
     var r = init
     var i = 0
