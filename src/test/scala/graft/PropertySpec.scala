@@ -109,6 +109,65 @@ class PropertySpec extends AnyFunSuite {
     assert(expect.nonEmpty)
   }
 
+  test("property: BucketedTable tracks an in-memory model over random commit histories") {
+    import graft.streaming.BucketedTable
+    val r = new scala.util.Random(11)
+    val snapRows = (1L to 30L).map(k => k -> (k * 1.0)).toMap
+    val snap = snapRows.toSeq.toDF("k", "v")
+    val rootDir = java.nio.file.Files.createTempDirectory("bucketed_model")
+    val root = rootDir.toString
+    try {
+      var model = snapRows
+      // model state AFTER each committed version, keyed by version id
+      val history = scala.collection.mutable.Map.empty[Long, Map[Long, Double]]
+      (0 until 10).foreach { step =>
+        // random batch: upserts (possibly new keys) and deletes
+        val ups = (0 until (1 + r.nextInt(5)))
+          .map(_ => (r.nextInt(40) + 1).toLong -> (step * 1000.0 + r.nextInt(100)))
+          .toMap
+        val dels = (0 until r.nextInt(3))
+          .map(_ => (r.nextInt(40) + 1).toLong)
+          .filterNot(ups.contains).toSet
+        val affected = (ups.keySet ++ dels).toSeq.toDF("k")
+        val affIds = BucketedTable.bucketIds(affected, "k")
+        val vid = BucketedTable.nextVersionId(root)
+        val tableAff = BucketedTable.currentBuckets(spark, root, snap, "k", affIds)
+        BucketedTable.commitIds(root, vid,
+          tableAff.join(affected, Seq("k"), "left_anti")
+            .unionByName(ups.toSeq.toDF("k", "v")),
+          affIds, "k",
+          // trigger a couple of real compactions inside the history
+          compactThreshold = 6)
+        model = (model -- dels) -- ups.keySet ++ ups
+        history(vid) = model
+        // invariant after EVERY commit: assembled table == model
+        val cur = BucketedTable.current(spark, root, snap, "k")
+          .as[(Long, Double)].collect().toMap
+        assert(cur === model, s"step $step: table diverged from model")
+      }
+      // time-travel: every version at or past the compaction horizon
+      // must reproduce its historical model state exactly
+      val oldest = {
+        val d = new java.io.File(root).listFiles()
+          .filter(f => f.isDirectory && f.getName.startsWith("v"))
+          .map(_.getName.drop(1).toLong).min
+        d
+      }
+      history.toSeq.sortBy(_._1).foreach { case (vid, m) =>
+        if (vid >= oldest) {
+          val got = BucketedTable.currentAsOf(spark, root, snap, "k", vid)
+            .as[(Long, Double)].collect().toMap
+          assert(got === m, s"asOf($vid) diverged from the model history")
+        }
+      }
+    } finally {
+      val s = java.nio.file.Files.walk(rootDir)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+      finally s.close()
+    }
+  }
+
   test("property: int8 quantization reconstructs within scale/2 per element") {
     val rows = (1L to 100L).map(i =>
       (i, Array.fill(16)((rnd.nextDouble() * 4 - 2).toFloat)))
