@@ -188,6 +188,40 @@ class ReleaseSpec extends AnyFunSuite {
     }
   }
 
+  test("rebalanceIvfIndex releases its Lloyd broadcasts and leaves no blocks") {
+    val emb = graft.sources.Sources
+      .table(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding")
+    val base = emb.filter(col("vec_id") < 40)
+    val idxDir = java.nio.file.Files.createTempDirectory("ivf_rel")
+    try {
+      graft.operators.Similarity.ensureIvfIndex(base, "vec_id", "embedding",
+        nCentroids = 8, path = idxDir.toString)
+      graft.operators.Similarity.appendToIvfIndex(spark,
+        base.filter(col("vec_id") === 20)
+          .crossJoin(spark.range(1, 31))
+          .select((lit(100000L) + col("id")).as("vec_id"), col("embedding")),
+        "vec_id", "embedding", idxDir.toString)
+      // postings schema captured BEFORE the op: schema INFERENCE is
+      // itself a Spark job (footer-reading tasks), and its task-binary
+      // broadcast inside the block would false-positive the leak check
+      val postingsSchema = spark.read.parquet(s"$idxDir/postings").schema
+      assertReleases("rebalanceIvfIndex", maxResidual = 0) {
+        val n = graft.operators.Similarity
+          .rebalanceIvfIndex(spark, idxDir.toString, maxListSize = 25)
+        assert(n === 1L)
+        // the operator's terminal is parquet on disk, not a frame — the
+        // count target is a plain read of the rewritten index
+        spark.read.schema(postingsSchema).parquet(s"$idxDir/postings")
+      }
+    } finally {
+      val s = java.nio.file.Files.walk(idxDir)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+      finally s.close()
+    }
+  }
+
   test("eagerRelease conf parses defensively — malformed values fall back to enabled") {
     import graft.operators.Eager
     val orig = spark.conf.getOption("graft.eagerRelease")
