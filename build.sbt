@@ -31,4 +31,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // A 199-query suite generates thousands of whole-stage-codegen classes;
+  // JDK 17's default 240 MB reserved code cache can fill late in the
+  // session, at which point the JIT silently stops compiling and new
+  // generated code runs INTERPRETED — a many-× CPU multiplier with every
+  // GC/spill/storage channel flat (the session-age signature the bench's
+  // jit/code-cache channels now instrument). Headroom removes that cliff.
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -60,9 +60,14 @@ object Bench {
     // aggregation (which burns CPU while every spill counter stays 0).
     final case class StageRec(name: String, cpuMs: Long, runMs: Long,
       sortFallback: Long, tasks: Int)
+    // default now covers the graph family (round-11 verdict #1a): the
+    // session-age CPU multiplier migrated from q_minhash_pairs to the
+    // chained q_pagerank, and the committed r11 capture had no stage
+    // records for it because only the minhash default was armed
     val stageQueries = sys.env.get("SPARK_GRAFT_STAGE_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-      .getOrElse(Set("q_minhash_pairs"))
+      .getOrElse(Set("q_minhash_pairs", "q_pagerank",
+        "q_pagerank_converged", "q_reachability"))
     val stageBuf = new java.util.concurrent.ConcurrentLinkedQueue[StageRec]()
     @volatile var stageCapture = false
     spark.sparkContext.addSparkListener(
@@ -115,6 +120,34 @@ object Bench {
       case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime
       case _ => -1L
     }
+    // Round-11 verdict #1: twice now a query has multiplied its CPU only
+    // in the aged driver session while GC/spill/storage/shuffle all read
+    // flat — the remaining dark channels are the JIT itself. Cumulative
+    // JIT compilation time names "the compiler is re-doing work";
+    // code-cache occupancy names "the compiler STOPPED doing work" (a
+    // full code cache silently disables compilation and generated code
+    // runs interpreted — exactly a ~5× CPU multiplier with every Spark
+    // channel flat); loaded-class count tracks codegen-class churn.
+    val compBean = java.lang.management.ManagementFactory.getCompilationMXBean
+    def jitCumMs: Long =
+      if (compBean != null && compBean.isCompilationTimeMonitoringSupported)
+        compBean.getTotalCompilationTime
+      else -1L
+    def codeCacheUsed: Long = {
+      val it = java.lang.management.ManagementFactory
+        .getMemoryPoolMXBeans.iterator()
+      var s = 0L
+      while (it.hasNext) {
+        val p = it.next()
+        val n = p.getName
+        if (n.contains("CodeHeap") || n.contains("Code Cache")) {
+          val u = p.getUsage
+          if (u != null) s += u.getUsed
+        }
+      }
+      s
+    }
+    val classBean = java.lang.management.ManagementFactory.getClassLoadingMXBean
     // Deterministic storage sweep: clearCache drops table caches but is
     // blind to localCheckpoint blocks (terminal results, any round
     // frames an operator failed to release), which otherwise wait for
@@ -170,7 +203,8 @@ object Bench {
     final case class StorageRow(name: String, bcN: Int, bcMem: Long,
       bcDisk: Long, spillM: Long, spillD: Long, stUsed: Long, stMax: Long,
       diskN: Int, diskBytes: Long, shuffles: Int,
-      gcCum: Long, wallRuns: Double, cpuRuns: Double, gcRuns: Long)
+      gcCum: Long, wallRuns: Double, cpuRuns: Double, gcRuns: Long,
+      jitCum: Long, jitRuns: Long, ccUsed: Long, classes: Long)
     val storageLog = scala.collection.mutable.ArrayBuffer.empty[StorageRow]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     var qIndex = 0
@@ -186,6 +220,9 @@ object Bench {
       val (diskN, diskBytes) = org.apache.spark.graft.Storage.localDiskUsage(sc)
       val shufflesAtStart = org.apache.spark.graft.Storage.shuffleIds(sc).size
       val gcAtStart = gcCumMs
+      val jitAtStart = jitCumMs
+      val ccAtStart = codeCacheUsed
+      val classesAtStart = classBean.getTotalLoadedClassCount
       // one UNTIMED warm-up execution first: a fresh JVM pays ~seconds of
       // whole-stage-codegen JIT inside the first run of a heavy pipeline
       // (round-4 driver capture: q_dedup_clusters 10.4 s cold vs 4.8 s
@@ -210,6 +247,7 @@ object Bench {
       val blockT0 = System.nanoTime()
       val cpuT0 = procCpuNs
       val gcT0 = gcCumMs
+      val jitT0 = jitCumMs
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         val failed =
@@ -231,6 +269,7 @@ object Bench {
       val cpuRuns =
         if (cpuT0 < 0) -1.0 else (procCpuNs - cpuT0) / 1e9
       val gcRuns = gcCumMs - gcT0
+      val jitRuns = if (jitT0 < 0) -1L else jitCumMs - jitT0
       if (captureStages) {
         stageCapture = false
         val recs = Iterator.continually(stageBuf.poll())
@@ -245,7 +284,8 @@ object Bench {
       }
       storageLog += StorageRow(name, bcN, bcMem, bcDisk, spillMem.get,
         spillDisk.get, stUsed, stMax, diskN, diskBytes, shufflesAtStart,
-        gcAtStart, wallRuns, cpuRuns, gcRuns)
+        gcAtStart, wallRuns, cpuRuns, gcRuns,
+        jitAtStart, jitRuns, ccAtStart, classesAtStart)
       // Full GC BETWEEN queries, not between the runs of one query: the
       // sweep above already freed storage deterministically, but
       // broadcasts/codegen-cache churn still benefit from one collection
@@ -258,6 +298,60 @@ object Bench {
       name -> times(times.length / 2)
     }
     probePivot(qIndex, "<end>")
+    // SAME-JVM fresh-vs-aged REPLAY (round-11 verdict #2): twice a query
+    // has multiplied its CPU only in the aged driver session — each time
+    // costing a round of cross-venue adjudication because the effect was
+    // only reproducible as "driver vs isolated". After the full suite,
+    // re-bench the worst-N queries (plus the stage-armed set) in THIS
+    // aged JVM and emit per-query suite-median vs aged-replay deltas:
+    // any query whose aged/suite ratio exceeds 1.5 is named
+    // automatically, with stage attribution captured for the replay
+    // runs. Replay uses min-of-2 (not median-of-3): the question is "is
+    // even the BEST aged run inflated", and min is robust to one noise
+    // spike while halving the replay cost.
+    val replayN = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPLAY", "6").toInt
+    final case class ReplayRow(name: String, suite: Double, aged: Double,
+      cpu: Double, jit: Long)
+    val replayLog = scala.collection.mutable.ArrayBuffer.empty[ReplayRow]
+    if (replayN > 0 && results.nonEmpty) {
+      val byMedian = results.filter(_._2 >= 0).sortBy(-_._2)
+      val names = (byMedian.take(replayN).map(_._1) ++
+        stageQueries.filter(q => results.exists(_._1 == q))).distinct
+      val suiteOf = results.toMap
+      names.foreach { name =>
+        SparkEntry.queries.get(name).foreach { fn =>
+          stageBuf.clear(); stageCapture = true
+          val cpuT0 = procCpuNs
+          val jitT0 = jitCumMs
+          val ts = (1 to 2).map { _ =>
+            val t0 = System.nanoTime()
+            val failed =
+              try { fn(spark, sfDir).count(); false }
+              catch { case e: Throwable =>
+                System.err.println(s"[bench] replay $name FAILED: $e"); true
+              }
+            val dt = (System.nanoTime() - t0) / 1e9
+            sweep()
+            if (failed) -1.0 else dt
+          }
+          val cpuD = if (cpuT0 < 0) -1.0 else (procCpuNs - cpuT0) / 1e9
+          val jitD = if (jitT0 < 0) -1L else jitCumMs - jitT0
+          stageCapture = false
+          val recs = Iterator.continually(stageBuf.poll())
+            .takeWhile(_ != null).toSeq
+          val agg = recs.groupBy(_.name).map { case (n, rs) =>
+            StageRec(n, rs.map(_.cpuMs).sum, rs.map(_.runMs).sum,
+              rs.map(_.sortFallback).sum, rs.map(_.tasks).sum)
+          }.toSeq.sortBy(-_.cpuMs).take(10)
+          stageLog += s"replay:$name" -> agg
+          val aged = if (ts.exists(_ < 0)) -1.0 else ts.min
+          replayLog += ReplayRow(name, suiteOf.getOrElse(name, -1.0), aged,
+            cpuD, jitD)
+          System.gc()
+        }
+      }
+      probePivot(qIndex, "<post-replay>")
+    }
     val total = results.map(_._2).sum
     def r3(d: Double): Double = math.rint(d * 1000) / 1000
     def r2(d: Double): Double = math.rint(d * 100) / 100
@@ -274,7 +368,9 @@ object Bench {
           s""""storage_max":${r.stMax},"local_disk_files":${r.diskN},""" +
           s""""local_disk_bytes":${r.diskBytes},"shuffles":${r.shuffles},""" +
           s""""gc_cum_ms":${r.gcCum},"wall_runs_sec":${r2(r.wallRuns)},""" +
-          s""""cpu_runs_sec":${r2(r.cpuRuns)},"gc_runs_ms":${r.gcRuns}}"""
+          s""""cpu_runs_sec":${r2(r.cpuRuns)},"gc_runs_ms":${r.gcRuns},""" +
+          s""""jit_cum_ms":${r.jitCum},"jit_runs_ms":${r.jitRuns},""" +
+          s""""code_cache_used":${r.ccUsed},"classes_loaded":${r.classes}}"""
       }
       val pLines = pivotLog.map { r =>
         s"""{"pivot":"q_star_join","at_index":${r.atIndex},""" +
@@ -336,8 +432,13 @@ object Bench {
     }.mkString("{", ",", "}")
     // pivot-normalized TOTAL (round-10 verdict #7): the round-over-round
     // gate should compare this, not the raw wall total — unit is
-    // pivot-multiples (Σ median/pivot), immune to host-epoch shifts
-    val totalPivotNorm = r2(normVals.collect { case (_, v) if v >= 0 => v }.sum)
+    // pivot-multiples (Σ median/pivot), immune to host-epoch shifts.
+    // Poisoned to -1 when ANY query errored (round-11 ADVICE): a failed
+    // query's missing term would otherwise read as a round-over-round
+    // SPEEDUP on the very gate this metric feeds.
+    val totalPivotNorm =
+      if (errors.nonEmpty) -1.0
+      else r2(normVals.collect { case (_, v) if v >= 0 => v }.sum)
     // Full-precision per-query map goes to a FILE: the harness captures
     // only the last ~2000 chars of stdout, and 90 queries at full double
     // precision overflow that window — round 3's bench line was cut
@@ -345,7 +446,32 @@ object Bench {
     // (total + the slowest queries, 3-decimal) and always fits.
     val fullQs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","total_pivot_norm":$totalPivotNorm,"queries":$fullQs,"queries_pivot_norm":$normQs,"pivot_drift":$pivotSeries,"gc_total_ms":$gcTotalMs,"cpu_total_sec":${r2(cpuTotal)},"wall_total_sec":${r2(wallTotal)},"sf":"$sfDir","runs_per_query":$runs}"""
+    // replay columns (round-11 verdict #2): suite median vs same-JVM
+    // aged replay (min-of-2) per replayed query, plus the replay block's
+    // own CPU and JIT-compile time — the aged/fresh ratio IS the
+    // session-age effect, reproducible from one committed capture
+    def escJ(s: String): String =
+      s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val replayJson = replayLog.map { r =>
+      val ratio = if (r.suite > 0 && r.aged >= 0) r3(r.aged / r.suite) else -1.0
+      s""""${r.name}":{"suite":${r3(r.suite)},"aged":${r3(r.aged)},""" +
+        s""""ratio":$ratio,"cpu_sec":${r2(r.cpu)},"jit_ms":${r.jit}}"""
+    }.mkString("{", ",", "}")
+    val replayFlagged = replayLog
+      .filter(r => r.suite > 0 && r.aged >= 0 && r.aged / r.suite > 1.5)
+      .map(r => s"\"${r.name}\"").mkString("[", ",", "]")
+    // per-armed-query stage summary PROMOTED into the committed full
+    // JSON (round-11 verdict #7): top-3 stages by CPU + sort-fallback
+    // task count, so round-over-round stage drift is diffable without
+    // parsing the JSONL side-channel
+    val stagesJson = stageLog.map { case (q, recs) =>
+      val arr = recs.take(3).map(r =>
+        s"""{"stage":"${escJ(r.name)}","cpu_ms":${r.cpuMs},""" +
+          s""""run_ms":${r.runMs},"sort_fallback_tasks":${r.sortFallback},""" +
+          s""""tasks":${r.tasks}}""").mkString("[", ",", "]")
+      s""""${escJ(q)}":$arr"""
+    }.mkString("{", ",", "}")
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","total_pivot_norm":$totalPivotNorm,"queries":$fullQs,"queries_pivot_norm":$normQs,"pivot_drift":$pivotSeries,"gc_total_ms":$gcTotalMs,"cpu_total_sec":${r2(cpuTotal)},"wall_total_sec":${r2(wallTotal)},"replay":$replayJson,"replay_flagged":$replayFlagged,"stages":$stagesJson,"sf":"$sfDir","runs_per_query":$runs}"""
     val fullPath = java.nio.file.Paths.get("docs", "BENCH_last_full.json")
     // advertise the file in the stdout line only if THIS run's write
     // succeeded — otherwise a consumer would resolve the path to a stale
@@ -365,7 +491,11 @@ object Bench {
       val qs = byTime.take(n).sortBy(_._1)
         .map { case (k, v) => s"\"" + k + "\":" + r3(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","total_pivot_norm":$totalPivotNorm,"queries":$qs,"n_queries":${results.length},"n_errors":${errors.size},"top_n":${math.min(n, results.length)},$fullRef"bc_max_blocks":$bcMaxBlocks,"bc_max_mem":$bcMaxMem,"disk_max_bytes":$diskMaxBytes,"spill_disk_total":$spillTotal,"gc_total_ms":$gcTotalMs,"cpu_total_sec":${r2(cpuTotal)},"wall_total_sec":${r2(wallTotal)},"pivot_drift":$pivotSeries,"sf":"$sfDir","runs_per_query":$runs}"""
+      val rp = replayLog.map { r =>
+        val ratio = if (r.suite > 0 && r.aged >= 0) r3(r.aged / r.suite) else -1.0
+        s""""${r.name}":$ratio"""
+      }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","total_pivot_norm":$totalPivotNorm,"queries":$qs,"n_queries":${results.length},"n_errors":${errors.size},"top_n":${math.min(n, results.length)},$fullRef"bc_max_blocks":$bcMaxBlocks,"bc_max_mem":$bcMaxMem,"disk_max_bytes":$diskMaxBytes,"spill_disk_total":$spillTotal,"gc_total_ms":$gcTotalMs,"cpu_total_sec":${r2(cpuTotal)},"wall_total_sec":${r2(wallTotal)},"replay_aged_ratio":$rp,"replay_flagged":$replayFlagged,"pivot_drift":$pivotSeries,"sf":"$sfDir","runs_per_query":$runs}"""
     }
     if (errors.nonEmpty)
       System.err.println(s"[bench] ${errors.size} QUERY FAILURE(S): " +
