@@ -527,10 +527,26 @@ object Similarity {
     val bc0 = Eager.broadcastSnapshot(spark)
     val postings0 = spark.read.parquet(s"$path/postings")
       .withColumn("cent_id", col("cent_id").cast("long"))
-    val overIds = postings0.groupBy("cent_id").agg(count(lit(1)).as("n"))
-      .filter(col("n") > maxListSize)
-      .select("cent_id").collect().map(_.getLong(0)).sorted.toSeq
+    val allIds = postings0.groupBy("cent_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val overIds = allIds.filter(_._2 > maxListSize).map(_._1)
     if (overIds.isEmpty) return 0L
+    // collision-free numbering is a CLAIM, not a given (round-11
+    // ADVICE): centroid ids come from vec_ids with no upper bound, so
+    // an existing id can land inside the generated
+    // `subIdBase + 2·cent_id + sub` range (e.g. a surviving 1000001
+    // vs the sub-list from splitting cent 0) — two posting lists would
+    // silently merge. ≤ nCentroids ints of driver-side orchestration;
+    // generated ids cannot collide among themselves (distinct cent_id,
+    // sub ∈ {0,1} ⇒ distinct 2·cent_id + sub).
+    val generated = overIds.flatMap(c =>
+      Seq(subIdBase + 2 * c, subIdBase + 2 * c + 1)).toSet
+    val surviving = allIds.map(_._1).filterNot(overIds.contains).toSet
+    val clashes = surviving.intersect(generated)
+    require(clashes.isEmpty,
+      s"rebalanceIvfIndex: surviving centroid id(s) ${clashes.toSeq.sorted.take(5).mkString(",")} " +
+        s"collide with the generated sub-list id range (subIdBase=$subIdBase) — " +
+        "pass a subIdBase above every existing cent_id")
     IndexStore.rewriteInPlace(path) { stage =>
       val postings = spark.read.parquet(s"$path/postings")
         .withColumn("cent_id", col("cent_id").cast("long"))

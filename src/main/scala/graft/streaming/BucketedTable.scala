@@ -43,7 +43,7 @@ object BucketedTable {
     pmod(hash(col(key)), lit(nBuckets))
 
   /** Version directories under `root`, ascending by id. */
-  private def versions(root: String): Seq[(Long, java.io.File)] =
+  private[streaming] def versions(root: String): Seq[(Long, java.io.File)] =
     (new java.io.File(root).listFiles() match {
       case null => Array.empty[java.io.File]
       case fs => fs.filter(f => f.isDirectory && f.getName.startsWith("v"))
@@ -91,15 +91,35 @@ object BucketedTable {
     * immutable once manifested.
     *
     * Horizon contract (the vacuum trade every lake format makes):
-    * [[compact]] folds history — claims below the fold are deleted, so
-    * asOf older than the oldest retained version degrades to the base
-    * snapshot for buckets whose pre-fold claims are gone. Readers that
-    * need deep history defer compaction; the spec pins both sides. */
+    * [[compact]] folds history — claims below the fold are deleted.
+    * An asOf BELOW the oldest retained manifested version now FAILS
+    * LOUDLY (round-11 ADVICE) instead of silently degrading to the
+    * base snapshot: the pre-fold claims are gone, so the point-in-time
+    * state is unreconstructable — wrong data with no error was the
+    * hazard. Readers that need deep history defer compaction
+    * (compactThreshold = 0 through the maintainer entry points). */
   def currentAsOf(spark: SparkSession, root: String, snapshot: DataFrame,
       key: String, maxVersion: Long,
-      nBuckets: Int = defaultBuckets): DataFrame =
+      nBuckets: Int = defaultBuckets): DataFrame = {
+    // history is LOST exactly below the newest compaction fold (marked
+    // `_fold` by [[compact]] — a plain first commit at any id loses
+    // nothing, so "asOf before the first version = base snapshot"
+    // stays a valid read on never-compacted roots)
+    val newestFold = versions(root).reverse.collectFirst {
+      case (id, d) if new java.io.File(d, "_fold").isFile &&
+        new java.io.File(d, "_buckets").isFile => id
+    }
+    newestFold.foreach { fold =>
+      if (maxVersion < fold)
+        throw new IllegalStateException(
+          s"currentAsOf($maxVersion): a compaction fold at v$fold retired " +
+            s"all history below it at $root — the point-in-time state is " +
+            "unreconstructable. Defer compaction (compactThreshold = 0) " +
+            "on roots that serve deep time travel")
+    }
     assemble(spark, latestBucketStateAsOf(root, maxVersion),
       (0 until nBuckets), snapshot, key, nBuckets)
+  }
 
   private def latestBucketStateAsOf(root: String,
       maxVersion: Long): Map[Int, Option[String]] = {
@@ -191,6 +211,15 @@ object BucketedTable {
       claimIds: Seq[Int], key: String,
       nBuckets: Int = defaultBuckets,
       compactThreshold: Int = defaultCompactThreshold): Unit = {
+    // ENFORCED (round-11 ADVICE), not just documented in nextVersionId's
+    // docstring: a commit at a recycled smaller id would be silently
+    // shadowed by any compaction fold (written at last+1) — wrong data,
+    // no error. Fresh-root literal ids (0, 1, 2 in ascending order)
+    // still satisfy this.
+    require(id >= nextVersionId(root),
+      s"commitIds: version id $id is below nextVersionId(${nextVersionId(root)}) " +
+        "for this root — ids must be allocated monotone (a compaction fold " +
+        "at last+1 would silently shadow a recycled smaller id)")
     content.withColumn("__bucket", bucketOf(key, nBuckets))
       .write.mode("overwrite").partitionBy("__bucket")
       .parquet(s"$root/v$id")
@@ -240,6 +269,14 @@ object BucketedTable {
         .write.mode("overwrite").partitionBy("__bucket")
         .parquet(vdir.getPath)
     else { vdir.mkdirs(); () } // all claims are deleted-empty buckets
+    // `_fold` marks this version as a compaction fold BEFORE the
+    // manifest lands (manifest is the visibility gate, so a crash in
+    // between leaves an invisible fold, never an unmarked visible one):
+    // [[currentAsOf]] uses it to fail loudly below the retention
+    // horizon instead of silently serving the base snapshot.
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(vdir.getPath, "_fold"),
+      Array.empty[Byte])
     java.nio.file.Files.write(
       java.nio.file.Paths.get(vdir.getPath, "_buckets"),
       claimed.keys.toSeq.sorted.mkString("", "\n", "\n").getBytes("UTF-8"))

@@ -518,19 +518,30 @@ object Streaming {
     * as-of read is the SAME maintained state the stream held after
     * that batch — the oracle recomputes each point from the restricted
     * change log, so hash-green proves point-in-time correctness, not
-    * just the final state. */
+    * just the final state.
+    *
+    * Compaction is DEFERRED on the rollup root (compactThreshold = 0,
+    * round-11 ADVICE): a fold both shifts nextVersionId and deletes the
+    * pre-fold versions, so on a stream longer than the threshold the
+    * 'batch b commits version b+1' contract would silently break and
+    * early tags would read compacted-away state —
+    * [[BucketedTable.currentAsOf]] now also fails loudly below the
+    * retention horizon rather than degrading to the base snapshot.
+    * Callers that want bounded history pass an explicit threshold and
+    * accept the horizon. */
   def streamingIncrementalRollupTimeTravel(spark: SparkSession,
       snapshot: DataFrame, changes: DataFrame,
       batchOf: org.apache.spark.sql.Column,
       key: String, tsCol: String, seqCol: String, opCol: String,
       valueCols: Seq[String], group: org.apache.spark.sql.Column,
       value: org.apache.spark.sql.Column,
-      asOf: Seq[(String, Long)]): DataFrame = {
+      asOf: Seq[(String, Long)],
+      compactThreshold: Int = 0): DataFrame = {
     import graft.operators.Dedup
     require(asOf.nonEmpty, "time travel needs at least one (tag, version)")
     val (_, rollupRoot, rollupBase) = streamingIncrementalRollupCore(
       spark, snapshot, changes, batchOf, key, tsCol, seqCol, opCol,
-      valueCols, group, value)
+      valueCols, group, value, compactThreshold)
     asOf.map { case (tag, v) =>
       Dedup.finishRollup(
           BucketedTable.currentAsOf(spark, rollupRoot, rollupBase, "grp", v))
@@ -543,7 +554,9 @@ object Streaming {
       changes: DataFrame, batchOf: org.apache.spark.sql.Column,
       key: String, tsCol: String, seqCol: String, opCol: String,
       valueCols: Seq[String], group: org.apache.spark.sql.Column,
-      value: org.apache.spark.sql.Column): (DataFrame, String, DataFrame) = {
+      value: org.apache.spark.sql.Column,
+      compactThreshold: Int = BucketedTable.defaultCompactThreshold)
+      : (DataFrame, String, DataFrame) = {
     import graft.operators.Dedup
     val land = freshDir("ivm_land")
     val tableRoot = freshDir("ivm_table")
@@ -595,9 +608,14 @@ object Streaming {
           else BucketedTable.bucketIds(deltas.select(col("grp")), "grp")
         val rollupAff = BucketedTable.currentBuckets(
           spark, rollupRoot, rollupBase, "grp", gIds)
+        // rollup commits carry the caller's compactThreshold: the
+        // time-travel entry point defers compaction (0) so 'batch b =
+        // version b+1' holds for the whole stream and no tagged point
+        // falls below the retention horizon
         BucketedTable.commitIds(rollupRoot,
           BucketedTable.nextVersionId(rollupRoot),
-          Dedup.mergeRollup(rollupAff, deltas), gIds, "grp")
+          Dedup.mergeRollup(rollupAff, deltas), gIds, "grp",
+          compactThreshold = compactThreshold)
         val newAffected = Dedup.applyChangeLog(
           tableAff.join(affected, Seq(key), "left_semi"),
           batch, key, tsCol, seqCol, opCol, valueCols)
@@ -651,6 +669,39 @@ object Streaming {
     * the key buckets it touches, untouched buckets' files stay
     * byte-identical on disk.
     */
+  /** `_hwm` sidecar on a committed TABLE version of the out-of-order
+    * maintainer: the high-water mark AFTER that batch's full (3-commit)
+    * application. Written after the manifest, so a crash in between
+    * leaves a manifested version without a sidecar — restart then
+    * re-seeds from an OLDER sidecar and re-applies the batch, which is
+    * idempotent; the reverse order could skip it. Format: epoch-millis
+    * + nanos-of-second (java.sql.Timestamp's split), space-separated. */
+  private[graft] def writeHwmSidecar(root: String, versionId: Long,
+      hwm: java.sql.Timestamp): Unit = {
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root/v$versionId", "_hwm"),
+      s"${hwm.getTime} ${hwm.getNanos}".getBytes("UTF-8"))
+    ()
+  }
+
+  /** The newest manifested table version's `_hwm` sidecar, if any —
+    * the restart re-seed source for the out-of-order maintainer's
+    * watermark (see [[writeHwmSidecar]]; a fold from
+    * [[BucketedTable.compact]] carries no sidecar, so a fully-compacted
+    * root falls back to the caller's legacy path). */
+  private[graft] def persistedHwm(root: String): Option[java.sql.Timestamp] =
+    BucketedTable.versions(root).reverse.iterator
+      .filter { case (_, d) => new java.io.File(d, "_buckets").isFile }
+      .map { case (_, d) => new java.io.File(d, "_hwm") }
+      .collectFirst { case f if f.isFile =>
+        val parts = new String(
+          java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+          .trim.split(" ")
+        val t = new java.sql.Timestamp(parts(0).toLong)
+        t.setNanos(parts(1).toInt)
+        t
+      }
+
   def streamingIncrementalRollupOutOfOrder(spark: SparkSession,
       snapshot: DataFrame, changes: DataFrame,
       batchOf: org.apache.spark.sql.Column,
@@ -682,20 +733,28 @@ object Streaming {
     val frontEmpty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       .select(chCols: _*)
-    // the high-water mark IS the frontier's max event time: every
-    // accepted change's ts is ≤ its key's frontier ts (the frontier
-    // keeps the per-key max), so the global max over frontier rows
-    // equals the running max of all accepted ts — carried as a DRIVER
-    // variable across the synchronous AvailableNow fold (round-10:
-    // replaces a frontier-scan aggregate per batch; max is idempotent
-    // under batch retry). Re-seeded from the persisted frontier when
-    // one exists, so a resume in a new JVM (existing checkpoint dir)
-    // can't silently reset the mark and re-accept rejected lates — a
-    // no-op on the fresh dirs this entry point always creates.
+    // the high-water mark: the running max of all ACCEPTED-AND-APPLIED
+    // event times — carried as a DRIVER variable across the synchronous
+    // AvailableNow fold, advanced ONLY after a batch's three commits
+    // all land (round-11 ADVICE: advancing before the commits meant a
+    // batch retried after a crash between the frontier commit and the
+    // table/rollup commits re-filtered with a STRICTER cutoff — its own
+    // max ts already in the mark — so rows accepted and frontier-merged
+    // on attempt 1 were rejected as late on retry and their
+    // table/rollup application permanently skipped). Restart re-seed
+    // reads the `_hwm` sidecar of the newest fully-committed TABLE
+    // version (the table commits last, so its sidecar reflects exactly
+    // the batches whose full application completed) — NOT the frontier
+    // max, which already contains a crashed batch's rows and would
+    // reintroduce the same stricter-cutoff bug across JVMs. Legacy
+    // roots without sidecars fall back to the frontier max (the
+    // pre-round-12 behavior, documented caveat); fresh roots (this
+    // entry point always creates them) start at None.
     var hwmVar: Option[java.sql.Timestamp] =
       if (!BucketedTable.hasVersions(frontRoot)) None
-      else Option(BucketedTable.current(spark, frontRoot, frontEmpty, key)
-        .agg(max(col(tsCol))).head().getTimestamp(0))
+      else persistedHwm(tableRoot).orElse(
+        Option(BucketedTable.current(spark, frontRoot, frontEmpty, key)
+          .agg(max(col(tsCol))).head().getTimestamp(0)))
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .option("recursiveFileLookup", "true")
@@ -723,8 +782,6 @@ object Streaming {
         val nLate = stats.getLong(0)
         val mxAccepted = Option(stats.getTimestamp(1))
         val affIds = stats.getSeq[Int](2).sorted
-        hwmVar = (hwmVar.toSeq ++ mxAccepted.toSeq)
-          .sortBy(_.getTime).lastOption
         val accepted = cutoff
           .map(c => batch.filter(col(tsCol) >= lit(c))).getOrElse(batch)
         if (nLate > 0)
@@ -787,11 +844,19 @@ object Streaming {
               "grp", gIds),
             deltas),
           gIds, "grp")
-        BucketedTable.commitIds(tableRoot,
-          BucketedTable.nextVersionId(tableRoot),
+        val tableVid = BucketedTable.nextVersionId(tableRoot)
+        BucketedTable.commitIds(tableRoot, tableVid,
           tableAff.join(affected, Seq(key), "left_anti")
             .unionByName(newAffected),
           affIds, key)
+        // all three commits landed: NOW the mark may advance, and the
+        // table version records it in its `_hwm` sidecar for restart
+        // re-seeding (a crash anywhere above retries the batch under
+        // the PRE-batch cutoff — frontier merge and change-log apply
+        // are both idempotent under that re-run)
+        hwmVar = (hwmVar.toSeq ++ mxAccepted.toSeq)
+          .sortBy(t => (t.getTime, t.getNanos)).lastOption
+        hwmVar.foreach(h => writeHwmSidecar(tableRoot, tableVid, h))
         naRel()
         ()
       }

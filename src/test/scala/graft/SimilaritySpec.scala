@@ -294,6 +294,19 @@ class SimilaritySpec extends AnyFunSuite {
       val idsBefore = memberIds
       val fat = before.maxBy(_._2)
       assert(fat._2 > 30)
+      // collision guard (round-11 ADVICE): a subIdBase that lands a
+      // generated sub-list id ON a surviving centroid id must be
+      // refused loudly — silently merging two posting lists was the
+      // hazard. The guard fires before the staged rewrite, so the
+      // index is untouched.
+      val survivor = before.keys.filter(_ != fat._1).max
+      val collidingBase = survivor - 2 * fat._1
+      val exCollide = intercept[IllegalArgumentException] {
+        Similarity.rebalanceIvfIndex(spark, idxDir.toString,
+          maxListSize = 25, subIdBase = collidingBase)
+      }
+      assert(exCollide.getMessage.contains("collide"))
+      assert(listSizes === before, "refused rebalance mutated the index")
       val nSplit = Similarity.rebalanceIvfIndex(spark, idxDir.toString,
         maxListSize = 25)
       assert(nSplit === before.count(_._2 > 25))

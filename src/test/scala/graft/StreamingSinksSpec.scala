@@ -533,12 +533,17 @@ class StreamingSinksSpec extends AnyFunSuite {
         BucketedTable.current(spark, root, snap, "k")
           .as[(Long, Double)].collect().toMap)
       // compaction retires history below the fold: reads at or past the
-      // fold are unchanged, reads before it degrade to the base snapshot
+      // fold are unchanged; reads below it FAIL LOUDLY (round-11 ADVICE
+      // — silently degrading to the base snapshot was wrong data with
+      // no error)
       BucketedTable.compact(spark, root, "k")
       assert(asOf(Long.MaxValue)(1L) === 200.0 &&
         asOf(Long.MaxValue)(2L) === 300.0)
-      assert(asOf(1L)(1L) === 1.0,
-        "pre-fold history should be retired by compaction (vacuum trade)")
+      val foldId = BucketedTable.nextVersionId(root) - 1
+      assert(asOf(foldId)(1L) === 200.0, "read AT the fold must survive")
+      val ex = intercept[IllegalStateException] { asOf(1L) }
+      assert(ex.getMessage.contains("compaction fold"),
+        s"expected the retention-horizon failure, got: ${ex.getMessage}")
     } finally {
       val s = java.nio.file.Files.walk(rootDir)
       try s.sorted(java.util.Comparator.reverseOrder())
@@ -825,5 +830,102 @@ class StreamingSinksSpec extends AnyFunSuite {
         .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
       finally s.close()
     }
+  }
+
+  test("BucketedTable: commitIds rejects a recycled (non-monotone) version id") {
+    import graft.streaming.BucketedTable
+    val snap = Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v")
+    val rootDir = java.nio.file.Files.createTempDirectory("bucketed_mono")
+    val root = rootDir.toString
+    try {
+      val aff = Seq(1L).toDF("k")
+      // fresh-root literal ids in ascending order still pass
+      BucketedTable.commitIds(root, 0, Seq((1L, 10.0)).toDF("k", "v"),
+        BucketedTable.bucketIds(aff, "k"), "k")
+      BucketedTable.commitIds(root, 1, Seq((1L, 11.0)).toDF("k", "v"),
+        BucketedTable.bucketIds(aff, "k"), "k")
+      // a recycled smaller id would be silently shadowed by any later
+      // compaction fold (written at last+1) — must be refused loudly
+      val ex = intercept[IllegalArgumentException] {
+        BucketedTable.commitIds(root, 0, Seq((1L, 99.0)).toDF("k", "v"),
+          BucketedTable.bucketIds(aff, "k"), "k")
+      }
+      assert(ex.getMessage.contains("monotone"))
+      // and the refused commit left no visible state change
+      assert(BucketedTable.current(spark, root, snap, "k")
+        .filter(col("k") === 1L).as[(Long, Double)].head()._2 === 11.0)
+    } finally {
+      val s = java.nio.file.Files.walk(rootDir)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+      finally s.close()
+    }
+  }
+
+  test("ooo IVM hwm sidecar: restart re-seeds from the newest FULLY-committed table version") {
+    import graft.streaming.BucketedTable
+    def ts(x: String) = java.sql.Timestamp.valueOf(x)
+    val rootDir = java.nio.file.Files.createTempDirectory("hwm_sidecar")
+    val root = rootDir.toString
+    try {
+      val aff = Seq(1L).toDF("k")
+      // batch 0 fully committed: table v0 + its _hwm sidecar
+      BucketedTable.commitIds(root, 0, Seq((1L, 10.0)).toDF("k", "v"),
+        BucketedTable.bucketIds(aff, "k"), "k")
+      Streaming.writeHwmSidecar(root, 0, ts("2024-01-31 00:00:00"))
+      assert(Streaming.persistedHwm(root) === Some(ts("2024-01-31 00:00:00")))
+      // batch 1 CRASHED between the table manifest and the sidecar
+      // write (manifest visible, no _hwm): the re-seed must fall back
+      // to batch 0's mark — re-seeding from the batch's own max ts (the
+      // pre-round-12 frontier-max path) would reject its rows as late
+      // on retry and permanently skip their table/rollup application
+      BucketedTable.commitIds(root, 1, Seq((1L, 20.0)).toDF("k", "v"),
+        BucketedTable.bucketIds(aff, "k"), "k")
+      assert(Streaming.persistedHwm(root) === Some(ts("2024-01-31 00:00:00")),
+        "re-seed must ignore versions whose sidecar never landed")
+      // retry completed: sidecar lands, the mark advances
+      Streaming.writeHwmSidecar(root, 1, ts("2024-03-01 00:00:00"))
+      assert(Streaming.persistedHwm(root) === Some(ts("2024-03-01 00:00:00")))
+      // µs precision survives the round-trip
+      val fine = ts("2024-03-01 00:00:00.123456")
+      Streaming.writeHwmSidecar(root, 1, fine)
+      assert(Streaming.persistedHwm(root) === Some(fine))
+    } finally {
+      val s = java.nio.file.Files.walk(rootDir)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+      finally s.close()
+    }
+  }
+
+  test("IVM time travel: deferred compaction preserves every batch tag; a threshold retires early tags loudly") {
+    def ts(x: String) = java.sql.Timestamp.valueOf(x)
+    val snap = Seq((1L, 1L, 10.0), (2L, 2L, 20.0)).toDF("k", "g", "v")
+    // four commit-ordered single-change batches for one key: the
+    // maintained rollup for group 1 reads 11/12/13/14 after batches
+    // 0/1/2/3 (version b+1 over the seeded base v0)
+    val changes = Seq(
+      (1L, ts("2024-01-10 00:00:00"), 1L, "U", 1L, 11.0),
+      (1L, ts("2024-02-10 00:00:00"), 2L, "U", 1L, 12.0),
+      (1L, ts("2024-03-10 00:00:00"), 3L, "U", 1L, 13.0),
+      (1L, ts("2024-04-10 00:00:00"), 4L, "U", 1L, 14.0)
+    ).toDF("k", "ts", "seq", "op", "g", "v")
+    def run(threshold: Int) = Streaming.streamingIncrementalRollupTimeTravel(
+      spark, snap, changes, batchOf = month(col("ts")) - 1,
+      "k", "ts", "seq", "op", Seq("g", "v"), col("g"), col("v"),
+      asOf = Seq(("b0", 1L), ("b3", 4L)), compactThreshold = threshold)
+    // default (0): compaction deferred, every tag reconstructs exactly
+    val got = run(0).orderBy("as_of", "grp")
+      .select("as_of", "grp", "vsum").as[(String, Long, Double)].collect()
+    assert(got.toSeq === Seq(("b0", 1L, 11.0), ("b0", 2L, 20.0),
+      ("b3", 1L, 14.0), ("b3", 2L, 20.0)))
+    // a small threshold folds mid-stream: version ids shift past b+1
+    // AND pre-fold claims are deleted — the early tag must fail loudly
+    // (round-11 ADVICE: it used to silently read the seeded base). The
+    // as-of reads run on the driver after the fold, so the horizon
+    // failure surfaces directly.
+    val ex = intercept[IllegalStateException] { run(2) }
+    assert(ex.getMessage.contains("compaction fold"),
+      s"expected the retention-horizon failure, got: ${ex.getMessage}")
   }
 }
