@@ -58,22 +58,45 @@ object IndexStore {
   private val jvmLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
-  /** Run `body` holding the cross-process commit lock for `path`. The
-    * lock file lives beside the artifact and is never deleted (a few
-    * bytes; deleting it would reopen the race it exists to close). */
-  private def withPathLock[T](path: String)(body: => T): T = {
+  /** Paths whose commit lock THIS thread already holds — re-entry runs
+    * the body directly (the JVM monitor is re-entrant, but a second
+    * FileChannel.lock() on a path this JVM holds throws
+    * OverlappingFileLockException). Needed since [[graft.streaming.BucketedTable]]
+    * routes commit→auto-compaction through the same lock. */
+  private val held = new ThreadLocal[Set[String]] {
+    override def initialValue: Set[String] = Set.empty
+  }
+
+  /** Run `body` holding the cross-process commit lock for `path` —
+    * re-entrant within a thread. The lock file lives beside the
+    * artifact and is never deleted (a few bytes; deleting it would
+    * reopen the race it exists to close). Exposed to the package so
+    * every on-disk commit protocol (index install/rewrite here,
+    * [[graft.streaming.BucketedTable]] version allocation + commit +
+    * compaction) serializes multi-process writers through ONE story
+    * instead of each layout re-deriving its own. */
+  private[graft] def withCommitLock[T](path: String)(body: => T): T = {
     val key = new File(path).getAbsolutePath
-    val mon = jvmLocks.computeIfAbsent(key, _ => new Object)
-    mon.synchronized {
-      val ch = java.nio.channels.FileChannel.open(
-        new File(key + ".lock").toPath,
-        StandardOpenOption.CREATE, StandardOpenOption.WRITE)
-      try {
-        val lk = ch.lock()
-        try body finally lk.release()
-      } finally ch.close()
+    if (held.get.contains(key)) body
+    else {
+      val mon = jvmLocks.computeIfAbsent(key, _ => new Object)
+      mon.synchronized {
+        held.set(held.get + key)
+        try {
+          val ch = java.nio.channels.FileChannel.open(
+            new File(key + ".lock").toPath,
+            StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+          try {
+            val lk = ch.lock()
+            try body finally lk.release()
+          } finally ch.close()
+        } finally held.set(held.get - key)
+      }
     }
   }
+
+  private def withPathLock[T](path: String)(body: => T): T =
+    withCommitLock(path)(body)
 
   /** If a crashed [[rewriteInPlace]] left gated `.old-<pid>` copies
     * beside a missing/gateless `path`, move the newest one back in and

@@ -612,15 +612,13 @@ object Streaming {
         // time-travel entry point defers compaction (0) so 'batch b =
         // version b+1' holds for the whole stream and no tagged point
         // falls below the retention horizon
-        BucketedTable.commitIds(rollupRoot,
-          BucketedTable.nextVersionId(rollupRoot),
+        BucketedTable.commitNext(rollupRoot,
           Dedup.mergeRollup(rollupAff, deltas), gIds, "grp",
           compactThreshold = compactThreshold)
         val newAffected = Dedup.applyChangeLog(
           tableAff.join(affected, Seq(key), "left_semi"),
           batch, key, tsCol, seqCol, opCol, valueCols)
-        BucketedTable.commitIds(tableRoot,
-          BucketedTable.nextVersionId(tableRoot),
+        BucketedTable.commitNext(tableRoot,
           tableAff.join(affected, Seq(key), "left_anti")
             .unionByName(newAffected),
           affIds, key)
@@ -803,8 +801,7 @@ object Streaming {
         // committed files back (a lazy pruned read — no checkpoint job;
         // a crash between the frontier and table commits re-merges
         // idempotently on retry, per-key max being idempotent).
-        BucketedTable.commitIds(frontRoot,
-          BucketedTable.nextVersionId(frontRoot),
+        BucketedTable.commitNext(frontRoot,
           winner(
             BucketedTable.currentBuckets(spark, frontRoot, frontEmpty,
                 key, affIds)
@@ -837,15 +834,13 @@ object Streaming {
           if (affIds.size == BucketedTable.defaultBuckets)
             (0 until BucketedTable.defaultBuckets)
           else BucketedTable.bucketIds(deltas.select(col("grp")), "grp")
-        BucketedTable.commitIds(rollupRoot,
-          BucketedTable.nextVersionId(rollupRoot),
+        BucketedTable.commitNext(rollupRoot,
           Dedup.mergeRollup(
             BucketedTable.currentBuckets(spark, rollupRoot, rollupBase,
               "grp", gIds),
             deltas),
           gIds, "grp")
-        val tableVid = BucketedTable.nextVersionId(tableRoot)
-        BucketedTable.commitIds(tableRoot, tableVid,
+        val tableVid = BucketedTable.commitNext(tableRoot,
           tableAff.join(affected, Seq(key), "left_anti")
             .unionByName(newAffected),
           affIds, key)

@@ -795,6 +795,99 @@ class StreamingSinksSpec extends AnyFunSuite {
     }
   }
 
+  test("IVM sparse batch: per-batch read files and write bytes scale with the delta, not the table") {
+    import graft.operators.Dedup
+    import graft.streaming.BucketedTable
+    def ts(x: String) = java.sql.Timestamp.valueOf(x)
+    // round-11 verdict #3: both bench fixture batches are table-wide
+    // dense, so the adaptive claim always took the claim-everything
+    // path and the pruned read never pruned — the 100 TB argument
+    // (touched fraction ≪ 1 ⇒ delta-sized I/O) was untested. Batch 0
+    // here touches EVERY key bucket (dense); batch 1 touches ONE key
+    // (sparse, the at-scale shape).
+    val nB = BucketedTable.defaultBuckets
+    val snap = (1L to 400L).map(k => (k, k % 40, k * 1.0)).toDF("k", "g", "v")
+    val byBucket = (1L to 400L).toDF("k")
+      .select(col("k"), BucketedTable.bucketOf("k").as("b"))
+      .as[(Long, Int)].collect().groupBy(_._2)
+    assert(byBucket.size === nB)
+    val denseKeys = byBucket.values.map(_.head._1).toSeq // one per bucket
+    val sparseKey = byBucket.head._2.last._1
+    val changes = denseKeys.zipWithIndex.map { case (k, i) =>
+      (k, ts("2024-01-10 00:00:00"), i.toLong, "U", k % 40, 999.0)
+    }.toDF("k", "ts", "seq", "op", "g", "v").unionByName(
+      Seq((sparseKey, ts("2024-02-10 00:00:00"), 100L, "U",
+        sparseKey % 40, 111.0)).toDF("k", "ts", "seq", "op", "g", "v"))
+    val streamed = Streaming.streamingIncrementalRollup(spark, snap, changes,
+        batchOf = month(col("ts")) - 1,
+        "k", "ts", "seq", "op", Seq("g", "v"), col("g"), col("v"))
+      .orderBy("grp").as[(Long, Long, Double)].collect()
+    val oneShot = Dedup.incrementalRollup(snap, changes, "k", "ts", "seq",
+        "op", Seq("g", "v"), col("g"), col("v"))
+      .orderBy("grp").as[(Long, Long, Double)].collect()
+    assert(streamed.toSeq === oneShot.toSeq)
+    // inspect the maintainer's table tree (streaming scratch root)
+    val scratch = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_stream_${ProcessHandle.current().pid()}")
+    val tableRoot = scratch.resolve("ivm_table").toString
+    def versionInfo(root: String): Seq[(Long, Seq[Int], Long)] = {
+      Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("v"))
+        .sortBy(_.getName.drop(1).toLong)
+        .flatMap { v =>
+          val m = new java.io.File(v, "_buckets")
+          if (!m.isFile) None
+          else {
+            val claims = new String(
+                java.nio.file.Files.readAllBytes(m.toPath), "UTF-8")
+              .split("\n").iterator.map(_.trim).filter(_.nonEmpty)
+              .map(_.toInt).toSeq
+            def bytes(f: java.io.File): Long = {
+              val cs = f.listFiles()
+              if (cs == null) f.length() else cs.map(bytes).sum
+            }
+            Some((v.getName.drop(1).toLong, claims, bytes(v)))
+          }
+        }.toSeq
+    }
+    val tv = versionInfo(tableRoot)
+    assert(tv.size === 2, s"expected 2 table versions, got $tv")
+    val (_, denseClaims, denseBytes) = tv(0)
+    val (_, sparseClaims, sparseBytes) = tv(1)
+    assert(denseClaims.size === nB, s"dense batch should claim all: $denseClaims")
+    // WRITE amplification: the sparse commit claims ONE bucket and its
+    // on-disk bytes are a small fraction of the dense commit's
+    val sparseBucket = Seq(sparseKey).toDF("k")
+      .select(BucketedTable.bucketOf("k")).as[Int].head()
+    assert(sparseClaims === Seq(sparseBucket),
+      s"sparse batch claims: $sparseClaims, expected Seq($sparseBucket)")
+    assert(sparseBytes * 4 < denseBytes,
+      s"sparse write ($sparseBytes B) not ≪ dense write ($denseBytes B)")
+    // READ pruning: the pruned assembly for the sparse bucket opens
+    // ONLY files under that bucket's partition dirs — never the other
+    // 7 buckets' files (a post-scan filter could not do this)
+    val b = sparseClaims.head
+    val pruned = BucketedTable.currentBuckets(spark, tableRoot, snap,
+      "k", Seq(b))
+    val opened = pruned.inputFiles.toSeq
+    assert(opened.nonEmpty)
+    assert(opened.forall(_.contains(s"__bucket=$b")),
+      s"pruned read opened foreign-bucket files: ${opened.filterNot(_.contains(s"__bucket=$b"))}")
+    def allParquet(root: String): Seq[String] = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+      try s.toArray.toSeq.map(_.toString)
+        .filter(p => p.endsWith(".parquet") || p.contains("part-"))
+      finally s.close()
+    }
+    val totalFiles = allParquet(tableRoot).count(_.contains("part-"))
+    assert(opened.size < totalFiles,
+      s"pruned read opened every file (${opened.size} of $totalFiles)")
+    info(s"sparse commit: $sparseBytes B / ${sparseClaims.size} bucket vs " +
+      s"dense $denseBytes B / ${denseClaims.size} buckets; pruned read " +
+      s"opened ${opened.size} of $totalFiles files")
+  }
+
   test("BucketedTable: deleting a bucket's last row does not resurrect older versions") {
     import graft.streaming.BucketedTable
     val snap = (1L to 20L).map(k => (k, k * 1.0)).toDF("k", "v")
@@ -854,6 +947,55 @@ class StreamingSinksSpec extends AnyFunSuite {
       // and the refused commit left no visible state change
       assert(BucketedTable.current(spark, root, snap, "k")
         .filter(col("k") === 1L).as[(Long, Double)].head()._2 === 11.0)
+    } finally {
+      val s = java.nio.file.Files.walk(rootDir)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+      finally s.close()
+    }
+  }
+
+  test("BucketedTable: concurrent writers + auto-compaction serialize under the commit lock") {
+    import graft.streaming.BucketedTable
+    // four writer threads on pairwise-distinct buckets, each committing
+    // 5 deltas through commitNext with a small compactThreshold so
+    // folds interleave with commits — the round-11 verdict #5 race: an
+    // unserialized compaction wiping versions while another writer
+    // commits (or two writers allocating one id, one silently
+    // shadowed). Distinct buckets keep each commit a full-bucket
+    // content, so the only way a thread's last value can go missing is
+    // a lost/shadowed commit.
+    val rootDir = java.nio.file.Files.createTempDirectory("bucketed_race")
+    val root = rootDir.toString
+    try {
+      val keys = (1L to 40L).toDF("k")
+        .select(col("k"), BucketedTable.bucketOf("k").as("b"))
+        .as[(Long, Int)].collect().groupBy(_._2)
+        .map(_._2.head._1).toSeq.sorted.take(4)
+      assert(keys.size === 4)
+      val snap = keys.map(k => (k, 0.0)).toDF("k", "v")
+      val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val threads = keys.map { k =>
+        new Thread(() => {
+          try (1 to 5).foreach { i =>
+            BucketedTable.commitNext(root, Seq((k, i * 1.0)).toDF("k", "v"),
+              BucketedTable.bucketIds(Seq(k).toDF("k"), "k"), "k",
+              compactThreshold = 4)
+          } catch { case t: Throwable => failures.add(t); () }
+        })
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join())
+      assert(failures.isEmpty,
+        s"writer thread failed: ${Option(failures.peek()).map(_.toString)}")
+      // 20 commits happened (plus folds): ids were allocated without
+      // duplication and every thread's LAST value survived the folds
+      assert(BucketedTable.nextVersionId(root) >= 20L)
+      val cur = BucketedTable.current(spark, root, snap, "k")
+        .as[(Long, Double)].collect().toMap
+      keys.foreach(k => assert(cur(k) === 5.0,
+        s"key $k lost its last commit under the race: ${cur.get(k)}"))
+      assert(cur.size === keys.size)
     } finally {
       val s = java.nio.file.Files.walk(rootDir)
       try s.sorted(java.util.Comparator.reverseOrder())
