@@ -1001,10 +1001,28 @@ object Streaming {
     * therefore which member of a cross-batch dup pair survives: the
     * earlier one) is deterministic. Equality with the sequential batch
     * fold is spec-asserted.
+    *
+    * In-stream small-file compaction (round-11 verdict #6): each
+    * accepted batch appends one small parquet file per band, so a long
+    * crawl stream grows the stored index's file count without bound —
+    * the same O(batches) listing cost BucketedTable's version
+    * auto-compaction bounds. When the band table exceeds
+    * `compactPastFiles` files (and the index is `_OK`-gated), the
+    * append path compacts it in place behind the existing
+    * [[graft.operators.NearDup.compactNearDupIndex]] staged-swap
+    * contract — row content identical, so neither this stream's
+    * remaining probes (which join the in-memory fold, not the disk)
+    * nor any later reader can observe a difference (spec-asserted).
+    * Lost-block recovery note: the fold's persisted base pins the
+    * PRE-compaction file list, so a recompute after block loss fails
+    * loudly on the swapped-away files instead of silently
+    * double-counting appends — at cluster scale use a replicated
+    * storage level or restart the stream from the compacted artifact.
     */
   def streamingNearDupCumulative(spark: SparkSession, indexPath: String,
       incoming: DataFrame, batchOf: org.apache.spark.sql.Column,
-      n: Int, k: Int, threshold: Double): DataFrame = {
+      n: Int, k: Int, threshold: Double,
+      compactPastFiles: Int = 512): DataFrame = {
     val land = freshDir("neardup_cum_land")
     val out = freshDir("neardup_cum_out")
     landBatchFiles(incoming.withColumn("__b", batchOf), land)
@@ -1050,6 +1068,18 @@ object Streaming {
             dB.select(bandsCur.columns.map(col): _*))
           setsCur = setsCur.unionByName(
             dS.select(setsCur.columns.map(col): _*))
+          // bound the stored index's file count (see object doc above):
+          // compaction is gated on `_OK` — an un-gated path belongs to
+          // a caller-managed build and is theirs to compact
+          if (graft.operators.IndexStore.countFiles(
+                new java.io.File(s"$indexPath/bands")) > compactPastFiles &&
+              graft.operators.IndexStore.okAt(
+                new java.io.File(indexPath)).exists()) {
+            val (nb, na) =
+              graft.operators.NearDup.compactNearDupIndex(spark, indexPath)
+            System.err.println(
+              s"[neardup-cum] in-stream band compaction: $nb -> $na files")
+          }
           ()
         }
         .option("checkpointLocation", freshDir("neardup_cum_ck"))

@@ -222,6 +222,64 @@ class StreamingSinksSpec extends AnyFunSuite {
     }
   }
 
+  test("in-stream band compaction: identical survivors, identical index reads, fewer files") {
+    import graft.operators.{IndexStore, NearDup}
+    val d = graft.sources.Sources.table(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    val existing = d.filter(col("doc_id") < 40)
+    val batch0 = d.filter(col("doc_id") >= 40 && col("doc_id") < 80)
+    val batch1 = batch0.select((col("doc_id") + 1000).as("doc_id"),
+      col("text").substr(lit(1), length(col("text")) - 10).as("text"))
+    val incoming = batch0.unionByName(batch1)
+    val root = java.nio.file.Files.createTempDirectory("neardup_instream")
+    try {
+      // one pristine gated build, two mutable run copies
+      val pristine = new java.io.File(root.toFile, "pristine").getPath
+      IndexStore.ensure(pristine)(stage => NearDup.writeNearDupIndex(
+        existing, col("doc_id"), col("text"), n = 5, k = 8, stage))
+      def copyRec(from: java.io.File, to: java.io.File): Unit = {
+        if (from.isDirectory) { to.mkdirs()
+          from.listFiles().foreach(f => copyRec(f, new java.io.File(to, f.getName)))
+        } else { java.nio.file.Files.copy(from.toPath, to.toPath); () }
+      }
+      val plain = new java.io.File(root.toFile, "plain").getPath
+      val compacted = new java.io.File(root.toFile, "compacted").getPath
+      copyRec(new java.io.File(pristine), new java.io.File(plain))
+      copyRec(new java.io.File(pristine), new java.io.File(compacted))
+      def run(idx: String, past: Int) = Streaming.streamingNearDupCumulative(
+          spark, idx, incoming, when(col("doc_id") < 1000, 2).otherwise(10),
+          n = 5, k = 8, threshold = 0.5, compactPastFiles = past)
+        .as[Long].collect().toSet
+      val gotPlain = run(plain, Int.MaxValue) // never compacts
+      val gotCompacted = run(compacted, 1)    // compacts after EVERY batch
+      assert(gotCompacted === gotPlain,
+        "in-stream compaction changed the stream's survivor verdicts")
+      // the stored artifacts read identically (compaction moves rows
+      // between files, never changes them) ...
+      def bands(idx: String) = spark.read.parquet(s"$idx/bands")
+        .select("band", "band_val", "key").as[(Int, String, Long)].collect()
+        .toSeq.sorted
+      assert(bands(compacted) === bands(plain))
+      // ... and the compacted copy holds fewer band files
+      def nFiles(idx: String) =
+        IndexStore.countFiles(new java.io.File(s"$idx/bands"))
+      assert(nFiles(compacted) < nFiles(plain),
+        s"compaction did not shrink files: ${nFiles(compacted)} vs ${nFiles(plain)}")
+      // a post-stream probe of both indexes gives identical verdicts
+      val probe = d.filter(col("doc_id") >= 80 && col("doc_id") < 100)
+      def probeSet(idx: String) = NearDup.incrementalSurvivorsIndexed(
+          spark, idx, probe, col("doc_id"), col("text"),
+          n = 5, k = 8, threshold = 0.5)
+        .as[Long].collect().toSet
+      assert(probeSet(compacted) === probeSet(plain))
+    } finally {
+      val s = java.nio.file.Files.walk(root)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+      finally s.close()
+    }
+  }
+
   test("streamingIncrementalRollup equals the one-shot apply across batch splits") {
     import graft.operators.Dedup
     def ts(x: String) = java.sql.Timestamp.valueOf(x)
