@@ -112,17 +112,19 @@ object Graph {
     val nodes = info.select("node")
     // nodes with no out-edge: their rank re-enters uniformly each round
     val dang = info.filter(col("deg") === 0).select("node")
-    // one O(1) driver check on the (checkpointed, node-sized) info
-    // frame: a symmetrized graph has no danglers, and their correction
-    // term is exactly +0.0 per node — skipping it drops one join +
-    // aggregate + broadcast per round while producing bit-identical
-    // ranks
-    val hasDanglers = !dang.isEmpty
-    // node COUNT is orchestration metadata (an O(1) read off the cached
-    // info frame, like the dangler check above); inlining it as a
-    // literal removes a count-aggregate + broadcast subtree from every
-    // round's plan. Same IEEE divisions as the per-row cast form.
-    val nD = info.count().toDouble
+    // ONE orchestration job over the (checkpointed, node-sized) info
+    // frame yields the node count AND the dangler check (round 12 —
+    // these were two separate driver jobs; on the tiny converged-family
+    // fixtures job floors dominate). A symmetrized graph has no
+    // danglers and their correction term is exactly +0.0 per node, so
+    // skipping it drops one join + aggregate + broadcast per round
+    // while producing bit-identical ranks. The node count inlines as a
+    // literal, removing a count-aggregate + broadcast subtree from
+    // every round's plan. Same IEEE divisions as the per-row cast form.
+    val infoStats = info.agg(count(lit(1)),
+      coalesce(sum(when(col("deg") === 0, 1L).otherwise(0L)), lit(0L))).head()
+    val hasDanglers = infoStats.getLong(1) > 0
+    val nD = infoStats.getLong(0).toDouble
     // degenerate empty graph: init ranks would be 1/0 = Infinity and the
     // convergence probe's sum/min aggregates would come back NULL (NPE on
     // getDouble) — fail like the other argument checks instead
@@ -339,13 +341,15 @@ object Graph {
     eckRel()
     val nodes = info.select("node")
     val dang = info.filter(col("deg") === 0).select("node")
-    // same degenerate guard as [[pageRank]]: an empty graph would NPE
-    // the convergence probe's aggregates instead of failing loudly
-    require(info.head(1).nonEmpty,
+    // ONE orchestration job for the degenerate-empty guard AND the
+    // dangler fast path (round 12 — was two driver jobs; see
+    // [[pageRank]]): no danglers → the correction term is exactly
+    // +0.0·tele, skip its per-round join + aggregate
+    val infoStats = info.agg(count(lit(1)),
+      coalesce(sum(when(col("deg") === 0, 1L).otherwise(0L)), lit(0L))).head()
+    require(infoStats.getLong(0) > 0,
       "personalizedPageRank: edges frame is empty (no nodes)")
-    // same fast path as [[pageRank]]: no danglers → the correction term
-    // is exactly +0.0·tele, skip its per-round join + aggregate
-    val hasDanglers = !dang.isEmpty
+    val hasDanglers = infoStats.getLong(1) > 0
     val s = seeds.select(col("node")).distinct().join(nodes, Seq("node"))
     val ns = s.agg(count(lit(1)).as("n_s"))
     val (tele, teleRel) = Eager.tracked(nodes

@@ -549,6 +549,34 @@ object Streaming {
     }.reduce(_.unionByName(_))
   }
 
+  /** Materialize the time-travel fold's artifacts into `targetDir`:
+    * `rollup/` (the bucket-versioned version tree, compaction deferred
+    * so batch b = version b+1 holds for every tag) and `base/` (the
+    * seeded base rollup as parquet). The bench fixture builds this ONCE
+    * per corpus identity behind [[graft.operators.IndexStore.ensure]]
+    * (round-11 verdict #8): the time-travel READS are the query —
+    * re-folding the whole maintainer per timed run priced the
+    * maintainer again, which q_stream_incr_rollup already prices.
+    * [[streamingIncrementalRollupTimeTravel]] remains the
+    * fold-and-read-in-one-call form. */
+  def materializeIvmTimeTravel(spark: SparkSession, snapshot: DataFrame,
+      changes: DataFrame, batchOf: org.apache.spark.sql.Column,
+      key: String, tsCol: String, seqCol: String, opCol: String,
+      valueCols: Seq[String], group: org.apache.spark.sql.Column,
+      value: org.apache.spark.sql.Column, targetDir: String): Unit = {
+    val (_, rollupRoot, rollupBase) = streamingIncrementalRollupCore(
+      spark, snapshot, changes, batchOf, key, tsCol, seqCol, opCol,
+      valueCols, group, value, compactThreshold = 0)
+    def copyRec(from: java.io.File, to: java.io.File): Unit = {
+      if (from.isDirectory) {
+        to.mkdirs()
+        from.listFiles().foreach(f => copyRec(f, new java.io.File(to, f.getName)))
+      } else { java.nio.file.Files.copy(from.toPath, to.toPath); () }
+    }
+    copyRec(new java.io.File(rollupRoot), new java.io.File(targetDir, "rollup"))
+    rollupBase.write.mode("overwrite").parquet(s"$targetDir/base")
+  }
+
   private def streamingIncrementalRollupCore(spark: SparkSession,
       snapshot: DataFrame,
       changes: DataFrame, batchOf: org.apache.spark.sql.Column,
