@@ -678,6 +678,42 @@ object OracleSql {
       s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})")
       .mkString(" + ")
 
+  /** The full 18-round unrolled PageRank over the symmetrized
+    * customer↔nation graph at damping 0.25, rounded to 6 dp — the
+    * shared cold oracle of q_pagerank_converged (early-exit proof) and
+    * q_pagerank_incremental (warm-start equality proof). */
+  private def unrolledCustomerPageRankSql: String = {
+    // per-memory stripMargin trap: rounds are stripped individually,
+    // then joined with plain interpolation (no outer stripMargin)
+    val head =
+      """WITH e0 AS (
+        |  SELECT DISTINCT 'c:' || c_custkey AS src,
+        |    'n:' || c_nationkey AS dst
+        |  FROM customer),
+        |edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+        |r0 AS (SELECT node, 1.0 / CAST(n AS DOUBLE) AS r
+        |  FROM nodes CROSS JOIN nn)""".stripMargin
+    val rounds = (1 to 18).map { i =>
+      s"""m$i AS (
+         |  SELECT e.dst AS node,
+         |    CAST(sum(CAST(r.r / CAST(d.deg AS DOUBLE) AS DECIMAL(38,12)))
+         |      AS DOUBLE) AS m
+         |  FROM edges e JOIN r${i - 1} r ON e.src = r.node JOIN deg d ON e.src = d.src
+         |  GROUP BY e.dst),
+         |r$i AS (
+         |  SELECT nodes.node,
+         |    (1.0 - 0.25) / CAST(n AS DOUBLE) + 0.25 * coalesce(m, 0.0) AS r
+         |  FROM nodes LEFT JOIN m$i USING (node) CROSS JOIN nn)""".stripMargin
+    }.mkString(",\n")
+    val tail =
+      """SELECT node, round(r, 6) AS rank
+        |FROM r18 ORDER BY rank DESC, node LIMIT 20""".stripMargin
+    s"$head,\n$rounds\n$tail"
+  }
+
   val sql: Map[String, String] = Map(
     "q_scan_pushdown" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
@@ -1824,37 +1860,18 @@ object OracleSql {
     // contraction bound proves round(r_i, 6) == round(r_18, 6), so the
     // hash compare verifies the proof. Same op sequence as q_pagerank
     // at damping 0.25, no danglers (symmetrized graph).
-    "q_pagerank_converged" -> {
-      // per-memory stripMargin trap: rounds are stripped individually,
-      // then joined with plain interpolation (no outer stripMargin)
-      val head =
-        """WITH e0 AS (
-          |  SELECT DISTINCT 'c:' || c_custkey AS src,
-          |    'n:' || c_nationkey AS dst
-          |  FROM customer),
-          |edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
-          |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
-          |nodes AS (SELECT DISTINCT src AS node FROM edges),
-          |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
-          |r0 AS (SELECT node, 1.0 / CAST(n AS DOUBLE) AS r
-          |  FROM nodes CROSS JOIN nn)""".stripMargin
-      val rounds = (1 to 18).map { i =>
-        s"""m$i AS (
-           |  SELECT e.dst AS node,
-           |    CAST(sum(CAST(r.r / CAST(d.deg AS DOUBLE) AS DECIMAL(38,12)))
-           |      AS DOUBLE) AS m
-           |  FROM edges e JOIN r${i - 1} r ON e.src = r.node JOIN deg d ON e.src = d.src
-           |  GROUP BY e.dst),
-           |r$i AS (
-           |  SELECT nodes.node,
-           |    (1.0 - 0.25) / CAST(n AS DOUBLE) + 0.25 * coalesce(m, 0.0) AS r
-           |  FROM nodes LEFT JOIN m$i USING (node) CROSS JOIN nn)""".stripMargin
-      }.mkString(",\n")
-      val tail =
-        """SELECT node, round(r, 6) AS rank
-          |FROM r18 ORDER BY rank DESC, node LIMIT 20""".stripMargin
-      s"$head,\n$rounds\n$tail"
-    },
+    "q_pagerank_converged" -> unrolledCustomerPageRankSql,
+
+    // Incremental (warm-start) PageRank: the IDENTICAL full-graph
+    // 18-round cold oracle — that identity IS the theorem. Spark ranks
+    // the grown graph warm-started from a previous batch's ranks and
+    // exits only when round(warm_i, 6) PROVABLY equals
+    // round(cold_18, 6) (measured contraction bound + the a-priori
+    // 2·d^18 cold-trajectory bound + rounding-boundary clearance, see
+    // Graph.pageRankWarmStart). The previous-batch ranks never enter
+    // the comparison, so hash-green here verifies the warm-start
+    // equality proof end to end.
+    "q_pagerank_incremental" -> unrolledCustomerPageRankSql,
 
     // Directed converged PageRank: full 18-round unroll INCLUDING the
     // per-round dangling-mass sum (every nation is a sink on the

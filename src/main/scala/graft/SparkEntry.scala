@@ -927,6 +927,44 @@ object SparkEntry {
         .orderBy(col("rank").desc, col("node")).limit(20)
     }),
 
+    // J+ iterative graph — INCREMENTAL PageRank maintenance (round 12):
+    // the crawl-loop shape, where recomputing web-scale ranks from
+    // scratch per ingest batch is the scale-killer. The previous
+    // batch's converged ranks (2/3 of customers) warm-start the rank
+    // pass over the GROWN graph (all customers); the operator exits
+    // only when round(warm_i, 6) PROVABLY equals round(cold_18, 6) —
+    // measured ℓ1-contraction bound + the a-priori 2·d^18 bound on the
+    // cold trajectory + rounding-boundary clearance — so the oracle is
+    // literally the cold 18-round full-graph unroll, and hash-green
+    // verifies the warm-start equality theorem. The spec additionally
+    // pins that warm converges in FEWER rounds than cold.
+    "q_pagerank_incremental" -> ((s, dir) => {
+      def sym(c: DataFrame) = {
+        val e0 = c.select(concat(lit("c:"), col("c_custkey")).as("src"),
+          concat(lit("n:"), col("c_nationkey")).as("dst")).distinct()
+        e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+      }
+      val cust = t(s, dir, "customer")
+      // the previous batch's ranks EXIST in production (they are the
+      // previous run's output) — ensure-built once per corpus identity,
+      // like every stored artifact here, so the timed query prices what
+      // incremental maintenance costs: the warm rounds over the grown
+      // graph. The proof makes the result independent of prev anyway.
+      val art = indexPathFor(dir, "customer", "rank", "prev",
+        "d=0.25,dp=6,m=18,mod3")
+      graft.operators.IndexStore.ensure(art) { stage =>
+        graft.operators.Graph.pageRankConverged(
+            sym(cust.filter(col("c_custkey") % 3 =!= 0)),
+            maxIters = 18, damping = 0.25, roundDp = 6)
+          .write.mode("overwrite").parquet(s"$stage/ranks")
+      }
+      graft.operators.Graph.pageRankWarmStart(sym(cust),
+          s.read.parquet(s"$art/ranks"),
+          maxIters = 18, damping = 0.25, roundDp = 6)
+        .select(col("node"), round(col("r"), 6).as("rank"))
+        .orderBy(col("rank").desc, col("node")).limit(20)
+    }),
+
     // A6+ domain pack — time-weighted average per user-day (the vwap
     // sibling weighted by holding seconds, not volume): one lead()
     // window + one aggregate sharing the user partitioning.

@@ -86,8 +86,45 @@ object Graph {
       maxIters: Int, damping: Double, roundDp: Int): (DataFrame, Int) =
     pageRankImpl(edges, maxIters, damping, stopDp = Some(roundDp))
 
+  /** INCREMENTAL PageRank maintenance — re-rank a GROWN graph by
+    * warm-starting from a previous rank vector instead of uniform: the
+    * production crawl loop, where recomputing web-scale ranks from
+    * scratch per ingest batch is the scale-killer and the graph between
+    * batches barely moves. `prevRanks` is (node, r) from any earlier
+    * run (ranks for nodes no longer present are dropped; new nodes
+    * start at 1/N — any starting vector is admissible, see proof).
+    *
+    * PROVABLE equality with the cold fixed-iteration contract: the
+    * PageRank map T is an affine contraction in ℓ1 with factor d and a
+    * unique fixpoint r∞, FROM ANY starting vector. Two bounds combine:
+    *   (a) ‖warmᵢ − r∞‖₁ ≤ 2·δᵢ·d/(1−d) with δᵢ measured per probe
+    *       (the same bound the converged family uses, ×2 slop for
+    *       double-sum error);
+    *   (b) ‖cold_maxIters − r∞‖₁ ≤ 2·d^maxIters a priori (both rank
+    *       vectors sum to 1, so their ℓ1 distance is ≤ 2 and T^k
+    *       contracts it by d^k).
+    * The exit fires only when every node's rank clears its nearest
+    * HALF_UP boundary of the 10^-roundDp grid by the SUM of the two —
+    * then round(warmᵢ) = round(cold_maxIters) per node, which is
+    * exactly what the full-unroll oracle computes. A run whose proof
+    * cannot fire within `maxIters` rounds THROWS (returning
+    * non-provable ranks would silently break the oracle contract;
+    * raise maxIters).
+    */
+  def pageRankWarmStart(edges: DataFrame, prevRanks: DataFrame,
+      maxIters: Int, damping: Double, roundDp: Int): DataFrame =
+    pageRankImpl(edges, maxIters, damping, stopDp = Some(roundDp),
+      warmInit = Some(prevRanks))._1
+
+  /** Spec hook: [[pageRankWarmStart]] plus rounds actually executed. */
+  private[graft] def pageRankWarmStartCounting(edges: DataFrame,
+      prevRanks: DataFrame, maxIters: Int, damping: Double,
+      roundDp: Int): (DataFrame, Int) =
+    pageRankImpl(edges, maxIters, damping, stopDp = Some(roundDp),
+      warmInit = Some(prevRanks))
+
   private def pageRankImpl(edges: DataFrame, iters: Int, damping: Double,
-      stopDp: Option[Int]): (DataFrame, Int) = {
+      stopDp: Option[Int], warmInit: Option[DataFrame] = None): (DataFrame, Int) = {
     require(iters >= 1, s"pageRank: iters must be ≥ 1, got $iters")
     require(damping > 0 && damping < 1,
       s"pageRank: damping must be in (0,1), got $damping")
@@ -129,7 +166,26 @@ object Graph {
     // convergence probe's sum/min aggregates would come back NULL (NPE on
     // getDouble) — fail like the other argument checks instead
     require(nD > 0, "pageRank: edges frame is empty (no nodes)")
-    val init = nodes.select(col("node"), lit(1.0 / nD).as("r"))
+    // warm-start slack: the a-priori bound on the COLD trajectory's
+    // distance from the fixpoint at round `iters` (proof note on
+    // [[pageRankWarmStart]]); zero for the cold paths, whose proof
+    // bounds against their own trajectory directly
+    val extraSlack = if (warmInit.isDefined) 2.0 * math.pow(damping, iters) else 0.0
+    stopDp.filter(_ => warmInit.isDefined).foreach { dp =>
+      require(extraSlack < 0.45 / math.pow(10.0, dp),
+        s"pageRankWarmStart: 2·d^maxIters = $extraSlack cannot clear the " +
+          s"10^-$dp rounding grid — the equality proof can never fire; " +
+          "raise maxIters or lower roundDp")
+    }
+    val init = warmInit match {
+      case None => nodes.select(col("node"), lit(1.0 / nD).as("r"))
+      case Some(prev) =>
+        // restrict to the current node universe; nodes the previous
+        // vector never saw start uniform (any start is admissible —
+        // the contraction proof is init-free)
+        nodes.join(prev.select(col("node"), col("r")), Seq("node"), "left")
+          .select(col("node"), coalesce(col("r"), lit(1.0 / nD)).as("r"))
+    }
     def round(r: DataFrame): DataFrame = {
       val m = ed
         .join(r.withColumnRenamed("node", "src"), Seq("src"))
@@ -152,7 +208,8 @@ object Graph {
             lit(damping) * coalesce(col("m"), lit(0.0))).as("r"))
     }
     val (r, i, relPrev) =
-      iterate(init, round, iters, damping, stopDp, chainable = !hasDanglers)
+      iterate(init, round, iters, damping, stopDp, chainable = !hasDanglers,
+        extraSlack = extraSlack, requireProof = warmInit.isDefined)
     // the terminal checkpoint frees EVERYTHING internal (last round's
     // frame, edges, node info) deterministically; the caller / harness
     // owns the terminal's own node-sized blocks. The rounds also left
@@ -183,7 +240,8 @@ object Graph {
     * for the last internal checkpoint). */
   private def iterate(init: DataFrame, round: DataFrame => DataFrame,
       iters: Int, damping: Double, stopDp: Option[Int],
-      chainable: Boolean): (DataFrame, Int, () => Unit) = {
+      chainable: Boolean, extraSlack: Double = 0.0,
+      requireProof: Boolean = false): (DataFrame, Int, () => Unit) = {
     // chain FIXED runs only: a 3-5-iter fixed run folds into a single
     // terminal job (measured −25% on q_pagerank/q_ppr at sf0.1), but
     // A/B across chain depths 2/3/4/8 showed the CONVERGED runs
@@ -209,8 +267,12 @@ object Graph {
       lazyDepth = 0
       c
     }
+    // a probe at the final round decides nothing for the fixed-result
+    // paths (the run ends either way) — but under requireProof it
+    // decides between returning and THROWING, so it must run
+    val probeLimit = if (requireProof) iters else iters - 1
     while (i < iters && !converged) {
-      val probing = stopDp.isDefined && nextProbe < iters &&
+      val probing = stopDp.isDefined && nextProbe <= probeLimit &&
         nextProbe <= i + maxChain
       if (!probing) {
         // advance one chain (or to the end); mid-run endpoints are
@@ -227,13 +289,20 @@ object Graph {
         i += 1
         val prev = r
         val (ck, rel) = Eager.tracked(round(prev))
-        val (stop, np) = probeConvergence(ck, prev, damping, stopDp.get, i)
+        val (stop, np) =
+          probeConvergence(ck, prev, damping, stopDp.get, i, extraSlack)
         if (stop) converged = true else nextProbe = np
         relPrev(); relPrev = rel
         lazyDepth = 0
         r = ck
       }
     }
+    if (requireProof && !converged)
+      throw new IllegalStateException(
+        s"pageRankWarmStart: the rounded-equality proof did not fire " +
+          s"within $iters rounds — returning non-provable ranks would " +
+          "silently break the fixed-iteration oracle contract. Raise " +
+          "maxIters (or lower roundDp)")
     (r, i, relPrev)
   }
 
@@ -249,7 +318,8 @@ object Graph {
     * bound cannot fire yet, the guaranteed factor-d shrink per round
     * prices how many rounds to skip before probing again. */
   private def probeConvergence(ck: DataFrame, prev: DataFrame,
-      damping: Double, dp: Int, i: Int): (Boolean, Int) = {
+      damping: Double, dp: Int, i: Int,
+      extraSlack: Double = 0.0): (Boolean, Int) = {
     val grid = math.pow(10.0, dp)
     val row = ck.select(col("node"), col("r").as("rn"))
       .join(prev.select(col("node"), col("r").as("rp")), Seq("node"))
@@ -259,14 +329,18 @@ object Graph {
       .head()
     val delta = row.getDouble(0)
     val minDist = row.getDouble(1)
-    val eps = 2.0 * delta * damping / (1.0 - damping)
+    // extraSlack (warm start): the oracle's COLD trajectory sits within
+    // 2·d^maxIters of the fixpoint — the clearance must absorb that too
+    val eps = 2.0 * delta * damping / (1.0 - damping) + extraSlack
     // stop iff the bound is inside the grid AND every node clears its
     // nearest rounding boundary by ε
     if (eps * grid < 0.45 && minDist > eps * grid) (true, i + 1)
     else {
       // δ must shrink to ~target before the bound can fire; the
-      // guaranteed rate is d per round — skip ahead
-      val target = 0.45 * (1.0 - damping) / (2.0 * damping * grid)
+      // guaranteed rate is d per round — skip ahead. The slack eats
+      // into the grid budget (guarded positive by the caller).
+      val budget = 0.45 / grid - extraSlack
+      val target = budget * (1.0 - damping) / (2.0 * damping)
       val skip = if (delta <= target) 1
         else math.ceil(math.log(target / delta) /
           math.log(damping)).toInt.max(1)

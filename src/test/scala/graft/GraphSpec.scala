@@ -246,4 +246,68 @@ class GraphSpec extends AnyFunSuite {
       .as[(String, Double)].collect().toMap
     assert(got === full)
   }
+
+  test("pageRankWarmStart: fewer rounds than cold, provably equal to the cold fixed-iteration run") {
+    // batch 1: two of the three hubs' leaves; batch 2 grows the graph
+    // with the third hub and its leaves. Warm-starting the full graph
+    // from batch 1's converged ranks must land on EXACTLY the cold
+    // 18-round answer (rounded), in fewer rounds than the cold
+    // converged run takes.
+    val maxIters = 18
+    val dp = 6
+    val d = 0.3
+    val full = (1 to 40).map(i => ("hub" + (i % 3), f"leaf$i%02d"))
+    val old = full.filter(_._1 != "hub2")
+    val prev = Graph.pageRankConverged(sym(old: _*), maxIters, d, dp)
+    val (warm, warmRounds) = Graph.pageRankWarmStartCounting(
+      sym(full: _*), prev, maxIters, d, dp)
+    val (_, coldRounds) = Graph.pageRankConvergedCounting(
+      sym(full: _*), maxIters, d, dp)
+    assert(warmRounds <= coldRounds,
+      s"warm start should never need MORE rounds: warm=$warmRounds cold=$coldRounds")
+    val got = warm.select(col("node"), round(col("r"), dp).as("rank"))
+      .as[(String, Double)].collect().toMap
+    val cold18 = Graph.pageRank(sym(full: _*), maxIters, d)
+      .select(col("node"), round(col("r"), dp).as("rank"))
+      .as[(String, Double)].collect().toMap
+    assert(got === cold18,
+      "warm-started ranks diverge from the cold fixed-iteration oracle")
+    // nodes the previous vector never saw are ranked
+    assert(got.keys.exists(_.startsWith("hub2")))
+    // the clean warm-start win, unquantized by the probe schedule: a
+    // RESTART from the same graph's converged ranks starts at the
+    // fixpoint — δ₁ is already microscopic and the proof fires on the
+    // very first probe, where the cold run needs double-digit rounds
+    val (warm2, restartRounds) = Graph.pageRankWarmStartCounting(
+      sym(full: _*), warm, maxIters, d, dp)
+    assert(restartRounds <= 2,
+      s"fixpoint restart should prove out in ≤2 rounds, took $restartRounds (cold: $coldRounds)")
+    assert(restartRounds < coldRounds)
+    val got2 = warm2.select(col("node"), round(col("r"), dp).as("rank"))
+      .as[(String, Double)].collect().toMap
+    assert(got2 === cold18)
+  }
+
+  test("pageRankWarmStart THROWS when the equality proof cannot fire (never silent wrong ranks)") {
+    val edges = sym(("a", "b"), ("b", "c"), ("c", "d"))
+    // a garbage previous vector (mass 10^9): the contraction still
+    // converges eventually, but within 6 rounds the measured δ cannot
+    // clear the grid — the operator must refuse loudly rather than
+    // return warm ranks that do NOT provably equal the cold oracle
+    val garbage = Graph.pageRank(edges, 2, 0.3)
+      .select(col("node"), (col("r") * 1e9).as("r"))
+    val ex = intercept[IllegalStateException] {
+      Graph.pageRankWarmStart(edges, garbage, maxIters = 6,
+        damping = 0.3, roundDp = 2).count()
+    }
+    assert(ex.getMessage.contains("proof"))
+    // and the a-priori-slack guard: when 2·d^maxIters itself cannot
+    // clear the grid, no measurement could ever help — fail BEFORE any
+    // round runs
+    val ex2 = intercept[IllegalArgumentException] {
+      Graph.pageRankWarmStart(edges, garbage, maxIters = 2,
+        damping = 0.95, roundDp = 9)
+    }
+    assert(ex2.getMessage.contains("grid"))
+  }
 }
