@@ -714,6 +714,47 @@ object OracleSql {
     s"$head,\n$rounds\n$tail"
   }
 
+  /** The full 18-round unrolled PERSONALIZED PageRank (seeds = nations
+    * < 5) over the symmetrized customer↔nation graph at damping 0.25,
+    * rounded to 6 dp — shared by q_ppr_converged and
+    * q_ppr_incremental. */
+  private def unrolledCustomerPprSql: String = {
+    val head =
+      """WITH e0 AS (
+        |  SELECT DISTINCT 'c:' || c_custkey AS src,
+        |    'n:' || c_nationkey AS dst
+        |  FROM customer),
+        |edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges),
+        |sd AS (
+        |  SELECT DISTINCT 'n:' || n_nationkey AS node FROM nation
+        |  WHERE n_nationkey < 5),
+        |s AS (SELECT sd.node FROM sd JOIN nodes USING (node)),
+        |ns AS (SELECT CAST(count(*) AS BIGINT) AS n_s FROM s),
+        |tele AS (
+        |  SELECT nodes.node,
+        |    CASE WHEN s.node IS NOT NULL THEN 1.0 / CAST(n_s AS DOUBLE)
+        |         ELSE 0.0 END AS tele
+        |  FROM nodes LEFT JOIN s ON nodes.node = s.node CROSS JOIN ns),
+        |r0 AS (SELECT node, tele AS r FROM tele)""".stripMargin
+    val rounds = (1 to 18).map { i =>
+      s"""m$i AS (
+         |  SELECT e.dst AS node,
+         |    CAST(sum(CAST(r.r / CAST(d.deg AS DOUBLE) AS DECIMAL(38,12)))
+         |      AS DOUBLE) AS m
+         |  FROM edges e JOIN r${i - 1} r ON e.src = r.node JOIN deg d ON e.src = d.src
+         |  GROUP BY e.dst),
+         |r$i AS (
+         |  SELECT t.node, (1.0 - 0.25) * t.tele + 0.25 * coalesce(m, 0.0) AS r
+         |  FROM tele t LEFT JOIN m$i USING (node))""".stripMargin
+    }.mkString(",\n")
+    val tail =
+      """SELECT node, round(r, 6) AS rank
+        |FROM r18 ORDER BY rank DESC, node LIMIT 20""".stripMargin
+    s"$head,\n$rounds\n$tail"
+  }
+
   val sql: Map[String, String] = Map(
     "q_scan_pushdown" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
@@ -1927,42 +1968,12 @@ object OracleSql {
     // seed-teleport recurrence (no danglers on the symmetrized graph);
     // Spark early-exits via the same contraction proof — the teleport
     // only changes the affine constant, not the contraction factor.
-    "q_ppr_converged" -> {
-      val head =
-        """WITH e0 AS (
-          |  SELECT DISTINCT 'c:' || c_custkey AS src,
-          |    'n:' || c_nationkey AS dst
-          |  FROM customer),
-          |edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
-          |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
-          |nodes AS (SELECT DISTINCT src AS node FROM edges),
-          |sd AS (
-          |  SELECT DISTINCT 'n:' || n_nationkey AS node FROM nation
-          |  WHERE n_nationkey < 5),
-          |s AS (SELECT sd.node FROM sd JOIN nodes USING (node)),
-          |ns AS (SELECT CAST(count(*) AS BIGINT) AS n_s FROM s),
-          |tele AS (
-          |  SELECT nodes.node,
-          |    CASE WHEN s.node IS NOT NULL THEN 1.0 / CAST(n_s AS DOUBLE)
-          |         ELSE 0.0 END AS tele
-          |  FROM nodes LEFT JOIN s ON nodes.node = s.node CROSS JOIN ns),
-          |r0 AS (SELECT node, tele AS r FROM tele)""".stripMargin
-      val rounds = (1 to 18).map { i =>
-        s"""m$i AS (
-           |  SELECT e.dst AS node,
-           |    CAST(sum(CAST(r.r / CAST(d.deg AS DOUBLE) AS DECIMAL(38,12)))
-           |      AS DOUBLE) AS m
-           |  FROM edges e JOIN r${i - 1} r ON e.src = r.node JOIN deg d ON e.src = d.src
-           |  GROUP BY e.dst),
-           |r$i AS (
-           |  SELECT t.node, (1.0 - 0.25) * t.tele + 0.25 * coalesce(m, 0.0) AS r
-           |  FROM tele t LEFT JOIN m$i USING (node))""".stripMargin
-      }.mkString(",\n")
-      val tail =
-        """SELECT node, round(r, 6) AS rank
-          |FROM r18 ORDER BY rank DESC, node LIMIT 20""".stripMargin
-      s"$head,\n$rounds\n$tail"
-    },
+    "q_ppr_converged" -> unrolledCustomerPprSql,
+
+    // Incremental (warm-start) personalized PageRank: the identical
+    // cold oracle — hash-green verifies the warm-start equality proof
+    // on the seed-teleport recurrence (see q_pagerank_incremental).
+    "q_ppr_incremental" -> unrolledCustomerPprSql,
 
     // Directed PageRank with dangling-mass completion: nodes = src∪dst,
     // per-round dangling sum (decimal, order-independent) redistributed

@@ -965,6 +965,35 @@ object SparkEntry {
         .orderBy(col("rank").desc, col("node")).limit(20)
     }),
 
+    // J+ iterative graph — incremental PERSONALIZED PageRank: the same
+    // warm-start equality theorem on the seed-teleport recurrence (the
+    // teleport changes only the affine constant, not the contraction).
+    // Oracle = q_ppr_converged's cold 18-round unroll on the full
+    // graph; prev ranks are the prior batch's ensure-built output.
+    "q_ppr_incremental" -> ((s, dir) => {
+      def sym(c: DataFrame) = {
+        val e0 = c.select(concat(lit("c:"), col("c_custkey")).as("src"),
+          concat(lit("n:"), col("c_nationkey")).as("dst")).distinct()
+        e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+      }
+      val cust = t(s, dir, "customer")
+      val seeds = t(s, dir, "nation").filter(col("n_nationkey") < 5)
+        .select(concat(lit("n:"), col("n_nationkey")).as("node"))
+      val art = indexPathFor(dir, "customer", "rank", "pprprev",
+        "d=0.25,dp=6,m=18,mod3,n5")
+      graft.operators.IndexStore.ensure(art) { stage =>
+        graft.operators.Graph.personalizedPageRankConverged(
+            sym(cust.filter(col("c_custkey") % 3 =!= 0)), seeds,
+            maxIters = 18, damping = 0.25, roundDp = 6)
+          .write.mode("overwrite").parquet(s"$stage/ranks")
+      }
+      graft.operators.Graph.personalizedPageRankWarmStart(sym(cust), seeds,
+          s.read.parquet(s"$art/ranks"),
+          maxIters = 18, damping = 0.25, roundDp = 6)
+        .select(col("node"), round(col("r"), 6).as("rank"))
+        .orderBy(col("rank").desc, col("node")).limit(20)
+    }),
+
     // A6+ domain pack — time-weighted average per user-day (the vwap
     // sibling weighted by holding seconds, not volume): one lead()
     // window + one aggregate sharing the user partitioning.

@@ -299,7 +299,7 @@ object Graph {
     }
     if (requireProof && !converged)
       throw new IllegalStateException(
-        s"pageRankWarmStart: the rounded-equality proof did not fire " +
+        s"warm start: the rounded-equality proof did not fire " +
           s"within $iters rounds — returning non-provable ranks would " +
           "silently break the fixed-iteration oracle contract. Raise " +
           "maxIters (or lower roundDp)")
@@ -398,8 +398,28 @@ object Graph {
       roundDp: Int): (DataFrame, Int) =
     pprImpl(edges, seeds, maxIters, damping, stopDp = Some(roundDp))
 
+  /** [[pageRankWarmStart]] for PERSONALIZED PageRank: the PPR map is
+    * the same damping × column-stochastic contraction (teleport only
+    * changes the affine constant), so the identical warm-vs-cold
+    * equality proof applies — measured contraction bound + a-priori
+    * 2·d^maxIters cold bound + rounding-boundary clearance. Throws if
+    * the proof cannot fire within maxIters. */
+  def personalizedPageRankWarmStart(edges: DataFrame, seeds: DataFrame,
+      prevRanks: DataFrame, maxIters: Int, damping: Double,
+      roundDp: Int): DataFrame =
+    pprImpl(edges, seeds, maxIters, damping, stopDp = Some(roundDp),
+      warmInit = Some(prevRanks))._1
+
+  /** Spec hook: [[personalizedPageRankWarmStart]] plus rounds run. */
+  private[graft] def personalizedPageRankWarmStartCounting(
+      edges: DataFrame, seeds: DataFrame, prevRanks: DataFrame,
+      maxIters: Int, damping: Double, roundDp: Int): (DataFrame, Int) =
+    pprImpl(edges, seeds, maxIters, damping, stopDp = Some(roundDp),
+      warmInit = Some(prevRanks))
+
   private def pprImpl(edges: DataFrame, seeds: DataFrame,
-      iters: Int, damping: Double, stopDp: Option[Int]): (DataFrame, Int) = {
+      iters: Int, damping: Double, stopDp: Option[Int],
+      warmInit: Option[DataFrame] = None): (DataFrame, Int) = {
     require(iters >= 1, s"personalizedPageRank: iters must be ≥ 1, got $iters")
     require(damping > 0 && damping < 1,
       s"personalizedPageRank: damping must be in (0,1), got $damping")
@@ -432,7 +452,23 @@ object Graph {
       .select(col("node"),
         when(col("__seed"), lit(1.0) / col("n_s").cast("double"))
           .otherwise(lit(0.0)).as("tele")))
-    val init = tele.select(col("node"), col("tele").as("r"))
+    // warm-start slack + guard: same contract as [[pageRankImpl]]
+    val extraSlack = if (warmInit.isDefined) 2.0 * math.pow(damping, iters) else 0.0
+    stopDp.filter(_ => warmInit.isDefined).foreach { dp =>
+      require(extraSlack < 0.45 / math.pow(10.0, dp),
+        s"personalizedPageRankWarmStart: 2·d^maxIters = $extraSlack cannot " +
+          s"clear the 10^-$dp rounding grid — the equality proof can never " +
+          "fire; raise maxIters or lower roundDp")
+    }
+    val init = warmInit match {
+      case None => tele.select(col("node"), col("tele").as("r"))
+      case Some(prev) =>
+        // restrict to the node universe; unseen nodes start at their
+        // teleport value (any start is admissible — init-free proof)
+        tele.join(prev.select(col("node"), col("r").as("rp")),
+            Seq("node"), "left")
+          .select(col("node"), coalesce(col("rp"), col("tele")).as("r"))
+    }
     def round(r: DataFrame): DataFrame = {
       val m = ed
         .join(r.withColumnRenamed("node", "src"), Seq("src"))
@@ -455,7 +491,8 @@ object Graph {
             lit(damping) * coalesce(col("m"), lit(0.0))).as("r"))
     }
     val (r, i, relPrev) =
-      iterate(init, round, iters, damping, stopDp, chainable = !hasDanglers)
+      iterate(init, round, iters, damping, stopDp, chainable = !hasDanglers,
+        extraSlack = extraSlack, requireProof = warmInit.isDefined)
     val out =
       Eager.terminalReleasing(r, relPrev, edRel, infoRel, teleRel)
     Eager.releaseBroadcastsSince(edges.sparkSession, bc0)

@@ -288,6 +288,35 @@ class GraphSpec extends AnyFunSuite {
     assert(got2 === cold18)
   }
 
+  test("personalizedPageRankWarmStart equals the cold fixed-iteration run; restart proves out fast") {
+    val maxIters = 18
+    val dp = 6
+    val d = 0.3
+    val full = (1 to 40).map(i => ("hub" + (i % 3), f"leaf$i%02d"))
+    val seeds = Seq("hub0", "hub1").toDF("node")
+    val prev = Graph.personalizedPageRankConverged(
+      sym(full.filter(_._1 != "hub2"): _*), seeds, maxIters, d, dp)
+    val (warm, warmRounds) = Graph.personalizedPageRankWarmStartCounting(
+      sym(full: _*), seeds, prev, maxIters, d, dp)
+    val got = warm.select(col("node"), round(col("r"), dp).as("rank"))
+      .as[(String, Double)].collect().toMap
+    val cold18 = Graph.personalizedPageRank(sym(full: _*), seeds, maxIters, d)
+      .select(col("node"), round(col("r"), dp).as("rank"))
+      .as[(String, Double)].collect().toMap
+    assert(got === cold18,
+      "warm-started PPR diverges from the cold fixed-iteration oracle")
+    val (_, coldRounds) = Graph.personalizedPageRankConvergedCounting(
+      sym(full: _*), seeds, maxIters, d, dp)
+    assert(warmRounds <= coldRounds)
+    // fixpoint restart: proof fires on the first probe
+    val (warm2, restartRounds) = Graph.personalizedPageRankWarmStartCounting(
+      sym(full: _*), seeds, warm, maxIters, d, dp)
+    assert(restartRounds <= 2 && restartRounds < coldRounds,
+      s"fixpoint restart took $restartRounds rounds (cold: $coldRounds)")
+    assert(warm2.select(col("node"), round(col("r"), dp).as("rank"))
+      .as[(String, Double)].collect().toMap === cold18)
+  }
+
   test("pageRankWarmStart THROWS when the equality proof cannot fire (never silent wrong ranks)") {
     val edges = sym(("a", "b"), ("b", "c"), ("c", "d"))
     // a garbage previous vector (mass 10^9): the contraction still

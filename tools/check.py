@@ -9,7 +9,10 @@ import json, math, subprocess, sys, os, glob
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 ONLY = set(sys.argv[2:])
-OUT = "/tmp/graft_verify"
+# pid-scoped: two concurrent checks (a background gate + a targeted
+# query check) otherwise share one dump dir and wipe each other's
+# outputs mid-compare (round-12 lesson: 147 phantom fails)
+OUT = f"/tmp/graft_verify_{os.getpid()}"
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 ADD_OPENS = []
@@ -24,7 +27,12 @@ def run_verify():
     cmd = ["java"] + ADD_OPENS + [
         "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
         "-Xmx8g",
-        "-cp", f"{REPO}/target/scala-2.13/classes:/opt/spark/jars/*",
+        # SPARK_GRAFT_CLASSES: snapshot-classpath override — a check
+        # running in the background dies with NoSuchMethodError when
+        # sbt recompiles target/classes under it (round-12 lesson)
+        "-cp", os.environ.get("SPARK_GRAFT_CLASSES",
+                              f"{REPO}/target/scala-2.13/classes")
+               + ":/opt/spark/jars/*",
         "graft.Verify", SF, OUT]
     env = dict(os.environ, SPARK_GRAFT_CPUS="8")
     r = subprocess.run(cmd, env=env, capture_output=True, text=True)
@@ -115,4 +123,6 @@ def compare():
 
 if __name__ == "__main__":
     run_verify()
-    sys.exit(1 if compare() else 0)
+    bad = compare()
+    subprocess.run(["rm", "-rf", OUT])  # pid-scoped dump, don't litter /tmp
+    sys.exit(1 if bad else 0)
