@@ -1237,6 +1237,37 @@ object OracleSql {
          |SELECT src AS key, min(dst) AS cluster_id
          |FROM reach GROUP BY src ORDER BY key""".stripMargin,
 
+    // Leakage-safe split: the q_dedup_clusters closure assigns every
+    // doc its near-dup cluster (self for singletons), then the q_split
+    // md5-bucket hashes the CLUSTER id — near-copies provably share a
+    // split. 80/10/10 bounds as in q_split.
+    "q_leakage_split" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |pr AS (SELECT key_a, key_b FROM jac WHERE jacc >= 0.5),
+         |edges AS (
+         |  SELECT key_a AS a, key_b AS b FROM pr
+         |  UNION SELECT key_b, key_a FROM pr),
+         |nodes AS (SELECT DISTINCT a AS n FROM edges),
+         |reach(src, dst) AS (
+         |  SELECT n, n FROM nodes
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst),
+         |labels AS (
+         |  SELECT src AS key, min(dst) AS cluster_id
+         |  FROM reach GROUP BY src),
+         |assigned AS (
+         |  SELECT c.key, coalesce(l.cluster_id, c.key) AS grp
+         |  FROM corpus c LEFT JOIN labels l ON c.key = l.key)
+         |SELECT key, grp,
+         |  CASE
+         |    WHEN CAST(concat('0x', substr(md5(CAST(grp AS VARCHAR)), 1, 4))
+         |      AS BIGINT) < 52428 THEN 'train'
+         |    WHEN CAST(concat('0x', substr(md5(CAST(grp AS VARCHAR)), 1, 4))
+         |      AS BIGINT) < 58981 THEN 'val'
+         |    ELSE 'test'
+         |  END AS split
+         |FROM assigned ORDER BY key""".stripMargin,
+
     // Both-direction containment scores over the shared LSH candidates.
     "q_containment" ->
       s"""WITH $minhashCtes,

@@ -1591,6 +1591,32 @@ object SparkEntry {
       NearDup.dedupClusters(pairs).orderBy("key")
     }),
 
+    // Curation+ — LEAKAGE-SAFE train/val/test split (round 12): the
+    // split hash is computed on the near-dup CLUSTER representative,
+    // not the row key, so a document and its near-copies always land
+    // in the same split — the contamination-through-near-duplicates
+    // hole a row-keyed split leaves open (a test doc whose near-copy
+    // sits in train leaks the answer). Singleton docs (no near-dup)
+    // cluster to themselves and get the plain split. Same indexed pair
+    // graph + contraction as q_dedup_clusters; the split itself is
+    // pure column work. Spec additionally asserts NO near-dup pair
+    // crosses splits.
+    "q_leakage_split" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val corpus = dupCorpus(d)
+      val pairs = NearDup.minhashPairsIndexed(s, nearDupIndexPath(dir),
+        corpus, col("doc_id"), col("text"), n = 5, k = 8, threshold = 0.5)
+      val labels = NearDup.dedupClusters(pairs)
+        .withColumnRenamed("key", "doc_id")
+      val assigned = corpus.select(col("doc_id"))
+        .join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster"))
+      Curation.splitByGroup(assigned, col("doc_id"), col("cluster"),
+          valPct = 10, testPct = 10)
+        .orderBy("key")
+    }),
+
     // Dedup provenance capstone: one row per REAL duplicate group
     // (≥ 2 members) — cluster id (= the kept representative, the min
     // key), member count, and the sorted member list a lineage audit

@@ -474,6 +474,39 @@ object Curation {
         .otherwise("test").as("split"))
   }
 
+  /** LEAKAGE-SAFE train/val/test split: the assignment hash is computed
+    * on a GROUP id — the near-dup cluster representative, a document's
+    * source page, a chunk's parent — so every member of a group lands
+    * in the SAME split. This closes the classic contamination hole
+    * [[trainValTestSplit]] leaves open for correlated rows: a test
+    * document whose near-copy sits in train leaks the answer, and
+    * row-keyed hashing splits such pairs ~2·p·(1−p) of the time.
+    * Same md5-bucket determinism as [[trainValTestSplit]] (groups whose
+    * id equals the row key get the identical assignment, so the plain
+    * split is the degenerate group=key case — spec-pinned).
+    *
+    * Scale shape: pure column work on an already-grouped frame — the
+    * expensive part (clustering) is the caller's pair graph, priced
+    * where it is produced; no extra shuffle beyond what the caller
+    * already has.
+    *
+    * Returns (key, grp, split).
+    */
+  def splitByGroup(df: DataFrame, key: Column, group: Column,
+      valPct: Int, testPct: Int): DataFrame = {
+    require(valPct >= 0 && testPct >= 0 && valPct + testPct < 100,
+      s"splitByGroup: need valPct, testPct ≥ 0 and val+test < 100, " +
+        s"got $valPct, $testPct")
+    val trainUb = 65536L * (100 - valPct - testPct) / 100
+    val valUb = trainUb + 65536L * valPct / 100
+    val bucket = conv(substring(md5(group.cast("string")), 1, 4), 16, 10)
+      .cast("long")
+    df.select(key.as("key"), group.as("grp"),
+      when(bucket < trainUb, "train")
+        .when(bucket < valUb, "val")
+        .otherwise("test").as("split"))
+  }
+
   /** k-anonymity audit — for each quasi-identifier combination, how many
     * rows share it and whether that group is below the anonymity
     * threshold `k` (an at-risk group: its members are re-identifiable by

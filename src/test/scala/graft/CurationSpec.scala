@@ -215,6 +215,32 @@ class CurationSpec extends AnyFunSuite {
     assert(out.forall { case (k, s) => grown(k) == s })
   }
 
+  test("splitByGroup: near-dup pairs NEVER cross splits; group=key degenerates to the plain split") {
+    // groups of 3 correlated rows each (a doc + two near-copies): the
+    // group-keyed split must put all members together, while the
+    // row-keyed split provably splits some groups (the leakage hole)
+    val rows = (1L to 300L).map(k => (k, k % 100)).toDF("id", "cl")
+    val byGroup = Curation.splitByGroup(rows, col("id"), col("cl"), 10, 10)
+      .as[(Long, Long, String)].collect()
+    val splitsPerGroup = byGroup.groupBy(_._2).view
+      .mapValues(_.map(_._3).distinct.length).toMap
+    assert(splitsPerGroup.values.forall(_ == 1),
+      s"groups crossing splits: ${splitsPerGroup.count(_._2 > 1)}")
+    // the row-keyed split DOES break groups apart — the hole exists
+    val byRow = Curation.trainValTestSplit(rows, col("id"), 10, 10)
+      .as[(Long, String)].collect().toMap
+    val rowBroken = (1L to 300L).groupBy(_ % 100)
+      .count { case (_, ks) => ks.map(byRow).distinct.length > 1 }
+    assert(rowBroken > 0,
+      "fixture too small to demonstrate the row-keyed leakage hole")
+    // degenerate group=key: identical assignment to the plain split
+    val degen = Curation.splitByGroup(rows, col("id"), col("id"), 10, 10)
+      .as[(Long, Long, String)].collect().map(r => (r._1, r._3)).toMap
+    assert((1L to 300L).forall(k => degen(k) == byRow(k)))
+    // all three splits are populated at 100 groups
+    assert(byGroup.map(_._3).distinct.sorted.toSeq === Seq("test", "train", "val"))
+  }
+
   test("kAnonymity flags exactly the groups below k") {
     val df = Seq(
       ("a", "x"), ("a", "x"), ("a", "x"),  // n=3, safe at k=3
