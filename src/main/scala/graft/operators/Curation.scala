@@ -464,14 +464,21 @@ object Curation {
     require(valPct >= 0 && testPct >= 0 && valPct + testPct < 100,
       s"trainValTestSplit: need valPct, testPct ≥ 0 and val+test < 100, " +
         s"got $valPct, $testPct")
+    df.select(key.as("key"), splitExpr(key, valPct, testPct).as("split"))
+  }
+
+  /** The shared split-assignment expression: first 16 bits of
+    * md5(hashed-column) bucketed 80/10/10 (or as configured). ONE
+    * definition for [[trainValTestSplit]] and [[splitByGroup]], so the
+    * spec-pinned group=key degeneracy can never drift. */
+  private def splitExpr(hashed: Column, valPct: Int, testPct: Int): Column = {
     val trainUb = 65536L * (100 - valPct - testPct) / 100
     val valUb = trainUb + 65536L * valPct / 100
-    val bucket = conv(substring(md5(key.cast("string")), 1, 4), 16, 10)
+    val bucket = conv(substring(md5(hashed.cast("string")), 1, 4), 16, 10)
       .cast("long")
-    df.select(key.as("key"),
-      when(bucket < trainUb, "train")
-        .when(bucket < valUb, "val")
-        .otherwise("test").as("split"))
+    when(bucket < trainUb, "train")
+      .when(bucket < valUb, "val")
+      .otherwise("test")
   }
 
   /** LEAKAGE-SAFE train/val/test split: the assignment hash is computed
@@ -497,14 +504,8 @@ object Curation {
     require(valPct >= 0 && testPct >= 0 && valPct + testPct < 100,
       s"splitByGroup: need valPct, testPct ≥ 0 and val+test < 100, " +
         s"got $valPct, $testPct")
-    val trainUb = 65536L * (100 - valPct - testPct) / 100
-    val valUb = trainUb + 65536L * valPct / 100
-    val bucket = conv(substring(md5(group.cast("string")), 1, 4), 16, 10)
-      .cast("long")
     df.select(key.as("key"), group.as("grp"),
-      when(bucket < trainUb, "train")
-        .when(bucket < valUb, "val")
-        .otherwise("test").as("split"))
+      splitExpr(group, valPct, testPct).as("split"))
   }
 
   /** k-anonymity audit — for each quasi-identifier combination, how many

@@ -44,6 +44,21 @@ object IndexStore {
     f.delete(); ()
   }
 
+  /** Recursive byte-copy of a file tree — the shared helper for
+    * materializing an artifact out of scratch state (fails on an
+    * existing destination file, like the staged-build contract
+    * expects). */
+  def copyRec(from: File, to: File): Unit = {
+    if (from.isDirectory) {
+      to.mkdirs()
+      val fs = from.listFiles()
+      if (fs != null) fs.foreach(f => copyRec(f, new File(to, f.getName)))
+    } else {
+      Files.copy(from.toPath, to.toPath)
+      ()
+    }
+  }
+
   /** Count regular files under `dir` (recursive) — the small-file
     * readout [[rewriteInPlace]] reports. */
   def countFiles(f: File): Long = {

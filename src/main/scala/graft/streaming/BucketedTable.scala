@@ -207,10 +207,18 @@ object BucketedTable {
 
   /** [[commit]] with the affected-bucket ids already collected (the
     * maintainers compute them once per batch for the pruned read). */
+  /** Sidecar names a fold carries forward (newest manifested
+    * occurrence copied into the fold before its manifest): `_hwm` (the
+    * ooo maintainer's watermark) and `_batch` (the rollup retry
+    * marker). Without the carry, a fold's wipe would destroy them and
+    * a restart would fall back to the unsafe legacy re-seeds. */
+  private val carriedSidecars = Seq("_hwm", "_batch")
+
   def commitIds(root: String, id: Long, content: DataFrame,
       claimIds: Seq[Int], key: String,
       nBuckets: Int = defaultBuckets,
-      compactThreshold: Int = defaultCompactThreshold): Unit =
+      compactThreshold: Int = defaultCompactThreshold,
+      sidecars: Seq[(String, Array[Byte])] = Nil): Unit =
     // the whole id-check → write → manifest → auto-compaction sequence
     // runs under the SAME cross-process commit lock the IndexStore
     // artifacts use (round-11 verdict #5): the documented single-writer
@@ -231,6 +239,21 @@ object BucketedTable {
       content.withColumn("__bucket", bucketOf(key, nBuckets))
         .write.mode("overwrite").partitionBy("__bucket")
         .parquet(s"$root/v$id")
+      // SIDECARS land BEFORE the manifest (round-12 review): the
+      // manifest is the visibility gate, so a sidecar is present iff
+      // the version is visible — written after, a crash in between
+      // would leave a visible commit whose retry marker / watermark
+      // never landed (exactly the double-apply window the `_batch`
+      // marker exists to close). And before any auto-compaction: a
+      // post-commit sidecar write would target a directory the fold
+      // may have just wiped.
+      sidecars.foreach { case (name, bytes) =>
+        require(name.startsWith("_") && name != "_buckets" && name != "_fold",
+          s"commitIds: illegal sidecar name $name")
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$root/v$id", name), bytes)
+        ()
+      }
       java.nio.file.Files.write(
         java.nio.file.Paths.get(s"$root/v$id", "_buckets"),
         claimIds.sorted.mkString("", "\n", "\n").getBytes("UTF-8"))
@@ -247,10 +270,12 @@ object BucketedTable {
   def commitNext(root: String, content: DataFrame,
       claimIds: Seq[Int], key: String,
       nBuckets: Int = defaultBuckets,
-      compactThreshold: Int = defaultCompactThreshold): Long =
+      compactThreshold: Int = defaultCompactThreshold,
+      sidecars: Seq[(String, Array[Byte])] = Nil): Long =
     graft.operators.IndexStore.withCommitLock(root) {
       val id = nextVersionId(root)
-      commitIds(root, id, content, claimIds, key, nBuckets, compactThreshold)
+      commitIds(root, id, content, claimIds, key, nBuckets, compactThreshold,
+        sidecars)
       id
     }
 
@@ -307,6 +332,24 @@ object BucketedTable {
     java.nio.file.Files.write(
       java.nio.file.Paths.get(vdir.getPath, "_fold"),
       Array.empty[Byte])
+    // the fold CARRIES FORWARD the newest of each known sidecar
+    // (round-12 review): the wipe below destroys every older version's
+    // sidecars; without the carry a fully-folded root would re-seed its
+    // watermark from the frontier max (the stricter-cutoff retry bug
+    // `_hwm` exists to prevent) and lose the rollup retry marker
+    // (`_batch` — a crash right after a fold-triggering commit would
+    // then double-apply the batch's deltas).
+    carriedSidecars.foreach { name =>
+      vs.reverse.iterator
+        .filter { case (_, d) => new java.io.File(d, "_buckets").isFile }
+        .map { case (_, d) => new java.io.File(d, name) }
+        .collectFirst { case f if f.isFile => f }
+        .foreach { f =>
+          java.nio.file.Files.copy(f.toPath,
+            java.nio.file.Paths.get(vdir.getPath, name))
+          ()
+        }
+    }
     java.nio.file.Files.write(
       java.nio.file.Paths.get(vdir.getPath, "_buckets"),
       claimed.keys.toSeq.sorted.mkString("", "\n", "\n").getBytes("UTF-8"))
@@ -331,13 +374,21 @@ object BucketedTable {
   def hasVersions(root: String): Boolean =
     versions(root).exists { case (_, d) => new java.io.File(d, "_buckets").isFile }
 
-  /** Next free version id: one past the highest existing. Version ids
-    * must be allocated MONOTONE (not reused from batch ids) because
-    * [[compact]] writes its fold at `last+1` — a later commit at a
-    * recycled smaller id would be silently shadowed by the fold. The
-    * algebra each maintainer commits (per-key max frontier, change-log
-    * winners, zero-delta on re-application) keeps a retried batch
-    * idempotent without deterministic ids. */
+  /** Next free version id: one past the highest MANIFESTED version.
+    * Version ids must be allocated MONOTONE (not reused from batch ids)
+    * because [[compact]] writes its fold above every directory — a
+    * later commit at a recycled smaller id would be silently shadowed
+    * by the fold. Unmanifested orphan dirs (a commit that crashed
+    * between parquet and `_buckets`) are deliberately NOT counted
+    * (round-12 review): they are invisible per the crash contract and
+    * the retry semantics is overwrite-in-place — counting them would
+    * wedge a root forever on `require(id >= nextVersionId)` after any
+    * such crash (e.g. a re-run `seedBase(root, 0)`). The algebra each
+    * maintainer commits (per-key max frontier, change-log winners,
+    * zero-delta on re-application) keeps a retried batch idempotent
+    * without deterministic ids. */
   def nextVersionId(root: String): Long =
-    versions(root).lastOption.map(_._1 + 1).getOrElse(0L)
+    versions(root)
+      .filter { case (_, d) => new java.io.File(d, "_buckets").isFile }
+      .lastOption.map(_._1 + 1).getOrElse(0L)
 }

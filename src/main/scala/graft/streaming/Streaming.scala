@@ -567,13 +567,8 @@ object Streaming {
     val (_, rollupRoot, rollupBase) = streamingIncrementalRollupCore(
       spark, snapshot, changes, batchOf, key, tsCol, seqCol, opCol,
       valueCols, group, value, compactThreshold = 0)
-    def copyRec(from: java.io.File, to: java.io.File): Unit = {
-      if (from.isDirectory) {
-        to.mkdirs()
-        from.listFiles().foreach(f => copyRec(f, new java.io.File(to, f.getName)))
-      } else { java.nio.file.Files.copy(from.toPath, to.toPath); () }
-    }
-    copyRec(new java.io.File(rollupRoot), new java.io.File(targetDir, "rollup"))
+    graft.operators.IndexStore.copyRec(
+      new java.io.File(rollupRoot), new java.io.File(targetDir, "rollup"))
     rollupBase.write.mode("overwrite").parquet(s"$targetDir/base")
   }
 
@@ -603,7 +598,7 @@ object Streaming {
       .option("recursiveFileLookup", "true")
       .parquet(land)
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, id: Long) =>
         // maintained table AND rollup are BUCKET-versioned (round-10
         // verdicts #3/#2): the batch commits only the buckets it
         // touches; untouched buckets' files are never rewritten. The
@@ -618,31 +613,42 @@ object Streaming {
         val affIds = BucketedTable.bucketIds(affected, key)
         val tableAff = BucketedTable.currentBuckets(
           spark, tableRoot, snapshot, key, affIds)
-        val deltas = Dedup.rollupDeltas(tableAff, batch, key, tsCol,
-          seqCol, opCol, valueCols, group, value)
-        // rollup claim: a key MOVING groups deltas its OLD group too, so
-        // a precise claim must come from the delta frame itself. But a
-        // SUPERSET claim is always correct (the claimed buckets' full
-        // content is written either way — untouched groups pass through
-        // the merge), so the claim is ADAPTIVE on batch sparsity, which
-        // affIds measures for free: a batch already touching every KEY
-        // bucket is table-wide — claim all group buckets and skip the
-        // delta-collect job (write amplification is zero when the batch
-        // is dense); only a SPARSE batch — the 100 TB shape — pays the
-        // precise collect that makes its rollup write delta-sized.
-        val gIds =
-          if (affIds.size == BucketedTable.defaultBuckets)
-            (0 until BucketedTable.defaultBuckets)
-          else BucketedTable.bucketIds(deltas.select(col("grp")), "grp")
-        val rollupAff = BucketedTable.currentBuckets(
-          spark, rollupRoot, rollupBase, "grp", gIds)
-        // rollup commits carry the caller's compactThreshold: the
-        // time-travel entry point defers compaction (0) so 'batch b =
-        // version b+1' holds for the whole stream and no tagged point
-        // falls below the retention horizon
-        BucketedTable.commitNext(rollupRoot,
-          Dedup.mergeRollup(rollupAff, deltas), gIds, "grp",
-          compactThreshold = compactThreshold)
+        // retry detection (round-12 review): the rollup merge is
+        // additive, so a batch re-delivered after a crash between the
+        // rollup and table commits must NOT re-merge its deltas — the
+        // newest rollup version's `_batch` marker says whether this
+        // batch's deltas already landed. (The table/frontier applies
+        // are winner-recomputations — idempotent — so only the rollup
+        // needs the guard.)
+        if (!newestBatchMarker(rollupRoot).contains(id)) {
+          val deltas = Dedup.rollupDeltas(tableAff, batch, key, tsCol,
+            seqCol, opCol, valueCols, group, value)
+          // rollup claim: a key MOVING groups deltas its OLD group too,
+          // so a precise claim must come from the delta frame itself.
+          // But a SUPERSET claim is always correct (the claimed
+          // buckets' full content is written either way — untouched
+          // groups pass through the merge), so the claim is ADAPTIVE
+          // on batch sparsity, which affIds measures for free: a batch
+          // already touching every KEY bucket is table-wide — claim all
+          // group buckets and skip the delta-collect job (write
+          // amplification is zero when the batch is dense); only a
+          // SPARSE batch — the 100 TB shape — pays the precise collect
+          // that makes its rollup write delta-sized.
+          val gIds =
+            if (affIds.size == BucketedTable.defaultBuckets)
+              (0 until BucketedTable.defaultBuckets)
+            else BucketedTable.bucketIds(deltas.select(col("grp")), "grp")
+          val rollupAff = BucketedTable.currentBuckets(
+            spark, rollupRoot, rollupBase, "grp", gIds)
+          // rollup commits carry the caller's compactThreshold: the
+          // time-travel entry point defers compaction (0) so 'batch b =
+          // version b+1' holds for the whole stream and no tagged point
+          // falls below the retention horizon
+          BucketedTable.commitNext(rollupRoot,
+            Dedup.mergeRollup(rollupAff, deltas), gIds, "grp",
+            compactThreshold = compactThreshold,
+            sidecars = batchMarker(id))
+        }
         val newAffected = Dedup.applyChangeLog(
           tableAff.join(affected, Seq(key), "left_semi"),
           batch, key, tsCol, seqCol, opCol, valueCols)
@@ -726,6 +732,28 @@ object Streaming {
         val t = new java.sql.Timestamp(parts(0).toLong)
         t.setNanos(parts(1).toInt)
         t
+      }
+
+  /** `_batch` sidecar: the micro-batch id a rollup version applied,
+    * committed atomically with the version (sidecars land before the
+    * manifest — see [[BucketedTable.commitIds]]). The rollup merge is
+    * ADDITIVE, not idempotent: a batch retried after a crash between
+    * the rollup commit and the table commit would re-merge the same
+    * deltas and double-count silently (round-12 review). The marker
+    * makes the retry detectable: a batch whose id equals the newest
+    * rollup version's marker skips the rollup commit — its deltas are
+    * already in. Folds carry the newest marker forward. */
+  private def batchMarker(id: Long): Seq[(String, Array[Byte])] =
+    Seq("_batch" -> id.toString.getBytes("UTF-8"))
+
+  /** The newest manifested rollup version's `_batch` marker, if any. */
+  private[graft] def newestBatchMarker(root: String): Option[Long] =
+    BucketedTable.versions(root).reverse.iterator
+      .filter { case (_, d) => new java.io.File(d, "_buckets").isFile }
+      .map { case (_, d) => new java.io.File(d, "_batch") }
+      .collectFirst { case f if f.isFile =>
+        new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+          .trim.toLong
       }
 
   def streamingIncrementalRollupOutOfOrder(spark: SparkSession,
@@ -852,34 +880,48 @@ object Streaming {
             snapshot.join(affected, Seq(key), "left_semi"),
             frontNow.join(affected, Seq(key), "left_semi"),
             key, tsCol, seqCol, opCol, valueCols))
-        val deltas =
-          Dedup.rollupDeltaFromStates(oldAffected, newAffected, group, value)
-        // adaptive rollup claim, as in the ordered maintainer: a batch
-        // already touching every key bucket is table-wide — claim all
-        // group buckets and skip the precise delta-collect job; only a
-        // sparse batch pays it (and gets a delta-sized rollup write)
-        val gIds =
-          if (affIds.size == BucketedTable.defaultBuckets)
-            (0 until BucketedTable.defaultBuckets)
-          else BucketedTable.bucketIds(deltas.select(col("grp")), "grp")
-        BucketedTable.commitNext(rollupRoot,
-          Dedup.mergeRollup(
-            BucketedTable.currentBuckets(spark, rollupRoot, rollupBase,
-              "grp", gIds),
-            deltas),
-          gIds, "grp")
-        val tableVid = BucketedTable.commitNext(tableRoot,
+        // retry guard (round-12 review): the rollup merge is ADDITIVE —
+        // a batch re-delivered after a crash between the rollup and
+        // table commits must not re-merge its deltas (the frontier
+        // merge and change-log apply are winner-recomputations,
+        // idempotent under the re-run; the rollup is the one
+        // non-idempotent step). The `_batch` marker commits atomically
+        // with the rollup version.
+        if (!newestBatchMarker(rollupRoot).contains(id)) {
+          val deltas =
+            Dedup.rollupDeltaFromStates(oldAffected, newAffected, group, value)
+          // adaptive rollup claim, as in the ordered maintainer: a batch
+          // already touching every key bucket is table-wide — claim all
+          // group buckets and skip the precise delta-collect job; only a
+          // sparse batch pays it (and gets a delta-sized rollup write)
+          val gIds =
+            if (affIds.size == BucketedTable.defaultBuckets)
+              (0 until BucketedTable.defaultBuckets)
+            else BucketedTable.bucketIds(deltas.select(col("grp")), "grp")
+          BucketedTable.commitNext(rollupRoot,
+            Dedup.mergeRollup(
+              BucketedTable.currentBuckets(spark, rollupRoot, rollupBase,
+                "grp", gIds),
+              deltas),
+            gIds, "grp", sidecars = batchMarker(id))
+        }
+        // the post-batch mark rides the TABLE commit as its `_hwm`
+        // sidecar — written before the manifest and before any
+        // auto-compaction (round-12 review: a post-commit sidecar write
+        // targeted a directory the fold may have just wiped, and folds
+        // now carry the newest sidecar forward). The table commits
+        // LAST, so a restart re-seeds from exactly the batches whose
+        // full application completed; the driver mark advances only
+        // after the commit returns.
+        val newHwm = (hwmVar.toSeq ++ mxAccepted.toSeq)
+          .sortBy(t => (t.getTime, t.getNanos)).lastOption
+        BucketedTable.commitNext(tableRoot,
           tableAff.join(affected, Seq(key), "left_anti")
             .unionByName(newAffected),
-          affIds, key)
-        // all three commits landed: NOW the mark may advance, and the
-        // table version records it in its `_hwm` sidecar for restart
-        // re-seeding (a crash anywhere above retries the batch under
-        // the PRE-batch cutoff — frontier merge and change-log apply
-        // are both idempotent under that re-run)
-        hwmVar = (hwmVar.toSeq ++ mxAccepted.toSeq)
-          .sortBy(t => (t.getTime, t.getNanos)).lastOption
-        hwmVar.foreach(h => writeHwmSidecar(tableRoot, tableVid, h))
+          affIds, key,
+          sidecars = newHwm.toSeq.map(h =>
+            "_hwm" -> s"${h.getTime} ${h.getNanos}".getBytes("UTF-8")))
+        hwmVar = newHwm
         naRel()
         ()
       }

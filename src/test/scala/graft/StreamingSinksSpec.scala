@@ -1062,6 +1062,74 @@ class StreamingSinksSpec extends AnyFunSuite {
     }
   }
 
+  test("BucketedTable: an unmanifested orphan does not wedge the root; retry overwrites it") {
+    import graft.streaming.BucketedTable
+    val snap = Seq((1L, 1.0)).toDF("k", "v")
+    val rootDir = java.nio.file.Files.createTempDirectory("bucketed_orphan")
+    val root = rootDir.toString
+    try {
+      // simulate a commit that crashed between parquet and _buckets:
+      // a v0 directory with data but no manifest
+      BucketedTable.commitIds(root, 0, Seq((1L, 10.0)).toDF("k", "v"),
+        BucketedTable.bucketIds(Seq(1L).toDF("k"), "k"), "k")
+      java.nio.file.Files.delete(
+        java.nio.file.Paths.get(s"$root/v0", "_buckets"))
+      // the orphan is invisible: nextVersionId must NOT count it
+      // (round-12 review: counting it wedged the root forever on the
+      // monotone require — the retry semantics is overwrite-in-place)
+      assert(BucketedTable.nextVersionId(root) === 0L)
+      BucketedTable.commitIds(root, 0, Seq((1L, 20.0)).toDF("k", "v"),
+        BucketedTable.bucketIds(Seq(1L).toDF("k"), "k"), "k")
+      assert(BucketedTable.current(spark, root, snap, "k")
+        .filter(col("k") === 1L).as[(Long, Double)].head()._2 === 20.0)
+    } finally {
+      val s = java.nio.file.Files.walk(rootDir)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+      finally s.close()
+    }
+  }
+
+  test("BucketedTable: sidecars commit atomically and SURVIVE folds (long-stream shape)") {
+    import graft.streaming.BucketedTable
+    def ts(x: String) = java.sql.Timestamp.valueOf(x)
+    val snap = Seq((1L, 0.0)).toDF("k", "v")
+    val rootDir = java.nio.file.Files.createTempDirectory("bucketed_sidecar")
+    val root = rootDir.toString
+    try {
+      // 8 commits at compactThreshold=3: folds fire repeatedly MID-RUN.
+      // The round-12-review crash was exactly here — the post-commit
+      // sidecar write targeted a directory the fold had just wiped;
+      // sidecars now ride the commit (before the manifest) and folds
+      // carry the newest _hwm/_batch forward.
+      (0 until 8).foreach { i =>
+        BucketedTable.commitNext(root, Seq((1L, i * 1.0)).toDF("k", "v"),
+          BucketedTable.bucketIds(Seq(1L).toDF("k"), "k"), "k",
+          compactThreshold = 3,
+          sidecars = Seq(
+            "_hwm" -> s"${ts(s"2024-01-0${i + 1} 00:00:00").getTime} 0"
+              .getBytes("UTF-8"),
+            "_batch" -> i.toString.getBytes("UTF-8")))
+      }
+      // the tree folded (≤ threshold+1 versions), yet the NEWEST
+      // watermark and batch marker are still readable
+      val nV = Option(new java.io.File(root).listFiles())
+        .getOrElse(Array.empty)
+        .count(f => f.isDirectory && f.getName.startsWith("v"))
+      assert(nV <= 4, s"tree did not fold: $nV versions")
+      assert(Streaming.persistedHwm(root) ===
+        Some(ts("2024-01-08 00:00:00")))
+      assert(Streaming.newestBatchMarker(root) === Some(7L))
+      assert(BucketedTable.current(spark, root, snap, "k")
+        .filter(col("k") === 1L).as[(Long, Double)].head()._2 === 7.0)
+    } finally {
+      val s = java.nio.file.Files.walk(rootDir)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+      finally s.close()
+    }
+  }
+
   test("ooo IVM hwm sidecar: restart re-seeds from the newest FULLY-committed table version") {
     import graft.streaming.BucketedTable
     def ts(x: String) = java.sql.Timestamp.valueOf(x)

@@ -122,7 +122,9 @@ def compare():
     return n_bad
 
 if __name__ == "__main__":
+    # pid-scoped dump: clean on EVERY exit path (a failed run would
+    # otherwise leak a uniquely-named multi-hundred-MB dir per attempt)
+    import atexit
+    atexit.register(lambda: subprocess.run(["rm", "-rf", OUT]))
     run_verify()
-    bad = compare()
-    subprocess.run(["rm", "-rf", OUT])  # pid-scoped dump, don't litter /tmp
-    sys.exit(1 if bad else 0)
+    sys.exit(1 if compare() else 0)
