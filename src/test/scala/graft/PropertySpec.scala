@@ -128,6 +128,17 @@ class PropertySpec extends AnyFunSuite {
         val dels = (0 until r.nextInt(3))
           .map(_ => (r.nextInt(40) + 1).toLong)
           .filterNot(ups.contains).toSet
+        // randomly simulate a commit that crashed between parquet and
+        // manifest (round-12): an unmanifested orphan at the next id —
+        // invisible, not counted by nextVersionId, overwritten by the
+        // retry (this step's real commit)
+        if (r.nextInt(3) == 0) {
+          val orphan = new java.io.File(root,
+            s"v${BucketedTable.nextVersionId(root)}")
+          orphan.mkdirs()
+          java.nio.file.Files.write(
+            new java.io.File(orphan, "junk").toPath, Array[Byte](1, 2, 3))
+        }
         val affected = (ups.keySet ++ dels).toSeq.toDF("k")
         val affIds = BucketedTable.bucketIds(affected, "k")
         val vid = BucketedTable.nextVersionId(root)
@@ -137,7 +148,10 @@ class PropertySpec extends AnyFunSuite {
             .unionByName(ups.toSeq.toDF("k", "v")),
           affIds, "k",
           // trigger a couple of real compactions inside the history
-          compactThreshold = 6)
+          compactThreshold = 6,
+          // every commit carries a retry marker; folds must carry the
+          // newest forward (asserted after the loop)
+          sidecars = Seq("_batch" -> step.toString.getBytes("UTF-8")))
         model = (model -- dels) -- ups.keySet ++ ups
         history(vid) = model
         // invariant after EVERY commit: assembled table == model
@@ -160,6 +174,18 @@ class PropertySpec extends AnyFunSuite {
           assert(got === m, s"asOf($vid) diverged from the model history")
         }
       }
+      // the retention horizon FAILS LOUDLY below the newest fold (the
+      // history above guarantees ≥1 compaction ran), and the newest
+      // retry marker survived every fold
+      val retired = history.keys.filter(_ < oldest)
+      assert(retired.nonEmpty, "fixture never compacted — raise steps")
+      retired.foreach { vid =>
+        intercept[IllegalStateException] {
+          BucketedTable.currentAsOf(spark, root, snap, "k", vid).count()
+        }
+      }
+      assert(graft.streaming.Streaming.newestBatchMarker(root) === Some(9L),
+        "folds lost the newest _batch retry marker")
     } finally {
       val s = java.nio.file.Files.walk(rootDir)
       try s.sorted(java.util.Comparator.reverseOrder())
