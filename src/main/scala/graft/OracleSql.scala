@@ -1237,6 +1237,25 @@ object OracleSql {
          |SELECT src AS key, min(dst) AS cluster_id
          |FROM reach GROUP BY src ORDER BY key""".stripMargin,
 
+    // Incremental cluster maintenance: the IDENTICAL full-closure
+    // oracle as q_dedup_clusters — that identity is the theorem
+    // (previous labels encode exactly their batch's connectivity and
+    // preserve every component min, so warm contraction over
+    // labels ∪ new-pairs equals cold contraction over all pairs).
+    "q_dedup_clusters_incr" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |pr AS (SELECT key_a, key_b FROM jac WHERE jacc >= 0.5),
+         |edges AS (
+         |  SELECT key_a AS a, key_b AS b FROM pr
+         |  UNION SELECT key_b, key_a FROM pr),
+         |nodes AS (SELECT DISTINCT a AS n FROM edges),
+         |reach(src, dst) AS (
+         |  SELECT n, n FROM nodes
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst)
+         |SELECT src AS key, min(dst) AS cluster_id
+         |FROM reach GROUP BY src ORDER BY key""".stripMargin,
+
     // Leakage-safe split: the q_dedup_clusters closure assigns every
     // doc its near-dup cluster (self for singletons), then the q_split
     // md5-bucket hashes the CLUSTER id — near-copies provably share a

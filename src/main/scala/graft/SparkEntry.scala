@@ -1591,6 +1591,39 @@ object SparkEntry {
       NearDup.dedupClusters(pairs).orderBy("key")
     }),
 
+    // D+/LLM+ — INCREMENTAL cluster maintenance (round 12): the dedup
+    // clusters of a GROWN pair graph computed from the PREVIOUS batch's
+    // labels instead of re-contracting the whole corpus — the crawl
+    // loop's dedup-cluster analogue of q_pagerank_incremental, but with
+    // an EXACT equality argument: a (key, cluster_id) label set encodes
+    // precisely its pair batch's connectivity (cluster ids are member
+    // keys, so label edges connect exactly the old components and
+    // preserve every min), hence clusters(labels(batch1) ∪ batch2) =
+    // clusters(batch1 ∪ batch2) node-for-node. The oracle is the full
+    // closure over ALL pairs — identity with q_dedup_clusters' answer
+    // IS the theorem. Previous labels are an ensure-built artifact (the
+    // prior run's output in production); the timed query prices the
+    // warm contraction, whose inputs are mostly stars already.
+    "q_dedup_clusters_incr" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val corpus = dupCorpus(d)
+      val pairs = NearDup.minhashPairsIndexed(s, nearDupIndexPath(dir),
+        corpus, col("doc_id"), col("text"), n = 5, k = 8, threshold = 0.5)
+      val batch1 = pairs.filter(col("key_a") % 2 === 0)
+      val batch2 = pairs.filter(col("key_a") % 2 =!= 0)
+      val art = indexPathFor(dir, "documents", "cc", "prev",
+        "n=5,k=8,t=0.5,evens")
+      graft.operators.IndexStore.ensure(art) { stage =>
+        NearDup.dedupClusters(batch1)
+          .write.mode("overwrite").parquet(s"$stage/labels")
+      }
+      val labelEdges = s.read.parquet(s"$art/labels")
+        .select(col("key").as("key_a"), col("cluster_id").as("key_b"))
+      NearDup.dedupClusters(
+          labelEdges.unionByName(batch2.select("key_a", "key_b")))
+        .orderBy("key")
+    }),
+
     // Curation+ — LEAKAGE-SAFE train/val/test split (round 12): the
     // split hash is computed on the near-dup CLUSTER representative,
     // not the row key, so a document and its near-copies always land

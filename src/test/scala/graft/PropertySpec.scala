@@ -345,6 +345,41 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: incremental clustering (labels ∪ new pairs) equals cold clustering on random graphs") {
+    // the q_dedup_clusters_incr theorem on arbitrary topologies: a
+    // label set encodes exactly its batch's connectivity (cluster ids
+    // are member keys), so clusters(labels(b1) ∪ b2) must equal
+    // clusters(b1 ∪ b2) node-for-node — including nodes only in b1,
+    // only in b2, and components merged ACROSS the batches
+    for (trial <- 1 to 4) {
+      val n = 150 + trial * 80
+      val edges = (1 to n + rnd.nextInt(2 * n)).map { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+      }.filter { case (a, b) => a != b }
+      if (edges.nonEmpty) {
+        val (b1, b2) = edges.partition(_ => rnd.nextBoolean())
+        val cold = graft.operators.NearDup.dedupClusters(
+            edges.toDF("key_a", "key_b"))
+          .as[(Long, Long)].collect().toMap
+        val warm =
+          if (b1.isEmpty)
+            graft.operators.NearDup.dedupClusters(b2.toDF("key_a", "key_b"))
+              .as[(Long, Long)].collect().toMap
+          else {
+            val labels = graft.operators.NearDup.dedupClusters(
+                b1.toDF("key_a", "key_b"))
+              .as[(Long, Long)].collect()
+            val labelEdges = labels.toSeq
+            val union = (labelEdges ++ b2).toDF("key_a", "key_b")
+            graft.operators.NearDup.dedupClusters(union)
+              .as[(Long, Long)].collect().toMap
+          }
+        assert(warm === cold,
+          s"trial $trial: warm clustering diverged (b1=${b1.size}, b2=${b2.size})")
+      }
+    }
+  }
+
   test("property: decontaminate equals the brute-force shingle intersection") {
     val d = graft.sources.Sources.table(spark, "/root/testdata/sf0.001", "documents")
     val train = d.filter(col("doc_id") % 11 =!= 0)
