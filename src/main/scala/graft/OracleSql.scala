@@ -2539,6 +2539,159 @@ object OracleSql {
         |FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
         |GROUP BY key ORDER BY key""".stripMargin,
 
+    // Mirrors SparkEntry.boilerplateDocs (doc2 CTE) + Corpus
+    // .boilerplateStrip: per-source line doc-frequency ≥ 30% of the
+    // source's docs (and ≥ 2 docs) → removed from every doc.
+    "q_boilerplate" ->
+      """WITH base AS (
+        |  SELECT doc_id AS key, source,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |body AS (
+        |  SELECT key, source,
+        |    string_agg(array_to_string(ws[li * 10 + 1 : li * 10 + 10], ' '),
+        |      chr(10) ORDER BY li) AS body
+        |  FROM (SELECT key, source, ws,
+        |      unnest(generate_series(0, greatest(
+        |        CAST(ceil(CAST(len(ws) AS DOUBLE) / 10.0) AS INTEGER) - 1, 0)))
+        |        AS li
+        |    FROM base)
+        |  GROUP BY key, source),
+        |doc2 AS (
+        |  SELECT key, source,
+        |    'read more about ' || source ||
+        |    ' market coverage subscribe for daily updates' || chr(10) ||
+        |    body || chr(10) ||
+        |    'copyright ' || source ||
+        |    ' press all rights reserved terms apply contact us' AS t
+        |  FROM body),
+        |lines AS (
+        |  SELECT key, source, li, ls[li] AS line
+        |  FROM (SELECT key, source, ls,
+        |      unnest(generate_series(1, len(ls))) AS li
+        |    FROM (SELECT key, source, string_split(t, chr(10)) AS ls
+        |      FROM doc2))),
+        |ndocs AS (
+        |  SELECT source, count(DISTINCT key) AS ndocs
+        |  FROM lines GROUP BY source),
+        |bp AS (
+        |  SELECT f.source, f.line
+        |  FROM (SELECT source, line, count(DISTINCT key) AS nd
+        |    FROM lines GROUP BY source, line) f
+        |  JOIN ndocs n USING (source)
+        |  WHERE f.nd >= 2 AND f.nd * 100 >= n.ndocs * 30),
+        |flag AS (
+        |  SELECT l.key, l.li, l.line, b.line IS NOT NULL AS is_bp
+        |  FROM lines l
+        |  LEFT JOIN bp b ON l.source = b.source AND l.line = b.line)
+        |SELECT key,
+        |  CAST(coalesce(sum(CASE WHEN NOT is_bp THEN 1 END), 0) AS BIGINT)
+        |    AS n_kept,
+        |  CAST(coalesce(sum(CASE WHEN is_bp THEN 1 END), 0) AS BIGINT)
+        |    AS n_removed,
+        |  coalesce(string_agg(line, chr(10) ORDER BY li)
+        |    FILTER (WHERE NOT is_bp), '') AS clean_text
+        |FROM flag GROUP BY key ORDER BY key""".stripMargin,
+
+    // Mirrors Corpus.dupNgramCoverage over the shared dupCorpus:
+    // 10-word chunks; dup iff the chunk occurs in ≥ 2 distinct docs
+    // (min ≠ max key over the chunk partition).
+    "q_dup_ngram_frac" ->
+      """WITH corpus AS (
+        |  SELECT doc_id AS key, text AS t FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, substr(text, 1, length(text) - 10)
+        |  FROM documents),
+        |base AS (
+        |  SELECT key,
+        |    list_filter(string_split_regex(t, '\s+'), x -> x <> '') AS ws
+        |  FROM corpus),
+        |chunks AS (
+        |  SELECT key, array_to_string(ws[li * 10 + 1 : li * 10 + 10], ' ')
+        |    AS chunk
+        |  FROM (SELECT key, ws,
+        |      unnest(generate_series(0, greatest(
+        |        CAST(ceil(CAST(len(ws) AS DOUBLE) / 10.0) AS INTEGER) - 1, 0)))
+        |        AS li
+        |    FROM base)),
+        |f AS (
+        |  SELECT key,
+        |    min(key) OVER (PARTITION BY chunk) <>
+        |      max(key) OVER (PARTITION BY chunk) AS is_dup
+        |  FROM chunks)
+        |SELECT key, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(coalesce(sum(CASE WHEN is_dup THEN 1 END), 0) AS BIGINT)
+        |    AS n_dup_chunks,
+        |  round(CAST(coalesce(sum(CASE WHEN is_dup THEN 1 END), 0) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE), 9) AS dup_frac
+        |FROM f GROUP BY key ORDER BY key""".stripMargin,
+
+    // Mirrors TextAnalysis.zipfSlope: rank total-ordered (count desc,
+    // token asc); x/y rounded to 12 dp before exact decimal moment
+    // sums; slope in double, rounded to 6.
+    "q_zipf" ->
+      """WITH toks AS (
+        |  SELECT lang, unnest(list_filter(
+        |    string_split_regex(lower(text), '\s+'), x -> x <> '')) AS tok
+        |  FROM documents),
+        |cnt AS (SELECT lang, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+        |top AS (
+        |  SELECT lang, c,
+        |    row_number() OVER (PARTITION BY lang ORDER BY c DESC, tok) AS r
+        |  FROM cnt QUALIFY r <= 100),
+        |xy AS (
+        |  SELECT lang,
+        |    round(ln(CAST(r AS DOUBLE)), 12) AS x,
+        |    round(ln(CAST(c AS DOUBLE)), 12) AS y
+        |  FROM top),
+        |s AS (
+        |  SELECT lang, count(*) AS n,
+        |    CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(x * y AS DECIMAL(38,24))) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(x * x AS DECIMAL(38,24))) AS DOUBLE) AS sxx
+        |  FROM xy GROUP BY lang)
+        |SELECT lang, CAST(n AS BIGINT) AS n_top,
+        |  round((CAST(n AS DOUBLE) * sxy - sx * sy) /
+        |        (CAST(n AS DOUBLE) * sxx - sx * sx), 6) AS zipf_slope
+        |FROM s ORDER BY lang""".stripMargin,
+
+    // Mirrors TextAnalysis.ccnetBuckets: the q_bigram_lm score CTE,
+    // per-lang exact ⅓/⅔ interpolated quantiles, ties fall LOW
+    // (strict >).
+    "q_ccnet_buckets" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS key, string_split_regex(lower(text), '\s+') AS w
+        |  FROM documents
+        |  WHERE len(string_split_regex(lower(text), '\s+')) >= 2),
+        |bg AS (
+        |  SELECT key, w[i] AS w1, w[i + 1] AS w2
+        |  FROM (SELECT key, w,
+        |      unnest(generate_series(1, len(w) - 1)) AS i
+        |    FROM toks)),
+        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+        |scored AS (
+        |  SELECT key, round(CAST(sum(CAST(
+        |      CAST(c2.c2 AS DOUBLE) / CAST(c1.c1 AS DOUBLE)
+        |      AS DECIMAL(38,12))) AS DOUBLE) / CAST(count(*) AS DOUBLE), 9)
+        |    AS lm_score
+        |  FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+        |  GROUP BY key),
+        |sl AS (
+        |  SELECT s.key, d.lang, s.lm_score
+        |  FROM scored s JOIN documents d ON s.key = d.doc_id),
+        |cut AS (
+        |  SELECT lang,
+        |    quantile_cont(lm_score, 1.0 / 3) AS c1,
+        |    quantile_cont(lm_score, 2.0 / 3) AS c2
+        |  FROM sl GROUP BY lang)
+        |SELECT sl.key AS doc_id, sl.lang, sl.lm_score,
+        |  CASE WHEN sl.lm_score > cut.c2 THEN 'head'
+        |       WHEN sl.lm_score > cut.c1 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM sl JOIN cut USING (lang) ORDER BY doc_id""".stripMargin,
+
     "q_quality_score" ->
       """WITH f AS (
         |  SELECT doc_id AS key,

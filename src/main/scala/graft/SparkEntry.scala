@@ -93,6 +93,29 @@ object SparkEntry {
       d.select((col("doc_id") + 1000000).as("doc_id"),
         col("text").substr(lit(1), length(col("text")) - 10).as("text")))
 
+  /** q_boilerplate fixture — the testdata corpus has no newline or
+    * template structure, so rebuild it with both: body re-lined into
+    * 10-word rows, wrapped in a per-source 10-word header and footer
+    * (the nav/footer every page of a site shares). The operator sees
+    * only (doc_id, source, text2); detection is by per-source document
+    * frequency. Mirrored by the `doc2` CTE of the q_boilerplate oracle.
+    */
+  private def boilerplateDocs(d: DataFrame): DataFrame = {
+    val ws = filter(split(col("text"), "\\s+"), w => w =!= "")
+    val nLines = greatest(
+      ceil(size(ws).cast("double") / 10).cast("int") - 1, lit(0))
+    val body = concat_ws("\n",
+      transform(sequence(lit(0), nLines),
+        li => array_join(slice(ws, li * 10 + 1, lit(10)), " ")))
+    d.select(col("doc_id"), col("source"),
+      concat(
+        lit("read more about "), col("source"),
+        lit(" market coverage subscribe for daily updates\n"),
+        body,
+        lit("\ncopyright "), col("source"),
+        lit(" press all rights reserved terms apply contact us")).as("text2"))
+  }
+
   /** Shared embedding near-dup pair pipeline (q_embed_neardup +
     * q_semantic_dedup): documents ∪ planted perturbed copies, bucketed
     * self-join on 8 seeded sign bits, exact decimal cosine ≥ 0.999.
@@ -1910,6 +1933,48 @@ object SparkEntry {
           round(sum(col("score").cast("decimal(25,15)")).cast("double") /
             count(lit(1)).cast("double"), 9).as("mean_score"))
         .orderBy("lang", "source")
+    }),
+
+    // CCNet-style boilerplate stripping — frequency-per-domain line
+    // removal (vs q_line_dedup's C4 keep-first). The fixture rebuilds
+    // each doc with real newline structure: a per-source 10-word header
+    // and footer (the templated nav/footer every page of a site shares)
+    // around the body re-lined into 10-word rows; the operator must
+    // find them by per-source document frequency, not by construction.
+    "q_boilerplate" -> ((s, dir) => {
+      Corpus.boilerplateStrip(boilerplateDocs(t(s, dir, "documents")),
+          col("doc_id"), col("source"), col("text2"), minPct = 30)
+        .orderBy("key")
+    }),
+
+    // RefinedWeb drop signal — per-doc fraction of 10-word chunks that
+    // recur in ≥ 2 distinct docs (the shared near-dup corpus plants
+    // them); decided by min≠max key over ONE chunk partitioning, no
+    // self-join. The DROP-whole-docs side of q_line_dedup's strip.
+    "q_dup_ngram_frac" -> ((s, dir) => {
+      Corpus.dupNgramCoverage(dupCorpus(t(s, dir, "documents")),
+          col("doc_id"), col("text"), lineWords = 10)
+        .orderBy("key")
+    }),
+
+    // Zipf power-law fit per language slice — OLS slope of ln(freq) on
+    // ln(rank) over the top-100 tokens (corpus-health drift signal).
+    "q_zipf" -> ((s, dir) => {
+      TextAnalysis.zipfSlope(t(s, dir, "documents"), col("lang"), col("text"),
+          topK = 100)
+        .select(col("grp").as("lang"), col("n_top"), col("zipf_slope"))
+        .orderBy("lang")
+    }),
+
+    // CCNet head/middle/tail terciles — the corpus-LM fluency score cut
+    // at per-language exact ⅓/⅔ quantiles (broadcast cutoffs, no
+    // per-language ntile sort).
+    "q_ccnet_buckets" -> ((s, dir) => {
+      TextAnalysis.ccnetBuckets(t(s, dir, "documents"), col("doc_id"),
+          col("lang"), col("text"))
+        .select(col("key").as("doc_id"), col("grp").as("lang"),
+          col("lm_score"), col("bucket"))
+        .orderBy("doc_id")
     }),
 
     // Token counting: whitespace + BPE-ish subword pre-tokenizer.

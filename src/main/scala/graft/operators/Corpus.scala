@@ -289,4 +289,96 @@ object Corpus {
         col("t").substr(col("start") + 1, lit(window)).as("chunk"))
       .withColumn("n_chars", length(col("chunk")).cast("long"))
   }
+
+  /** Corpus-level duplicate n-gram coverage — the RefinedWeb/Gopher
+    * DROP signal [[lineDedup]] is the REMOVE side of: per document, the
+    * fraction of its `lineWords`-word chunks that also occur in at
+    * least one OTHER document (a doc mostly made of cross-corpus
+    * duplicated text is dropped whole rather than stripped; complements
+    * the within-doc [[TextAnalysis.repetitionStats]]). "Occurs in ≥ 2
+    * distinct docs" is decided as `min(key) ≠ max(key)` over the chunk
+    * partition — two window aggregates on ONE hash-partitioning of the
+    * chunk text, no self-join and no per-chunk distinct count: the
+    * chunk stream is shuffled exactly once, which is what survives at
+    * 100 TB (the per-(chunk) groups are doc-frequency-sized; min/max
+    * need no group materialization).
+    *
+    * Returns (key, n_chunks, n_dup_chunks, dup_frac) — dup_frac rounded
+    * to 9 dp (exact long/long division in double, one op).
+    */
+  def dupNgramCoverage(df: DataFrame, key: Column, text: Column,
+      lineWords: Int): DataFrame = {
+    require(lineWords > 0,
+      s"dupNgramCoverage: lineWords must be > 0, got $lineWords")
+    val base = df.select(key.as("key"),
+      filter(split(text, "\\s+"), w => w =!= "").as("ws"))
+    val chunks = base
+      .withColumn("li", explode(sequence(lit(0), greatest(
+        ceil(size(col("ws")).cast("double") / lineWords).cast("int") - 1, lit(0)))))
+      .select(col("key"),
+        array_join(slice(col("ws"), col("li") * lineWords + 1, lit(lineWords)), " ")
+          .as("chunk"))
+    val w = Window.partitionBy("chunk")
+    chunks
+      .withColumn("is_dup", min(col("key")).over(w) =!= max(col("key")).over(w))
+      .groupBy("key")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_chunks"))
+      .withColumn("dup_frac",
+        round(col("n_dup_chunks").cast("double") /
+          col("n_chunks").cast("double"), 9))
+  }
+
+  /** CCNet-style boilerplate line removal — the cleaning rule that is
+    * FREQUENCY-per-domain, not keep-first: a line occurring in at least
+    * `minPct`% of a group's documents (and in ≥ 2 of them) is template
+    * text — nav bars, cookie banners, per-site footers — and is removed
+    * from EVERY document in that group. Contrast [[lineDedup]] (C4):
+    * there a duplicated line keeps its first occurrence corpus-wide;
+    * here the rule is per-group and removes all copies, because a line
+    * that most of a domain's pages share carries no training signal in
+    * any of them. Lines are real `\n` lines (the operator assumes the
+    * upstream extractor preserved line structure).
+    *
+    * The threshold compare is integer-exact (`nd * 100 >= minPct *
+    * ndocs`) so every engine draws the same boundary. Documents whose
+    * every line is boilerplate survive with `clean_text = ""` — a
+    * curation pipeline wants to SEE the fully-templated docs, not lose
+    * the ids.
+    *
+    * Plan shape at 100 TB: one narrow posexplode; the per-(group, line)
+    * doc-frequency and the per-group doc counts are partial/final
+    * aggregates; the boilerplate set is by construction tiny (only
+    * lines above a 30%-of-domain frequency survive the filter), so the
+    * flagging join BROADCASTS it — the corpus-sized line stream is
+    * touched exactly twice (count, flag) and never re-shuffled for the
+    * verdict. Rebuild is one per-doc aggregate bounded by doc length.
+    *
+    * Returns (key, n_kept, n_removed, clean_text).
+    */
+  def boilerplateStrip(df: DataFrame, key: Column, group: Column,
+      text: Column, minPct: Int): DataFrame = {
+    require(minPct > 0 && minPct <= 100,
+      s"boilerplateStrip: minPct must be in [1, 100], got $minPct")
+    val lines = df.select(key.as("key"), group.as("grp"),
+        posexplode(split(text, "\n")).as(Seq("li", "line")))
+    val ndocs = df.select(group.as("grp"), key.as("key"))
+      .groupBy("grp").agg(countDistinct(col("key")).as("ndocs"))
+    val bp = lines.groupBy("grp", "line")
+      .agg(countDistinct(col("key")).as("nd"))
+      .join(ndocs, Seq("grp"))
+      .filter(col("nd") >= 2 && col("nd") * 100 >= col("ndocs") * minPct)
+      .select(col("grp"), col("line"), lit(true).as("is_bp"))
+    lines.join(broadcast(bp), Seq("grp", "line"), "left")
+      .withColumn("is_bp", coalesce(col("is_bp"), lit(false)))
+      .groupBy("key")
+      .agg(
+        sum(when(!col("is_bp"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("is_bp"), 1L).otherwise(0L)).as("n_removed"),
+        concat_ws("\n",
+          transform(
+            array_sort(collect_list(
+              when(!col("is_bp"), struct(col("li"), col("line"))))),
+            x => x.getField("line"))).as("clean_text"))
+  }
 }

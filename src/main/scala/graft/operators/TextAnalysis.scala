@@ -710,4 +710,86 @@ object TextAnalysis {
           log(col("c1b").cast("double") / col("n_tok").cast("double")),
           9).as("pmi"))
   }
+
+  /** Zipf-slope corpus-health fit — the token-frequency power-law
+    * diagnostic a curation pipeline tracks per language slice: OLS
+    * slope of ln(freq) on ln(rank) over the top-`topK` tokens (natural
+    * text sits near −1; templated/spam slices flatten, truncated
+    * vocabularies steepen). Rank is total-ordered (count desc, token
+    * asc) so every engine ranks identically.
+    *
+    * Determinism contract (the [[bigramLmScore]] family's): ln() may
+    * differ by 1 ulp across engines, so x = ln(rank) and y = ln(count)
+    * are rounded to 12 dp BEFORE the moment sums, the sums accumulate
+    * as wide decimals (exact), and only the final slope expression runs
+    * in double, rounded to 6 dp.
+    *
+    * Plan shape at 100 TB: token counts are one partial/final
+    * aggregate; the rank window runs over the per-language VOCABULARY
+    * (≪ corpus, spills if not) and is cut to `topK` immediately; the
+    * moment sums are a second aggregate over langs × topK rows — the
+    * corpus-sized token stream is touched exactly once.
+    *
+    * Returns (grp, n_top, zipf_slope).
+    */
+  def zipfSlope(df: DataFrame, group: Column, text: Column,
+      topK: Int): DataFrame = {
+    require(topK >= 2, s"zipfSlope: topK must be ≥ 2, got $topK")
+    val cnt = df.select(group.as("grp"),
+        explode(split(lower(text), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("grp", "tok").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("grp").orderBy(col("c").desc, col("tok"))
+    val top = cnt.withColumn("r", row_number().over(w)).filter(col("r") <= topK)
+      .select(col("grp"),
+        round(log(col("r").cast("double")), 12).as("x"),
+        round(log(col("c").cast("double")), 12).as("y"))
+    top.groupBy("grp")
+      .agg(count(lit(1)).as("n_top"),
+        sum(col("x").cast("decimal(38,12)")).as("sx"),
+        sum(col("y").cast("decimal(38,12)")).as("sy"),
+        sum((col("x") * col("y")).cast("decimal(38,24)")).as("sxy"),
+        sum((col("x") * col("x")).cast("decimal(38,24)")).as("sxx"))
+      .select(col("grp"), col("n_top"),
+        round(
+          (col("n_top").cast("double") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+          (col("n_top").cast("double") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")),
+          6).as("zipf_slope"))
+  }
+
+  /** CCNet head/middle/tail bucketing — the published CCNet move that
+    * turns the corpus-LM fluency score ([[bigramLmScore]], the KenLM
+    * stand-in) into per-language quality terciles: per language, docs
+    * above the ⅔ score quantile are `head`, above ⅓ `middle`, else
+    * `tail`. Cutoffs are per-language exact ⅓/⅔ quantiles (linear
+    * interpolation); ties on a cutoff fall to the LOWER bucket (strict
+    * `>`), so boundary docs land identically on every engine — the
+    * interpolated cutoff either equals a score (tie rule decides) or
+    * lies strictly inside a gap no score occupies.
+    *
+    * Plan shape at 100 TB: scoring is [[bigramLmScore]]'s aggregates;
+    * the cutoff frame is one per-language aggregate (exact `percentile`
+    * here for oracle parity — swap `percentile_approx` at corpus scale,
+    * where the tercile boundary does not need 15 digits) broadcast back
+    * over the doc-sized score frame. No per-language global sort, no
+    * single-partition window — the ntile() formulation would serialize
+    * each language onto one task.
+    *
+    * Returns (key, grp, lm_score, bucket).
+    */
+  def ccnetBuckets(df: DataFrame, key: Column, group: Column,
+      text: Column): DataFrame = {
+    val scored = bigramLmScore(df, key, text)
+      .join(df.select(key.as("key"), group.as("grp")), Seq("key"))
+    val cuts = scored.groupBy("grp").agg(
+      percentile(col("lm_score"), lit(1.0 / 3)).as("c1"),
+      percentile(col("lm_score"), lit(2.0 / 3)).as("c2"))
+    scored.join(broadcast(cuts), Seq("grp"))
+      .select(col("key"), col("grp"), col("lm_score"),
+        when(col("lm_score") > col("c2"), lit("head"))
+          .when(col("lm_score") > col("c1"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
 }

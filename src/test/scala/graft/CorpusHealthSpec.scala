@@ -1,0 +1,203 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Corpus, TextAnalysis}
+
+/** Corpus-health operators: CCNet boilerplate stripping, Zipf-slope
+  * fit, CCNet head/middle/tail LM-score terciles.
+  */
+class CorpusHealthSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  // ---------------------------------------------------------------- //
+  // boilerplateStrip                                                  //
+  // ---------------------------------------------------------------- //
+
+  test("boilerplateStrip removes frequent lines per group, keeps order") {
+    val docs = Seq(
+      (1L, "a", "NAV A\nbody one\nCOPY A"),
+      (2L, "a", "NAV A\nbody two\nCOPY A"),
+      (3L, "a", "NAV A\nbody three\nCOPY A"),
+      (4L, "a", "NAV A\nCOPY A") // fully templated
+    ).toDF("doc_id", "site", "text")
+    val out = Corpus.boilerplateStrip(docs, col("doc_id"), col("site"),
+        col("text"), minPct = 30)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    // NAV A + COPY A occur in 4/4 docs → stripped everywhere
+    assert(out(0) === ((1L, 1L, 2L, "body one")))
+    assert(out(1) === ((2L, 1L, 2L, "body two")))
+    assert(out(2) === ((3L, 1L, 2L, "body three")))
+    // the fully-templated doc SURVIVES with empty clean_text
+    assert(out(3) === ((4L, 0L, 2L, "")))
+  }
+
+  test("boilerplateStrip frequency is per-group and integer-exact at the boundary") {
+    // group c: 10 docs; line L3 in exactly 3 (30% → 3*100 >= 10*30,
+    // removed), line L2 in exactly 2 (20% → kept); a line shared with
+    // group d appears in only 1 d-doc (nd < 2 there → kept in d).
+    val cDocs = (1 to 10).map { i =>
+      val l3 = if (i <= 3) "L3\n" else ""
+      val l2 = if (i <= 2) "L2\n" else ""
+      (i.toLong, "c", s"${l3}${l2}body c$i")
+    }
+    val dDocs = Seq((100L, "d", "L3\nbody d1"), (101L, "d", "body d2"))
+    val out = Corpus.boilerplateStrip((cDocs ++ dDocs).toDF("doc_id", "site", "text"),
+        col("doc_id"), col("site"), col("text"), minPct = 30)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    // doc 1 (c): L3 removed, L2 kept
+    assert(out(1L)._4 === "L2\nbody c1")
+    assert(out(1L)._3 === 1L)
+    // doc 3 (c): only L3, removed
+    assert(out(3L)._4 === "body c3")
+    // group d: L3 occurs once there — NOT boilerplate in d
+    assert(out(100L)._4 === "L3\nbody d1")
+    assert(out(100L)._3 === 0L)
+  }
+
+  test("boilerplateStrip: below-threshold groups keep everything") {
+    // 2 docs sharing a line = 100% but minPct=100 needs nd*100 >= 2*100
+    // → removed; with 3 docs and the line in 2, 2*100 < 3*100 → kept.
+    val docs = Seq(
+      (1L, "g", "shared\nu1"), (2L, "g", "shared\nu2"), (3L, "g", "u3"))
+      .toDF("doc_id", "site", "text")
+    val out = Corpus.boilerplateStrip(docs, col("doc_id"), col("site"),
+        col("text"), minPct = 100)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r._4).toMap
+    assert(out === Map(1L -> "shared\nu1", 2L -> "shared\nu2", 3L -> "u3"))
+  }
+
+  // ---------------------------------------------------------------- //
+  // dupNgramCoverage                                                  //
+  // ---------------------------------------------------------------- //
+
+  test("dupNgramCoverage counts cross-doc chunks only, never within-doc repeats") {
+    val docs = Seq(
+      (1L, "a b c d"),     // chunks: "a b", "c d"
+      (2L, "a b x y"),     // "a b" shared with doc 1 → dup for both
+      (3L, "q r q r"),     // within-doc repeat only → NOT a dup
+      (4L, "u v w")        // "u v" + partial tail "w", both unique
+    ).toDF("doc_id", "text")
+    val out = Corpus.dupNgramCoverage(docs, col("doc_id"), col("text"),
+        lineWords = 2)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(out(0) === ((1L, 2L, 1L, 0.5)))
+    assert(out(1) === ((2L, 2L, 1L, 0.5)))
+    assert(out(2) === ((3L, 2L, 0L, 0.0)))
+    assert(out(3) === ((4L, 2L, 0L, 0.0)))
+  }
+
+  test("dupNgramCoverage flags a full near-copy as fully duplicated") {
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, base), (3L, "something else entirely"))
+      .toDF("doc_id", "text")
+    val out = Corpus.dupNgramCoverage(docs, col("doc_id"), col("text"),
+        lineWords = 10)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(out(0)._4 === 1.0)
+    assert(out(1)._4 === 1.0)
+    assert(out(2)._4 === 0.0)
+  }
+
+  // ---------------------------------------------------------------- //
+  // zipfSlope                                                         //
+  // ---------------------------------------------------------------- //
+
+  test("zipfSlope recovers −1 exactly on a perfect 1/rank corpus") {
+    // counts 60,30,20,15,12,10 = 60/r for ranks 1..6 → ln c = ln 60 −
+    // 1·ln r exactly → OLS slope −1 (rounding x/y at 12 dp perturbs the
+    // fit ~1e-12, far inside the 6 dp output grain).
+    val words =
+      Seq.fill(60)("w1") ++ Seq.fill(30)("w2") ++ Seq.fill(20)("w3") ++
+        Seq.fill(15)("w4") ++ Seq.fill(12)("w5") ++ Seq.fill(10)("w6")
+    val docs = Seq(("en", words.mkString(" "))).toDF("lang", "text")
+    val out = TextAnalysis.zipfSlope(docs, col("lang"), col("text"), topK = 100)
+      .as[(String, Long, Double)].collect()
+    assert(out === Array(("en", 6L, -1.0)))
+  }
+
+  test("zipfSlope caps at topK and fits per group independently") {
+    // group a: flat distribution (all counts equal) → slope 0.
+    // group b: the 1/rank corpus again, topK cuts it to 4 ranks.
+    val flat = (1 to 8).flatMap(i => Seq.fill(5)(s"t$i"))
+    val zipf =
+      Seq.fill(24)("w1") ++ Seq.fill(12)("w2") ++ Seq.fill(8)("w3") ++
+        Seq.fill(6)("w4") ++ Seq.fill(4)("w5") // rank 5 dropped by topK=4
+    val docs = Seq(("a", flat.mkString(" ")), ("b", zipf.mkString(" ")))
+      .toDF("lang", "text")
+    val out = TextAnalysis.zipfSlope(docs, col("lang"), col("text"), topK = 4)
+      .as[(String, Long, Double)].collect().sortBy(_._1)
+    assert(out(0) === (("a", 4L, 0.0)))
+    assert(out(1)._2 === 4L)
+    assert(out(1)._3 === -1.0) // 24/r for r = 1..4, exact power law
+  }
+
+  // ---------------------------------------------------------------- //
+  // ccnetBuckets                                                      //
+  // ---------------------------------------------------------------- //
+
+  /** The operator's quantile+strict-> rule, replayed in Scala on the
+    * OUTPUT scores — an in-test oracle that doesn't need to predict
+    * the corpus-LM scores, only to re-bucket them identically.
+    */
+  private def expectedBuckets(scores: Map[Long, Double]): Map[Long, String] = {
+    val sorted = scores.values.toArray.sorted
+    def q(p: Double): Double = {
+      val pos = p * (sorted.length - 1)
+      val lo = math.floor(pos).toInt
+      val hi = math.ceil(pos).toInt
+      sorted(lo) + (pos - lo) * (sorted(hi) - sorted(lo))
+    }
+    val (c1, c2) = (q(1.0 / 3), q(2.0 / 3))
+    scores.map { case (k, s) =>
+      k -> (if (s > c2) "head" else if (s > c1) "middle" else "tail")
+    }
+  }
+
+  test("ccnetBuckets cuts distinct scores into exact terciles per lang") {
+    // varied repetition structure → distinct LM scores (asserted);
+    // 9 docs per lang, two langs with different corpora.
+    val docs = (1 to 9).flatMap { i =>
+      Seq(
+        (i.toLong, "en", (s"z a$i " * (i + 2)).trim),
+        (100L + i, "fr", (s"y b$i " * (2 * i + 3)).trim))
+    }.toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.ccnetBuckets(docs, col("doc_id"), col("lang"),
+        col("text"))
+      .as[(Long, String, Double, String)].collect()
+    assert(out.length === 18)
+    for (lang <- Seq("en", "fr")) {
+      val rows = out.filter(_._2 == lang)
+      val scores = rows.map(r => r._1 -> r._3).toMap
+      // fixture sanity: scores must actually be distinct for the
+      // tercile-count assertion to be meaningful
+      assert(scores.values.toSet.size === 9, s"$lang scores not distinct")
+      val got = rows.map(r => r._1 -> r._4).toMap
+      assert(got === expectedBuckets(scores), s"$lang buckets")
+      assert(got.values.groupBy(identity).view.mapValues(_.size).toMap ===
+        Map("head" -> 3, "middle" -> 3, "tail" -> 3), s"$lang tercile sizes")
+    }
+  }
+
+  test("ccnetBuckets: ties on the cutoff fall to the LOWER bucket") {
+    // identical docs → identical scores → cutoffs equal every score →
+    // strict > never fires → everything is tail.
+    val docs = (1 to 6).map(i => (i.toLong, "en", "p q p q p q"))
+      .toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.ccnetBuckets(docs, col("doc_id"), col("lang"),
+        col("text"))
+      .as[(Long, String, Double, String)].collect()
+    assert(out.length === 6)
+    assert(out.forall(_._4 == "tail"))
+  }
+}

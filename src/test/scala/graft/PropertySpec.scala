@@ -606,4 +606,67 @@ class PropertySpec extends AnyFunSuite {
     assert(greedyMerge(six, "b", "b") === List("bb", "bb", "bb"))
     assert(gotSix === onePassModel(onePassModel(six, "b", "b"), "b", "b"))
   }
+
+  test("property: boilerplateStrip equals its reference model on random corpora") {
+    // small shared line pools per group force both frequent and rare
+    // lines; the model recomputes the rule directly on the rows
+    val pool = (0 until 8).map(i => s"shared line $i")
+    val corpus = (1 to 150).map { i =>
+      val grp = s"g${rnd.nextInt(4)}"
+      val nLines = 2 + rnd.nextInt(5)
+      val lines = (0 until nLines).map { _ =>
+        if (rnd.nextInt(3) == 0) pool(rnd.nextInt(pool.length))
+        else s"unique $i ${rnd.nextInt(1000)}"
+      }
+      (i.toLong, grp, lines.mkString("\n"))
+    }
+    val got = graft.operators.Corpus.boilerplateStrip(
+        corpus.toDF("doc_id", "site", "text"),
+        col("doc_id"), col("site"), col("text"), minPct = 30)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // reference model
+    val byDoc = corpus.map { case (id, g, t) => id -> ((g, t.split("\n", -1).toSeq)) }.toMap
+    val nDocs = corpus.groupBy(_._2).view.mapValues(_.size).toMap
+    val lineDocs = corpus.flatMap { case (id, g, t) =>
+      t.split("\n", -1).distinct.map(l => (g, l) -> id)
+    }.groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+    val want = byDoc.map { case (id, (g, lines)) =>
+      val (kept, removed) = lines.partition { l =>
+        val nd = lineDocs((g, l))
+        !(nd >= 2 && nd * 100 >= nDocs(g) * 30)
+      }
+      id -> ((kept.size.toLong, removed.size.toLong, kept.mkString("\n")))
+    }
+    assert(got === want)
+  }
+
+  test("property: dupNgramCoverage equals its reference model on random corpora") {
+    val vocab = (0 until 10).map(i => s"w$i")
+    val corpus = (1 to 120).map { i =>
+      val words = List.fill(1 + rnd.nextInt(25))(vocab(rnd.nextInt(vocab.length)))
+      (i.toLong, words.mkString(" "))
+    }
+    val lw = 3
+    val got = graft.operators.Corpus.dupNgramCoverage(
+        corpus.toDF("doc_id", "text"), col("doc_id"), col("text"), lineWords = lw)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // reference: chunk → set of docs containing it; dup iff ≥ 2 docs
+    def chunks(t: String): Seq[String] =
+      t.split("\\s+").filter(_.nonEmpty).grouped(lw).map(_.mkString(" ")).toSeq match {
+        case Nil => Seq("")
+        case cs  => cs
+      }
+    val docsPerChunk = corpus.flatMap { case (id, t) => chunks(t).distinct.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+    val want = corpus.map { case (id, t) =>
+      val cs = chunks(t)
+      val dup = cs.count(c => docsPerChunk(c) >= 2).toLong
+      id -> ((cs.size.toLong, dup,
+        BigDecimal(dup.toDouble / cs.size)
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }.toMap
+    assert(got === want)
+  }
 }
