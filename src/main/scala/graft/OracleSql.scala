@@ -1210,6 +1210,33 @@ object OracleSql {
          |SELECT key_a, key_b, jacc FROM jac WHERE jacc >= 0.5
          |ORDER BY key_a, key_b""".stripMargin,
 
+    // Banding-quality audit: ground truth = exact Jaccard over ALL
+    // co-shingled pairs (exhaustive for any positive threshold);
+    // audited set = the raw band candidates (minhashCtes' `cand`).
+    "q_neardup_recall" ->
+      s"""WITH $minhashCtes,
+         |ti AS (
+         |  SELECT a.key AS key_a, b.key AS key_b, count(*) AS n_inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.key < b.key
+         |  GROUP BY 1, 2),
+         |truth AS (
+         |  SELECT t.key_a, t.key_b
+         |  FROM ti t
+         |  JOIN cnt ca ON ca.key = t.key_a
+         |  JOIN cnt cb ON cb.key = t.key_b
+         |  WHERE CAST(n_inter AS DOUBLE) /
+         |    CAST(ca.cnt + cb.cnt - n_inter AS DOUBLE) >= 0.5),
+         |hit AS (
+         |  SELECT c.key_a FROM cand c
+         |  JOIN truth t ON c.key_a = t.key_a AND c.key_b = t.key_b)
+         |SELECT CAST(nt AS BIGINT) AS n_true, CAST(nc AS BIGINT) AS n_cand,
+         |  CAST(nh AS BIGINT) AS n_hit,
+         |  round(CAST(nh AS DOUBLE) / CAST(nt AS DOUBLE), 9) AS recall,
+         |  round(CAST(nh AS DOUBLE) / CAST(nc AS DOUBLE), 9) AS precision
+         |FROM (SELECT (SELECT count(*) FROM truth) AS nt,
+         |  (SELECT count(*) FROM cand) AS nc,
+         |  (SELECT count(*) FROM hit) AS nh)""".stripMargin,
+
     "q_edit_distance" ->
       s"""WITH $minhashCtes
          |SELECT c.key_a, c.key_b,

@@ -1600,6 +1600,16 @@ object SparkEntry {
         .orderBy("key_a", "key_b")
     }),
 
+    // Banding-quality audit for the near-dup family (the q_ann_recall
+    // counterpart): recall/precision of the raw LSH band candidates vs
+    // the EXACT inverted-shingle-index pair set at the verify
+    // threshold — recall prices missed dups, precision prices wasted
+    // verification work.
+    "q_neardup_recall" -> ((s, dir) => {
+      NearDup.minhashRecallAudit(dupCorpus(t(s, dir, "documents")),
+        col("doc_id"), col("text"), n = 5, k = 8, threshold = 0.5)
+    }),
+
     // Near-dup clusters: connected components over the MinHash pair
     // graph. The pair graph comes from the MATERIALIZED band/set index
     // (built once per corpus identity, mined thereafter) — the

@@ -388,6 +388,61 @@ object NearDup {
     } finally { sh.unpersist(); () }
   }
 
+  /** MinHash-LSH banding quality audit — the near-dup counterpart of
+    * the ANN family's recall audits (`q_ann_recall`): ground truth is
+    * the EXACT inverted-shingle-index pair set (pairs sharing ≥ 1
+    * shingle, scored by exact Jaccard — a pair sharing no shingle has
+    * Jaccard 0 and cannot reach any positive threshold, so the
+    * inverted index IS exhaustive, never all-pairs), and the audited
+    * set is the raw banding candidates BEFORE verification. Recall
+    * tells you whether k bands × r rows actually catch the planted
+    * dups at the threshold (1 − (1 − tʳ)^(k/r) in expectation);
+    * precision prices the verification stage's workload (false
+    * candidates are wasted exact-Jaccard work, the LSH cost dial).
+    *
+    * Plan shape at 100 TB: ground truth costs Σ df(shingle)² over
+    * shingle buckets — exhaustive-exact is affordable on a corpus
+    * STRATUM, which is how production audits run (sample, audit,
+    * extrapolate; same shape as q_ann_recall's brute-force side). The
+    * candidate side is the production banding join itself. One
+    * persisted digest frame feeds both sides; the output is one row.
+    *
+    * Returns (n_true, n_cand, n_hit, recall, precision), rounded 9 dp.
+    */
+  def minhashRecallAudit(df: DataFrame, key: Column, text: Column,
+      n: Int, k: Int, threshold: Double): DataFrame = {
+    val bc0 = Eager.broadcastSnapshot(df.sparkSession)
+    val sh = wordShingleDigests(df, key, text, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val a = sh.select(col("shingle"), col("key").as("key_a"))
+      val b = sh.select(col("shingle"), col("key").as("key_b"))
+      val inter = a.join(b, Seq("shingle")).filter(col("key_a") < col("key_b"))
+        .groupBy("key_a", "key_b").agg(count(lit(1)).as("n_inter"))
+      val counts = sh.groupBy("key").agg(count(lit(1)).as("cnt"))
+      val truth = inter
+        .join(counts.select(col("key").as("key_a"), col("cnt").as("cnt_a")), Seq("key_a"))
+        .join(counts.select(col("key").as("key_b"), col("cnt").as("cnt_b")), Seq("key_b"))
+        .filter(col("n_inter").cast("double") /
+          (col("cnt_a") + col("cnt_b") - col("n_inter")).cast("double") >= threshold)
+        .select("key_a", "key_b")
+      val cand = candidatePairs(lshBands(minhashSig(sh, k), k))
+      val nTrue = truth.agg(count(lit(1)).as("n_true"))
+      val nCand = cand.agg(count(lit(1)).as("n_cand"))
+      val nHit = cand.join(truth, Seq("key_a", "key_b"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+      val out = Eager.terminal(
+        nTrue.crossJoin(broadcast(nCand)).crossJoin(broadcast(nHit))
+          .select(col("n_true"), col("n_cand"), col("n_hit"),
+            round(col("n_hit").cast("double") / col("n_true").cast("double"), 9)
+              .as("recall"),
+            round(col("n_hit").cast("double") / col("n_cand").cast("double"), 9)
+              .as("precision")))
+      Eager.releaseBroadcastsSince(df.sparkSession, bc0)
+      out
+    } finally { sh.unpersist(); () }
+  }
+
   /** Connected components over a near-dup pair graph — what production
     * dedup does with the pair list: union pairs into clusters, then keep
     * one representative per cluster. Alternating large-star / small-star

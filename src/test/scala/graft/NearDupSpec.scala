@@ -825,4 +825,28 @@ class NearDupSpec extends AnyFunSuite {
       finally s.close()
     }
   }
+
+  test("minhashRecallAudit: identical docs are always caught; disjoint docs never pair") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"alpha$i beta$i gamma$i").mkString(" ")
+    val other = (1 to 40).map(i => s"delta$i epsilon$i zeta$i").mkString(" ")
+    val docs = Seq(
+      (1L, base), (2L, base),   // identical → jacc 1, identical signature
+      (3L, other)               // shares no shingle with 1/2
+    ).toDF("doc_id", "text")
+    val out = NearDup.minhashRecallAudit(docs, col("doc_id"), col("text"),
+        n = 5, k = 8, threshold = 0.5)
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(out.length === 1)
+    val (nTrue, nCand, nHit, recall, precision) = out.head
+    // the one true pair (1,2) has identical shingle sets → identical
+    // minhash signature → shares every band → must be a candidate
+    assert(nTrue === 1L)
+    assert(nHit === 1L)
+    assert(recall === 1.0)
+    // no shingle shared with doc 3 ⇒ its band values collide with the
+    // dup pair's only by md5 accident — pinned: no false candidates here
+    assert(nCand === 1L)
+    assert(precision === 1.0)
+  }
 }
