@@ -1212,7 +1212,9 @@ object OracleSql {
 
     // Banding-quality audit: ground truth = exact Jaccard over ALL
     // co-shingled pairs (exhaustive for any positive threshold);
-    // audited set = the raw band candidates (minhashCtes' `cand`).
+    // audited sets = raw band candidates at three (k, rowsPerBand)
+    // dials. minhashCtes supplies the (8,2) bands; seeds 8-15 mirror
+    // NearDup.minhashSig's second digest md5('b:' || shingle).
     "q_neardup_recall" ->
       s"""WITH $minhashCtes,
          |ti AS (
@@ -1226,16 +1228,60 @@ object OracleSql {
          |  JOIN cnt cb ON cb.key = t.key_b
          |  WHERE CAST(n_inter AS DOUBLE) /
          |    CAST(ca.cnt + cb.cnt - n_inter AS DOUBLE) >= 0.5),
-         |hit AS (
-         |  SELECT c.key_a FROM cand c
-         |  JOIN truth t ON c.key_a = t.key_a AND c.key_b = t.key_b)
-         |SELECT CAST(nt AS BIGINT) AS n_true, CAST(nc AS BIGINT) AS n_cand,
+         |mh16 AS (
+         |  SELECT key, seed,
+         |    min(CASE WHEN seed < 8
+         |      THEN substr(shingle || shingle, 1 + 4 * seed, 16)
+         |      ELSE substr(md5('b:' || shingle) || md5('b:' || shingle),
+         |        1 + 4 * (seed - 8), 16) END) AS mh
+         |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS seed)
+         |  GROUP BY key, seed),
+         |b162 AS (
+         |  SELECT key, seed // 2 AS band,
+         |    min(CASE WHEN seed % 2 = 0 THEN mh END) || '|' ||
+         |    min(CASE WHEN seed % 2 = 1 THEN mh END) AS band_val
+         |  FROM mh16 GROUP BY key, seed // 2),
+         |c162 AS (
+         |  SELECT DISTINCT a.key AS key_a, b.key AS key_b
+         |  FROM b162 a JOIN b162 b
+         |    ON a.band = b.band AND a.band_val = b.band_val AND a.key < b.key),
+         |b164 AS (
+         |  SELECT key, seed // 4 AS band,
+         |    min(CASE WHEN seed % 4 = 0 THEN mh END) || '|' ||
+         |    min(CASE WHEN seed % 4 = 1 THEN mh END) || '|' ||
+         |    min(CASE WHEN seed % 4 = 2 THEN mh END) || '|' ||
+         |    min(CASE WHEN seed % 4 = 3 THEN mh END) AS band_val
+         |  FROM mh16 GROUP BY key, seed // 4),
+         |c164 AS (
+         |  SELECT DISTINCT a.key AS key_a, b.key AS key_b
+         |  FROM b164 a JOIN b164 b
+         |    ON a.band = b.band AND a.band_val = b.band_val AND a.key < b.key),
+         |audit AS (
+         |  SELECT 8 AS k, 2 AS rows_per_band, 4 AS n_bands,
+         |    (SELECT count(*) FROM truth) AS nt,
+         |    (SELECT count(*) FROM cand) AS nc,
+         |    (SELECT count(*) FROM cand c JOIN truth t
+         |      ON c.key_a = t.key_a AND c.key_b = t.key_b) AS nh
+         |  UNION ALL
+         |  SELECT 16, 2, 8,
+         |    (SELECT count(*) FROM truth),
+         |    (SELECT count(*) FROM c162),
+         |    (SELECT count(*) FROM c162 c JOIN truth t
+         |      ON c.key_a = t.key_a AND c.key_b = t.key_b)
+         |  UNION ALL
+         |  SELECT 16, 4, 4,
+         |    (SELECT count(*) FROM truth),
+         |    (SELECT count(*) FROM c164),
+         |    (SELECT count(*) FROM c164 c JOIN truth t
+         |      ON c.key_a = t.key_a AND c.key_b = t.key_b))
+         |SELECT CAST(k AS INTEGER) AS k,
+         |  CAST(rows_per_band AS INTEGER) AS rows_per_band,
+         |  CAST(n_bands AS INTEGER) AS n_bands,
+         |  CAST(nt AS BIGINT) AS n_true, CAST(nc AS BIGINT) AS n_cand,
          |  CAST(nh AS BIGINT) AS n_hit,
          |  round(CAST(nh AS DOUBLE) / CAST(nt AS DOUBLE), 9) AS recall,
          |  round(CAST(nh AS DOUBLE) / CAST(nc AS DOUBLE), 9) AS precision
-         |FROM (SELECT (SELECT count(*) FROM truth) AS nt,
-         |  (SELECT count(*) FROM cand) AS nc,
-         |  (SELECT count(*) FROM hit) AS nh)""".stripMargin,
+         |FROM audit ORDER BY k, rows_per_band""".stripMargin,
 
     "q_edit_distance" ->
       s"""WITH $minhashCtes

@@ -1603,11 +1603,12 @@ object SparkEntry {
     // Banding-quality audit for the near-dup family (the q_ann_recall
     // counterpart): recall/precision of the raw LSH band candidates vs
     // the EXACT inverted-shingle-index pair set at the verify
-    // threshold — recall prices missed dups, precision prices wasted
-    // verification work.
+    // threshold, across three (k, rowsPerBand) dials — recall prices
+    // missed dups, precision prices wasted verification work.
     "q_neardup_recall" -> ((s, dir) => {
       NearDup.minhashRecallAudit(dupCorpus(t(s, dir, "documents")),
-        col("doc_id"), col("text"), n = 5, k = 8, threshold = 0.5)
+          col("doc_id"), col("text"), n = 5, threshold = 0.5)
+        .orderBy("k", "rows_per_band")
     }),
 
     // Near-dup clusters: connected components over the MinHash pair

@@ -407,10 +407,20 @@ object NearDup {
     * candidate side is the production banding join itself. One
     * persisted digest frame feeds both sides; the output is one row.
     *
-    * Returns (n_true, n_cand, n_hit, recall, precision), rounded 9 dp.
+    * Audited across banding CONFIGS (the (k, rowsPerBand) dial): more
+    * bands catch more true pairs (recall 1 − (1 − tʳ)^(k/r) rises with
+    * k/r), wider bands are more selective (precision rises with r) —
+    * the three defaults trace the frontier the production dedup picks
+    * its operating point from. The shingle frame and the ground-truth
+    * pair set are computed ONCE and persisted across configs.
+    *
+    * Returns one row per config: (k, rows_per_band, n_bands, n_true,
+    * n_cand, n_hit, recall, precision), rounded 9 dp.
     */
   def minhashRecallAudit(df: DataFrame, key: Column, text: Column,
-      n: Int, k: Int, threshold: Double): DataFrame = {
+      n: Int, threshold: Double,
+      configs: Seq[(Int, Int)] = Seq((8, 2), (16, 2), (16, 4))): DataFrame = {
+    require(configs.nonEmpty, "minhashRecallAudit: configs must be non-empty")
     val bc0 = Eager.broadcastSnapshot(df.sparkSession)
     val sh = wordShingleDigests(df, key, text, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -426,20 +436,27 @@ object NearDup {
         .filter(col("n_inter").cast("double") /
           (col("cnt_a") + col("cnt_b") - col("n_inter")).cast("double") >= threshold)
         .select("key_a", "key_b")
-      val cand = candidatePairs(lshBands(minhashSig(sh, k), k))
-      val nTrue = truth.agg(count(lit(1)).as("n_true"))
-      val nCand = cand.agg(count(lit(1)).as("n_cand"))
-      val nHit = cand.join(truth, Seq("key_a", "key_b"), "left_semi")
-        .agg(count(lit(1)).as("n_hit"))
-      val out = Eager.terminal(
-        nTrue.crossJoin(broadcast(nCand)).crossJoin(broadcast(nHit))
-          .select(col("n_true"), col("n_cand"), col("n_hit"),
-            round(col("n_hit").cast("double") / col("n_true").cast("double"), 9)
-              .as("recall"),
-            round(col("n_hit").cast("double") / col("n_cand").cast("double"), 9)
-              .as("precision")))
-      Eager.releaseBroadcastsSince(df.sparkSession, bc0)
-      out
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val nTrue = truth.agg(count(lit(1)).as("n_true"))
+        val rows = configs.map { case (k, r) =>
+          val cand = candidatePairs(lshBands(minhashSig(sh, k), k, r))
+          val nCand = cand.agg(count(lit(1)).as("n_cand"))
+          val nHit = cand.join(truth, Seq("key_a", "key_b"), "left_semi")
+            .agg(count(lit(1)).as("n_hit"))
+          nTrue.crossJoin(broadcast(nCand)).crossJoin(broadcast(nHit))
+            .select(lit(k).as("k"), lit(r).as("rows_per_band"),
+              lit(k / r).as("n_bands"),
+              col("n_true"), col("n_cand"), col("n_hit"),
+              round(col("n_hit").cast("double") / col("n_true").cast("double"), 9)
+                .as("recall"),
+              round(col("n_hit").cast("double") / col("n_cand").cast("double"), 9)
+                .as("precision"))
+        }
+        val out = Eager.terminal(rows.reduce(_ unionByName _))
+        Eager.releaseBroadcastsSince(df.sparkSession, bc0)
+        out
+      } finally { truth.unpersist(); () }
     } finally { sh.unpersist(); () }
   }
 

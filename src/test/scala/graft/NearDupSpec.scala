@@ -835,18 +835,21 @@ class NearDupSpec extends AnyFunSuite {
       (3L, other)               // shares no shingle with 1/2
     ).toDF("doc_id", "text")
     val out = NearDup.minhashRecallAudit(docs, col("doc_id"), col("text"),
-        n = 5, k = 8, threshold = 0.5)
-      .as[(Long, Long, Long, Double, Double)].collect()
-    assert(out.length === 1)
-    val (nTrue, nCand, nHit, recall, precision) = out.head
-    // the one true pair (1,2) has identical shingle sets → identical
-    // minhash signature → shares every band → must be a candidate
-    assert(nTrue === 1L)
-    assert(nHit === 1L)
-    assert(recall === 1.0)
-    // no shingle shared with doc 3 ⇒ its band values collide with the
-    // dup pair's only by md5 accident — pinned: no false candidates here
-    assert(nCand === 1L)
-    assert(precision === 1.0)
+        n = 5, threshold = 0.5)
+      .as[(Int, Int, Int, Long, Long, Long, Double, Double)].collect()
+      .sortBy(r => (r._1, r._2))
+    assert(out.map(r => (r._1, r._2, r._3)).toSeq ===
+      Seq((8, 2, 4), (16, 2, 8), (16, 4, 4)))
+    out.foreach { case (k, r, _, nTrue, nCand, nHit, recall, precision) =>
+      // the one true pair (1,2) has identical shingle sets → identical
+      // minhash signature → shares every band at EVERY (k, r) dial
+      assert(nTrue === 1L, s"($k,$r)")
+      assert(nHit === 1L, s"($k,$r)")
+      assert(recall === 1.0, s"($k,$r)")
+      // no shingle shared with doc 3 ⇒ its band values collide with the
+      // dup pair's only by md5 accident — pinned: no false candidates
+      assert(nCand === 1L, s"($k,$r)")
+      assert(precision === 1.0, s"($k,$r)")
+    }
   }
 }
