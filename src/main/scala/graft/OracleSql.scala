@@ -1220,6 +1220,7 @@ object OracleSql {
          |ti AS (
          |  SELECT a.key AS key_a, b.key AS key_b, count(*) AS n_inter
          |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.key < b.key
+         |  WHERE a.key % 4 = 0 AND b.key % 4 = 0
          |  GROUP BY 1, 2),
          |truth AS (
          |  SELECT t.key_a, t.key_b
@@ -1256,23 +1257,26 @@ object OracleSql {
          |  SELECT DISTINCT a.key AS key_a, b.key AS key_b
          |  FROM b164 a JOIN b164 b
          |    ON a.band = b.band AND a.band_val = b.band_val AND a.key < b.key),
+         |cand4 AS (SELECT * FROM cand WHERE key_a % 4 = 0 AND key_b % 4 = 0),
+         |c162f AS (SELECT * FROM c162 WHERE key_a % 4 = 0 AND key_b % 4 = 0),
+         |c164f AS (SELECT * FROM c164 WHERE key_a % 4 = 0 AND key_b % 4 = 0),
          |audit AS (
          |  SELECT 8 AS k, 2 AS rows_per_band, 4 AS n_bands,
          |    (SELECT count(*) FROM truth) AS nt,
-         |    (SELECT count(*) FROM cand) AS nc,
-         |    (SELECT count(*) FROM cand c JOIN truth t
+         |    (SELECT count(*) FROM cand4) AS nc,
+         |    (SELECT count(*) FROM cand4 c JOIN truth t
          |      ON c.key_a = t.key_a AND c.key_b = t.key_b) AS nh
          |  UNION ALL
          |  SELECT 16, 2, 8,
          |    (SELECT count(*) FROM truth),
-         |    (SELECT count(*) FROM c162),
-         |    (SELECT count(*) FROM c162 c JOIN truth t
+         |    (SELECT count(*) FROM c162f),
+         |    (SELECT count(*) FROM c162f c JOIN truth t
          |      ON c.key_a = t.key_a AND c.key_b = t.key_b)
          |  UNION ALL
          |  SELECT 16, 4, 4,
          |    (SELECT count(*) FROM truth),
-         |    (SELECT count(*) FROM c164),
-         |    (SELECT count(*) FROM c164 c JOIN truth t
+         |    (SELECT count(*) FROM c164f),
+         |    (SELECT count(*) FROM c164f c JOIN truth t
          |      ON c.key_a = t.key_a AND c.key_b = t.key_b))
          |SELECT CAST(k AS INTEGER) AS k,
          |  CAST(rows_per_band AS INTEGER) AS rows_per_band,

@@ -1605,8 +1605,15 @@ object SparkEntry {
     // the EXACT inverted-shingle-index pair set at the verify
     // threshold, across three (k, rowsPerBand) dials — recall prices
     // missed dups, precision prices wasted verification work.
+    // The audit runs on a ¼ STRATUM (doc_id % 4 == 0 — planted copies
+    // stay coherent: +1,000,000 ≡ 0 mod 4), the production shape: the
+    // exact ground-truth side costs Σ df(shingle)², so audits sample,
+    // measure, extrapolate. Banding a stratum ≡ stratum-filtering the
+    // full corpus' band pairs (a doc's band values don't depend on
+    // other docs), so the oracle post-filters the shared CTEs.
     "q_neardup_recall" -> ((s, dir) => {
-      NearDup.minhashRecallAudit(dupCorpus(t(s, dir, "documents")),
+      NearDup.minhashRecallAudit(
+          dupCorpus(t(s, dir, "documents")).filter(col("doc_id") % 4 === 0),
           col("doc_id"), col("text"), n = 5, threshold = 0.5)
         .orderBy("k", "rows_per_band")
     }),

@@ -438,22 +438,56 @@ object NearDup {
         .select("key_a", "key_b")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        val nTrue = truth.agg(count(lit(1)).as("n_true"))
-        val rows = configs.map { case (k, r) =>
-          val cand = candidatePairs(lshBands(minhashSig(sh, k), k, r))
-          val nCand = cand.agg(count(lit(1)).as("n_cand"))
-          val nHit = cand.join(truth, Seq("key_a", "key_b"), "left_semi")
-            .agg(count(lit(1)).as("n_hit"))
-          nTrue.crossJoin(broadcast(nCand)).crossJoin(broadcast(nHit))
-            .select(lit(k).as("k"), lit(r).as("rows_per_band"),
-              lit(k / r).as("n_bands"),
+        // ONE signature aggregation at max k — a k-dial's signature is
+        // a PREFIX of the wider one (same per-seed hash windows), so
+        // every config's bands derive from the same wide sig frame.
+        val kMax = configs.map(_._1).max
+        // checkpointed: the config-stack union references the sig
+        // subtree twice per config PER JOIN SIDE (6× for the default
+        // dials) — without lineage truncation each reference re-runs
+        // the aggregate and re-codegens its plan ([[minhashPairsFromDigests]]
+        // discipline; the frame is doc-sized)
+        val (sig, sigRel) = Eager.tracked(minhashSig(sh, kMax))
+        // all configs' band rows in one frame → ONE bucket self-join
+        // keyed on (k, r, band, band_val) instead of one join per dial
+        val bands = configs.map { case (k, r) =>
+          lshBands(sig, k, r)
+            .select(lit(k).as("k"), lit(r).as("r"),
+              col("key"), col("band"), col("band_val"))
+        }.reduce(_ unionByName _)
+        val ba = bands.select(col("k"), col("r"), col("band"),
+          col("band_val"), col("key").as("key_a"))
+        val bb = bands.select(col("k"), col("r"), col("band"),
+          col("band_val"), col("key").as("key_b"))
+        val cand = ba.join(bb, Seq("k", "r", "band", "band_val"))
+          .filter(col("key_a") < col("key_b"))
+          .select("k", "r", "key_a", "key_b").distinct()
+        // truth is pair-count-sized (planted dups) → broadcast the hit
+        // flag; one grouped count pass replaces 2·configs scalar aggs
+        val agg = cand.join(
+            broadcast(truth.withColumn("is_true", lit(1L))),
+            Seq("key_a", "key_b"), "left")
+          .groupBy("k", "r")
+          .agg(count(lit(1)).as("n_cand"),
+            sum(coalesce(col("is_true"), lit(0L))).as("n_hit"))
+        // left-join from the config list so a dial with ZERO candidates
+        // still reports its row (n_cand = n_hit = 0)
+        val confDf = configs.map { case (k, r) =>
+          df.sparkSession.range(1)
+            .select(lit(k).as("k"), lit(r).as("r"))
+        }.reduce(_ unionByName _)
+        val out = Eager.terminalReleasing(
+          confDf.join(agg, Seq("k", "r"), "left")
+            .na.fill(0L, Seq("n_cand", "n_hit"))
+            .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_true"))))
+            .select(col("k"), col("r").as("rows_per_band"),
+              (col("k").cast("int") / col("r").cast("int")).cast("int")
+                .as("n_bands"),
               col("n_true"), col("n_cand"), col("n_hit"),
               round(col("n_hit").cast("double") / col("n_true").cast("double"), 9)
                 .as("recall"),
               round(col("n_hit").cast("double") / col("n_cand").cast("double"), 9)
-                .as("precision"))
-        }
-        val out = Eager.terminal(rows.reduce(_ unionByName _))
+                .as("precision")), sigRel)
         Eager.releaseBroadcastsSince(df.sparkSession, bc0)
         out
       } finally { truth.unpersist(); () }
