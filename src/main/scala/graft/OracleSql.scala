@@ -2727,7 +2727,7 @@ object OracleSql {
         |    CAST(sum(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
         |    CAST(sum(CAST(x * y AS DECIMAL(38,24))) AS DOUBLE) AS sxy,
         |    CAST(sum(CAST(x * x AS DECIMAL(38,24))) AS DOUBLE) AS sxx
-        |  FROM xy GROUP BY lang)
+        |  FROM xy GROUP BY lang HAVING count(*) >= 2)
         |SELECT lang, CAST(n AS BIGINT) AS n_top,
         |  round((CAST(n AS DOUBLE) * sxy - sx * sy) /
         |        (CAST(n AS DOUBLE) * sxx - sx * sx), 6) AS zipf_slope

@@ -744,6 +744,8 @@ object TextAnalysis {
       .select(col("grp"),
         round(log(col("r").cast("double")), 12).as("x"),
         round(log(col("c").cast("double")), 12).as("y"))
+    // a 1-token group has no spread to fit (0/0 slope) — drop it
+    // rather than emit NaN; mirrored by the oracle's HAVING
     top.groupBy("grp")
       .agg(count(lit(1)).as("n_top"),
         sum(col("x").cast("decimal(38,12)")).as("sx"),
@@ -757,6 +759,7 @@ object TextAnalysis {
           (col("n_top").cast("double") * col("sxx").cast("double") -
             col("sx").cast("double") * col("sx").cast("double")),
           6).as("zipf_slope"))
+      .filter(col("n_top") >= 2)
   }
 
   /** CCNet head/middle/tail bucketing — the published CCNet move that
