@@ -2733,6 +2733,37 @@ object OracleSql {
         |        (CAST(n AS DOUBLE) * sxx - sx * sx), 6) AS zipf_slope
         |FROM s ORDER BY lang""".stripMargin,
 
+    // Incremental Zipf maintenance: the oracle is LITERALLY the cold
+    // full-corpus fit — equality is the additivity theorem (the
+    // maintained count table after all batches equals the one-shot
+    // count; both engines fit the same table).
+    "q_zipf_incremental" ->
+      """WITH toks AS (
+        |  SELECT lang, unnest(list_filter(
+        |    string_split_regex(lower(text), '\s+'), x -> x <> '')) AS tok
+        |  FROM documents),
+        |cnt AS (SELECT lang, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+        |top AS (
+        |  SELECT lang, c,
+        |    row_number() OVER (PARTITION BY lang ORDER BY c DESC, tok) AS r
+        |  FROM cnt QUALIFY r <= 100),
+        |xy AS (
+        |  SELECT lang,
+        |    round(ln(CAST(r AS DOUBLE)), 12) AS x,
+        |    round(ln(CAST(c AS DOUBLE)), 12) AS y
+        |  FROM top),
+        |s AS (
+        |  SELECT lang, count(*) AS n,
+        |    CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(x * y AS DECIMAL(38,24))) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(x * x AS DECIMAL(38,24))) AS DOUBLE) AS sxx
+        |  FROM xy GROUP BY lang HAVING count(*) >= 2)
+        |SELECT lang, CAST(n AS BIGINT) AS n_top,
+        |  round((CAST(n AS DOUBLE) * sxy - sx * sy) /
+        |        (CAST(n AS DOUBLE) * sxx - sx * sx), 6) AS zipf_slope
+        |FROM s ORDER BY lang""".stripMargin,
+
     // Mirrors TextAnalysis.ccnetBuckets: the q_bigram_lm score CTE,
     // per-lang exact ⅓/⅔ interpolated quantiles, ties fall LOW
     // (strict >).

@@ -1984,6 +1984,20 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // Incremental Zipf maintenance — the vocabulary count table
+    // absorbs three ingest batches (doc_id mod 3) one merge at a time,
+    // and the fit reads the MAINTAINED table; the oracle is the cold
+    // full-corpus q_zipf SQL — equality IS the additivity theorem
+    // (same contract as q_dedup_clusters_incr / q_pagerank_incremental).
+    "q_zipf_incremental" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val batches = (0 until 3).map(i => d.filter(col("doc_id") % 3 === i))
+      TextAnalysis.zipfSlopeIncremental(batches, col("lang"), col("text"),
+          topK = 100)
+        .select(col("grp").as("lang"), col("n_top"), col("zipf_slope"))
+        .orderBy("lang")
+    }),
+
     // CCNet head/middle/tail terciles — the corpus-LM fluency score cut
     // at per-language exact ⅓/⅔ quantiles (broadcast cutoffs, no
     // per-language ntile sort).

@@ -735,10 +735,20 @@ object TextAnalysis {
   def zipfSlope(df: DataFrame, group: Column, text: Column,
       topK: Int): DataFrame = {
     require(topK >= 2, s"zipfSlope: topK must be ≥ 2, got $topK")
-    val cnt = df.select(group.as("grp"),
+    zipfFitFromCounts(zipfTokenCounts(df, group, text), topK)
+  }
+
+  /** Per-(group, token) frequency table — the maintained artifact of
+    * [[zipfSlopeIncremental]] and the first stage of [[zipfSlope]]. */
+  def zipfTokenCounts(df: DataFrame, group: Column, text: Column): DataFrame =
+    df.select(group.as("grp"),
         explode(split(lower(text), "\\s+")).as("tok"))
       .filter(col("tok") =!= "")
       .groupBy("grp", "tok").agg(count(lit(1)).as("c"))
+
+  /** The OLS fit over a (grp, tok, c) count table — shared by the cold
+    * and incremental paths, so their equality is structural. */
+  private def zipfFitFromCounts(cnt: DataFrame, topK: Int): DataFrame = {
     val w = Window.partitionBy("grp").orderBy(col("c").desc, col("tok"))
     val top = cnt.withColumn("r", row_number().over(w)).filter(col("r") <= topK)
       .select(col("grp"),
@@ -760,6 +770,57 @@ object TextAnalysis {
             col("sx").cast("double") * col("sx").cast("double")),
           6).as("zipf_slope"))
       .filter(col("n_top") >= 2)
+  }
+
+  /** Incremental Zipf maintenance — the crawl-loop shape for corpus
+    * vocabulary statistics: token counts are ADDITIVE under
+    * append-only ingest, so the maintained per-(group, token) count
+    * table absorbs each batch with one full-outer merge against the
+    * batch's own (map-side partially aggregated) counts, and the
+    * top-K fit is recomputed from the MAINTAINED table — vocabulary-
+    * sized, never corpus-sized. Equality with the cold
+    * [[zipfSlope]] over the concatenated batches is exact (integer
+    * additivity; both paths share [[zipfFitFromCounts]] down to the
+    * rounding grain), which is why the DuckDB oracle is literally the
+    * cold one — the same contract as the incremental
+    * clustering/PageRank family.
+    *
+    * Plan shape at 100 TB: each batch's text is read ONCE (its own
+    * batch, not the corpus); the merge exchanges vocab-sized frames;
+    * per-batch checkpoints keep the fold's lineage flat (round i's
+    * blocks released when round i+1 materializes — the
+    * [[graft.operators.Eager.tracked]] discipline).
+    */
+  def zipfSlopeIncremental(batches: Seq[DataFrame], group: Column,
+      text: Column, topK: Int): DataFrame = {
+    require(batches.nonEmpty, "zipfSlopeIncremental: need ≥ 1 batch")
+    require(topK >= 2, s"zipfSlopeIncremental: topK must be ≥ 2, got $topK")
+    var stored: DataFrame = null
+    var relPrev: () => Unit = () => ()
+    batches.foreach { b =>
+      val delta = zipfTokenCounts(b, group, text)
+      val merged =
+        if (stored == null) delta
+        else {
+          val s = stored.select(col("grp").as("g_s"), col("tok").as("t_s"),
+            col("c").as("c_s"))
+          val d = delta.select(col("grp").as("g_d"), col("tok").as("t_d"),
+            col("c").as("c_d"))
+          // null-safe on grp (the rollup-merge lesson: a NULL group's
+          // stored and delta rows must land on ONE output row)
+          s.join(d, s("g_s") <=> d("g_d") && s("t_s") === d("t_d"),
+              "full_outer")
+            .select(coalesce(col("g_s"), col("g_d")).as("grp"),
+              coalesce(col("t_s"), col("t_d")).as("tok"),
+              (coalesce(col("c_s"), lit(0L)) + coalesce(col("c_d"), lit(0L)))
+                .as("c"))
+        }
+      val (ck, rel) = Eager.tracked(merged)
+      relPrev() // previous batch's table: superseded once this one exists
+      stored = ck
+      relPrev = rel
+    }
+    Eager.terminalReleasing(zipfFitFromCounts(stored, topK), relPrev)
   }
 
   /** CCNet head/middle/tail bucketing — the published CCNet move that

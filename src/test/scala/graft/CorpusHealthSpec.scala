@@ -142,6 +142,32 @@ class CorpusHealthSpec extends AnyFunSuite {
     assert(out(1)._3 === -1.0) // 24/r for r = 1..4, exact power law
   }
 
+  test("zipfSlopeIncremental equals cold exactly, incl. new-vocab and empty batches") {
+    val rnd = new scala.util.Random(7)
+    val vocabA = (0 until 12).map(i => s"a$i")
+    val vocabB = (0 until 6).map(i => s"b$i") // appears only in batch 3
+    def doc(v: Seq[String], n: Int) =
+      List.fill(n)(v(rnd.nextInt(v.length))).mkString(" ")
+    val all = (1 to 60).map { i =>
+      val lang = if (i % 2 == 0) "en" else "fr"
+      val v = if (i > 40) vocabA ++ vocabB else vocabA
+      (i.toLong, lang, doc(v, 5 + rnd.nextInt(30)))
+    }
+    val full = all.toDF("doc_id", "lang", "text")
+    // uneven split + one EMPTY batch (merge must be a no-op for it)
+    val batches = Seq(
+      all.filter(_._1 <= 25), all.filter(t => t._1 > 25 && t._1 <= 40),
+      Seq.empty[(Long, String, String)], all.filter(_._1 > 40))
+      .map(_.toDF("doc_id", "lang", "text"))
+    val cold = TextAnalysis.zipfSlope(full, col("lang"), col("text"), topK = 10)
+      .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+    val incr = TextAnalysis.zipfSlopeIncremental(batches, col("lang"),
+        col("text"), topK = 10)
+      .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(incr === cold)
+    assert(cold.nonEmpty)
+  }
+
   // ---------------------------------------------------------------- //
   // ccnetBuckets                                                      //
   // ---------------------------------------------------------------- //
