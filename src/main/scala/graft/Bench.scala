@@ -352,6 +352,29 @@ object Bench {
       }
       probePivot(qIndex, "<post-replay>")
     }
+    // Micro-batch FLOOR channel (round-12 verdict #5): for each
+    // streaming query benched above, time an EMPTY-batch stream of the
+    // same batch count through the same sink machinery (min-of-2 per
+    // distinct spec — the question is the fixed floor, not a median),
+    // so the committed capture separates plan-attributable time from
+    // scheduling/commit floors. ~60 s of the suite total is q_stream_*
+    // and every cross-round dispute has landed there.
+    val floorSpecs = SparkEntry.streamFloorSpec
+      .filter { case (q, _) => results.exists(_._1 == q) }
+    val floorBySpec = floorSpecs.values.toSet.toSeq.map { spec: (Int, Boolean) =>
+      val (n, c) = spec
+      spec -> (1 to 2).map { _ =>
+        val t =
+          try graft.streaming.Streaming.streamFloor(spark, n, c)
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] floor($n,$c) FAILED: $e"); -1.0
+          }
+        sweep()
+        t
+      }.min
+    }.toMap
+    val floorOf = floorSpecs.toSeq
+      .map { case (q, spec) => q -> floorBySpec(spec) }.sortBy(_._1)
     val total = results.map(_._2).sum
     def r3(d: Double): Double = math.rint(d * 1000) / 1000
     def r2(d: Double): Double = math.rint(d * 100) / 100
@@ -471,7 +494,19 @@ object Bench {
           s""""tasks":${r.tasks}}""").mkString("[", ",", "]")
       s""""${escJ(q)}":$arr"""
     }.mkString("{", ",", "}")
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","total_pivot_norm":$totalPivotNorm,"queries":$fullQs,"queries_pivot_norm":$normQs,"pivot_drift":$pivotSeries,"gc_total_ms":$gcTotalMs,"cpu_total_sec":${r2(cpuTotal)},"wall_total_sec":${r2(wallTotal)},"replay":$replayJson,"replay_flagged":$replayFlagged,"stages":$stagesJson,"sf":"$sfDir","runs_per_query":$runs}"""
+    // floors channel: per streaming query the measured empty-batch
+    // floor, plus the floor-adjusted medians' heaviest entry (the
+    // "heaviest plan-attributable streaming query" BENCH_NOTES names)
+    val floorsJson = floorOf.map { case (q, f) =>
+      s"\"" + q + "\":" + r3(f)
+    }.mkString("{", ",", "}")
+    val suiteOfAll = results.toMap
+    val heaviestPlanStream = floorOf
+      .flatMap { case (q, f) =>
+        suiteOfAll.get(q).filter(_ >= 0).map(m => q -> (m - f))
+      }.sortBy(-_._2).headOption
+      .map { case (q, s) => s""""$q@${r3(s)}"""" }.getOrElse("\"\"")
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","total_pivot_norm":$totalPivotNorm,"queries":$fullQs,"queries_pivot_norm":$normQs,"pivot_drift":$pivotSeries,"gc_total_ms":$gcTotalMs,"cpu_total_sec":${r2(cpuTotal)},"wall_total_sec":${r2(wallTotal)},"replay":$replayJson,"replay_flagged":$replayFlagged,"stages":$stagesJson,"floors":$floorsJson,"heaviest_plan_stream":$heaviestPlanStream,"sf":"$sfDir","runs_per_query":$runs}"""
     val fullPath = java.nio.file.Paths.get("docs", "BENCH_last_full.json")
     // advertise the file in the stdout line only if THIS run's write
     // succeeded — otherwise a consumer would resolve the path to a stale
@@ -495,7 +530,7 @@ object Bench {
         val ratio = if (r.suite > 0 && r.aged >= 0) r3(r.aged / r.suite) else -1.0
         s""""${r.name}":$ratio"""
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","total_pivot_norm":$totalPivotNorm,"queries":$qs,"n_queries":${results.length},"n_errors":${errors.size},"top_n":${math.min(n, results.length)},$fullRef"bc_max_blocks":$bcMaxBlocks,"bc_max_mem":$bcMaxMem,"disk_max_bytes":$diskMaxBytes,"spill_disk_total":$spillTotal,"gc_total_ms":$gcTotalMs,"cpu_total_sec":${r2(cpuTotal)},"wall_total_sec":${r2(wallTotal)},"replay_aged_ratio":$rp,"replay_flagged":$replayFlagged,"pivot_drift":$pivotSeries,"sf":"$sfDir","runs_per_query":$runs}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","total_pivot_norm":$totalPivotNorm,"queries":$qs,"n_queries":${results.length},"n_errors":${errors.size},"top_n":${math.min(n, results.length)},$fullRef"bc_max_blocks":$bcMaxBlocks,"bc_max_mem":$bcMaxMem,"disk_max_bytes":$diskMaxBytes,"spill_disk_total":$spillTotal,"gc_total_ms":$gcTotalMs,"cpu_total_sec":${r2(cpuTotal)},"wall_total_sec":${r2(wallTotal)},"replay_aged_ratio":$rp,"replay_flagged":$replayFlagged,"floor_total_sec":${r2(floorOf.map(f => math.max(0.0, f._2)).sum)},"heaviest_plan_stream":$heaviestPlanStream,"pivot_drift":$pivotSeries,"sf":"$sfDir","runs_per_query":$runs}"""
     }
     if (errors.nonEmpty)
       System.err.println(s"[bench] ${errors.size} QUERY FAILURE(S): " +

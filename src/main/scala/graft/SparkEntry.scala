@@ -45,6 +45,21 @@ object SparkEntry {
   private def scratchDir(name: String): String =
     scratchBase.resolve(name).toString
 
+  /** [[scratchDir]] wiped first — for per-run mutable state that must
+    * start empty on EVERY invocation (a bench re-run against a stale
+    * BucketedTable root would double-apply its commits). */
+  private def freshScratchDir(name: String): String = {
+    val p = scratchBase.resolve(name)
+    if (java.nio.file.Files.exists(p)) {
+      val s = java.nio.file.Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+      finally s.close()
+    }
+    java.nio.file.Files.createDirectories(p)
+    p.toString
+  }
+
   /** Wipe `scratch` and restore it from the immutable `pristine`
     * artifact by HARD LINK (byte-copy fallback): the mutable-index
     * fixtures (q_stream_neardup_cum, q_ann_ivf_append_audit) append
@@ -1984,16 +1999,18 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
-    // Incremental Zipf maintenance — the vocabulary count table
-    // absorbs three ingest batches (doc_id mod 3) one merge at a time,
-    // and the fit reads the MAINTAINED table; the oracle is the cold
-    // full-corpus q_zipf SQL — equality IS the additivity theorem
-    // (same contract as q_dedup_clusters_incr / q_pagerank_incremental).
+    // Incremental Zipf maintenance — the vocabulary count table (a
+    // BucketedTable keyed on hash(grp, tok) — round-12 verdict #2)
+    // absorbs three ingest batches (doc_id mod 3), each committing
+    // ONLY its touched buckets, and the fit reads the MAINTAINED
+    // table; the oracle is the cold full-corpus q_zipf SQL — equality
+    // IS the additivity theorem (same contract as
+    // q_dedup_clusters_incr / q_pagerank_incremental).
     "q_zipf_incremental" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       val batches = (0 until 3).map(i => d.filter(col("doc_id") % 3 === i))
       TextAnalysis.zipfSlopeIncremental(batches, col("lang"), col("text"),
-          topK = 100)
+          topK = 100, root = freshScratchDir("zipf_incr"))
         .select(col("grp").as("lang"), col("n_top"), col("zipf_slope"))
         .orderBy("lang")
     }),
@@ -2244,14 +2261,24 @@ object SparkEntry {
         .orderBy(col("event_type").asc_nulls_first, col("u_mod").asc_nulls_first)
     }),
 
-    // A6+ — cardinality sketch (approx_count_distinct / HLL++). No
-    // DuckDB oracle: sketch estimates are implementation-defined, so the
-    // driver records the weaker rows-only check for this one.
+    // A6+ — cardinality sketch (approx_count_distinct / HLL++) as a
+    // BOUNDED GATE (round-12 verdict #3): sketch estimates are
+    // implementation-defined, so instead of the weaker rows-only check
+    // the query emits the exact count (audit side — computed once, next
+    // to the sketch, in the same aggregate) plus a boolean asserting
+    // the estimate lands within 3× the documented default relative
+    // standard deviation (rsd = 0.05 → |approx − exact| ≤ 0.15·exact).
+    // The oracle replays the exact side and literal TRUE — a sketch
+    // outside its documented bound now FAILS the hash gate.
     "q_approx_distinct" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"),
           count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("exact_parts"), col("n"),
+          (abs(col("approx_parts") - col("exact_parts")).cast("double") <=
+            lit(0.15) * col("exact_parts").cast("double")).as("approx_ok"))
         .orderBy("l_returnflag")
     }),
 
@@ -2280,10 +2307,14 @@ object SparkEntry {
 
     // MLlib prediction stage (BASELINE.json spark_approach): seeded
     // logistic regression over the embedding features, deterministic
-    // id-based fold split. No SQL oracle (iterative optimizer output is
-    // not SQL-expressible) → driver rows-only check.
+    // id-based fold split. The optimizer's output is not
+    // SQL-expressible, so the gate asserts the INVARIANTS any valid
+    // classifier output satisfies — probability is a distribution,
+    // prediction = its argmax, predicted class ∈ label domain — as
+    // per-row booleans the oracle replays as literal TRUE (round-12
+    // verdict #3; was rows-only).
     "q_ml_predict" -> ((s, dir) => {
-      graft.ml.Predict.classifyEmbeddings(
+      graft.ml.Predict.classifyVerdicts(
           t(s, dir, "embeddings"), "vec_id", "embedding", "label")
         .orderBy("vec_id")
     }),
@@ -2338,18 +2369,38 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
-    // A6+ — APPROXIMATE percentiles (GK sketch): the 100 TB path next to
-    // q_percentiles — exact interpolated percentiles need each group's
-    // values assembled for the continuous interpolation, while the
-    // sketch merges bounded-size summaries map-side. Estimates are
-    // implementation-defined → rows-only for the driver; MLSpec bounds
-    // the rank error against the exact values.
+    // A6+ — APPROXIMATE percentiles (GK sketch) as a BOUNDED GATE
+    // (round-12 verdict #3): the 100 TB path next to q_percentiles —
+    // exact interpolated percentiles need each group's values assembled,
+    // while the sketch merges bounded-size summaries map-side. The
+    // sketch's documented guarantee is RANK error ≤ n/accuracy, so the
+    // query joins the per-type estimates back over the values once,
+    // counts each estimate's rank interval [lt+1, le], and asserts it
+    // intersects [q·n − n/1000 − 1, q·n + n/1000 + 1]. The oracle
+    // replays n and literal TRUE — a sketch outside its rank bound now
+    // FAILS the hash gate.
     "q_approx_percentiles" -> ((s, dir) => {
-      t(s, dir, "events")
+      val e = t(s, dir, "events")
+      val sk = e.groupBy(col("event_type"))
+        .agg(expr("approx_percentile(value, 0.5, 1000)").as("p50"),
+          expr("approx_percentile(value, 0.9, 1000)").as("p90"),
+          count(col("value")).as("n"))
+      def rankOk(q: Double, lt: String, le: String): Column = {
+        val eps = col("n").cast("double") / 1000d + 1d
+        val target = lit(q) * col("n").cast("double")
+        col(le).cast("double") >= target - eps &&
+          col(lt).cast("double") <= target + eps
+      }
+      e.join(broadcast(sk), Seq("event_type"))
         .groupBy(col("event_type"))
-        .agg(expr("approx_percentile(value, 0.5, 1000)").as("p50_approx"),
-          expr("approx_percentile(value, 0.9, 1000)").as("p90_approx"),
-          count(lit(1)).as("n"))
+        .agg(first(col("n")).as("n"),
+          sum(when(col("value") < col("p50"), 1L).otherwise(0L)).as("lt50"),
+          sum(when(col("value") <= col("p50"), 1L).otherwise(0L)).as("le50"),
+          sum(when(col("value") < col("p90"), 1L).otherwise(0L)).as("lt90"),
+          sum(when(col("value") <= col("p90"), 1L).otherwise(0L)).as("le90"))
+        .select(col("event_type"), col("n"),
+          rankOk(0.5, "lt50", "le50").as("p50_ok"),
+          rankOk(0.9, "lt90", "le90").as("p90_ok"))
         .orderBy("event_type")
     }),
 
@@ -2628,10 +2679,14 @@ object SparkEntry {
       graft.streaming.Streaming.streamingIntervalJoinOuter(s, dir)
         .orderBy("event_id", "q_event_id")),
 
-    // MLlib KMeans over embeddings (trained IVF quantizer; rows-only —
-    // cluster labels depend on float reduction order).
+    // MLlib KMeans over embeddings (trained IVF quantizer): cluster
+    // labels depend on float reduction order, so the gate asserts the
+    // label-independent INVARIANTS — id ∈ [0, k), assignment is the
+    // nearest model center (distances recomputed in-plan), exactly k
+    // non-empty clusters — as booleans the oracle replays as literal
+    // TRUE (round-12 verdict #3; was rows-only).
     "q_ml_kmeans" -> ((s, dir) =>
-      graft.ml.Predict.clusterEmbeddings(t(s, dir, "embeddings"),
+      graft.ml.Predict.clusterVerdicts(t(s, dir, "embeddings"),
           "vec_id", "embedding", k = 8)
         .orderBy("vec_id")),
 
@@ -2966,22 +3021,35 @@ object SparkEntry {
         .orderBy("event_type", "day")
     }),
 
-    // A6+ sketch MERGEABILITY — the distributed-sketch story in one
-    // query: per-type Datasketches HLL sketches of user_id, then ONE
-    // union-merge to the global estimate. Rows-only (DuckDB has no
-    // compatible HLL); the spec asserts merged == direct-global and
-    // the estimate lands within the sketch's error bound.
+    // A6+ sketch MERGEABILITY as a BOUNDED GATE (round-12 verdict #3) —
+    // the distributed-sketch story in one query: per-type Datasketches
+    // HLL sketches of user_id, then ONE union-merge to the global
+    // estimate. DuckDB has no compatible HLL, so the query emits the
+    // exact distinct counts (audit side) plus booleans asserting every
+    // estimate — including the MERGED one — lands within 3× the lgK=12
+    // relative standard deviation (1.04/√4096 ≈ 1.63% → bound 5%). The
+    // oracle replays the exact side and literal TRUE; the MLSpec
+    // merged == direct-global assertion stands.
     "q_hll_merge" -> ((s, dir) => {
       val e = t(s, dir, "events")
+      def ok(approx: Column, exact: Column): Column =
+        abs(approx - exact).cast("double") <=
+          lit(0.05) * exact.cast("double")
       val perType = e.groupBy("event_type")
-        .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
-        .select(col("event_type"),
-          hll_sketch_estimate(col("sk")).as("approx_users"), col("sk"))
+        .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"),
+          countDistinct(col("user_id")).as("exact_users"))
+      val global = e.agg(countDistinct(col("user_id")).as("exact_users"))
       val merged = perType.agg(
         hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
           .as("approx_users"))
-        .select(lit("__ALL__").as("event_type"), col("approx_users"))
-      perType.select("event_type", "approx_users").unionByName(merged)
+        .crossJoin(broadcast(global))
+        .select(lit("__ALL__").as("event_type"), col("exact_users"),
+          ok(col("approx_users"), col("exact_users")).as("approx_ok"))
+      perType
+        .select(col("event_type"), col("exact_users"),
+          ok(hll_sketch_estimate(col("sk")), col("exact_users"))
+            .as("approx_ok"))
+        .unionByName(merged)
         .orderBy("event_type")
     }),
 
@@ -3215,4 +3283,35 @@ object SparkEntry {
   )
 
   def oracleSql: Map[String, String] = OracleSql.sql
+
+  /** Per-streaming-query micro-batch FLOOR spec (round-12 verdict #5):
+    * (micro-batches the query's stream runs, whether its sink pays a
+    * BucketedTable commit per batch). [[graft.Bench]] measures
+    * [[graft.streaming.Streaming.streamFloor]] once per distinct spec
+    * — an empty-batch stream through the same trigger/checkpoint/sink
+    * machinery — and emits a `floors` channel next to the medians, so
+    * captures can separate plan-attributable time from the fixed
+    * scheduling/commit floors that inflate differently per host epoch.
+    * Batch counts are pinned by each query's source layout (single
+    * events/documents file → 1; repartition(4)+mFPT=1 → 4; explicit
+    * 2-value batchOf → 2).
+    */
+  val streamFloorSpec: Map[String, (Int, Boolean)] = Map(
+    "q_stream_candles" -> ((1, false)),
+    "q_stream_sliding" -> ((1, false)),
+    "q_stream_dedup" -> ((1, false)),
+    "q_stream_ffill" -> ((1, false)),
+    "q_stream_ffill_tws" -> ((1, false)),
+    "q_stream_enrich" -> ((1, false)),
+    "q_stream_sessions" -> ((1, false)),
+    "q_stream_interval_join" -> ((1, false)),
+    "q_stream_interval_outer" -> ((1, false)),
+    "q_stream_json" -> ((1, false)),
+    "q_stream_quality" -> ((1, false)),
+    "q_stream_cdc" -> ((4, false)),
+    "q_stream_ann" -> ((4, false)),
+    "q_stream_neardup" -> ((4, false)),
+    "q_stream_neardup_cum" -> ((2, false)),
+    "q_stream_incr_rollup" -> ((2, true)),
+    "q_stream_incr_ooo" -> ((2, true)))
 }

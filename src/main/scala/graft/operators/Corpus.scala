@@ -296,12 +296,23 @@ object Corpus {
     * least one OTHER document (a doc mostly made of cross-corpus
     * duplicated text is dropped whole rather than stripped; complements
     * the within-doc [[TextAnalysis.repetitionStats]]). "Occurs in ≥ 2
-    * distinct docs" is decided as `min(key) ≠ max(key)` over the chunk
-    * partition — two window aggregates on ONE hash-partitioning of the
-    * chunk text, no self-join and no per-chunk distinct count: the
-    * chunk stream is shuffled exactly once, which is what survives at
-    * 100 TB (the per-(chunk) groups are doc-frequency-sized; min/max
-    * need no group materialization).
+    * distinct docs" is decided as `min(key) ≠ max(key)` per chunk — as
+    * a `groupBy("chunk")` AGGREGATE joined back to the chunk stream,
+    * NOT a chunk-keyed window (round-12 verdict #1): the hot-chunk
+    * skew case (a viral 10-word disclaimer in millions of docs) is
+    * exactly this operator's expected input at 100 TB, and a window
+    * partition puts every occurrence of that chunk on ONE task with no
+    * map-side combine and no AQE skew mitigation (AQE splits join/agg
+    * partitions, never window partitions). The aggregate's partial
+    * min/max absorbs the hot key map-side, the verdict frame is
+    * chunk-DISTINCT (≪ the chunk stream), and the join-back is a plain
+    * equi-join AQE can skew-split.
+    *
+    * Empty/whitespace-only documents emit their one empty chunk (so
+    * every input key survives to the output) but the empty chunk is
+    * never counted duplicated — two no-word docs share no actual text,
+    * and dup_frac = 1.0 for them was a false drop signal (round-12
+    * ADVICE); they report (n_chunks=1, n_dup_chunks=0, dup_frac=0).
     *
     * Returns (key, n_chunks, n_dup_chunks, dup_frac) — dup_frac rounded
     * to 9 dp (exact long/long division in double, one op).
@@ -318,9 +329,10 @@ object Corpus {
       .select(col("key"),
         array_join(slice(col("ws"), col("li") * lineWords + 1, lit(lineWords)), " ")
           .as("chunk"))
-    val w = Window.partitionBy("chunk")
-    chunks
-      .withColumn("is_dup", min(col("key")).over(w) =!= max(col("key")).over(w))
+    val verdict = chunks.groupBy("chunk")
+      .agg((min(col("key")) =!= max(col("key")) &&
+        col("chunk") =!= "").as("is_dup"))
+    chunks.join(verdict, Seq("chunk"))
       .groupBy("key")
       .agg(count(lit(1)).as("n_chunks"),
         sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_chunks"))
@@ -348,37 +360,49 @@ object Corpus {
     *
     * Plan shape at 100 TB: one narrow posexplode; the per-(group, line)
     * doc-frequency and the per-group doc counts are partial/final
-    * aggregates; the boilerplate set is by construction tiny (only
-    * lines above a 30%-of-domain frequency survive the filter), so the
-    * flagging join BROADCASTS it — the corpus-sized line stream is
-    * touched exactly twice (count, flag) and never re-shuffled for the
-    * verdict. Rebuild is one per-doc aggregate bounded by doc length.
+    * aggregates. The verdict set is tiny PER GROUP (≤ avg-doc-lines ×
+    * 100/minPct lines per domain) but grows LINEARLY with the number of
+    * domains, so the forced broadcast round 12 shipped was an
+    * unbounded driver collect at many-domain scale (round-12 verdict #7
+    * / ADVICE): the verdict frame is now checkpointed once, its size
+    * read as one long of orchestration metadata, and the flagging join
+    * broadcasts only below `broadcastLimit` rows — past it, a plain
+    * shuffled equi-join (AQE-splittable) carries the verdict. Either
+    * way the corpus-sized line stream is touched exactly twice (count,
+    * flag). Rebuild is one per-doc aggregate bounded by doc length.
     *
     * Returns (key, n_kept, n_removed, clean_text).
     */
   def boilerplateStrip(df: DataFrame, key: Column, group: Column,
-      text: Column, minPct: Int): DataFrame = {
+      text: Column, minPct: Int, broadcastLimit: Long = 100000L): DataFrame = {
     require(minPct > 0 && minPct <= 100,
       s"boilerplateStrip: minPct must be in [1, 100], got $minPct")
+    require(broadcastLimit >= 0,
+      s"boilerplateStrip: broadcastLimit must be ≥ 0, got $broadcastLimit")
     val lines = df.select(key.as("key"), group.as("grp"),
         posexplode(split(text, "\n")).as(Seq("li", "line")))
     val ndocs = df.select(group.as("grp"), key.as("key"))
       .groupBy("grp").agg(countDistinct(col("key")).as("ndocs"))
-    val bp = lines.groupBy("grp", "line")
+    val (bp, relBp) = Eager.tracked(lines.groupBy("grp", "line")
       .agg(countDistinct(col("key")).as("nd"))
       .join(ndocs, Seq("grp"))
       .filter(col("nd") >= 2 && col("nd") * 100 >= col("ndocs") * minPct)
-      .select(col("grp"), col("line"), lit(true).as("is_bp"))
-    lines.join(broadcast(bp), Seq("grp", "line"), "left")
-      .withColumn("is_bp", coalesce(col("is_bp"), lit(false)))
-      .groupBy("key")
-      .agg(
-        sum(when(!col("is_bp"), 1L).otherwise(0L)).as("n_kept"),
-        sum(when(col("is_bp"), 1L).otherwise(0L)).as("n_removed"),
-        concat_ws("\n",
-          transform(
-            array_sort(collect_list(
-              when(!col("is_bp"), struct(col("li"), col("line"))))),
-            x => x.getField("line"))).as("clean_text"))
+      .select(col("grp"), col("line"), lit(true).as("is_bp")))
+    // one long of orchestration metadata off the already-materialized
+    // checkpoint — never row data, and the verdict plan runs ONCE
+    val verdict = if (bp.count() <= broadcastLimit) broadcast(bp) else bp
+    Eager.terminalReleasing(
+      lines.join(verdict, Seq("grp", "line"), "left")
+        .withColumn("is_bp", coalesce(col("is_bp"), lit(false)))
+        .groupBy("key")
+        .agg(
+          sum(when(!col("is_bp"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("is_bp"), 1L).otherwise(0L)).as("n_removed"),
+          concat_ws("\n",
+            transform(
+              array_sort(collect_list(
+                when(!col("is_bp"), struct(col("li"), col("line"))))),
+              x => x.getField("line"))).as("clean_text")),
+      relBp)
   }
 }

@@ -421,6 +421,11 @@ object NearDup {
       n: Int, threshold: Double,
       configs: Seq[(Int, Int)] = Seq((8, 2), (16, 2), (16, 4))): DataFrame = {
     require(configs.nonEmpty, "minhashRecallAudit: configs must be non-empty")
+    // the inverted-index ground truth is exhaustive only for positive
+    // thresholds (a 0-overlap pair shares no shingle bucket) — enforce
+    // the docstring's precondition instead of silently inflating recall
+    require(threshold > 0 && threshold <= 1,
+      s"minhashRecallAudit: threshold must be in (0, 1], got $threshold")
     val bc0 = Eager.broadcastSnapshot(df.sparkSession)
     val sh = wordShingleDigests(df, key, text, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

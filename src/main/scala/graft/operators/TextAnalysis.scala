@@ -773,54 +773,82 @@ object TextAnalysis {
   }
 
   /** Incremental Zipf maintenance — the crawl-loop shape for corpus
-    * vocabulary statistics: token counts are ADDITIVE under
-    * append-only ingest, so the maintained per-(group, token) count
-    * table absorbs each batch with one full-outer merge against the
-    * batch's own (map-side partially aggregated) counts, and the
-    * top-K fit is recomputed from the MAINTAINED table — vocabulary-
-    * sized, never corpus-sized. Equality with the cold
-    * [[zipfSlope]] over the concatenated batches is exact (integer
+    * vocabulary statistics: token counts are ADDITIVE under append-only
+    * ingest, so the maintained per-(group, token) count table absorbs
+    * each batch and the top-K fit is recomputed from the MAINTAINED
+    * table — vocabulary-sized, never corpus-sized. Equality with the
+    * cold [[zipfSlope]] over the concatenated batches is exact (integer
     * additivity; both paths share [[zipfFitFromCounts]] down to the
     * rounding grain), which is why the DuckDB oracle is literally the
-    * cold one — the same contract as the incremental
-    * clustering/PageRank family.
+    * cold one — the same contract as the incremental clustering/
+    * PageRank family.
+    *
+    * The maintained table lives in a [[graft.streaming.BucketedTable]]
+    * at `root`, hash-bucketed on an injective (group, token) composite
+    * key (round-12 verdict #2: the previous in-memory fold full-outer-
+    * merged and checkpointed the ENTIRE vocab table per batch —
+    * O(vocab) per ingest, not O(delta)). Per batch the cost is now
+    * delta-scaled: the batch's own (map-side partially aggregated)
+    * counts name their affected buckets (≤ nBuckets ints of
+    * orchestration metadata), ONLY those buckets' stored rows are read
+    * (file-level pruning — untouched buckets' files are never opened),
+    * the merge exchanges affected-bucket-sized frames, and the commit
+    * rewrites only the claimed buckets (merge-on-read versioning,
+    * auto-compacted). A batch touching 1 of `nBuckets` buckets reads
+    * and writes ~1/`nBuckets` of the vocab table — the sparse-batch
+    * ratio BENCH_NOTES records, the `q_stream_incr_rollup` pattern.
     *
     * Plan shape at 100 TB: each batch's text is read ONCE (its own
-    * batch, not the corpus); the merge exchanges vocab-sized frames;
-    * per-batch checkpoints keep the fold's lineage flat (round i's
-    * blocks released when round i+1 materializes — the
-    * [[graft.operators.Eager.tracked]] discipline).
+    * batch, not the corpus); `nBuckets` grows with the vocabulary so a
+    * bucket stays a bounded rewrite unit; the final fit reads the
+    * bucket union (vocab-sized) once.
     */
   def zipfSlopeIncremental(batches: Seq[DataFrame], group: Column,
-      text: Column, topK: Int): DataFrame = {
+      text: Column, topK: Int, root: String,
+      nBuckets: Int = graft.streaming.BucketedTable.defaultBuckets): DataFrame = {
     require(batches.nonEmpty, "zipfSlopeIncremental: need ≥ 1 batch")
     require(topK >= 2, s"zipfSlopeIncremental: topK must be ≥ 2, got $topK")
-    var stored: DataFrame = null
-    var relPrev: () => Unit = () => ()
+    import graft.streaming.BucketedTable
+    val spark = batches.head.sparkSession
+    // injective composite bucket key over (grp, tok): a null group
+    // encodes as "0", non-null as "1" + grp — concat_ws's null-skip
+    // would collide ("" + tok vs null + tok), this cannot
+    def withKey(df: DataFrame): DataFrame =
+      df.withColumn("__k",
+        concat(when(col("grp").isNull, lit("0"))
+            .otherwise(concat(lit("1"), col("grp").cast("string"))),
+          lit("\u0001"), col("tok")))
+    // schema-only frame: unclaimed buckets fall through to an EMPTY
+    // base (the table starts empty; every row arrives via commits)
+    val snap = withKey(zipfTokenCounts(batches.head, group, text)).limit(0)
     batches.foreach { b =>
-      val delta = zipfTokenCounts(b, group, text)
-      val merged =
-        if (stored == null) delta
-        else {
-          val s = stored.select(col("grp").as("g_s"), col("tok").as("t_s"),
-            col("c").as("c_s"))
-          val d = delta.select(col("grp").as("g_d"), col("tok").as("t_d"),
-            col("c").as("c_d"))
-          // null-safe on grp (the rollup-merge lesson: a NULL group's
-          // stored and delta rows must land on ONE output row)
-          s.join(d, s("g_s") <=> d("g_d") && s("t_s") === d("t_d"),
-              "full_outer")
+      val (delta, relD) = Eager.tracked(withKey(zipfTokenCounts(b, group, text)))
+      try {
+        val ids = BucketedTable.bucketIds(delta, "__k", nBuckets)
+        // an empty batch claims nothing — no version, no read, no write
+        if (ids.nonEmpty) {
+          val cur = BucketedTable.currentBuckets(spark, root, snap, "__k",
+            ids, nBuckets)
+          val s = cur.select(col("__k").as("k_s"), col("grp").as("g_s"),
+            col("tok").as("t_s"), col("c").as("c_s"))
+          val d = delta.select(col("__k").as("k_d"), col("grp").as("g_d"),
+            col("tok").as("t_d"), col("c").as("c_d"))
+          // join on the injective key — (grp, tok) equality by
+          // construction, null-group rows land on one output row
+          val merged = s.join(d, col("k_s") === col("k_d"), "full_outer")
             .select(coalesce(col("g_s"), col("g_d")).as("grp"),
               coalesce(col("t_s"), col("t_d")).as("tok"),
               (coalesce(col("c_s"), lit(0L)) + coalesce(col("c_d"), lit(0L)))
-                .as("c"))
+                .as("c"),
+              coalesce(col("k_s"), col("k_d")).as("__k"))
+          BucketedTable.commitNext(root, merged, ids, "__k", nBuckets)
+          ()
         }
-      val (ck, rel) = Eager.tracked(merged)
-      relPrev() // previous batch's table: superseded once this one exists
-      stored = ck
-      relPrev = rel
+      } finally { relD(); () }
     }
-    Eager.terminalReleasing(zipfFitFromCounts(stored, topK), relPrev)
+    Eager.terminal(zipfFitFromCounts(
+      BucketedTable.current(spark, root, snap, "__k", nBuckets)
+        .select("grp", "tok", "c"), topK))
   }
 
   /** CCNet head/middle/tail bucketing — the published CCNet move that
@@ -834,22 +862,39 @@ object TextAnalysis {
     * lies strictly inside a gap no score occupies.
     *
     * Plan shape at 100 TB: scoring is [[bigramLmScore]]'s aggregates;
-    * the cutoff frame is one per-language aggregate (exact `percentile`
-    * here for oracle parity — swap `percentile_approx` at corpus scale,
-    * where the tercile boundary does not need 15 digits) broadcast back
-    * over the doc-sized score frame. No per-language global sort, no
+    * the cutoff frame is one per-language aggregate broadcast back over
+    * the doc-sized score frame. No per-language global sort, no
     * single-partition window — the ntile() formulation would serialize
     * each language onto one task.
+    *
+    * Cutoffs are exact interpolated quantiles by default (oracle
+    * parity). `approxAccuracy > 0` switches the cutoff aggregate to
+    * `approx_percentile` (GK sketch, mergeable bounded-size summaries)
+    * — the corpus-scale dial, where the exact `percentile` must
+    * assemble each language's full score multiset and the tercile
+    * boundary does not need 15 digits. The sketch's documented
+    * guarantee is RANK error ≤ n/accuracy per cutoff, so bucket
+    * assignment agrees with exact except for docs whose score rank
+    * lies within that band of a boundary (spec-bounded in
+    * CorpusHealthSpec; flag documented in docs/SCALE.md).
     *
     * Returns (key, grp, lm_score, bucket).
     */
   def ccnetBuckets(df: DataFrame, key: Column, group: Column,
-      text: Column): DataFrame = {
+      text: Column, approxAccuracy: Int = 0): DataFrame = {
     val scored = bigramLmScore(df, key, text)
       .join(df.select(key.as("key"), group.as("grp")), Seq("key"))
-    val cuts = scored.groupBy("grp").agg(
-      percentile(col("lm_score"), lit(1.0 / 3)).as("c1"),
-      percentile(col("lm_score"), lit(2.0 / 3)).as("c2"))
+    val cuts =
+      if (approxAccuracy > 0)
+        scored.groupBy("grp").agg(
+          expr(s"approx_percentile(lm_score, ${1.0 / 3}, $approxAccuracy)")
+            .as("c1"),
+          expr(s"approx_percentile(lm_score, ${2.0 / 3}, $approxAccuracy)")
+            .as("c2"))
+      else
+        scored.groupBy("grp").agg(
+          percentile(col("lm_score"), lit(1.0 / 3)).as("c1"),
+          percentile(col("lm_score"), lit(2.0 / 3)).as("c2"))
     scored.join(broadcast(cuts), Seq("grp"))
       .select(col("key"), col("grp"), col("lm_score"),
         when(col("lm_score") > col("c2"), lit("head"))

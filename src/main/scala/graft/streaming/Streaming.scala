@@ -986,6 +986,125 @@ object Streaming {
     spark.read.parquet(out)
   }
 
+  /** CUMULATIVE streaming ANN ingest — [[streamingAnnProbe]]'s write
+    * half, closing the audit→rebalance loop IN-STREAM (round-12
+    * verdict #4: `q_ann_ivf_append_audit` detects posting-list drift
+    * and `rebalanceIvfIndex` fixes it, but nothing fired the fix —
+    * a crawl-scale ingest stream appended forever under frozen
+    * centroids while recall decayed invisibly). Each micro-batch of
+    * NEW vectors is appended to the stored index
+    * ([[graft.operators.Similarity.appendToIvfIndex]], frozen-quantizer
+    * assignment), then the posting-list sizes are read back (≤ nLists
+    * longs of orchestration metadata — the audit signal) and the
+    * moment any list exceeds `maxListSize` the split maintainer
+    * ([[graft.operators.Similarity.rebalanceIvfIndex]]) fires, under
+    * the SAME IndexStore staged-rewrite + cross-process commit lock as
+    * the one-shot path — no reader ever observes a half-rebalanced
+    * index. The in-stream twin of the near-dup stream's band
+    * compaction ([[streamingNearDupCumulative]]).
+    *
+    * Batches land one file per `batchOf` value and are consumed in
+    * listing order (mFPT=1), so the trigger sequence — and therefore
+    * which quantizer generation each later batch is assigned against —
+    * is deterministic and equals the sequential hand-driven fold of
+    * (append, audit, maybe-rebalance) over the same batches
+    * (spec-asserted in SimilaritySpec).
+    *
+    * Returns the number of in-stream rebalances fired.
+    */
+  def streamingAnnIngest(spark: SparkSession, indexPath: String,
+      newVectors: DataFrame, batchOf: org.apache.spark.sql.Column,
+      idCol: String, vecCol: String, maxListSize: Long,
+      subIdBase: Long = 1000000L): Long = {
+    require(maxListSize >= 2,
+      s"streamingAnnIngest: maxListSize must be ≥ 2, got $maxListSize")
+    val land = freshDir("ann_ingest_land")
+    landBatchFiles(newVectors.withColumn("__b", batchOf), land)
+    val schema = spark.read.parquet(s"$land/b0000.parquet").schema
+    val nRebalances = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(land)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Similarity.appendToIvfIndex(spark, batch,
+          idCol, vecCol, indexPath)
+        // audit: the largest posting list right now — one aggregate
+        // over the list-size table, a single long to the driver
+        val maxList = spark.read.parquet(s"$indexPath/postings")
+          .groupBy("cent_id").agg(count(lit(1)).as("n"))
+          .agg(max(col("n")).as("m")).head().getLong(0)
+        if (maxList > maxListSize) {
+          val nSplit = graft.operators.Similarity.rebalanceIvfIndex(
+            spark, indexPath, maxListSize, subIdBase = subIdBase)
+          if (nSplit > 0) {
+            nRebalances.incrementAndGet()
+            System.err.println(
+              s"[ann-ingest] in-stream rebalance: $nSplit list(s) split " +
+                s"(max $maxList > $maxListSize)")
+          }
+        }
+        ()
+      }
+      .option("checkpointLocation", freshDir("ann_ingest_ck"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    nRebalances.get()
+  }
+
+  /** Measured MICRO-BATCH FLOOR (round-12 verdict #5): the wall time an
+    * `nBatches`-batch AvailableNow stream takes through the same
+    * trigger + checkpoint + sink machinery when every batch carries NO
+    * rows — the fixed per-batch scheduling/commit cost that inflates
+    * differently per host epoch and has repeatedly masqueraded as a
+    * plan regression in cross-round bench disputes. Bench subtracts
+    * this channel per streaming query so `BENCH_r{N}` can report
+    * plan-attributable time.
+    *
+    * `commitPerBatch = false` prices the plain foreachBatch→parquet
+    * sink ([[runToCompletionInner]]'s shape); `true` additionally pays
+    * one empty [[BucketedTable]] commit per batch (write job + sidecar
+    * + manifest under the cross-process lock) — the IVM maintainers'
+    * per-batch durability floor. Batches are landed one file each and
+    * consumed with mFPT=1, exactly like the operators being floored;
+    * the in-stream filter keeps the batch PLAN empty so no operator
+    * work is priced, only machinery.
+    */
+  def streamFloor(spark: SparkSession, nBatches: Int,
+      commitPerBatch: Boolean): Double = {
+    require(nBatches >= 1, s"streamFloor: nBatches must be ≥ 1, got $nBatches")
+    import spark.implicits._
+    val land = freshDir("floor_land")
+    landBatchFiles(
+      (0 until nBatches).map(b => (b.toLong, b.toLong)).toDF("v", "__b"),
+      land)
+    val out = freshDir("floor_out")
+    val commitRoot = freshDir("floor_commit")
+    val schema = spark.read.parquet(s"$land/b0000.parquet").schema
+    val t0 = System.nanoTime()
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(land)
+      .filter(col("v") < 0) // empty every batch: machinery only
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (commitPerBatch)
+          BucketedTable.commitNext(commitRoot,
+            batch.withColumnRenamed("v", "k"), Seq(0), "k",
+            sidecars = Seq(("_hwm", Array.empty[Byte])))
+        else batch.write.mode("append").parquet(out)
+        ()
+      }
+      .option("checkpointLocation", freshDir("floor_ck"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def streamingNearDup(spark: SparkSession, indexPath: String,
       incoming: DataFrame, n: Int, k: Int, threshold: Double): DataFrame = {
     val land = freshDir("neardup_land")

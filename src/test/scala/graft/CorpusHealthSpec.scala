@@ -109,6 +109,61 @@ class CorpusHealthSpec extends AnyFunSuite {
     assert(out(2)._4 === 0.0)
   }
 
+  test("dupNgramCoverage survives a hot chunk shared by most docs (skew case)") {
+    // the round-12 verdict #1 fixture: one viral 4-word chunk
+    // (boilerplate disclaimer) present in 48 of 50 docs — at 100 TB
+    // this is the operator's EXPECTED input, and the old chunk-keyed
+    // window put all its occurrences on one task; the aggregate +
+    // join-back shape combines the hot key map-side.
+    val viral = "all rights strictly reserved"
+    val docs = (1 to 50).map { i =>
+      val body = s"unique$i body$i text$i here$i"
+      (i.toLong, if (i <= 48) s"$viral $body" else s"other stuff $body")
+    }.toDF("doc_id", "text")
+    val out = Corpus.dupNgramCoverage(docs, col("doc_id"), col("text"),
+        lineWords = 4)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(out.length === 50)
+    // every viral-chunk doc: 2 chunks, the viral one dup
+    (0 until 48).foreach { i => assert(out(i) === ((i + 1L, 2L, 1L, 0.5))) }
+    // the two non-viral docs share nothing
+    assert(out(48)._3 === 0L && out(49)._3 === 0L)
+  }
+
+  test("dupNgramCoverage: empty/whitespace-only docs are never mutual dups") {
+    // round-12 ADVICE: two no-word docs share no actual text — the
+    // single empty chunk both emit must not mark them duplicated.
+    val docs = Seq((1L, ""), (2L, "   "), (3L, "real words here"))
+      .toDF("doc_id", "text")
+    val out = Corpus.dupNgramCoverage(docs, col("doc_id"), col("text"),
+        lineWords = 2)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(out(0) === ((1L, 1L, 0L, 0.0)))
+    assert(out(1) === ((2L, 1L, 0L, 0.0)))
+    assert(out(2)._3 === 0L)
+  }
+
+  test("boilerplateStrip: shuffle-join fallback equals the broadcast path") {
+    // the many-domain pathological case (round-12 verdict #7 / ADVICE):
+    // the verdict set is tiny per group but grows with group count, so
+    // past broadcastLimit the flagging join must fall back to a
+    // shuffled join — same rows either way.
+    val docs = (1 to 40).flatMap { g =>
+      (1 to 3).map(i => ((g * 10 + i).toLong, s"site$g",
+        s"TEMPLATE HEADER $g\nbody $g-$i\nTEMPLATE FOOTER $g"))
+    }.toDF("doc_id", "site", "text")
+    val viaBroadcast = Corpus.boilerplateStrip(docs, col("doc_id"),
+        col("site"), col("text"), minPct = 30)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    val viaShuffle = Corpus.boilerplateStrip(docs, col("doc_id"),
+        col("site"), col("text"), minPct = 30, broadcastLimit = 0L)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(viaShuffle === viaBroadcast)
+    // per-site header+footer stripped, body kept
+    assert(viaBroadcast.head._4.startsWith("body "))
+    assert(viaBroadcast.forall(_._3 === 2L))
+  }
+
   // ---------------------------------------------------------------- //
   // zipfSlope                                                         //
   // ---------------------------------------------------------------- //
@@ -161,11 +216,43 @@ class CorpusHealthSpec extends AnyFunSuite {
       .map(_.toDF("doc_id", "lang", "text"))
     val cold = TextAnalysis.zipfSlope(full, col("lang"), col("text"), topK = 10)
       .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+    val root = java.nio.file.Files
+      .createTempDirectory("zipf_incr_spec").toString
     val incr = TextAnalysis.zipfSlopeIncremental(batches, col("lang"),
-        col("text"), topK = 10)
+        col("text"), topK = 10, root = root)
       .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
     assert(incr === cold)
     assert(cold.nonEmpty)
+  }
+
+  test("zipfSlopeIncremental sparse batch commits only its touched buckets") {
+    import graft.streaming.BucketedTable
+    // batch 1: a broad vocabulary spreading across buckets; batch 2:
+    // ONE new (grp, tok) row — its commit must claim exactly 1 of the
+    // 8 buckets (delta-scaled maintenance, round-12 verdict #2), and
+    // the empty batch 3 must commit NOTHING.
+    val b1 = Seq((1L, "en", (1 to 40).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "lang", "text")
+    val b2 = Seq((2L, "en", "newtoken")).toDF("doc_id", "lang", "text")
+    val b3 = Seq.empty[(Long, String, String)].toDF("doc_id", "lang", "text")
+    val root = java.nio.file.Files
+      .createTempDirectory("zipf_sparse_spec").toString
+    val incr = TextAnalysis.zipfSlopeIncremental(Seq(b1, b2, b3),
+        col("lang"), col("text"), topK = 10, root = root)
+      .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+    val cold = TextAnalysis.zipfSlope(b1.unionByName(b2), col("lang"),
+        col("text"), topK = 10)
+      .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(incr === cold)
+    def claims(v: Long): Seq[Int] = {
+      val m = new java.io.File(s"$root/v$v", "_buckets")
+      new String(java.nio.file.Files.readAllBytes(m.toPath), "UTF-8")
+        .split("\n").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq
+    }
+    // exactly two committed versions (the empty batch made none)
+    assert(BucketedTable.nextVersionId(root) === 2L)
+    assert(claims(0).size > 1)    // broad batch touches several buckets
+    assert(claims(1).size === 1)  // sparse batch claims exactly one
   }
 
   // ---------------------------------------------------------------- //
@@ -225,5 +312,41 @@ class CorpusHealthSpec extends AnyFunSuite {
       .as[(Long, String, Double, String)].collect()
     assert(out.length === 6)
     assert(out.forall(_._4 == "tail"))
+  }
+
+  test("ccnetBuckets approx cutoffs disagree with exact only inside the rank-error band") {
+    // round-12 verdict #8: the corpus-scale percentile_approx variant.
+    // GK's documented guarantee is RANK error ≤ n/accuracy per cutoff,
+    // so a doc may flip bucket ONLY if its score rank lies within that
+    // band of the ⅓ or ⅔ cutoff rank.
+    val docs = (1 to 60).map { i =>
+      (i.toLong, "en", (s"z a$i " * (i + 2)).trim)
+    }.toDF("doc_id", "lang", "text")
+    val accuracy = 10
+    val exact = TextAnalysis.ccnetBuckets(docs, col("doc_id"), col("lang"),
+        col("text"))
+      .as[(Long, String, Double, String)].collect()
+    val approx = TextAnalysis.ccnetBuckets(docs, col("doc_id"), col("lang"),
+        col("text"), approxAccuracy = accuracy)
+      .as[(Long, String, Double, String)].collect()
+      .map(r => r._1 -> r._4).toMap
+    val n = exact.length
+    assert(n === 60)
+    // distinct scores required for a well-defined rank test
+    assert(exact.map(_._3).distinct.length === n)
+    val rankOf = exact.sortBy(_._3).zipWithIndex
+      .map { case (r, i) => r._1 -> (i + 1.0) }.toMap
+    val cut1 = 1 + (n - 1) / 3.0
+    val cut2 = 1 + 2 * (n - 1) / 3.0
+    val band = n.toDouble / accuracy + 1
+    val flipped = exact.filter(r => approx(r._1) != r._4)
+    flipped.foreach { r =>
+      val d = math.min(math.abs(rankOf(r._1) - cut1),
+        math.abs(rankOf(r._1) - cut2))
+      assert(d <= band,
+        s"doc ${r._1} flipped ${r._4}→${approx(r._1)} at rank distance $d > $band")
+    }
+    // the sketch must agree away from the boundaries — not vacuous
+    assert(flipped.length <= 2 * (band.toInt + 1))
   }
 }

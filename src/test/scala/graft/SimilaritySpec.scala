@@ -435,4 +435,69 @@ class SimilaritySpec extends AnyFunSuite {
       finally s.close()
     }
   }
+
+  test("streamingAnnIngest fires the in-stream rebalance at the threshold crossing and equals the hand-driven fold") {
+    // round-12 verdict #4: a straddling-append stream must cross the
+    // list-size threshold MID-stream, rebalance there, and assign the
+    // remaining batches against the POST-split quantizer — exactly
+    // what the sequential (append, audit, maybe-rebalance) fold does.
+    val emb = graft.sources.Sources
+      .table(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding")
+    val base = emb.filter(col("vec_id") < 40)
+    val root = java.nio.file.Files.createTempDirectory("ivf_stream_rebal")
+    val streamIdx = new java.io.File(root.toFile, "stream").getPath
+    val manualIdx = new java.io.File(root.toFile, "manual").getPath
+    try {
+      // deterministic build → two identical starting indexes
+      Seq(streamIdx, manualIdx).foreach(p =>
+        Similarity.ensureIvfIndex(base, "vec_id", "embedding",
+          nCentroids = 8, path = p))
+      def listMax(p: String): Long = spark.read.parquet(s"$p/postings")
+        .groupBy("cent_id").count().agg(max("count")).as[Long].head()
+      val fat0 = listMax(streamIdx)
+      val maxListSize = fat0 + 15 // batch 1 (+10) stays under, batch 2 crosses
+      def batch(b: Int): org.apache.spark.sql.DataFrame =
+        base.filter(col("vec_id") === 20)
+          .crossJoin(spark.range(0, 10))
+          .select((lit(200000L + 1000L * b) + col("id")).as("vec_id"),
+            col("embedding"))
+      val all = (1 to 3).map(b => batch(b).withColumn("__batch", lit(b)))
+        .reduce(_ unionByName _)
+      val fired = graft.streaming.Streaming.streamingAnnIngest(spark,
+        streamIdx, all.select(col("vec_id"), col("embedding"),
+          col("__batch")),
+        col("__batch"), "vec_id", "embedding", maxListSize)
+      // hand-driven fold with the identical per-batch rule
+      val manualFires = (1 to 3).flatMap { b =>
+        Similarity.appendToIvfIndex(spark, batch(b), "vec_id", "embedding",
+          manualIdx)
+        if (listMax(manualIdx) > maxListSize &&
+            Similarity.rebalanceIvfIndex(spark, manualIdx,
+              maxListSize) > 0L) Some(b)
+        else None
+      }
+      assert(manualFires.headOption === Some(2),
+        s"threshold must cross MID-stream (batch 2), fold fired at $manualFires")
+      assert(fired === manualFires.size.toLong,
+        s"stream fired $fired rebalances, fold fired ${manualFires.size}")
+      // identical index content: (cent_id, neighbor_id) assignment sets
+      def assignments(p: String): Set[(Long, Long)] =
+        spark.read.parquet(s"$p/postings")
+          .select(col("cent_id").cast("long"), col("neighbor_id").cast("long"))
+          .as[(Long, Long)].collect().toSet
+      assert(assignments(streamIdx) === assignments(manualIdx))
+      // identical probe results over the shared query set
+      val q = base.filter(col("vec_id") < 10)
+      def probes(p: String): Set[(Long, Long, Double, Int)] =
+        Similarity.ivfTopKIndexed(spark, p, q, "vec_id", "embedding",
+          nProbe = 2, k = 3).as[(Long, Long, Double, Int)].collect().toSet
+      assert(probes(streamIdx) === probes(manualIdx))
+    } finally {
+      val s = java.nio.file.Files.walk(root)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+      finally s.close()
+    }
+  }
 }
