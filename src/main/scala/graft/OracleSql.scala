@@ -566,9 +566,64 @@ object OracleSql {
        |  ORDER BY cos DESC, neighbor_id) AS rnk FROM scored)
        |WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
 
+  /** k-NN-graph CTE chain (occupancy-ADAPTIVE-width × 4-table seeded
+    * sign buckets → exact decimal cosine on the UNIONed candidate
+    * pairs → per-query rank) — shared by q_knn_graph and q_label_prop.
+    * Mirrors Similarity.knnGraph's round-13 rebucketing: a fixed 8-bit
+    * space made the in-bucket self-join quadratic in the corpus, so
+    * the width is the smallest nb in [8, 16] with 2^nb·2 ≥ n — the
+    * SAME integer-exact ladder as Similarity.adaptiveSignBits (no
+    * float log2; a power-of-two corpus must draw the same boundary in
+    * both engines) — and each table's bucket is the nb-prefix of its
+    * full 16-plane block (plane stride 16). Yields CTEs params, n,
+    * cand, p, sc, r (r carries cos + rnk). */
+  private def knnGraphCtes: String = {
+    // smallest nb in [8,16] with 2^nb * 2 >= cnt: 8 + one increment per
+    // rung where the loop condition (1<<nb)*2 < cnt still holds
+    val ladder = (9 to 16)
+      .map(k => s"CASE WHEN cnt > ${(1L << (k - 1)) * 2} THEN 1 ELSE 0 END")
+      .mkString("8 + ", " + ", "")
+    val buckets = (0 until 4)
+      .map(t => s"substr(${seededBucketSql(16, 64, "embedding", t * 16)}, " +
+        s"1, (SELECT nb FROM params)) AS b$t")
+      .mkString(",\n    ")
+    val unions = (0 until 4)
+      .map(t => s"SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id\n" +
+        s"  FROM n q JOIN n c ON c.b$t = q.b$t AND c.vec_id <> q.vec_id")
+      .mkString("\n  UNION\n  ")
+    s"""params AS (
+       |  SELECT $ladder AS nb
+       |  FROM (SELECT count(*) AS cnt FROM embeddings)),
+       |n AS (
+       |  SELECT vec_id, embedding,
+       |    ${dotSql("embedding", "embedding")} AS n2,
+       |    $buckets
+       |  FROM embeddings),
+       |cand AS (
+       |  $unions),
+       |p AS (
+       |  SELECT cd.query_id, cd.neighbor_id,
+       |    ${dotSql("q.embedding", "c.embedding")} AS dot,
+       |    q.n2 AS qn2, c.n2 AS nn2
+       |  FROM cand cd
+       |  JOIN n q ON q.vec_id = cd.query_id
+       |  JOIN n c ON c.vec_id = cd.neighbor_id),
+       |sc AS (
+       |  SELECT query_id, neighbor_id,
+       |    CAST(dot AS DOUBLE) /
+       |      (sqrt(CAST(qn2 AS DOUBLE)) * sqrt(CAST(nn2 AS DOUBLE))) AS cos
+       |  FROM p),
+       |r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos DESC, neighbor_id) AS rnk FROM sc)""".stripMargin
+  }
+
   /** Embedding near-dup CTE chain (documents ∪ planted perturbed
-    * copies → seeded 8-bit sign buckets → exact decimal cosine ≥ 0.999
-    * pairs) — shared by q_embed_neardup and q_semantic_dedup. */
+    * copies → OR-amplified 16-bit × 2-table seeded sign buckets →
+    * exact decimal cosine ≥ 0.999 on the UNION of per-table candidate
+    * pairs) — shared by q_embed_neardup and q_semantic_dedup. Mirrors
+    * SparkEntry.embedNearDupPairs' round-13 rebucketing: a fixed 8-bit
+    * space made in-bucket pairs quadratic in the corpus. */
   private def embedNearDupCtes: String =
     s"""pert AS (
        |  SELECT vec_id + 100000 AS vec_id,
@@ -583,13 +638,22 @@ object OracleSql {
        |n AS (
        |  SELECT vec_id, embedding,
        |    ${dotSql("embedding", "embedding")} AS n2,
-       |    ${seededBucketSql(8, 64, "embedding")} AS bucket
+       |    ${seededBucketSql(16, 64, "embedding", 0)} AS b0,
+       |    ${seededBucketSql(16, 64, "embedding", 16)} AS b1
        |  FROM corpus),
+       |cand AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM n a JOIN n b ON a.b0 = b.b0 AND a.vec_id < b.vec_id
+       |  UNION
+       |  SELECT a.vec_id, b.vec_id
+       |  FROM n a JOIN n b ON a.b1 = b.b1 AND a.vec_id < b.vec_id),
        |p AS (
-       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |  SELECT c.id_a, c.id_b,
        |    ${dotSql("a.embedding", "b.embedding")} AS dot,
        |    a.n2 AS n2a, b.n2 AS n2b
-       |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |  FROM cand c
+       |  JOIN n a ON a.vec_id = c.id_a
+       |  JOIN n b ON b.vec_id = c.id_b),
        |prs AS (
        |  SELECT id_a, id_b,
        |    CAST(dot AS DOUBLE) /
@@ -1755,26 +1819,9 @@ object OracleSql {
            |  LEFT JOIN l0 s ON s.node = w.node WHERE s.node IS NULL)"""
           .stripMargin
       }.mkString(",\n")
-      s"""WITH n AS (
-         |  SELECT vec_id, embedding,
-         |    ${dotSql("embedding", "embedding")} AS n2,
-         |    ${seededBucketSql(8, 64, "embedding")} AS bucket
-         |  FROM embeddings),
-         |p AS (
-         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         |    ${dotSql("q.embedding", "c.embedding")} AS dot,
-         |    q.n2 AS qn2, c.n2 AS nn2
-         |  FROM n q JOIN n c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id),
-         |sc AS (
-         |  SELECT query_id, neighbor_id,
-         |    CAST(dot AS DOUBLE) /
-         |      (sqrt(CAST(qn2 AS DOUBLE)) * sqrt(CAST(nn2 AS DOUBLE))) AS cos
-         |  FROM p),
+      s"""WITH $knnGraphCtes,
          |kg AS (
-         |  SELECT query_id, neighbor_id FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY query_id
-         |      ORDER BY cos DESC, neighbor_id) AS rnk FROM sc)
-         |  WHERE rnk <= 3),
+         |  SELECT query_id, neighbor_id FROM r WHERE rnk <= 3),
          |edges AS (
          |  SELECT query_id AS src, neighbor_id AS dst FROM kg
          |  UNION SELECT neighbor_id, query_id FROM kg),
@@ -1833,31 +1880,13 @@ object OracleSql {
           |  FROM embeddings e
           |  JOIN embeddings c ON c.vec_id = e.vec_id % 16""".stripMargin),
 
-    "q_knn_graph" -> {
-      s"""WITH n AS (
-         |  SELECT vec_id, embedding,
-         |    ${dotSql("embedding", "embedding")} AS n2,
-         |    ${seededBucketSql(8, 64, "embedding")} AS bucket
-         |  FROM embeddings),
-         |p AS (
-         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         |    list_aggregate(list_transform(generate_series(1, len(q.embedding)),
-         |      i -> CAST(CAST(q.embedding[i] AS DOUBLE) *
-         |                CAST(c.embedding[i] AS DOUBLE) AS DECIMAL(30,12))),
-         |      'sum') AS dot,
-         |    q.n2 AS qn2, c.n2 AS nn2
-         |  FROM n q JOIN n c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id),
-         |s AS (
-         |  SELECT query_id, neighbor_id,
-         |    CAST(dot AS DOUBLE) /
-         |      (sqrt(CAST(qn2 AS DOUBLE)) * sqrt(CAST(nn2 AS DOUBLE))) AS cos
-         |  FROM p),
-         |r AS (
-         |  SELECT *, row_number() OVER (PARTITION BY query_id
-         |    ORDER BY cos DESC, neighbor_id) AS rnk FROM s)
+    // Mirrors Similarity.knnGraph's round-13 OR-amplified rebucketing
+    // (12 bits × 4 tables — a fixed 256-bucket space made the in-bucket
+    // self-join quadratic in the corpus); CTEs shared with q_label_prop.
+    "q_knn_graph" ->
+      s"""WITH $knnGraphCtes
          |SELECT query_id, neighbor_id, cos, CAST(rnk AS INTEGER) AS rnk
-         |FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
-    },
+         |FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
 
     "q_lang_id" ->
       """WITH m(cand_lang, pattern) AS (VALUES

@@ -132,11 +132,24 @@ object SparkEntry {
   }
 
   /** Shared embedding near-dup pair pipeline (q_embed_neardup +
-    * q_semantic_dedup): documents ∪ planted perturbed copies, bucketed
-    * self-join on 8 seeded sign bits, exact decimal cosine ≥ 0.999.
-    * 8 bits: the perturbation barely moves any projection, so planted
-    * recall matches 4 bits while random bucket collisions (the
-    * quadratic term) drop ~16×.
+    * q_semantic_dedup): documents ∪ planted perturbed copies, candidates
+    * from an OR-amplified sign-LSH family — 16 seeded bits × 2
+    * independent tables (a pair is a candidate if it collides in ANY
+    * table) — then exact decimal cosine ≥ 0.999 verification.
+    *
+    * 16×2, not the earlier single 8-bit table (round-13 sf1 capture):
+    * a FIXED 8-bit bucket space has ≤ 256 buckets, so occupancy grows
+    * linearly with the corpus and in-bucket candidate pairs grow
+    * QUADRATICALLY — measured 38.9k pairs at sf0.1 → 9.31M at sf1
+    * (239× for 10× data), the operator's whole wall clock. 16 bits cut
+    * that ~14× (657k pairs at sf1) while the OR of 2 tables RAISES
+    * planted recall (per-table same-bucket rate ~0.95 for the +0.01
+    * perturbation → ~0.997 OR'd, vs ~0.97 for 8 bits single-table). At
+    * real scale nBits keeps growing with the corpus — buckets must
+    * scale ∝ n for bounded occupancy — and tables buy the recall back.
+    * Joins are shuffled-hash (candidate side builds): every side here
+    * scales with the corpus, so none may be planned into a broadcast
+    * by a static size guess.
     */
   private def embedNearDupPairs(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
@@ -144,14 +157,24 @@ object SparkEntry {
       (col("vec_id") + 100000).as("vec_id"),
       transform(col("embedding"), (x, i) =>
         when(i === 0, (x + lit(0.01f)).cast("float")).otherwise(x)).as("embedding"))
-    val corpus = emb.unionByName(perturbed)
-    val a = Similarity.withNorm2(corpus, col("embedding"))
-      .select(col("vec_id").as("id_a"), col("embedding").as("va"), col("n2").as("n2a"),
-        Similarity.signBucket(col("embedding"), 8, 64).as("bucket"))
-    val b = Similarity.withNorm2(corpus, col("embedding"))
-      .select(col("vec_id").as("id_b"), col("embedding").as("vb"), col("n2").as("n2b"),
-        Similarity.signBucket(col("embedding"), 8, 64).as("bucket"))
-    a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+    val corpus = Similarity.withNorm2(emb.unionByName(perturbed),
+      col("embedding"))
+    val cand = (0 until 2).map { tbl =>
+      val bk = Similarity.signBucketTable(col("embedding"), tbl, 16, 64)
+      corpus.select(col("vec_id").as("id_a"), bk.as("bucket"))
+        .hint("shuffle_hash")
+        .join(corpus.select(col("vec_id").as("id_b"), bk.as("bucket")),
+          Seq("bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+    }.reduce(_ unionByName _).distinct()
+    cand
+      .hint("shuffle_hash")
+      .join(corpus.select(col("vec_id").as("id_a"), col("embedding").as("va"),
+        col("n2").as("n2a")), Seq("id_a"))
+      .hint("shuffle_hash")
+      .join(corpus.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
+        col("n2").as("n2b")), Seq("id_b"))
       .withColumn("cos",
         Similarity.dotDecimal(col("va"), col("vb")).cast("double") /
           (sqrt(col("n2a").cast("double")) * sqrt(col("n2b").cast("double"))))
@@ -1848,9 +1871,17 @@ object SparkEntry {
 
     // Full k-NN graph: bucketed self-join — every vector a query, pair
     // count Σ|bucket|² not n²; the edge list downstream graph passes eat.
+    // Occupancy-ADAPTIVE width × 4 OR-tables, not a single fixed 8-bit
+    // table (round-13 sf1 capture): a fixed 256-bucket space makes the
+    // in-bucket self-join quadratic in the corpus — nBits grows with
+    // corpus size (2^nBits·2 ≥ n; one count() of orchestration
+    // metadata), and the OR over 4 independent tables buys the recall
+    // back. The oracle replays the same integer-exact width ladder.
     "q_knn_graph" -> ((s, dir) => {
-      Similarity.knnGraph(t(s, dir, "embeddings"), "vec_id", "embedding",
-          nBits = 8, dim = 64, k = 3)
+      val emb = t(s, dir, "embeddings")
+      Similarity.knnGraph(emb, "vec_id", "embedding",
+          nBits = Similarity.adaptiveSignBits(emb.count()), dim = 64,
+          k = 3, nTables = 4)
         .select(col("query_id"), col("neighbor_id"), col("cos"),
           col("rank").as("rnk"))
         .orderBy("query_id", "rnk")
@@ -1880,7 +1911,8 @@ object SparkEntry {
     "q_label_prop" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val kg = Similarity.knnGraph(emb, "vec_id", "embedding",
-          nBits = 8, dim = 64, k = 3)
+          nBits = Similarity.adaptiveSignBits(emb.count()), dim = 64,
+          k = 3, nTables = 4)
         .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
       val edges = kg.unionByName(
         kg.select(col("dst").as("src"), col("src").as("dst")))

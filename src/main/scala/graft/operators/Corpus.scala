@@ -332,7 +332,11 @@ object Corpus {
     val verdict = chunks.groupBy("chunk")
       .agg((min(col("key")) =!= max(col("key")) &&
         col("chunk") =!= "").as("is_dup"))
-    chunks.join(verdict, Seq("chunk"))
+    // shuffled-hash, verdict side builds: the verdict frame is
+    // chunk-DISTINCT but still corpus-scaled — a static size guess
+    // must never broadcast it (round-13 sf1 capture); AQE can still
+    // skew-split the shuffle when a hot chunk dominates
+    chunks.join(verdict.hint("shuffle_hash"), Seq("chunk"))
       .groupBy("key")
       .agg(count(lit(1)).as("n_chunks"),
         sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_chunks"))

@@ -130,11 +130,20 @@ object NearDup {
     sig.selectExpr("key", s"stack($nBands, $pairsExpr) as (band, band_val)")
   }
 
-  /** Candidate pairs: keys sharing at least one (band, band_val) bucket. */
+  /** Candidate pairs: keys sharing at least one (band, band_val) bucket.
+    *
+    * The self-join is HINTED shuffled-hash (round-13, found by the sf1
+    * scale capture): both sides are the corpus-scaled band table, but
+    * Spark's STATIC size estimate of an aggregate output is tiny, so
+    * the unhinted plan broadcast the whole band table — fine at sf0.1,
+    * a 15× wall blowup at sf1 (collect + per-task hash build of a
+    * corpus-sized map), and a driver OOM at real scale. A side that
+    * grows with the corpus must never be planned by a static guess.
+    */
   def candidatePairs(bands: DataFrame): DataFrame = {
     val a = bands.select(col("key").as("key_a"), col("band"), col("band_val"))
     val b = bands.select(col("key").as("key_b"), col("band"), col("band_val"))
-    a.join(b, Seq("band", "band_val"))
+    a.hint("shuffle_hash").join(b, Seq("band", "band_val"))
       .filter(col("key_a") < col("key_b"))
       .select("key_a", "key_b").distinct()
   }
@@ -146,7 +155,10 @@ object NearDup {
     val counts = sh.groupBy("key").agg(count(lit(1)).as("cnt"))
     val a = sh.select(col("key").as("key_a"), col("shingle"))
     val b = sh.select(col("key").as("key_b"), col("shingle"))
-    val inter = pairs.join(a, Seq("key_a")).join(b, Seq("key_b", "shingle"))
+    // pair side builds the hash, the corpus-scaled shingle frames
+    // stream (round-13: static estimates otherwise broadcast them)
+    val inter = pairs.hint("shuffle_hash").join(a, Seq("key_a"))
+      .hint("shuffle_hash").join(b, Seq("key_b", "shingle"))
       .groupBy("key_a", "key_b").agg(count(lit(1)).as("n_inter"))
     inter
       .join(counts.select(col("key").as("key_a"), col("cnt").as("cnt_a")), Seq("key_a"))
@@ -716,8 +728,14 @@ object NearDup {
     def maybeBc(df: DataFrame): DataFrame =
       if (broadcastIncoming) broadcast(df) else df
     try {
-      val cand = maybeBc(lshBands(perDoc, k)
-          .select(col("key").as("key_i"), col("band"), col("band_val")))
+      // batch form: shuffled-hash with the incoming band side as build
+      // (round-13 sf1 capture: unhinted, the static planner broadcast
+      // the EXISTING index's band table — corpus-scaled — off a tiny
+      // aggregate estimate; 5× wall at sf1, driver OOM at real scale)
+      val candIn = lshBands(perDoc, k)
+        .select(col("key").as("key_i"), col("band"), col("band_val"))
+      val cand = (if (broadcastIncoming) broadcast(candIn)
+                  else candIn.hint("shuffle_hash"))
         .join(bandsE.select(col("key").as("key_e"), col("band"), col("band_val")),
           Seq("band", "band_val"))
         .select("key_i", "key_e").distinct()
@@ -873,8 +891,14 @@ object NearDup {
       pairs: DataFrame, maxDist: Int): DataFrame = {
     require(maxDist >= 0, s"editDistancePairs: maxDist must be >= 0, got $maxDist")
     val docs = df.select(key.as("key"), text.as("t"))
-    pairs
+    // shuffled-hash with the PAIR side as build (round-13 sf1 capture):
+    // unhinted, the static planner broadcast the full-TEXT corpus side
+    // of both joins (aggregate/union size estimates read tiny) — at
+    // 10× data that broadcast was the whole query's wall clock. The
+    // docs side scales with the corpus; it must stream, never build.
+    pairs.hint("shuffle_hash")
       .join(docs.select(col("key").as("key_a"), col("t").as("t_a")), Seq("key_a"))
+      .hint("shuffle_hash")
       .join(docs.select(col("key").as("key_b"), col("t").as("t_b")), Seq("key_b"))
       // length-difference lower bound: |len(a) − len(b)| > maxDist
       // already proves the distance exceeds the bound — kills most far

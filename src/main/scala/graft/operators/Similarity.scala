@@ -138,6 +138,35 @@ object Similarity {
       offset = table * nBits, nBits = nBits, dim = dim))
   }
 
+  /** [[signBucketTable]] with a FIXED plane stride: table t always
+    * starts at plane t·stride, so an ADAPTIVE-width bucket (nBits ≤
+    * stride) is a PREFIX of that table's full-stride bucket — tables
+    * stay pairwise independent at any width, and the SQL oracle can
+    * replay the width rule as a plain substr over the full-stride bit
+    * string. Table 0 at nBits = width is byte-identical to
+    * [[signBucket]]. */
+  def signBucketTableStride(vec: Column, table: Int, nBits: Int, dim: Int,
+      stride: Int = 16): Column = {
+    require(nBits >= 1 && nBits <= stride,
+      s"signBucketTableStride: nBits must be in [1, stride=$stride], got $nBits")
+    import org.apache.spark.sql.graft.Cols
+    Cols.of(graft.functions.SignBucket(Cols.exprOf(vec),
+      offset = table * stride, nBits = nBits, dim = dim))
+  }
+
+  /** Occupancy-targeted sign-LSH width (round-13 sf1 capture): the
+    * smallest nBits in [8, 16] with 2^nBits · targetOccupancy ≥ n. A
+    * FIXED bucket width makes occupancy ∝ corpus and the in-bucket
+    * self-join QUADRATIC (measured 20× wall at 10× data on 8 bits);
+    * the production rule is buckets ∝ n. Integer-exact ladder (no
+    * float log2 — a power-of-two corpus must draw the same boundary in
+    * the engine and the DuckDB oracle). */
+  def adaptiveSignBits(n: Long, targetOccupancy: Long = 2L): Int = {
+    var nb = 8
+    while (nb < 16 && (1L << nb) * targetOccupancy < n) nb += 1
+    nb
+  }
+
   /** OR-amplified sign-LSH top-k: `nTables` INDEPENDENT hyperplane
     * tables (the standard OR-construction — a pair is a candidate if it
     * collides in ANY table, so miss probability compounds to
@@ -657,22 +686,43 @@ object Similarity {
   /** Full k-NN graph within sign buckets: EVERY vector is a query.
     * Unlike [[bucketedTopK]] (which broadcasts a small query set), both
     * sides here are the whole corpus, so this is a plain hash self-join
-    * on the bucket key — pair count is Σ|bucket|², never n². More bits
-    * → smaller buckets → cheaper join but lower recall (the classic LSH
-    * dial). The edge list feeds graph passes downstream (e.g.
-    * [[NearDup.dedupClusters]] over edges above a cosine floor).
+    * on the bucket key — pair count is Σ|bucket|² per table, never n².
+    *
+    * OR-amplified (round-13 sf1 capture): candidates are the UNION over
+    * `nTables` independent hyperplane tables of same-bucket pairs, then
+    * one exact-cosine verify + per-query top-k. The two dials separate
+    * the two failure modes a single table couples: `nBits` must GROW
+    * with the corpus (a fixed bucket space makes occupancy ∝ n and the
+    * self-join quadratic — measured 20× wall at 10× data on 8 bits),
+    * while `nTables` buys back the recall the extra bits cost
+    * (miss probability compounds to (1 − p^nBits)^nTables). Joins are
+    * shuffled-hash: every side is corpus-scaled, so none may be planned
+    * into a broadcast by a static size guess. The edge list feeds graph
+    * passes downstream (e.g. [[NearDup.dedupClusters]] over edges above
+    * a cosine floor).
     */
   def knnGraph(corpus: DataFrame, idCol: String, vecCol: String,
-      nBits: Int, dim: Int, k: Int): DataFrame = {
+      nBits: Int, dim: Int, k: Int, nTables: Int = 1): DataFrame = {
+    require(nTables >= 1, s"knnGraph: nTables must be ≥ 1, got $nTables")
     val base = withNorm2(corpus, col(vecCol))
-      .select(col(idCol), col(vecCol), col("n2"),
-        signBucket(col(vecCol), nBits, dim).as("bucket"))
-    val q = base.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      col("n2").as("qn2"), col("bucket"))
-    val c = base.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"),
-      col("n2").as("nn2"), col("bucket"))
-    val scored = q.join(c, Seq("bucket"))
-      .filter(col("query_id") =!= col("neighbor_id"))
+    val cand = (0 until nTables).map { tbl =>
+      // fixed plane stride 16: an adaptive nBits is a PREFIX of each
+      // table's plane block, oracle-replayable as substr
+      val bk = signBucketTableStride(col(vecCol), tbl, nBits, dim)
+      base.select(col(idCol).as("query_id"), bk.as("bucket"))
+        .hint("shuffle_hash")
+        .join(base.select(col(idCol).as("neighbor_id"), bk.as("bucket")),
+          Seq("bucket"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+    }.reduce(_ unionByName _).distinct()
+    val scored = cand
+      .hint("shuffle_hash")
+      .join(base.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        col("n2").as("qn2")), Seq("query_id"))
+      .hint("shuffle_hash")
+      .join(base.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"),
+        col("n2").as("nn2")), Seq("neighbor_id"))
       .withColumn("cos",
         cosine(dotDecimal(col("qv"), col("nv")), col("qn2"), col("nn2")))
     val w = Window.partitionBy(col("query_id"))
