@@ -130,20 +130,29 @@ object NearDup {
     sig.selectExpr("key", s"stack($nBands, $pairsExpr) as (band, band_val)")
   }
 
-  /** Candidate pairs: keys sharing at least one (band, band_val) bucket.
-    *
-    * The self-join is HINTED shuffled-hash (round-13, found by the sf1
-    * scale capture): both sides are the corpus-scaled band table, but
-    * Spark's STATIC size estimate of an aggregate output is tiny, so
-    * the unhinted plan broadcast the whole band table — fine at sf0.1,
-    * a 15× wall blowup at sf1 (collect + per-task hash build of a
-    * corpus-sized map), and a driver OOM at real scale. A side that
-    * grows with the corpus must never be planned by a static guess.
-    */
+  /** Size-GUARDED join side (round-13, found by the sf1 scale capture):
+    * below `limit` rows the frame broadcasts — the small-corpus fast
+    * path the static planner used to take by luck; at or past it, an
+    * explicit shuffled-hash build. The guard exists because Spark's
+    * STATIC size estimate of an aggregate/union output reads tiny, so
+    * unhinted plans broadcast corpus-scaled frames (the whole band
+    * table, the full-text corpus side of verify joins) — invisible at
+    * sf0.1, a 5–15× wall blowup at sf1, a driver OOM at real scale —
+    * and AQE cannot demote a statically-planned broadcast (no exchange
+    * under it to re-plan from). One `count()` of orchestration
+    * metadata per call decides from the REAL size, the same guard
+    * shape as [[Corpus.boilerplateStrip]]'s verdict set. */
+  private def guarded(df: DataFrame, limit: Long): DataFrame =
+    if (df.count() < limit) broadcast(df) else df.hint("shuffle_hash")
+
+  /** Candidate pairs: keys sharing at least one (band, band_val)
+    * bucket. The self-join's build side is size-[[guarded]]: the band
+    * table scales with the corpus, so past the limit it must build a
+    * shuffled hash, never a static-guess broadcast. */
   def candidatePairs(bands: DataFrame): DataFrame = {
     val a = bands.select(col("key").as("key_a"), col("band"), col("band_val"))
     val b = bands.select(col("key").as("key_b"), col("band"), col("band_val"))
-    a.hint("shuffle_hash").join(b, Seq("band", "band_val"))
+    guarded(a, 1000000L).join(b, Seq("band", "band_val"))
       .filter(col("key_a") < col("key_b"))
       .select("key_a", "key_b").distinct()
   }
@@ -155,10 +164,15 @@ object NearDup {
     val counts = sh.groupBy("key").agg(count(lit(1)).as("cnt"))
     val a = sh.select(col("key").as("key_a"), col("shingle"))
     val b = sh.select(col("key").as("key_b"), col("shingle"))
-    // pair side builds the hash, the corpus-scaled shingle frames
-    // stream (round-13: static estimates otherwise broadcast them)
-    val inter = pairs.hint("shuffle_hash").join(a, Seq("key_a"))
-      .hint("shuffle_hash").join(b, Seq("key_b", "shingle"))
+    // size-guarded (round-13): a small shingle frame still broadcasts;
+    // past the limit the pair side builds a shuffled hash and the
+    // corpus-scaled shingle frames stream — static estimates otherwise
+    // broadcast them at any scale
+    val shSmall = sh.count() < 1000000L
+    val left = if (shSmall) pairs else pairs.hint("shuffle_hash")
+    val j1 = left.join(if (shSmall) broadcast(a) else a, Seq("key_a"))
+    val inter = (if (shSmall) j1 else j1.hint("shuffle_hash"))
+      .join(if (shSmall) broadcast(b) else b, Seq("key_b", "shingle"))
       .groupBy("key_a", "key_b").agg(count(lit(1)).as("n_inter"))
     inter
       .join(counts.select(col("key").as("key_a"), col("cnt").as("cnt_a")), Seq("key_a"))
@@ -728,16 +742,22 @@ object NearDup {
     def maybeBc(df: DataFrame): DataFrame =
       if (broadcastIncoming) broadcast(df) else df
     try {
-      // batch form: shuffled-hash with the incoming band side as build
-      // (round-13 sf1 capture: unhinted, the static planner broadcast
-      // the EXISTING index's band table — corpus-scaled — off a tiny
-      // aggregate estimate; 5× wall at sf1, driver OOM at real scale)
+      // batch form: SIZE-GUARDED existing-band side (round-13 sf1
+      // capture: unhinted, the static planner broadcast the EXISTING
+      // index's band table — corpus-scaled — off a tiny aggregate
+      // estimate; 5× wall at sf1, driver OOM at real scale). A small
+      // index still broadcasts (one count decides); past the limit the
+      // incoming band side builds a shuffled hash.
       val candIn = lshBands(perDoc, k)
         .select(col("key").as("key_i"), col("band"), col("band_val"))
-      val cand = (if (broadcastIncoming) broadcast(candIn)
-                  else candIn.hint("shuffle_hash"))
-        .join(bandsE.select(col("key").as("key_e"), col("band"), col("band_val")),
+      val bandsESel = bandsE
+        .select(col("key").as("key_e"), col("band"), col("band_val"))
+      val cand = (if (broadcastIncoming) broadcast(candIn).join(bandsESel,
           Seq("band", "band_val"))
+        else if (bandsESel.count() < 250000L)
+          candIn.join(broadcast(bandsESel), Seq("band", "band_val"))
+        else candIn.hint("shuffle_hash").join(bandsESel,
+          Seq("band", "band_val")))
         .select("key_i", "key_e").distinct()
       val setsI = perDoc.select(col("key"), col("sh"))
       // SHUFFLED HASH, not sort-merge, for the verify joins in the
@@ -891,15 +911,24 @@ object NearDup {
       pairs: DataFrame, maxDist: Int): DataFrame = {
     require(maxDist >= 0, s"editDistancePairs: maxDist must be >= 0, got $maxDist")
     val docs = df.select(key.as("key"), text.as("t"))
-    // shuffled-hash with the PAIR side as build (round-13 sf1 capture):
-    // unhinted, the static planner broadcast the full-TEXT corpus side
-    // of both joins (aggregate/union size estimates read tiny) — at
-    // 10× data that broadcast was the whole query's wall clock. The
-    // docs side scales with the corpus; it must stream, never build.
-    pairs.hint("shuffle_hash")
-      .join(docs.select(col("key").as("key_a"), col("t").as("t_a")), Seq("key_a"))
-      .hint("shuffle_hash")
-      .join(docs.select(col("key").as("key_b"), col("t").as("t_b")), Seq("key_b"))
+    // size-guarded text joins (round-13 sf1 capture): unhinted, the
+    // static planner broadcast the full-TEXT corpus side of both joins
+    // (union size estimates read tiny) — at 10× data that broadcast
+    // was the whole query's wall clock. A small corpus still
+    // broadcasts (one count decides from the real size); past the
+    // limit the pair side builds a shuffled hash and the text-bearing
+    // corpus streams. The limit is row-based and deliberately low —
+    // these rows carry document text.
+    val docsSmall = docs.count() < 100000L
+    def side(d: DataFrame): DataFrame =
+      if (docsSmall) broadcast(d) else d
+    val left = if (docsSmall) pairs else pairs.hint("shuffle_hash")
+    val j1 = left.join(
+      side(docs.select(col("key").as("key_a"), col("t").as("t_a"))),
+      Seq("key_a"))
+    (if (docsSmall) j1 else j1.hint("shuffle_hash"))
+      .join(side(docs.select(col("key").as("key_b"), col("t").as("t_b"))),
+        Seq("key_b"))
       // length-difference lower bound: |len(a) − len(b)| > maxDist
       // already proves the distance exceeds the bound — kills most far
       // candidates for the cost of two lengths, before any DP runs
