@@ -69,6 +69,32 @@ object OracleSql {
        |  JOIN n c ON c.vec_id = d.neighbor_id)""".stripMargin
   }
 
+  /** Integer-exact adaptive-width ladder over a count column `cnt` —
+    * the smallest nb in [8, maxBits] with 2^nb·2 ≥ cnt, as 8 + one
+    * increment per rung where Similarity.adaptiveSignBits' loop
+    * condition ((1<<nb)·2 < cnt) still holds. Ceiling 32 (round-14):
+    * widths past 16 are served by multi-block bucket strings
+    * ([[wideBucketSql]]), mirroring Similarity.signBucketWide. */
+  private def nbLadderSql(maxBits: Int = 32): String =
+    (9 to maxBits)
+      .map(k => s"CASE WHEN cnt > ${(1L << (k - 1)) * 2} THEN 1 ELSE 0 END")
+      .mkString("8 + ", " + ", "")
+
+  /** Adaptive-width bucket for table `t` of an `nTables` OR-family —
+    * the substr-concat replay of Similarity.signBucketWide at stride
+    * 16: block 0 at plane offset t·16 (byte-identical to the round-13
+    * one-block form whenever the params CTE's nb ≤ 16), block 1 at
+    * (t + nTables)·16 appended only when nb exceeds 16 (the CASE keeps
+    * the second block's 16 projections unevaluated at small corpora).
+    * Callers must have a `params(nb)` CTE in scope ([[nbLadderSql]]). */
+  private def wideBucketSql(t: Int, nTables: Int, dim: Int,
+      vec: String): String =
+    s"(substr(${seededBucketSql(16, dim, vec, t * 16)}, 1, " +
+      "LEAST((SELECT nb FROM params), 16)) || " +
+      "CASE WHEN (SELECT nb FROM params) > 16 THEN " +
+      s"substr(${seededBucketSql(16, dim, vec, (t + nTables) * 16)}, 1, " +
+      "(SELECT nb FROM params) - 16) ELSE '' END)"
+
   /** All `nBits` projections as a DuckDB list literal (multi-probe). */
   private def seededProjListSql(nBits: Int, dim: Int, vec: String): String =
     (0 until nBits).map(seededProjExpr(_, dim, vec)).mkString("[", ",\n      ", "]")
@@ -569,30 +595,25 @@ object OracleSql {
   /** k-NN-graph CTE chain (occupancy-ADAPTIVE-width × 4-table seeded
     * sign buckets → exact decimal cosine on the UNIONed candidate
     * pairs → per-query rank) — shared by q_knn_graph and q_label_prop.
-    * Mirrors Similarity.knnGraph's round-13 rebucketing: a fixed 8-bit
-    * space made the in-bucket self-join quadratic in the corpus, so
-    * the width is the smallest nb in [8, 16] with 2^nb·2 ≥ n — the
-    * SAME integer-exact ladder as Similarity.adaptiveSignBits (no
-    * float log2; a power-of-two corpus must draw the same boundary in
-    * both engines) — and each table's bucket is the nb-prefix of its
-    * full 16-plane block (plane stride 16). Yields CTEs params, n,
+    * Mirrors Similarity.knnGraph's round-13 rebucketing + round-14
+    * ceiling lift: a fixed bucket space made the in-bucket self-join
+    * quadratic in the corpus, so the width is the smallest nb in
+    * [8, 32] with 2^nb·2 ≥ n — the SAME integer-exact ladder as
+    * Similarity.adaptiveSignBits (no float log2; a power-of-two corpus
+    * must draw the same boundary in both engines) — and each table's
+    * bucket is the nb-prefix of its table-major-interleaved plane
+    * blocks ([[wideBucketSql]], stride 16). Yields CTEs params, n,
     * cand, p, sc, r (r carries cos + rnk). */
   private def knnGraphCtes: String = {
-    // smallest nb in [8,16] with 2^nb * 2 >= cnt: 8 + one increment per
-    // rung where the loop condition (1<<nb)*2 < cnt still holds
-    val ladder = (9 to 16)
-      .map(k => s"CASE WHEN cnt > ${(1L << (k - 1)) * 2} THEN 1 ELSE 0 END")
-      .mkString("8 + ", " + ", "")
     val buckets = (0 until 4)
-      .map(t => s"substr(${seededBucketSql(16, 64, "embedding", t * 16)}, " +
-        s"1, (SELECT nb FROM params)) AS b$t")
+      .map(t => s"${wideBucketSql(t, 4, 64, "embedding")} AS b$t")
       .mkString(",\n    ")
     val unions = (0 until 4)
       .map(t => s"SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id\n" +
         s"  FROM n q JOIN n c ON c.b$t = q.b$t AND c.vec_id <> q.vec_id")
       .mkString("\n  UNION\n  ")
     s"""params AS (
-       |  SELECT $ladder AS nb
+       |  SELECT ${nbLadderSql()} AS nb
        |  FROM (SELECT count(*) AS cnt FROM embeddings)),
        |n AS (
        |  SELECT vec_id, embedding,
@@ -622,8 +643,12 @@ object OracleSql {
     * copies → OR-amplified 16-bit × 2-table seeded sign buckets →
     * exact decimal cosine ≥ 0.999 on the UNION of per-table candidate
     * pairs) — shared by q_embed_neardup and q_semantic_dedup. Mirrors
-    * SparkEntry.embedNearDupPairs' round-13 rebucketing: a fixed 8-bit
-    * space made in-bucket pairs quadratic in the corpus. */
+    * SparkEntry.embedNearDupPairs' round-13 rebucketing + round-14
+    * adaptive width: a fixed bucket space made in-bucket pairs
+    * quadratic in the corpus, so nb rides the same [8, 32]
+    * integer-exact ladder over the corpus count, each table's bucket
+    * the nb-prefix of its interleaved plane blocks ([[wideBucketSql]],
+    * nTables = 2). */
   private def embedNearDupCtes: String =
     s"""pert AS (
        |  SELECT vec_id + 100000 AS vec_id,
@@ -635,11 +660,14 @@ object OracleSql {
        |corpus AS (
        |  SELECT vec_id, embedding FROM embeddings
        |  UNION ALL SELECT vec_id, embedding FROM pert),
+       |params AS (
+       |  SELECT ${nbLadderSql()} AS nb
+       |  FROM (SELECT count(*) AS cnt FROM corpus)),
        |n AS (
        |  SELECT vec_id, embedding,
        |    ${dotSql("embedding", "embedding")} AS n2,
-       |    ${seededBucketSql(16, 64, "embedding", 0)} AS b0,
-       |    ${seededBucketSql(16, 64, "embedding", 16)} AS b1
+       |    ${wideBucketSql(0, 2, 64, "embedding")} AS b0,
+       |    ${wideBucketSql(1, 2, 64, "embedding")} AS b1
        |  FROM corpus),
        |cand AS (
        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b

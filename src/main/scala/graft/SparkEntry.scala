@@ -133,26 +133,30 @@ object SparkEntry {
 
   /** Shared embedding near-dup pair pipeline (q_embed_neardup +
     * q_semantic_dedup): documents ∪ planted perturbed copies, candidates
-    * from an OR-amplified sign-LSH family — 16 seeded bits × 2
-    * independent tables (a pair is a candidate if it collides in ANY
-    * table) — then exact decimal cosine ≥ 0.999 verification.
+    * from an OR-amplified sign-LSH family — occupancy-ADAPTIVE seeded
+    * bits × 2 independent tables (a pair is a candidate if it collides
+    * in ANY table) — then exact decimal cosine ≥ 0.999 verification.
     *
-    * 16×2, not the earlier single 8-bit table (round-13 sf1 capture):
-    * a FIXED 8-bit bucket space has ≤ 256 buckets, so occupancy grows
-    * linearly with the corpus and in-bucket candidate pairs grow
-    * QUADRATICALLY — measured 38.9k pairs at sf0.1 → 9.31M at sf1
-    * (239× for 10× data), the operator's whole wall clock. 16 bits cut
-    * that ~14× (657k pairs at sf1) while the OR of 2 tables RAISES
-    * planted recall (per-table same-bucket rate ~0.95 for the +0.01
-    * perturbation → ~0.997 OR'd, vs ~0.97 for 8 bits single-table). At
-    * real scale nBits keeps growing with the corpus — buckets must
-    * scale ∝ n for bounded occupancy — and tables buy the recall back.
+    * Adaptive width, not a fixed table (round-13 sf1 capture → round-14
+    * ceiling lift): a FIXED bucket space makes occupancy grow linearly
+    * with the corpus and in-bucket candidate pairs QUADRATICALLY —
+    * measured 38.9k pairs at sf0.1 → 9.31M at sf1 (239× for 10× data)
+    * on 8 fixed bits, the operator's whole wall clock. The production
+    * rule is buckets ∝ n: nBits = [[Similarity.adaptiveSignBits]] of
+    * the corpus count (one count() of orchestration metadata, ceiling
+    * 32 via [[Similarity.signBucketWide]]'s multi-block strings — the
+    * old 16-bit one-block cap re-entered the quadratic regime past
+    * ~131k vectors), and the OR of 2 tables buys the recall the extra
+    * bits cost (per-table same-bucket rate ~0.95 for the +0.01
+    * perturbation → ~0.997 OR'd at 16 bits). The oracle replays the
+    * same integer-exact width ladder over the same corpus count.
     * Joins are shuffled-hash (candidate side builds): every side here
     * scales with the corpus, so none may be planned into a broadcast
     * by a static size guess.
     */
   private def embedNearDupPairs(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+    val nBits = Similarity.adaptiveSignBits(2L * emb.count())
     val perturbed = emb.select(
       (col("vec_id") + 100000).as("vec_id"),
       transform(col("embedding"), (x, i) =>
@@ -160,7 +164,7 @@ object SparkEntry {
     val corpus = Similarity.withNorm2(emb.unionByName(perturbed),
       col("embedding"))
     val cand = (0 until 2).map { tbl =>
-      val bk = Similarity.signBucketTable(col("embedding"), tbl, 16, 64)
+      val bk = Similarity.signBucketWide(col("embedding"), tbl, 2, nBits, 64)
       corpus.select(col("vec_id").as("id_a"), bk.as("bucket"))
         .hint("shuffle_hash")
         .join(corpus.select(col("vec_id").as("id_b"), bk.as("bucket")),

@@ -155,16 +155,62 @@ object Similarity {
   }
 
   /** Occupancy-targeted sign-LSH width (round-13 sf1 capture): the
-    * smallest nBits in [8, 16] with 2^nBits · targetOccupancy ≥ n. A
-    * FIXED bucket width makes occupancy ∝ corpus and the in-bucket
+    * smallest nBits in [8, maxBits] with 2^nBits · targetOccupancy ≥ n.
+    * A FIXED bucket width makes occupancy ∝ corpus and the in-bucket
     * self-join QUADRATIC (measured 20× wall at 10× data on 8 bits);
     * the production rule is buckets ∝ n. Integer-exact ladder (no
     * float log2 — a power-of-two corpus must draw the same boundary in
-    * the engine and the DuckDB oracle). */
-  def adaptiveSignBits(n: Long, targetOccupancy: Long = 2L): Int = {
+    * the engine and the DuckDB oracle).
+    *
+    * The ceiling is 32 (round-14, round-13 verdict #1): the old cap of
+    * 16 — [[signBucketTableStride]]'s one-block limit — saturated at
+    * ~131k vectors (2^16 buckets × occupancy 2), past which the family
+    * re-entered the quadratic regime. Widths above 16 are served by
+    * [[signBucketWide]]'s multi-block bucket strings; 2^32 buckets ×
+    * occupancy 2 covers ~8.6e9 vectors per partition-disjoint corpus. */
+  def adaptiveSignBits(n: Long, targetOccupancy: Long = 2L,
+      maxBits: Int = 32): Int = {
     var nb = 8
-    while (nb < 16 && (1L << nb) * targetOccupancy < n) nb += 1
+    while (nb < maxBits && (1L << nb) * targetOccupancy < n) nb += 1
     nb
+  }
+
+  /** [[signBucketTableStride]] past the one-block ceiling: a bucket of
+    * ANY width `nBits` as the concatenation of ⌈nBits/stride⌉ fixed-
+    * stride plane blocks, block b of table t drawn at plane offset
+    * (t + b·nTables)·stride. Properties the layout buys:
+    *
+    *  - block 0 of table t sits at offset t·stride — EXACTLY
+    *    [[signBucketTableStride]]'s layout, so every width ≤ stride is
+    *    byte-identical to the one-block form (existing buckets, oracles
+    *    and fingerprints unchanged; spec-asserted);
+    *  - blocks are interleaved table-major, so the nTables tables stay
+    *    pairwise plane-disjoint at every width (the OR-family
+    *    independence contract) and the md5 plane stream is unbounded —
+    *    no 128-bit digest ceiling applies;
+    *  - a width-w bucket is a PREFIX of the same table's width-w'
+    *    bucket for every w ≤ w' (block 0 unchanged, later blocks
+    *    appended), so the SQL oracle replays an adaptive width as
+    *    substr over per-block full-stride strings and widening never
+    *    reassigns planes.
+    *
+    * This is what lets [[adaptiveSignBits]] keep growing the bucket
+    * space ∝ corpus past 2^16 — the round-13 sf1 capture's lesson that
+    * a fixed bucket space makes in-bucket self-joins quadratic, applied
+    * without a ceiling. */
+  def signBucketWide(vec: Column, table: Int, nTables: Int, nBits: Int,
+      dim: Int, stride: Int = 16): Column = {
+    require(nBits >= 1, s"signBucketWide: nBits must be ≥ 1, got $nBits")
+    require(nTables >= 1 && table >= 0 && table < nTables,
+      s"signBucketWide: need 0 ≤ table < nTables, got table=$table nTables=$nTables")
+    import org.apache.spark.sql.graft.Cols
+    val nBlocks = (nBits + stride - 1) / stride
+    val parts = (0 until nBlocks).map { b =>
+      val w = math.min(stride, nBits - b * stride)
+      Cols.of(graft.functions.SignBucket(Cols.exprOf(vec),
+        offset = (table + b * nTables) * stride, nBits = w, dim = dim))
+    }
+    if (parts.size == 1) parts.head else concat(parts: _*)
   }
 
   /** OR-amplified sign-LSH top-k: `nTables` INDEPENDENT hyperplane
@@ -706,9 +752,11 @@ object Similarity {
     require(nTables >= 1, s"knnGraph: nTables must be ≥ 1, got $nTables")
     val base = withNorm2(corpus, col(vecCol))
     val cand = (0 until nTables).map { tbl =>
-      // fixed plane stride 16: an adaptive nBits is a PREFIX of each
-      // table's plane block, oracle-replayable as substr
-      val bk = signBucketTableStride(col(vecCol), tbl, nBits, dim)
+      // fixed plane stride 16, table-major interleaved blocks: an
+      // adaptive nBits is a PREFIX of each table's (possibly
+      // multi-block) plane string, oracle-replayable as substr-concat;
+      // widths ≤ 16 are byte-identical to the round-13 one-block form
+      val bk = signBucketWide(col(vecCol), tbl, nTables, nBits, dim)
       base.select(col(idCol).as("query_id"), bk.as("bucket"))
         .hint("shuffle_hash")
         .join(base.select(col(idCol).as("neighbor_id"), bk.as("bucket")),

@@ -155,6 +155,110 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pair._1 === pair._2)
   }
 
+  test("adaptiveSignBits: integer-exact ladder, ceiling 32 (past the old 16-bit cap)") {
+    // boundary exactness: a power-of-two corpus must draw the same
+    // boundary as the oracle's CASE rungs (cnt > 2^(k-1)·2)
+    assert(Similarity.adaptiveSignBits(1L) === 8)
+    assert(Similarity.adaptiveSignBits(512L) === 8)    // 2^8·2 = 512 ≥ n
+    assert(Similarity.adaptiveSignBits(513L) === 9)
+    assert(Similarity.adaptiveSignBits(131072L) === 16) // the old ceiling…
+    assert(Similarity.adaptiveSignBits(131073L) === 17) // …now crossed
+    assert(Similarity.adaptiveSignBits(300000L) === 18)
+    assert(Similarity.adaptiveSignBits(1L << 33) === 32) // hard ceiling
+    assert(Similarity.adaptiveSignBits(Long.MaxValue) === 32)
+  }
+
+  test("signBucketWide: one-block compat, block layout, prefix property") {
+    val emb = graft.sources.Sources
+      .table(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding")
+    Similarity.registerNative(spark)
+    // widths ≤ stride are byte-identical to the proven one-block form —
+    // the compat contract that keeps round-13 buckets/oracles unchanged
+    for ((table, nTables, nBits) <- Seq((0, 2, 8), (1, 2, 16), (3, 4, 12))) {
+      val cmp = emb.select(
+        Similarity.signBucketWide(col("embedding"), table, nTables, nBits, 64)
+          .as("wide"),
+        Similarity.signBucketTableStride(col("embedding"), table, nBits, 64)
+          .as("one"))
+      assert(cmp.filter(col("wide") =!= col("one")).count() === 0,
+        s"table=$table nTables=$nTables nBits=$nBits diverged from one-block")
+    }
+    // multi-block: table t's width-20 bucket = its 16-plane block 0
+    // (offset t·16) ++ the first 4 bits of block 1 (offset (t+nT)·16) —
+    // both blocks the proven one-block primitive
+    for ((table, nTables) <- Seq((0, 2), (1, 2), (2, 4))) {
+      val cmp = emb.select(
+        Similarity.signBucketWide(col("embedding"), table, nTables, 20, 64)
+          .as("wide"),
+        concat(
+          Similarity.signBucketTableStride(col("embedding"), table, 16, 64),
+          Similarity.signBucketTableStride(col("embedding"), table + nTables, 4, 64))
+          .as("blocks"))
+      assert(cmp.filter(col("wide") =!= col("blocks")).count() === 0,
+        s"table=$table nTables=$nTables 20-bit bucket != block concat")
+    }
+    // prefix property: widening never reassigns planes (the oracle's
+    // substr replay and the adaptive ladder both depend on this)
+    val pfx = emb.select(
+      Similarity.signBucketWide(col("embedding"), 1, 2, 16, 64).as("w16"),
+      Similarity.signBucketWide(col("embedding"), 1, 2, 20, 64).as("w20"),
+      Similarity.signBucketWide(col("embedding"), 1, 2, 32, 64).as("w32"))
+    assert(pfx.filter(substring(col("w20"), 1, 16) =!= col("w16")).count() === 0)
+    assert(pfx.filter(substring(col("w32"), 1, 20) =!= col("w20")).count() === 0)
+    assert(pfx.filter(not(col("w32").rlike("^[01]{32}$"))).count() === 0)
+  }
+
+  test("knnGraph at a multi-block width equals the one-block-primitive reimplementation") {
+    // the sf0.01 oracle gate can only exercise nb ≤ 16 (small corpus);
+    // this is the correctness leg for the >16-bit path the 100× capture
+    // times. Reference: candidates from EXPLICIT one-block concat
+    // buckets (the spec-proven primitive), exact HOF-decimal cosine,
+    // same deterministic tie order.
+    val real = graft.sources.Sources
+      .table(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding")
+    // plant exact duplicates: identical vectors share every bucket at
+    // ANY width, so the candidate set is provably non-empty even in the
+    // 2^20-bucket space a 20-bit width opens on this tiny corpus
+    val emb = real.unionByName(
+      real.select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+    Similarity.registerNative(spark)
+    val k = 3
+    val nTables = 2
+    val got = Similarity.knnGraph(emb, "vec_id", "embedding",
+      nBits = 20, dim = 64, k = k, nTables = nTables)
+      .select("query_id", "neighbor_id", "cos", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val base = Similarity.withNorm2(emb, col("embedding"))
+    def bucket(t: Int): org.apache.spark.sql.Column = concat(
+      Similarity.signBucketTableStride(col("embedding"), t, 16, 64),
+      Similarity.signBucketTableStride(col("embedding"), t + nTables, 4, 64))
+    val cand = (0 until nTables).map { t =>
+      base.select(col("vec_id").as("query_id"), bucket(t).as("b"))
+        .join(base.select(col("vec_id").as("neighbor_id"), bucket(t).as("b")),
+          Seq("b"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+    }.reduce(_ unionByName _).distinct()
+    val scored = cand
+      .join(base.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("n2").as("qn2")), Seq("query_id"))
+      .join(base.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"),
+        col("n2").as("nn2")), Seq("neighbor_id"))
+      .withColumn("cos",
+        Similarity.dotDecimalHof(col("qv"), col("nv")).cast("double") /
+          (sqrt(col("qn2").cast("double")) * sqrt(col("nn2").cast("double"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    val want = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(got.nonEmpty, "multi-block knnGraph returned no edges")
+    assert(got === want)
+  }
+
   test("ivfTopKIndexed equals ivfTopK on a real corpus slice") {
     val emb = graft.sources.Sources
       .table(spark, "/root/testdata/sf0.001", "embeddings")
