@@ -524,19 +524,35 @@ object Similarity {
     * posting list's partition. Same accumulation shape as
     * [[graft.operators.NearDup.appendToNearDupIndex]] — one small file
     * per touched list per batch, periodically folded by
-    * [[compactIvfIndex]]. */
+    * [[compactIvfIndex]].
+    *
+    * Returns the batch's per-list increments (cent_id → rows appended;
+    * ≤ nCentroids longs of orchestration metadata, computed from the
+    * persisted assignment the write itself consumed — no second
+    * assignment pass). Round-13 verdict #2: these increments are the
+    * O(stats) audit feed — a streaming ingest folds them into a running
+    * (cent_id, n) map instead of re-scanning the whole postings table
+    * per micro-batch, which made total audit I/O quadratic in the
+    * stream length. */
   def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession,
       batch: DataFrame, idCol: String, vecCol: String,
-      path: String): Unit = {
+      path: String): Map[Long, Long] = {
     val cWithN2 = spark.read.parquet(s"$path/centroids")
       .withColumn("cent_id", col("cent_id").cast("long"))
-    ivfAssign(cWithN2,
+    val assigned = ivfAssign(cWithN2,
         withNorm2(batch, col(vecCol))
           .select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"),
             col("n2").as("nn2")),
         "neighbor_id", "nv", "nn2", keep = 1)
-      .write.mode("append").partitionBy("cent_id")
-      .parquet(s"$path/postings")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      assigned.write.mode("append").partitionBy("cent_id")
+        .parquet(s"$path/postings")
+      assigned.groupBy("cent_id").agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    } finally {
+      assigned.unpersist(); ()
+    }
   }
 
   /** Compact an accumulated IVF index in place

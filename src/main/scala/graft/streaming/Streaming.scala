@@ -994,14 +994,20 @@ object Streaming {
     * centroids while recall decayed invisibly). Each micro-batch of
     * NEW vectors is appended to the stored index
     * ([[graft.operators.Similarity.appendToIvfIndex]], frozen-quantizer
-    * assignment), then the posting-list sizes are read back (≤ nLists
-    * longs of orchestration metadata — the audit signal) and the
+    * assignment), whose per-list increments fold into a maintained
+    * (cent_id, n) stats map — the audit signal, O(stats) per batch with
+    * ZERO postings reads (round-13 verdict #2: the per-batch full-table
+    * re-scan made total audit I/O quadratic in the stream length; now
+    * the postings table is scanned once at stream start and once after
+    * each rare rebalance, spec-asserted via a plan listener) — and the
     * moment any list exceeds `maxListSize` the split maintainer
     * ([[graft.operators.Similarity.rebalanceIvfIndex]]) fires, under
     * the SAME IndexStore staged-rewrite + cross-process commit lock as
     * the one-shot path — no reader ever observes a half-rebalanced
-    * index. The in-stream twin of the near-dup stream's band
-    * compaction ([[streamingNearDupCumulative]]).
+    * index. The stored index's file count (one file per touched list
+    * per batch) is bounded by [[graft.operators.Similarity.compactIvfIndex]]
+    * behind the same countFiles + `_OK` gate as the near-dup stream's
+    * band compaction ([[streamingNearDupCumulative]]).
     *
     * Batches land one file per `batchOf` value and are consumed in
     * listing order (mFPT=1), so the trigger sequence — and therefore
@@ -1015,26 +1021,42 @@ object Streaming {
   def streamingAnnIngest(spark: SparkSession, indexPath: String,
       newVectors: DataFrame, batchOf: org.apache.spark.sql.Column,
       idCol: String, vecCol: String, maxListSize: Long,
-      subIdBase: Long = 1000000L): Long = {
+      subIdBase: Long = 1000000L, compactPastFiles: Int = 512): Long = {
     require(maxListSize >= 2,
       s"streamingAnnIngest: maxListSize must be ≥ 2, got $maxListSize")
     val land = freshDir("ann_ingest_land")
     landBatchFiles(newVectors.withColumn("__b", batchOf), land)
     val schema = spark.read.parquet(s"$land/b0000.parquet").schema
     val nRebalances = new java.util.concurrent.atomic.AtomicLong(0)
+    // O(stats) audit state (round-13 verdict #2): per-list sizes are
+    // seeded from ONE postings scan here, then maintained from each
+    // batch's own increments — the per-batch audit reads no postings
+    // files, so total audit I/O is O(stream), not O(stream × index).
+    // A rebalance rewrites list membership wholesale; it re-seeds from
+    // one scan (rebalances are rare by construction — each one doubles
+    // the oversized list's bucket count).
+    def seedStats(): scala.collection.mutable.Map[Long, Long] =
+      scala.collection.mutable.Map.from(
+        spark.read.parquet(s"$indexPath/postings")
+          .groupBy(col("cent_id").cast("long").as("cent_id"))
+          .agg(count(lit(1)).as("n"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))))
+    var listSizes = seedStats()
+    var lastCompacted = 0L
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .option("recursiveFileLookup", "true")
       .parquet(land)
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.operators.Similarity.appendToIvfIndex(spark, batch,
+        val incr = graft.operators.Similarity.appendToIvfIndex(spark, batch,
           idCol, vecCol, indexPath)
-        // audit: the largest posting list right now — one aggregate
-        // over the list-size table, a single long to the driver
-        val maxList = spark.read.parquet(s"$indexPath/postings")
-          .groupBy("cent_id").agg(count(lit(1)).as("n"))
-          .agg(max(col("n")).as("m")).head().getLong(0)
+        incr.foreach { case (c, n) =>
+          listSizes.update(c, listSizes.getOrElse(c, 0L) + n)
+        }
+        // audit: the largest posting list right now — a fold over the
+        // maintained stats map, zero postings I/O
+        val maxList = if (listSizes.isEmpty) 0L else listSizes.values.max
         if (maxList > maxListSize) {
           val nSplit = graft.operators.Similarity.rebalanceIvfIndex(
             spark, indexPath, maxListSize, subIdBase = subIdBase)
@@ -1043,7 +1065,27 @@ object Streaming {
             System.err.println(
               s"[ann-ingest] in-stream rebalance: $nSplit list(s) split " +
                 s"(max $maxList > $maxListSize)")
+            listSizes = seedStats()
           }
+        }
+        // bound the stored index's file count (appends land one file
+        // per touched list per batch): same countFiles + `_OK` gate as
+        // the cumulative near-dup stream's band compaction — an
+        // un-gated path belongs to a caller-managed build. Compaction
+        // preserves row content, so the stats map carries over. The
+        // 2× hysteresis over the last post-compaction count keeps a
+        // gate set near the index's one-file-per-list floor from
+        // re-compacting every batch for a handful of new files.
+        val nFiles = graft.operators.IndexStore.countFiles(
+          new java.io.File(s"$indexPath/postings"))
+        if (nFiles > math.max(compactPastFiles.toLong, 2L * lastCompacted) &&
+            graft.operators.IndexStore.okAt(
+              new java.io.File(indexPath)).exists()) {
+          val (nb, na) =
+            graft.operators.Similarity.compactIvfIndex(spark, indexPath)
+          lastCompacted = na
+          System.err.println(
+            s"[ann-ingest] in-stream postings compaction: $nb -> $na files")
         }
         ()
       }
