@@ -206,6 +206,8 @@ object Bench {
       gcCum: Long, wallRuns: Double, cpuRuns: Double, gcRuns: Long,
       jitCum: Long, jitRuns: Long, ccUsed: Long, classes: Long)
     val storageLog = scala.collection.mutable.ArrayBuffer.empty[StorageRow]
+    val guardLog = scala.collection.mutable.ArrayBuffer
+      .empty[(String, graft.operators.Guards.Decision)]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     var qIndex = 0
     probePivot(0, "<start>")
@@ -286,6 +288,12 @@ object Bench {
         spillDisk.get, stUsed, stMax, diskN, diskBytes, shufflesAtStart,
         gcAtStart, wallRuns, cpuRuns, gcRuns,
         jitAtStart, jitRuns, ccAtStart, classesAtStart)
+      // size-guard decisions this query's runs took (round-13 verdict
+      // #5): drained per query, deduped across the repeat runs, written
+      // to the storage JSONL so the capture carries the decisions its
+      // timings were taken under (PlanLintSpec pins the sf0.001 set)
+      guardLog ++= graft.operators.Guards.drain()
+        .map(d => name -> d).distinct
       // Full GC BETWEEN queries, not between the runs of one query: the
       // sweep above already freed storage deterministically, but
       // broadcasts/codegen-cache churn still benefit from one collection
@@ -363,7 +371,10 @@ object Bench {
       .filter { case (q, _) => results.exists(_._1 == q) }
     val floorBySpec = floorSpecs.values.toSet.toSeq.map { spec: (Int, Boolean) =>
       val (n, c) = spec
-      spec -> (1 to 2).map { _ =>
+      // min over SUCCESSFUL attempts only (round-13 ADVICE): a failed
+      // attempt's -1.0 sentinel must not shadow a good measurement —
+      // -1.0 survives only when both attempts fail
+      val attempts = (1 to 2).map { _ =>
         val t =
           try graft.streaming.Streaming.streamFloor(spark, n, c)
           catch { case e: Throwable =>
@@ -371,7 +382,8 @@ object Bench {
           }
         sweep()
         t
-      }.min
+      }.filter(_ >= 0.0)
+      spec -> (if (attempts.isEmpty) -1.0 else attempts.min)
     }.toMap
     val floorOf = floorSpecs.toSeq
       .map { case (q, spec) => q -> floorBySpec(spec) }.sortBy(_._1)
@@ -409,7 +421,11 @@ object Bench {
             s""""tasks":${r.tasks}}""").mkString("[", ",", "]")
         s"""{"stages_for":"$q","stages":$arr}"""
       }
-      val lines = (qLines ++ pLines ++ sLines).mkString("", "\n", "\n")
+      val gLines = guardLog.map { case (q, d) =>
+        s"""{"guard":"${esc(d.site)}","query":"$q","n":${d.n},""" +
+          s""""decision":"${esc(d.decision)}"}"""
+      }
+      val lines = (qLines ++ pLines ++ sLines ++ gLines).mkString("", "\n", "\n")
       java.nio.file.Files.write(p, lines.getBytes("UTF-8"))
     } catch { case e: Exception =>
       System.err.println(s"warn: storage log not written: ${e.getMessage}")
@@ -501,7 +517,10 @@ object Bench {
       s"\"" + q + "\":" + r3(f)
     }.mkString("{", ",", "}")
     val suiteOfAll = results.toMap
+    // exclude failed-floor sentinels (f < 0, round-13 ADVICE): m−(−1)
+    // would inflate the entry and could misname the heaviest query
     val heaviestPlanStream = floorOf
+      .filter(_._2 >= 0.0)
       .flatMap { case (q, f) =>
         suiteOfAll.get(q).filter(_ >= 0).map(m => q -> (m - f))
       }.sortBy(-_._2).headOption

@@ -15,9 +15,13 @@ import org.apache.spark.sql.functions._
   * no RNG state, the [[graft.operators.Corpus.stratifiedSample]]
   * determinism idiom applied to generation.
   *
-  * Usage: GenScale <outDir> [factor=10]. Writes one parquet per table
-  * under outDir; region/nation (fixed dims) are copied from sf0.1.
-  * Never touches /root/testdata.
+  * Usage: GenScale <outDir> [factor=10] [tables-csv]. Writes one
+  * parquet per table under outDir; region/nation (fixed dims) are
+  * copied from sf0.1. An optional third arg restricts generation to a
+  * comma-separated table subset (e.g. `embeddings` for the round-14
+  * factor-100 embedding-family capture — the other tables at 100× are
+  * pointless cost for a single-family sweep). Never touches
+  * /root/testdata.
   */
 object GenScale {
 
@@ -47,10 +51,13 @@ object GenScale {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def write(name: String, df: DataFrame): Unit = {
-      df.write.mode("overwrite").parquet(s"$outDir/${name}.parquet")
-      System.err.println(s"[gen] $name done")
-    }
+    val only: Option[Set[String]] =
+      args.drop(2).headOption.map(_.split(",").map(_.trim).toSet)
+    def write(name: String, df: DataFrame): Unit =
+      if (only.forall(_.contains(name))) {
+        df.write.mode("overwrite").parquet(s"$outDir/${name}.parquet")
+        System.err.println(s"[gen] $name done")
+      }
     def ids(n: Long, parts: Int = 32): DataFrame =
       spark.range(0, n, 1, parts).toDF("id")
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Text
-import graft.operators.{Analytics, Corpus, Curation, Dedup, Fill, Layout, Multimodal, NearDup, Retrieval, Similarity, Skew, TextAnalysis, Transforms}
+import graft.operators.{Analytics, Corpus, Curation, Dedup, Fill, Guards, Layout, Multimodal, NearDup, Retrieval, Similarity, Skew, TextAnalysis, Transforms}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -156,7 +156,10 @@ object SparkEntry {
     */
   private def embedNearDupPairs(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
-    val nBits = Similarity.adaptiveSignBits(2L * emb.count())
+    val nCorpus = 2L * emb.count()
+    val nBits = Similarity.adaptiveSignBits(nCorpus)
+    // width is a plan input the static fingerprint can't see — pin it
+    Guards.record("similarity.embedNearDup.width", nCorpus, s"nb=$nBits")
     val perturbed = emb.select(
       (col("vec_id") + 100000).as("vec_id"),
       transform(col("embedding"), (x, i) =>
@@ -1883,9 +1886,11 @@ object SparkEntry {
     // back. The oracle replays the same integer-exact width ladder.
     "q_knn_graph" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
+      val n = emb.count()
+      val nb = Similarity.adaptiveSignBits(n)
+      Guards.record("similarity.knnGraph.width", n, s"nb=$nb")
       Similarity.knnGraph(emb, "vec_id", "embedding",
-          nBits = Similarity.adaptiveSignBits(emb.count()), dim = 64,
-          k = 3, nTables = 4)
+          nBits = nb, dim = 64, k = 3, nTables = 4)
         .select(col("query_id"), col("neighbor_id"), col("cos"),
           col("rank").as("rnk"))
         .orderBy("query_id", "rnk")
@@ -1914,9 +1919,11 @@ object SparkEntry {
     // round-3 state (GraphSpec chain fixture).
     "q_label_prop" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
+      val n = emb.count()
+      val nb = Similarity.adaptiveSignBits(n)
+      Guards.record("similarity.labelProp.width", n, s"nb=$nb")
       val kg = Similarity.knnGraph(emb, "vec_id", "embedding",
-          nBits = Similarity.adaptiveSignBits(emb.count()), dim = 64,
-          k = 3, nTables = 4)
+          nBits = nb, dim = 64, k = 3, nTables = 4)
         .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
       val edges = kg.unionByName(
         kg.select(col("dst").as("src"), col("src").as("dst")))

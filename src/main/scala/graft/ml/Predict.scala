@@ -112,11 +112,16 @@ object Predict {
     * reduction order, so the labels themselves are not oracle-stable —
     * the contract is): per row,
     *   - `cluster_ok`: the assigned id is in [0, k);
-    *   - `nearest_ok`: the assigned centroid is (within float
-    *     tolerance) the argmin of squared Euclidean distance over the
-    *     model's k centers — distances recomputed in-plan from a
-    *     centers literal (k × dim model parameters, not row data);
-    *   - `k_ok`: the run produced exactly k non-empty clusters.
+    *   - `nearest_ok`: the assigned centroid is (within RELATIVE float
+    *     tolerance — the in-plan recomputation and MLlib's norm-trick
+    *     assignment can diverge past any absolute epsilon in near-ties)
+    *     the argmin of squared Euclidean distance over the model's k
+    *     centers — distances recomputed in-plan from a centers literal
+    *     (k × dim model parameters, not row data);
+    *   - `k_ok`: the run produced AT MOST k non-empty clusters (≤ k,
+    *     not = k: valid MLlib KMeans output can leave a cluster empty —
+    *     round-13 ADVICE — so exact-k is a data-pinned expectation, not
+    *     an invariant).
     * Returns (vec_id, cluster_ok, nearest_ok, k_ok) — all TRUE for any
     * valid KMeans output, which is what the DuckDB oracle asserts.
     */
@@ -145,8 +150,9 @@ object Predict {
       assigned.crossJoin(broadcast(nClusters))
         .select(col("vec_id"),
           (col("cluster") >= 0 && col("cluster") < k).as("cluster_ok"),
-          (col("__own") <= col("__min") + lit(1e-9)).as("nearest_ok"),
-          (col("__nc") === k).as("k_ok")),
+          (col("__own") <= col("__min") +
+            lit(1e-9) * greatest(col("__min"), lit(1.0))).as("nearest_ok"),
+          (col("__nc") <= k).as("k_ok")),
       rel)
   }
 }

@@ -393,8 +393,12 @@ object Corpus {
       .filter(col("nd") >= 2 && col("nd") * 100 >= col("ndocs") * minPct)
       .select(col("grp"), col("line"), lit(true).as("is_bp")))
     // one long of orchestration metadata off the already-materialized
-    // checkpoint — never row data, and the verdict plan runs ONCE
-    val verdict = if (bp.count() <= broadcastLimit) broadcast(bp) else bp
+    // checkpoint — never row data, and the verdict plan runs ONCE;
+    // decision recorded in [[Guards]] (round-13 verdict #5)
+    val verdict =
+      if (Guards.smallEnough("corpus.boilerplateStrip.verdicts",
+          bp.count(), broadcastLimit + 1)) broadcast(bp)
+      else bp
     Eager.terminalReleasing(
       lines.join(verdict, Seq("grp", "line"), "left")
         .withColumn("is_bp", coalesce(col("is_bp"), lit(false)))

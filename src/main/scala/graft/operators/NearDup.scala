@@ -141,9 +141,12 @@ object NearDup {
     * and AQE cannot demote a statically-planned broadcast (no exchange
     * under it to re-plan from). One `count()` of orchestration
     * metadata per call decides from the REAL size, the same guard
-    * shape as [[Corpus.boilerplateStrip]]'s verdict set. */
-  private def guarded(df: DataFrame, limit: Long): DataFrame =
-    if (df.count() < limit) broadcast(df) else df.hint("shuffle_hash")
+    * shape as [[Corpus.boilerplateStrip]]'s verdict set. Every
+    * decision is recorded in [[Guards]] (pinned by PlanLintSpec,
+    * drained into the bench storage log — round-13 verdict #5). */
+  private def guarded(df: DataFrame, limit: Long, site: String): DataFrame =
+    if (Guards.smallEnough(site, df.count(), limit)) broadcast(df)
+    else df.hint("shuffle_hash")
 
   /** Candidate pairs: keys sharing at least one (band, band_val)
     * bucket. The self-join's build side is size-[[guarded]]: the band
@@ -152,7 +155,8 @@ object NearDup {
   def candidatePairs(bands: DataFrame): DataFrame = {
     val a = bands.select(col("key").as("key_a"), col("band"), col("band_val"))
     val b = bands.select(col("key").as("key_b"), col("band"), col("band_val"))
-    guarded(a, 1000000L).join(b, Seq("band", "band_val"))
+    guarded(a, 1000000L, "neardup.candidatePairs.bands")
+      .join(b, Seq("band", "band_val"))
       .filter(col("key_a") < col("key_b"))
       .select("key_a", "key_b").distinct()
   }
@@ -168,7 +172,8 @@ object NearDup {
     // past the limit the pair side builds a shuffled hash and the
     // corpus-scaled shingle frames stream — static estimates otherwise
     // broadcast them at any scale
-    val shSmall = sh.count() < 1000000L
+    val shSmall = Guards.smallEnough("neardup.jaccard.shingles",
+      sh.count(), 1000000L)
     val left = if (shSmall) pairs else pairs.hint("shuffle_hash")
     val j1 = left.join(if (shSmall) broadcast(a) else a, Seq("key_a"))
     val inter = (if (shSmall) j1 else j1.hint("shuffle_hash"))
@@ -741,6 +746,16 @@ object NearDup {
     // batch-side broadcast would ship hundreds of MB per executor.
     def maybeBc(df: DataFrame): DataFrame =
       if (broadcastIncoming) broadcast(df) else df
+    // batch form only: persist the guarded frame BEFORE the strategy
+    // count (round-13 ADVICE — unpersisted, the count recomputed the
+    // existing side's signature aggregation once extra per call);
+    // released in the finally after Eager.terminal materializes. The
+    // micro-batch form never counts it (broadcastIncoming joins
+    // against the caller-persisted index frames directly).
+    val bandsESel0 = bandsE
+      .select(col("key").as("key_e"), col("band"), col("band_val"))
+    val bandsESel =
+      if (broadcastIncoming) bandsESel0 else bandsESel0.persist(lvl)
     try {
       // batch form: SIZE-GUARDED existing-band side (round-13 sf1
       // capture: unhinted, the static planner broadcast the EXISTING
@@ -750,11 +765,10 @@ object NearDup {
       // incoming band side builds a shuffled hash.
       val candIn = lshBands(perDoc, k)
         .select(col("key").as("key_i"), col("band"), col("band_val"))
-      val bandsESel = bandsE
-        .select(col("key").as("key_e"), col("band"), col("band_val"))
       val cand = (if (broadcastIncoming) broadcast(candIn).join(bandsESel,
           Seq("band", "band_val"))
-        else if (bandsESel.count() < 250000L)
+        else if (Guards.smallEnough("neardup.probeExistingIndex.bands",
+            bandsESel.count(), 250000L))
           candIn.join(broadcast(bandsESel), Seq("band", "band_val"))
         else candIn.hint("shuffle_hash").join(bandsESel,
           Seq("band", "band_val")))
@@ -779,7 +793,10 @@ object NearDup {
         incoming.select(key.as("key")).join(dup, Seq("key"), "left_anti"))
       Eager.releaseBroadcastsSince(incoming.sparkSession, bc0)
       out
-    } finally { perDoc.unpersist(); () }
+    } finally {
+      if (!broadcastIncoming) { bandsESel.unpersist(); () }
+      perDoc.unpersist(); ()
+    }
   }
 
   /** One CUMULATIVE micro-batch step (round-10 verdict #5): probe
@@ -919,7 +936,8 @@ object NearDup {
     // limit the pair side builds a shuffled hash and the text-bearing
     // corpus streams. The limit is row-based and deliberately low —
     // these rows carry document text.
-    val docsSmall = docs.count() < 100000L
+    val docsSmall = Guards.smallEnough("neardup.editDistancePairs.docs",
+      docs.count(), 100000L)
     def side(d: DataFrame): DataFrame =
       if (docsSmall) broadcast(d) else d
     val left = if (docsSmall) pairs else pairs.hint("shuffle_hash")

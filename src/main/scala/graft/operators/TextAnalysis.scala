@@ -811,13 +811,18 @@ object TextAnalysis {
     import graft.streaming.BucketedTable
     val spark = batches.head.sparkSession
     // injective composite bucket key over (grp, tok): a null group
-    // encodes as "0", non-null as "1" + grp — concat_ws's null-skip
+    // encodes as "0", non-null as "1" + LENGTH-PREFIXED grp — the
+    // length prefix makes the key injective for ALL string groups
+    // (round-13 ADVICE: a bare separator collides when grp itself
+    // contains it: ("ab", "c") vs ("a", "bc")); concat_ws's null-skip
     // would collide ("" + tok vs null + tok), this cannot
-    def withKey(df: DataFrame): DataFrame =
+    def withKey(df: DataFrame): DataFrame = {
+      val g = col("grp").cast("string")
       df.withColumn("__k",
         concat(when(col("grp").isNull, lit("0"))
-            .otherwise(concat(lit("1"), col("grp").cast("string"))),
+            .otherwise(concat(lit("1"), length(g).cast("string"), lit(":"), g)),
           lit("\u0001"), col("tok")))
+    }
     // schema-only frame: unclaimed buckets fall through to an EMPTY
     // base (the table starts empty; every row arrives via commits)
     val snap = withKey(zipfTokenCounts(batches.head, group, text)).limit(0)

@@ -69,14 +69,22 @@ class PlanLintSpec extends AnyFunSuite {
     "Expand",
     "TakeOrderedAndProject")
 
-  private lazy val plans: Seq[(String, String)] = {
+  private lazy val plansAndGuards
+      : Seq[(String, String, Seq[graft.operators.Guards.Decision])] = {
     assume(new java.io.File(sfDir).isDirectory, s"$sfDir missing")
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(_._1.startsWith("q_stream_"))
       .map { case (name, fn) =>
-        name -> fn(spark, sfDir).queryExecution.executedPlan.toString
+        graft.operators.Guards.clear()
+        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        (name, plan,
+          graft.operators.Guards.drain()
+            .sortBy(d => (d.site, d.n, d.decision)))
       }
   }
+
+  private lazy val plans: Seq[(String, String)] =
+    plansAndGuards.map(t => (t._1, t._2))
 
   /** Counts tracked operator tokens in the plan TREE STRING — the one
     * rendering that descends through AQE wrappers, reused subtrees and
@@ -152,6 +160,43 @@ class PlanLintSpec extends AnyFunSuite {
            |new queries without a committed fingerprint: ${missing.toSeq.sorted.mkString(", ")}
            |committed fingerprints with no query: ${stale.toSeq.sorted.mkString(", ")}
            |drifted: ${drifted.mkString("\n  ", "\n  ", "")}""".stripMargin)
+    }
+  }
+
+  /** Lint 3 (round-13 verdict #5) — runtime size-guard decisions: the
+    * broadcast-vs-shuffled-hash guards decide join strategy from a
+    * real count at query-build time, which makes each decision a plan
+    * input the static fingerprint cannot see (an edit that changes the
+    * counted frame silently flips bench-scale plans). Every guard's
+    * (site, n, decision) — and the adaptive LSH widths — recorded
+    * while building each query at sf0.001 is pinned in
+    * `docs/GUARD_DECISIONS.json`; a changed decision fails here the
+    * way a lost broadcast already fails Lint 2. Same regen flag.
+    */
+  test("size-guard decisions match docs/GUARD_DECISIONS.json") {
+    val gdPath = java.nio.file.Paths.get("docs", "GUARD_DECISIONS.json")
+    val got: Seq[(String, Seq[graft.operators.Guards.Decision])] =
+      plansAndGuards.collect { case (q, _, ds) if ds.nonEmpty => q -> ds }
+    def render(rows: Seq[(String, Seq[graft.operators.Guards.Decision])]): String =
+      rows.map { case (q, ds) =>
+        val lines = ds.map(d =>
+          s"""    {"site": "${d.site}", "n": ${d.n}, "decision": "${d.decision}"}""")
+        s"""  "$q": [\n${lines.mkString(",\n")}\n  ]"""
+      }.mkString("{\n", ",\n", "\n}\n")
+    if (sys.env.contains("SPARK_GRAFT_REGEN_FINGERPRINTS")) {
+      java.nio.file.Files.createDirectories(gdPath.getParent)
+      java.nio.file.Files.write(gdPath, render(got).getBytes("UTF-8"))
+      info(s"regenerated $gdPath with ${got.size} guarded queries")
+    } else {
+      assert(java.nio.file.Files.exists(gdPath),
+        s"$gdPath missing — regenerate with SPARK_GRAFT_REGEN_FINGERPRINTS=1")
+      val want = new String(
+        java.nio.file.Files.readAllBytes(gdPath), "UTF-8")
+      assert(render(got) === want,
+        s"""size-guard decision drift — a guard's counted frame, threshold,
+           |or adaptive width changed. Review like a plan change, then
+           |regenerate with SPARK_GRAFT_REGEN_FINGERPRINTS=1
+           |sbt 'testOnly graft.PlanLintSpec'""".stripMargin)
     }
   }
 }
