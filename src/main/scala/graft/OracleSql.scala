@@ -69,16 +69,33 @@ object OracleSql {
        |  JOIN n c ON c.vec_id = d.neighbor_id)""".stripMargin
   }
 
-  /** Integer-exact adaptive-width ladder over a count column `cnt` —
-    * the smallest nb in [8, maxBits] with 2^nb·2 ≥ cnt, as 8 + one
-    * increment per rung where Similarity.adaptiveSignBits' loop
-    * condition ((1<<nb)·2 < cnt) still holds. Ceiling 32 (round-14):
-    * widths past 16 are served by multi-block bucket strings
-    * ([[wideBucketSql]]), mirroring Similarity.signBucketWide. */
-  private def nbLadderSql(maxBits: Int = 32): String =
-    (9 to maxBits)
-      .map(k => s"CASE WHEN cnt > ${(1L << (k - 1)) * 2} THEN 1 ELSE 0 END")
-      .mkString("8 + ", " + ", "")
+  /** Pair-budget width CTEs over a corpus CTE `src` carrying `vec` —
+    * the integer-exact replay of Similarity.pairBudgetSignBits: the
+    * full-width TABLE-0 bucket histogram (blocks at plane offsets
+    * 0, nTables·16 — signBucketWide's table-0 layout), per-width
+    * Σ(prefix-count)² via one widths cross join over the DISTINCT
+    * buckets, and `params(nb)` = the smallest w in [8, maxBits] with
+    * Σc² ≤ pairBudget·n, else maxBits. Yields CTEs pbn, pbc, pbs,
+    * params. */
+  private def pairBudgetParamsCtes(src: String, vec: String, dim: Int,
+      nTables: Int, pairBudget: Long = 32L, maxBits: Int = 32): String = {
+    val blocks = (0 until maxBits / 16)
+      .map(b => seededBucketSql(16, dim, vec, offset = b * nTables * 16))
+      .mkString("(", " || ", ")")
+    s"""pbn AS (
+       |  SELECT $blocks AS b32 FROM $src),
+       |pbc AS (SELECT b32, count(*) AS c FROM pbn GROUP BY b32),
+       |pbs AS (
+       |  SELECT w, sum(pc * pc) AS s, sum(pc) AS n FROM (
+       |    SELECT ws.w AS w, substr(pbc.b32, 1, ws.w) AS p, sum(pbc.c) AS pc
+       |    FROM pbc CROSS JOIN
+       |      (SELECT unnest(generate_series(8, $maxBits)) AS w) ws
+       |    GROUP BY ws.w, substr(pbc.b32, 1, ws.w))
+       |  GROUP BY w),
+       |params AS (
+       |  SELECT COALESCE(min(w), $maxBits) AS nb FROM pbs
+       |  WHERE s <= $pairBudget * n)""".stripMargin
+  }
 
   /** Adaptive-width bucket for table `t` of an `nTables` OR-family —
     * the substr-concat replay of Similarity.signBucketWide at stride
@@ -86,7 +103,8 @@ object OracleSql {
     * one-block form whenever the params CTE's nb ≤ 16), block 1 at
     * (t + nTables)·16 appended only when nb exceeds 16 (the CASE keeps
     * the second block's 16 projections unevaluated at small corpora).
-    * Callers must have a `params(nb)` CTE in scope ([[nbLadderSql]]). */
+    * Callers must have a `params(nb)` CTE in scope
+    * ([[pairBudgetParamsCtes]]). */
   private def wideBucketSql(t: Int, nTables: Int, dim: Int,
       vec: String): String =
     s"(substr(${seededBucketSql(16, dim, vec, t * 16)}, 1, " +
@@ -596,14 +614,15 @@ object OracleSql {
     * sign buckets → exact decimal cosine on the UNIONed candidate
     * pairs → per-query rank) — shared by q_knn_graph and q_label_prop.
     * Mirrors Similarity.knnGraph's round-13 rebucketing + round-14
-    * ceiling lift: a fixed bucket space made the in-bucket self-join
-    * quadratic in the corpus, so the width is the smallest nb in
-    * [8, 32] with 2^nb·2 ≥ n — the SAME integer-exact ladder as
-    * Similarity.adaptiveSignBits (no float log2; a power-of-two corpus
-    * must draw the same boundary in both engines) — and each table's
-    * bucket is the nb-prefix of its table-major-interleaved plane
-    * blocks ([[wideBucketSql]], stride 16). Yields CTEs params, n,
-    * cand, p, sc, r (r carries cos + rnk). */
+    * pair-budget width: a fixed bucket space made the in-bucket
+    * self-join quadratic in the corpus, and an occupancy-only ladder
+    * stayed quadratic on CLUSTERED corpora — so the width is the
+    * smallest nb in [8, 32] whose measured table-0 bucket histogram
+    * has Σc² ≤ 32·n ([[pairBudgetParamsCtes]], integer-exact in both
+    * engines) — and each table's bucket is the nb-prefix of its
+    * table-major-interleaved plane blocks ([[wideBucketSql]], stride
+    * 16). Yields CTEs pbn/pbc/pbs/params, n, cand, p, sc, r (r
+    * carries cos + rnk). */
   private def knnGraphCtes: String = {
     val buckets = (0 until 4)
       .map(t => s"${wideBucketSql(t, 4, 64, "embedding")} AS b$t")
@@ -612,9 +631,7 @@ object OracleSql {
       .map(t => s"SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id\n" +
         s"  FROM n q JOIN n c ON c.b$t = q.b$t AND c.vec_id <> q.vec_id")
       .mkString("\n  UNION\n  ")
-    s"""params AS (
-       |  SELECT ${nbLadderSql()} AS nb
-       |  FROM (SELECT count(*) AS cnt FROM embeddings)),
+    s"""${pairBudgetParamsCtes("embeddings", "embedding", 64, nTables = 4)},
        |n AS (
        |  SELECT vec_id, embedding,
        |    ${dotSql("embedding", "embedding")} AS n2,
@@ -644,11 +661,12 @@ object OracleSql {
     * exact decimal cosine ≥ 0.999 on the UNION of per-table candidate
     * pairs) — shared by q_embed_neardup and q_semantic_dedup. Mirrors
     * SparkEntry.embedNearDupPairs' round-13 rebucketing + round-14
-    * adaptive width: a fixed bucket space made in-bucket pairs
-    * quadratic in the corpus, so nb rides the same [8, 32]
-    * integer-exact ladder over the corpus count, each table's bucket
-    * the nb-prefix of its interleaved plane blocks ([[wideBucketSql]],
-    * nTables = 2). */
+    * pair-budget width: a fixed bucket space made in-bucket pairs
+    * quadratic in the corpus (and an occupancy-only ladder stayed
+    * quadratic on clustered corpora), so nb is the smallest width in
+    * [8, 32] with measured Σc² ≤ 32·n over the ∪-corpus
+    * ([[pairBudgetParamsCtes]]), each table's bucket the nb-prefix of
+    * its interleaved plane blocks ([[wideBucketSql]], nTables = 2). */
   private def embedNearDupCtes: String =
     s"""pert AS (
        |  SELECT vec_id + 100000 AS vec_id,
@@ -660,9 +678,7 @@ object OracleSql {
        |corpus AS (
        |  SELECT vec_id, embedding FROM embeddings
        |  UNION ALL SELECT vec_id, embedding FROM pert),
-       |params AS (
-       |  SELECT ${nbLadderSql()} AS nb
-       |  FROM (SELECT count(*) AS cnt FROM corpus)),
+       |${pairBudgetParamsCtes("corpus", "embedding", 64, nTables = 2)},
        |n AS (
        |  SELECT vec_id, embedding,
        |    ${dotSql("embedding", "embedding")} AS n2,

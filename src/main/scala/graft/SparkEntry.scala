@@ -141,31 +141,39 @@ object SparkEntry {
     * ceiling lift): a FIXED bucket space makes occupancy grow linearly
     * with the corpus and in-bucket candidate pairs QUADRATICALLY —
     * measured 38.9k pairs at sf0.1 → 9.31M at sf1 (239× for 10× data)
-    * on 8 fixed bits, the operator's whole wall clock. The production
-    * rule is buckets ∝ n: nBits = [[Similarity.adaptiveSignBits]] of
-    * the corpus count (one count() of orchestration metadata, ceiling
-    * 32 via [[Similarity.signBucketWide]]'s multi-block strings — the
-    * old 16-bit one-block cap re-entered the quadratic regime past
-    * ~131k vectors), and the OR of 2 tables buys the recall the extra
-    * bits cost (per-table same-bucket rate ~0.95 for the +0.01
-    * perturbation → ~0.997 OR'd at 16 bits). The oracle replays the
-    * same integer-exact width ladder over the same corpus count.
+    * on 8 fixed bits, the operator's whole wall clock — and an
+    * occupancy-only ladder stayed quadratic on CLUSTERED corpora
+    * (round-14 factor-100 capture: 42× wall at 10× data). The
+    * production rule bounds the measured pair mass directly:
+    * nBits = [[Similarity.pairBudgetSignBits]] (smallest width with
+    * Σ|bucket|² ≤ 32·n over the ∪-corpus; one stats pass of
+    * orchestration metadata, ceiling 32 via
+    * [[Similarity.signBucketWide]]'s multi-block strings), and the OR
+    * of 2 tables buys the recall the extra bits cost (per-table
+    * same-bucket rate ~0.95 for the +0.01 perturbation at 16 bits,
+    * ~0.9 at 32 → ≥0.99 OR'd). The oracle replays the same
+    * integer-exact width rule over the same corpus.
     * Joins are shuffled-hash (candidate side builds): every side here
     * scales with the corpus, so none may be planned into a broadcast
     * by a static size guess.
     */
   private def embedNearDupPairs(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
-    val nCorpus = 2L * emb.count()
-    val nBits = Similarity.adaptiveSignBits(nCorpus)
-    // width is a plan input the static fingerprint can't see — pin it
-    Guards.record("similarity.embedNearDup.width", nCorpus, s"nb=$nBits")
     val perturbed = emb.select(
       (col("vec_id") + 100000).as("vec_id"),
       transform(col("embedding"), (x, i) =>
         when(i === 0, (x + lit(0.01f)).cast("float")).otherwise(x)).as("embedding"))
-    val corpus = Similarity.withNorm2(emb.unionByName(perturbed),
-      col("embedding"))
+    val corpusRaw = emb.unionByName(perturbed)
+    // pair-budget width (round-14 factor-100 capture: the occupancy
+    // ladder left clustered corpora quadratic — see
+    // Similarity.pairBudgetSignBits); one stats pass of orchestration
+    // metadata decides, and the width is a plan input the static
+    // fingerprint can't see — pin it
+    val nBits = Similarity.pairBudgetSignBits(corpusRaw, col("embedding"),
+      dim = 64, nTables = 2)
+    Guards.record("similarity.embedNearDup.width", 2L * emb.count(),
+      s"nb=$nBits")
+    val corpus = Similarity.withNorm2(corpusRaw, col("embedding"))
     val cand = (0 until 2).map { tbl =>
       val bk = Similarity.signBucketWide(col("embedding"), tbl, 2, nBits, 64)
       corpus.select(col("vec_id").as("id_a"), bk.as("bucket"))
@@ -1878,17 +1886,19 @@ object SparkEntry {
 
     // Full k-NN graph: bucketed self-join — every vector a query, pair
     // count Σ|bucket|² not n²; the edge list downstream graph passes eat.
-    // Occupancy-ADAPTIVE width × 4 OR-tables, not a single fixed 8-bit
-    // table (round-13 sf1 capture): a fixed 256-bucket space makes the
-    // in-bucket self-join quadratic in the corpus — nBits grows with
-    // corpus size (2^nBits·2 ≥ n; one count() of orchestration
-    // metadata), and the OR over 4 independent tables buys the recall
-    // back. The oracle replays the same integer-exact width ladder.
+    // PAIR-BUDGET width × 4 OR-tables (round-13 sf1 + round-14
+    // factor-100 captures): a fixed bucket space is quadratic in the
+    // corpus, and an occupancy-only ladder stays quadratic on
+    // CLUSTERED corpora — the width is chosen from the measured bucket
+    // histogram (Σc² ≤ 32·n, Similarity.pairBudgetSignBits; one stats
+    // pass of orchestration metadata), and the OR over 4 independent
+    // tables buys the recall back. The oracle replays the same
+    // integer-exact width rule.
     "q_knn_graph" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val n = emb.count()
-      val nb = Similarity.adaptiveSignBits(n)
-      Guards.record("similarity.knnGraph.width", n, s"nb=$nb")
+      val nb = Similarity.pairBudgetSignBits(emb, col("embedding"),
+        dim = 64, nTables = 4)
+      Guards.record("similarity.knnGraph.width", emb.count(), s"nb=$nb")
       Similarity.knnGraph(emb, "vec_id", "embedding",
           nBits = nb, dim = 64, k = 3, nTables = 4)
         .select(col("query_id"), col("neighbor_id"), col("cos"),
@@ -1919,9 +1929,9 @@ object SparkEntry {
     // round-3 state (GraphSpec chain fixture).
     "q_label_prop" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val n = emb.count()
-      val nb = Similarity.adaptiveSignBits(n)
-      Guards.record("similarity.labelProp.width", n, s"nb=$nb")
+      val nb = Similarity.pairBudgetSignBits(emb, col("embedding"),
+        dim = 64, nTables = 4)
+      Guards.record("similarity.labelProp.width", emb.count(), s"nb=$nb")
       val kg = Similarity.knnGraph(emb, "vec_id", "embedding",
           nBits = nb, dim = 64, k = 3, nTables = 4)
         .select(col("query_id").as("src"), col("neighbor_id").as("dst"))

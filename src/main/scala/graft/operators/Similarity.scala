@@ -213,6 +213,51 @@ object Similarity {
     if (parts.size == 1) parts.head else concat(parts: _*)
   }
 
+  /** Pair-budget sign-LSH width (round-14, found by the factor-100
+    * embedding capture): the smallest w in [8, maxBits] whose TABLE-0
+    * bucket histogram satisfies Σ_b c_b² ≤ pairBudget · n, else
+    * maxBits. Σc² is the in-bucket self-join's actual row count
+    * (ordered pairs incl. self), so this bounds the family's work
+    * ∝ n DIRECTLY — where the occupancy ladder ([[adaptiveSignBits]])
+    * only bounds it on near-uniform histograms. On CLUSTERED
+    * embeddings (the synthetic corpus has 10 label clusters; real
+    * embedding corpora are worse) occupancy-targeted widths leave
+    * same-cluster vectors colliding at rate p^nb with p ≈ 0.7, so
+    * pairs grow ≈ n²·p^nb ≈ n^1.5 — measured 42× wall at 10× data
+    * (sf1 → 100× embeddings). The pair-budget rule widens until the
+    * measured histogram is flat enough; Cauchy-Schwarz
+    * (Σc² ≥ n²/2^w) makes it strictly stronger than occupancy ≤
+    * pairBudget.
+    *
+    * Deterministic and oracle-replayable: ONE aggregation builds the
+    * (full-width bucket, count) table from table 0's plane blocks
+    * ([[signBucketWide]] prefix property — the width-w histogram is a
+    * prefix grouping of the width-maxBits one), a second tiny
+    * aggregation over DISTINCT buckets × candidate widths yields every
+    * S(w), and the rule is an integer comparison the DuckDB oracle
+    * replays bit-for-bit. Cost: one narrow corpus pass (maxBits
+    * decimal dots/row) + one aggregation over ≤ n distinct-bucket
+    * rows; ≤ (maxBits − 7) longs of orchestration metadata reach the
+    * driver. */
+  def pairBudgetSignBits(corpus: DataFrame, vec: Column, dim: Int,
+      nTables: Int, pairBudget: Long = 32L, maxBits: Int = 32): Int = {
+    require(pairBudget >= 1, s"pairBudgetSignBits: pairBudget ≥ 1, got $pairBudget")
+    require(maxBits >= 8, s"pairBudgetSignBits: maxBits ≥ 8, got $maxBits")
+    registerNative(corpus.sparkSession)
+    val b32 = signBucketWide(vec, 0, nTables, maxBits, dim)
+    val bc = corpus.select(b32.as("b")).groupBy("b")
+      .agg(count(lit(1)).as("c"))
+    val widths = array((8 to maxBits).map(lit): _*)
+    val stats = bc.select(explode(widths).as("w"), col("b"), col("c"))
+      .groupBy(col("w"), expr("substring(b, 1, w)").as("p"))
+      .agg(sum(col("c")).as("pc"))
+      .groupBy("w").agg(sum(col("pc") * col("pc")).as("s"),
+        sum(col("pc")).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    stats.find(t => t._2 <= pairBudget * t._3).map(_._1).getOrElse(maxBits)
+  }
+
   /** OR-amplified sign-LSH top-k: `nTables` INDEPENDENT hyperplane
     * tables (the standard OR-construction — a pair is a candidate if it
     * collides in ANY table, so miss probability compounds to

@@ -209,6 +209,41 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pfx.filter(not(col("w32").rlike("^[01]{32}$"))).count() === 0)
   }
 
+  test("pairBudgetSignBits: equals the driver-side recomputation of the rule") {
+    val emb = graft.sources.Sources
+      .table(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding")
+    Similarity.registerNative(spark)
+    // independent reference: collect the full-width table-0 buckets and
+    // fold the rule in plain Scala
+    def reference(corpus: org.apache.spark.sql.DataFrame, nTables: Int,
+        budget: Long): Int = {
+      val b32 = corpus.select(
+        Similarity.signBucketWide(col("embedding"), 0, nTables, 32, 64).as("b"))
+        .as[String].collect()
+      val n = b32.length.toLong
+      (8 to 32).find { w =>
+        val s = b32.groupBy(_.substring(0, w)).values
+          .map(g => g.size.toLong * g.size).sum
+        s <= budget * n
+      }.getOrElse(32)
+    }
+    for ((nTables, budget) <- Seq((2, 32L), (4, 32L), (4, 2L)))
+      assert(Similarity.pairBudgetSignBits(emb, col("embedding"), 64,
+        nTables, pairBudget = budget) === reference(emb, nTables, budget),
+        s"nTables=$nTables budget=$budget")
+    // an enormous budget is satisfied at the floor width
+    assert(Similarity.pairBudgetSignBits(emb, col("embedding"), 64, 2,
+      pairBudget = 1000000L) === 8)
+    // an unsplittable cluster (identical vectors) can never satisfy a
+    // tight budget — the rule lands on the ceiling instead of looping
+    val one = emb.limit(1)
+    val clones = one.crossJoin(spark.range(0, 200).select(col("id")))
+      .select((col("vec_id") * 1000 + col("id")).as("vec_id"), col("embedding"))
+    assert(Similarity.pairBudgetSignBits(clones, col("embedding"), 64, 2,
+      pairBudget = 1L) === 32)
+  }
+
   test("knnGraph at a multi-block width equals the one-block-primitive reimplementation") {
     // the sf0.01 oracle gate can only exercise nb ≤ 16 (small corpus);
     // this is the correctness leg for the >16-bit path the 100× capture
