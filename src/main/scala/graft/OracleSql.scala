@@ -778,36 +778,46 @@ object OracleSql {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled
       |FROM e ORDER BY user_id, ts, event_id""".stripMargin
 
+  /** The Zipf OLS CTE chain over `documents` restricted by `where`,
+    * CTE names prefixed with `p` so several fits can share one WITH
+    * list (q_zipf_asof unions two as-of points). Mirrors
+    * TextAnalysis.zipfSlope / zipfFitFromCounts. */
+  private def zipfFitCtes(p: String, where: String): String =
+    s"""${p}toks AS (
+       |  SELECT lang, unnest(list_filter(
+       |    string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS tok
+       |  FROM documents $where),
+       |${p}cnt AS (SELECT lang, tok, count(*) AS c FROM ${p}toks GROUP BY 1, 2),
+       |${p}top AS (
+       |  SELECT lang, c,
+       |    row_number() OVER (PARTITION BY lang ORDER BY c DESC, tok) AS r
+       |  FROM ${p}cnt QUALIFY r <= 100),
+       |${p}xy AS (
+       |  SELECT lang,
+       |    round(ln(CAST(r AS DOUBLE)), 12) AS x,
+       |    round(ln(CAST(c AS DOUBLE)), 12) AS y
+       |  FROM ${p}top),
+       |${p}s AS (
+       |  SELECT lang, count(*) AS n,
+       |    CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+       |    CAST(sum(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+       |    CAST(sum(CAST(x * y AS DECIMAL(38,24))) AS DOUBLE) AS sxy,
+       |    CAST(sum(CAST(x * x AS DECIMAL(38,24))) AS DOUBLE) AS sxx
+       |  FROM ${p}xy GROUP BY lang HAVING count(*) >= 2)""".stripMargin
+
+  /** The slope projection over a [[zipfFitCtes]] `s` CTE. */
+  private def zipfFitSelect(p: String, extraCols: String = ""): String =
+    s"""SELECT ${extraCols}lang, CAST(n AS BIGINT) AS n_top,
+       |  round((CAST(n AS DOUBLE) * sxy - sx * sy) /
+       |        (CAST(n AS DOUBLE) * sxx - sx * sx), 6) AS zipf_slope
+       |FROM ${p}s""".stripMargin
+
   /** The cold full-corpus Zipf fit — shared VERBATIM by q_zipf and
     * q_zipf_incremental (round-12 ADVICE: the incremental oracle IS the
     * cold one; a drifting copy would silently weaken the additivity
-    * check). Mirrors TextAnalysis.zipfSlope / zipfFitFromCounts. */
+    * check). */
   private val zipfColdSql: String =
-    """WITH toks AS (
-      |  SELECT lang, unnest(list_filter(
-      |    string_split_regex(lower(text), '\s+'), x -> x <> '')) AS tok
-      |  FROM documents),
-      |cnt AS (SELECT lang, tok, count(*) AS c FROM toks GROUP BY 1, 2),
-      |top AS (
-      |  SELECT lang, c,
-      |    row_number() OVER (PARTITION BY lang ORDER BY c DESC, tok) AS r
-      |  FROM cnt QUALIFY r <= 100),
-      |xy AS (
-      |  SELECT lang,
-      |    round(ln(CAST(r AS DOUBLE)), 12) AS x,
-      |    round(ln(CAST(c AS DOUBLE)), 12) AS y
-      |  FROM top),
-      |s AS (
-      |  SELECT lang, count(*) AS n,
-      |    CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
-      |    CAST(sum(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
-      |    CAST(sum(CAST(x * y AS DECIMAL(38,24))) AS DOUBLE) AS sxy,
-      |    CAST(sum(CAST(x * x AS DECIMAL(38,24))) AS DOUBLE) AS sxx
-      |  FROM xy GROUP BY lang HAVING count(*) >= 2)
-      |SELECT lang, CAST(n AS BIGINT) AS n_top,
-      |  round((CAST(n AS DOUBLE) * sxy - sx * sy) /
-      |        (CAST(n AS DOUBLE) * sxx - sx * sx), 6) AS zipf_slope
-      |FROM s ORDER BY lang""".stripMargin
+    s"WITH ${zipfFitCtes("", "")}\n${zipfFitSelect("")} ORDER BY lang"
 
   /** Morton interleave of the low 10 bits of x (even positions) and y
     * (odd) — mirrors Layout.zValue's bit arithmetic term-for-term.
@@ -2860,6 +2870,18 @@ object OracleSql {
     // maintained count table after all batches equals the one-shot
     // count; both engines fit the same table).
     "q_zipf_incremental" -> zipfColdSql,
+
+    // Point-in-time Zipf: each as-of fit recomputed from the
+    // batch-restricted corpus (batch 0 = doc_id % 3 = 0; latest = all
+    // three batches), so hash-green proves the maintained vocab table's
+    // HISTORICAL versions are exactly the batch-prefix statistics.
+    "q_zipf_asof" ->
+      s"""WITH ${zipfFitCtes("b0_", "WHERE doc_id % 3 = 0")},
+         |${zipfFitCtes("l_", "")}
+         |${zipfFitSelect("b0_", "'batch0' AS as_of, ")}
+         |UNION ALL
+         |${zipfFitSelect("l_", "'latest' AS as_of, ")}
+         |ORDER BY as_of, lang""".stripMargin,
 
     // Mirrors TextAnalysis.ccnetBuckets: the q_bigram_lm score CTE,
     // per-lang exact ⅓/⅔ interpolated quantiles, ties fall LOW

@@ -2068,6 +2068,34 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // Corpus-drift time travel (round-13 verdict #6) — the Zipf fit AS
+    // OF historical ingest points: the maintained vocab table (a
+    // BucketedTable; with no seeded base, batch b commits version b)
+    // is materialized once as an _OK-gated artifact, and "the
+    // vocabulary after batch 0" is a plain currentAsOf read — the
+    // q_ivm_time_travel primitive applied to corpus statistics. The
+    // oracle recomputes EACH as-of fit from the batch-restricted
+    // corpus, so hash-green proves point-in-time correctness of the
+    // maintained statistics, not just the final state.
+    "q_zipf_asof" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val art = indexPathFor(dir, "documents", "zipf", "asof", "m3")
+      graft.operators.IndexStore.ensure(art) { stage =>
+        TextAnalysis.zipfMaintainVocab(
+          (0 until 3).map(i => d.filter(col("doc_id") % 3 === i)),
+          col("lang"), col("text"), root = stage)
+        ()
+      }
+      Seq(("batch0", 0L), ("latest", Long.MaxValue)).map { case (tag, v) =>
+        TextAnalysis.zipfSlopeAsOf(d, col("lang"), col("text"), topK = 100,
+            root = art, maxVersion = v)
+          .withColumn("as_of", lit(tag))
+      }.reduce(_ unionByName _)
+        .select(col("as_of"), col("grp").as("lang"), col("n_top"),
+          col("zipf_slope"))
+        .orderBy("as_of", "lang")
+    }),
+
     // CCNet head/middle/tail terciles — the corpus-LM fluency score cut
     // at per-language exact ⅓/⅔ quantiles (broadcast cutoffs, no
     // per-language ntile sort).

@@ -806,28 +806,48 @@ object TextAnalysis {
   def zipfSlopeIncremental(batches: Seq[DataFrame], group: Column,
       text: Column, topK: Int, root: String,
       nBuckets: Int = graft.streaming.BucketedTable.defaultBuckets): DataFrame = {
-    require(batches.nonEmpty, "zipfSlopeIncremental: need ≥ 1 batch")
     require(topK >= 2, s"zipfSlopeIncremental: topK must be ≥ 2, got $topK")
+    val spark = batches.head.sparkSession
+    val snap = zipfMaintainVocab(batches, group, text, root, nBuckets)
+    Eager.terminal(zipfFitFromCounts(
+      graft.streaming.BucketedTable.current(spark, root, snap, "__k", nBuckets)
+        .select("grp", "tok", "c"), topK))
+  }
+
+  /** The fit over the maintained vocab table AS OF `maxVersion` —
+    * with no seeded base, batch b's commit is version b, so
+    * "the vocabulary after batch k" is a plain BucketedTable
+    * `currentAsOf` read (the q_ivm_time_travel primitive applied to
+    * corpus statistics: reproduce the Zipf drift signal exactly as it
+    * stood at any historical ingest point). `sample` supplies only the
+    * table schema (limit-0 projection — no data read). */
+  def zipfSlopeAsOf(sample: DataFrame, group: Column, text: Column,
+      topK: Int, root: String, maxVersion: Long,
+      nBuckets: Int = graft.streaming.BucketedTable.defaultBuckets): DataFrame = {
+    require(topK >= 2, s"zipfSlopeAsOf: topK must be ≥ 2, got $topK")
+    val snap = zipfVocabKey(zipfTokenCounts(sample, group, text)).limit(0)
+    Eager.terminal(zipfFitFromCounts(
+      graft.streaming.BucketedTable.currentAsOf(sample.sparkSession, root,
+          snap, "__k", maxVersion, nBuckets)
+        .select("grp", "tok", "c"), topK))
+  }
+
+  /** The maintenance loop of [[zipfSlopeIncremental]], factored out so
+    * the version tree can be materialized once as an `_OK`-gated
+    * artifact and read at historical versions ([[zipfSlopeAsOf]]).
+    * Returns the schema-only snapshot frame reads need. */
+  def zipfMaintainVocab(batches: Seq[DataFrame], group: Column,
+      text: Column, root: String,
+      nBuckets: Int = graft.streaming.BucketedTable.defaultBuckets): DataFrame = {
+    require(batches.nonEmpty, "zipfMaintainVocab: need ≥ 1 batch")
     import graft.streaming.BucketedTable
     val spark = batches.head.sparkSession
-    // injective composite bucket key over (grp, tok): a null group
-    // encodes as "0", non-null as "1" + LENGTH-PREFIXED grp — the
-    // length prefix makes the key injective for ALL string groups
-    // (round-13 ADVICE: a bare separator collides when grp itself
-    // contains it: ("ab", "c") vs ("a", "bc")); concat_ws's null-skip
-    // would collide ("" + tok vs null + tok), this cannot
-    def withKey(df: DataFrame): DataFrame = {
-      val g = col("grp").cast("string")
-      df.withColumn("__k",
-        concat(when(col("grp").isNull, lit("0"))
-            .otherwise(concat(lit("1"), length(g).cast("string"), lit(":"), g)),
-          lit("\u0001"), col("tok")))
-    }
     // schema-only frame: unclaimed buckets fall through to an EMPTY
     // base (the table starts empty; every row arrives via commits)
-    val snap = withKey(zipfTokenCounts(batches.head, group, text)).limit(0)
+    val snap = zipfVocabKey(zipfTokenCounts(batches.head, group, text)).limit(0)
     batches.foreach { b =>
-      val (delta, relD) = Eager.tracked(withKey(zipfTokenCounts(b, group, text)))
+      val (delta, relD) =
+        Eager.tracked(zipfVocabKey(zipfTokenCounts(b, group, text)))
       try {
         val ids = BucketedTable.bucketIds(delta, "__k", nBuckets)
         // an empty batch claims nothing — no version, no read, no write
@@ -851,9 +871,21 @@ object TextAnalysis {
         }
       } finally { relD(); () }
     }
-    Eager.terminal(zipfFitFromCounts(
-      BucketedTable.current(spark, root, snap, "__k", nBuckets)
-        .select("grp", "tok", "c"), topK))
+    snap
+  }
+
+  /** Injective composite bucket key over (grp, tok): a null group
+    * encodes as "0", non-null as "1" + LENGTH-PREFIXED grp — the
+    * length prefix makes the key injective for ALL string groups
+    * (round-13 ADVICE: a bare separator collides when grp itself
+    * contains it: ("ab", "c") vs ("a", "bc")); concat_ws's null-skip
+    * would collide ("" + tok vs null + tok), this cannot. */
+  private[graft] def zipfVocabKey(df: DataFrame): DataFrame = {
+    val g = col("grp").cast("string")
+    df.withColumn("__k",
+      concat(when(col("grp").isNull, lit("0"))
+          .otherwise(concat(lit("1"), length(g).cast("string"), lit(":"), g)),
+        lit("\u0001"), col("tok")))
   }
 
   /** CCNet head/middle/tail bucketing — the published CCNet move that

@@ -225,6 +225,39 @@ class CorpusHealthSpec extends AnyFunSuite {
     assert(cold.nonEmpty)
   }
 
+  test("zipfSlopeAsOf at version k equals the cold fit over the first k+1 batches") {
+    // with no seeded base, batch b commits version b — the as-of read
+    // must reproduce the fit exactly as it stood after each ingest
+    // point (round-13 verdict #6; the q_ivm_time_travel contract on
+    // corpus statistics)
+    val rnd = new scala.util.Random(11)
+    val vocab = (0 until 15).map(i => s"t$i")
+    val all = (1 to 45).map { i =>
+      val lang = if (i % 2 == 0) "en" else "fr"
+      (i.toLong,
+        lang,
+        List.fill(4 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.length)))
+          .mkString(" "))
+    }
+    val batches = Seq(all.filter(_._1 <= 15), all.filter(t => t._1 > 15 && t._1 <= 30),
+      all.filter(_._1 > 30)).map(_.toDF("doc_id", "lang", "text"))
+    val root = java.nio.file.Files
+      .createTempDirectory("zipf_asof_spec").toString
+    TextAnalysis.zipfMaintainVocab(batches, col("lang"), col("text"), root)
+    val full = all.toDF("doc_id", "lang", "text")
+    for ((v, upTo) <- Seq((0L, 15L), (1L, 30L), (Long.MaxValue, 45L))) {
+      val asOf = TextAnalysis.zipfSlopeAsOf(full, col("lang"), col("text"),
+          topK = 10, root = root, maxVersion = v)
+        .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+      val cold = TextAnalysis.zipfSlope(
+          full.filter(col("doc_id") <= upTo), col("lang"), col("text"),
+          topK = 10)
+        .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+      assert(asOf === cold, s"asOf($v) != cold over first $upTo docs")
+      assert(cold.nonEmpty)
+    }
+  }
+
   test("zipfSlopeIncremental sparse batch commits only its touched buckets") {
     import graft.streaming.BucketedTable
     // batch 1: a broad vocabulary spreading across buckets; batch 2:
