@@ -380,6 +380,22 @@ object Graph {
       iters: Int, damping: Double): DataFrame =
     pprImpl(edges, seeds, iters, damping, stopDp = None)._1
 
+  /** [[personalizedPageRank]] with a SALTED hub combine — the round-13
+    * verdict #4 A/B lever: the per-round dst-aggregate spreads each hub
+    * node over `nSalts` reducers (stage 1 on (dst, salt), stage 2
+    * merges per dst; decimal sums are exact and associative, so the
+    * result is bit-identical to the unsalted round — asserted in
+    * GraphSpec). Kept as a separate entry so production call sites and
+    * plan fingerprints stay on the unsalted path unless the measured
+    * A/B says otherwise (BENCH_NOTES round 14: map-side partial
+    * aggregation already absorbs the supplier-hub combine at sf1 —
+    * salting only adds a second exchange). */
+  private[graft] def personalizedPageRankSalted(edges: DataFrame,
+      seeds: DataFrame, iters: Int, damping: Double,
+      nSalts: Int): DataFrame =
+    pprImpl(edges, seeds, iters, damping, stopDp = None,
+      saltHubs = nSalts)._1
+
   /** [[personalizedPageRank]] with the PROVABLE convergence early-exit
     * of [[pageRankConverged]]: the PPR recurrence's linear part is the
     * same damping × column-stochastic matrix (the teleport restriction
@@ -419,7 +435,8 @@ object Graph {
 
   private def pprImpl(edges: DataFrame, seeds: DataFrame,
       iters: Int, damping: Double, stopDp: Option[Int],
-      warmInit: Option[DataFrame] = None): (DataFrame, Int) = {
+      warmInit: Option[DataFrame] = None,
+      saltHubs: Int = 0): (DataFrame, Int) = {
     require(iters >= 1, s"personalizedPageRank: iters must be ≥ 1, got $iters")
     require(damping > 0 && damping < 1,
       s"personalizedPageRank: damping must be in (0,1), got $damping")
@@ -470,11 +487,25 @@ object Graph {
           .select(col("node"), coalesce(col("rp"), col("tele")).as("r"))
     }
     def round(r: DataFrame): DataFrame = {
-      val m = ed
+      val contrib = ed
         .join(r.withColumnRenamed("node", "src"), Seq("src"))
-        .groupBy(col("dst").as("node"))
-        .agg(sum((col("r") / col("deg").cast("double")).cast("decimal(38,12)"))
-          .cast("double").as("m"))
+        .select(col("dst"),
+          (col("r") / col("deg").cast("double")).cast("decimal(38,12)")
+            .as("cc"),
+          pmod(hash(col("src")), lit(math.max(saltHubs, 1))).as("__salt"))
+      // decimal sums are exact + associative, so the salted two-stage
+      // combine is bit-identical to the one-stage aggregate
+      // (GraphSpec); the double cast happens once, after the final merge
+      val m =
+        if (saltHubs > 1)
+          contrib
+            .groupBy(col("dst"), col("__salt"))
+            .agg(sum(col("cc")).as("pm"))
+            .groupBy(col("dst").as("node"))
+            .agg(sum(col("pm")).cast("double").as("m"))
+        else
+          contrib.groupBy(col("dst").as("node"))
+            .agg(sum(col("cc")).cast("double").as("m"))
       val recombined = tele.join(m, Seq("node"), "left")
       if (hasDanglers) {
         val dm = r.join(dang, Seq("node"))

@@ -99,6 +99,23 @@ class GraphSpec extends AnyFunSuite {
     assert(r2("a") > 0.2 && !r2.values.exists(_.isNaN))
   }
 
+  test("salted PPR hub combine is bit-identical to the unsalted round") {
+    // star hub h with many spokes + a side chain — the salted two-stage
+    // combine (decimal sums, exact + associative) must reproduce the
+    // unsalted aggregate BIT-for-bit at every salt count
+    val e0 = ((1 to 40).map(i => (s"n$i", "h")) ++
+      Seq(("h", "t"), ("t", "u"))).toDF("src", "dst")
+    val edges = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+    val seeds = Seq("n1", "t").toDF("node")
+    val plain = Graph.personalizedPageRank(edges, seeds, iters = 4,
+      damping = 0.85).as[(String, Double)].collect().toMap
+    for (nSalts <- Seq(2, 8, 32)) {
+      val salted = Graph.personalizedPageRankSalted(edges, seeds, iters = 4,
+        damping = 0.85, nSalts = nSalts).as[(String, Double)].collect().toMap
+      assert(salted === plain, s"nSalts=$nSalts diverged")
+    }
+  }
+
   test("labelPropagation spreads seed labels by majority with min-label ties") {
     // chain a→b→c: b labeled round 1, c round 2; tie at z (one vote
     // each from x=1, y=2) resolves to the smaller label; seeds fixed
