@@ -74,9 +74,10 @@ object OracleSql {
     * full-width TABLE-0 bucket histogram (blocks at plane offsets
     * 0, nTables·16 — signBucketWide's table-0 layout), per-width
     * Σ(prefix-count)² via one widths cross join over the DISTINCT
-    * buckets, and `params(nb)` = the smallest w in [8, maxBits] with
-    * Σc² ≤ pairBudget·n, else maxBits. Yields CTEs pbn, pbc, pbs,
-    * params. */
+    * buckets, and `params(nb)` = GREATEST of the occupancy ladder
+    * (smallest w with 2^w·2 ≥ n — the buckets-∝-n floor on flat
+    * corpora) and the smallest w in [8, maxBits] with Σc² ≤
+    * pairBudget·n, else maxBits. Yields CTEs pbn, pbc, pbs, params. */
   private def pairBudgetParamsCtes(src: String, vec: String, dim: Int,
       nTables: Int, pairBudget: Long = 32L, maxBits: Int = 32): String = {
     val blocks = (0 until maxBits / 16)
@@ -93,9 +94,22 @@ object OracleSql {
        |    GROUP BY ws.w, substr(pbc.b32, 1, ws.w))
        |  GROUP BY w),
        |params AS (
-       |  SELECT COALESCE(min(w), $maxBits) AS nb FROM pbs
-       |  WHERE s <= $pairBudget * n)""".stripMargin
+       |  SELECT GREATEST(
+       |    (SELECT COALESCE(min(w), $maxBits) FROM pbs
+       |     WHERE s <= $pairBudget * n),
+       |    (SELECT ${nbLadderSql(maxBits)}
+       |     FROM (SELECT max(n) AS cnt FROM pbs))) AS nb)""".stripMargin
   }
+
+  /** Integer-exact occupancy ladder over a count column `cnt` — the
+    * smallest nb in [8, maxBits] with 2^nb·2 ≥ cnt, as 8 + one
+    * increment per rung where the loop condition ((1<<nb)·2 < cnt)
+    * still holds — the occupancy leg of [[pairBudgetParamsCtes]],
+    * mirroring Similarity.pairBudgetSignBits' wOcc loop. */
+  private def nbLadderSql(maxBits: Int): String =
+    (9 to maxBits)
+      .map(k => s"CASE WHEN cnt > ${(1L << (k - 1)) * 2} THEN 1 ELSE 0 END")
+      .mkString("8 + ", " + ", "")
 
   /** Adaptive-width bucket for table `t` of an `nTables` OR-family —
     * the substr-concat replay of Similarity.signBucketWide at stride

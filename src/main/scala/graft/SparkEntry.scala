@@ -145,10 +145,10 @@ object SparkEntry {
     * occupancy-only ladder stayed quadratic on CLUSTERED corpora
     * (round-14 factor-100 capture: 42× wall at 10× data). The
     * production rule bounds the measured pair mass directly:
-    * nBits = [[Similarity.pairBudgetSignBits]] (smallest width with
-    * Σ|bucket|² ≤ 32·n over the ∪-corpus; one stats pass of
-    * orchestration metadata, ceiling 32 via
-    * [[Similarity.signBucketWide]]'s multi-block strings), and the OR
+    * nBits = [[Similarity.pairBudgetSignBits]] (max of the occupancy
+    * ladder and the smallest width with Σ|bucket|² ≤ 32·n over the
+    * ∪-corpus; one stats pass of orchestration metadata, ceiling 32
+    * via [[Similarity.signBucketWide]]'s multi-block strings), and the OR
     * of 2 tables buys the recall the extra bits cost (per-table
     * same-bucket rate ~0.95 for the +0.01 perturbation at 16 bits,
     * ~0.9 at 32 → ≥0.99 OR'd). The oracle replays the same
@@ -1889,11 +1889,11 @@ object SparkEntry {
     // PAIR-BUDGET width × 4 OR-tables (round-13 sf1 + round-14
     // factor-100 captures): a fixed bucket space is quadratic in the
     // corpus, and an occupancy-only ladder stays quadratic on
-    // CLUSTERED corpora — the width is chosen from the measured bucket
-    // histogram (Σc² ≤ 32·n, Similarity.pairBudgetSignBits; one stats
-    // pass of orchestration metadata), and the OR over 4 independent
-    // tables buys the recall back. The oracle replays the same
-    // integer-exact width rule.
+    // CLUSTERED corpora — the width is the max of the occupancy ladder
+    // and the measured-histogram budget width (Σc² ≤ 32·n,
+    // Similarity.pairBudgetSignBits; one stats pass of orchestration
+    // metadata), and the OR over 4 independent tables buys the recall
+    // back. The oracle replays the same integer-exact width rule.
     "q_knn_graph" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val nb = Similarity.pairBudgetSignBits(emb, col("embedding"),

@@ -214,20 +214,24 @@ object Similarity {
   }
 
   /** Pair-budget sign-LSH width (round-14, found by the factor-100
-    * embedding capture): the smallest w in [8, maxBits] whose TABLE-0
-    * bucket histogram satisfies Σ_b c_b² ≤ pairBudget · n, else
-    * maxBits. Σc² is the in-bucket self-join's actual row count
-    * (ordered pairs incl. self), so this bounds the family's work
-    * ∝ n DIRECTLY — where the occupancy ladder ([[adaptiveSignBits]])
-    * only bounds it on near-uniform histograms. On CLUSTERED
-    * embeddings (the synthetic corpus has 10 label clusters; real
-    * embedding corpora are worse) occupancy-targeted widths leave
-    * same-cluster vectors colliding at rate p^nb with p ≈ 0.7, so
-    * pairs grow ≈ n²·p^nb ≈ n^1.5 — measured 42× wall at 10× data
-    * (sf1 → 100× embeddings). The pair-budget rule widens until the
-    * measured histogram is flat enough; Cauchy-Schwarz
-    * (Σc² ≥ n²/2^w) makes it strictly stronger than occupancy ≤
-    * pairBudget.
+    * embedding capture): the LARGER of the occupancy ladder
+    * ([[adaptiveSignBits]] — smallest w with 2^w·2 ≥ n) and the
+    * smallest w in [8, maxBits] whose TABLE-0 bucket histogram
+    * satisfies Σ_b c_b² ≤ pairBudget · n (else maxBits). Σc² is the
+    * in-bucket self-join's actual row count (ordered pairs incl.
+    * self), so the budget leg bounds the family's work ∝ n DIRECTLY —
+    * where the occupancy ladder only bounds it on near-uniform
+    * histograms. On CLUSTERED embeddings (the synthetic corpus has 10
+    * label clusters; real embedding corpora are worse)
+    * occupancy-targeted widths leave same-cluster vectors colliding at
+    * rate p^nb with p ≈ 0.7, so pairs grow ≈ n²·p^nb ≈ n^1.5 —
+    * measured 42× wall at 10× data (sf1 → 100× embeddings; the budget
+    * leg re-measured that step at exponent ≤ 1.03). The max keeps the
+    * occupancy leg's buckets-∝-n floor on FLAT corpora, where a bare
+    * Σc² ≤ 32·n budget is satisfied several bits narrower and the
+    * extra in-bucket pairs all pay exact-cosine verification (measured
+    * 3.3 → 17.5 s at sf1 budget-only): candidate mass is bounded by
+    * the tighter of the two rules at every histogram shape.
     *
     * Deterministic and oracle-replayable: ONE aggregation builds the
     * (full-width bucket, count) table from table 0's plane blocks
@@ -255,7 +259,13 @@ object Similarity {
         sum(col("pc")).as("n"))
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
       .sortBy(_._1)
-    stats.find(t => t._2 <= pairBudget * t._3).map(_._1).getOrElse(maxBits)
+    val wBudget =
+      stats.find(t => t._2 <= pairBudget * t._3).map(_._1).getOrElse(maxBits)
+    // occupancy leg from the SAME stats pass (n = Σ counts, any width)
+    val n = stats.head._3
+    var wOcc = 8
+    while (wOcc < maxBits && (1L << wOcc) * 2 < n) wOcc += 1
+    math.max(wOcc, wBudget)
   }
 
   /** OR-amplified sign-LSH top-k: `nTables` INDEPENDENT hyperplane

@@ -222,17 +222,21 @@ class SimilaritySpec extends AnyFunSuite {
         Similarity.signBucketWide(col("embedding"), 0, nTables, 32, 64).as("b"))
         .as[String].collect()
       val n = b32.length.toLong
-      (8 to 32).find { w =>
+      val wBudget = (8 to 32).find { w =>
         val s = b32.groupBy(_.substring(0, w)).values
           .map(g => g.size.toLong * g.size).sum
         s <= budget * n
       }.getOrElse(32)
+      val wOcc = (8 to 32).find(w => (1L << w) * 2 >= n).getOrElse(32)
+      math.max(wOcc, wBudget)
     }
     for ((nTables, budget) <- Seq((2, 32L), (4, 32L), (4, 2L)))
       assert(Similarity.pairBudgetSignBits(emb, col("embedding"), 64,
         nTables, pairBudget = budget) === reference(emb, nTables, budget),
         s"nTables=$nTables budget=$budget")
-    // an enormous budget is satisfied at the floor width
+    // an enormous budget degenerates to the occupancy ladder's pick
+    // (n = 500 at sf0.001 → 2^8·2 = 512 ≥ 500 → 8): the occupancy leg
+    // is the floor on flat corpora, the budget leg only ever WIDENS it
     assert(Similarity.pairBudgetSignBits(emb, col("embedding"), 64, 2,
       pairBudget = 1000000L) === 8)
     // an unsplittable cluster (identical vectors) can never satisfy a
