@@ -107,8 +107,57 @@ object SignBucket {
     // one double→DECIMAL(30,12) cast per element (the composition paid
     // one per element PER PLANE); any null/overflow nulls every bit's
     // dot, which the when() maps to the '0' already filled in
-    val dec = new Array[java.math.BigDecimal](dim)
+    //
+    // Fast accumulation (round 14): every cast element is an exact
+    // scale-12 decimal, and adding/subtracting same-scale decimals is
+    // exact with no scale change — so when every element's unscaled
+    // value fits a long AND dim·max|unscaled| cannot overflow a long,
+    // the per-plane BigDecimal fold collapses to long adds with the
+    // IDENTICAL sign (both folds are exact over the same values;
+    // SimilaritySpec asserts byte equality vs the HOF composition).
+    // nBits × dim BigDecimal allocations/row → nBits × dim long adds.
+    val unscaled = new Array[Long](dim)
+    var fast = true
+    var maxAbs = 0L
     var j = 0
+    while (fast && j < dim) {
+      if (v.isNullAt(j)) return UTF8String.fromBytes(out)
+      val d = Decimal(v.getFloat(j).toDouble)
+      // changePrecision(18, 12) rounds to the SAME scale-12 value as
+      // the (30, 12) cast (rounding depends on scale only) but leaves
+      // the Decimal COMPACT, so toUnscaledLong is a field read — no
+      // BigInteger allocation. A value needing 19..30 digits fast-bails
+      // to the BigDecimal fold below; a (30, 12) overflow is detected
+      // there and degrades to all-zeros exactly as before.
+      if (d.changePrecision(18, 12)) {
+        val l = d.toUnscaledLong
+        unscaled(j) = l
+        val a = math.abs(l)
+        if (a > maxAbs) maxAbs = a
+      } else fast = false
+      j += 1
+    }
+    if (fast && (dim == 0 || maxAbs <= Long.MaxValue / dim)) {
+      var i = 0
+      while (i < nBits) {
+        var acc = 0L
+        val row = signs(i)
+        var k = 0
+        while (k < dim) {
+          acc = if (row(k)) acc + unscaled(k) else acc - unscaled(k)
+          k += 1
+        }
+        if (acc >= 0) out(i) = '1'.toByte
+        i += 1
+      }
+      return UTF8String.fromBytes(out)
+    }
+    // overflow-risk fallback: the ORIGINAL exact BigDecimal fold from
+    // scratch, including the null/overflow-→-all-zeros checks the fast
+    // scan may not have reached (it stops at the first bail; this path
+    // needs |element| ≥ ~4.6e5, unreachable for real embeddings)
+    val dec = new Array[java.math.BigDecimal](dim)
+    j = 0
     while (j < dim) {
       if (v.isNullAt(j)) return UTF8String.fromBytes(out)
       val d = Decimal(v.getFloat(j).toDouble)

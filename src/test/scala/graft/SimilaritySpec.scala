@@ -155,6 +155,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pair._1 === pair._2)
   }
 
+  test("long-accumulator fast paths bail to the BigDecimal fold at the " +
+      "overflow bounds with identical results (round-14 internals change)") {
+    // magnitudes straddling every fast-path guard: ~1e3 (n·maxAbs
+    // overflows a long mid-fold for dot products), ~3e5 (same for the
+    // 64-dim sign fold), ~6e6 (per-element unscaled bitLength > 62),
+    // plus ordinary embedding-scale values mixed in so a bail mid-row
+    // must not corrupt earlier partials
+    val rnd = new scala.util.Random(41)
+    val mags = Array(1.0f, 1e3f, 3e5f, 6e6f, 1e-6f)
+    val rows = (1 to 120).map { i =>
+      def v() = Array.fill(64)(
+        (rnd.nextDouble() * 2 - 1).toFloat * mags(rnd.nextInt(mags.length)))
+      (i.toLong, v(), v())
+    }
+    val df = rows.toDF("id", "a", "b")
+    Similarity.registerNative(spark)
+    val dotDiff = df.select(
+        Similarity.dotDecimal($"a", $"b").as("native"),
+        Similarity.dotDecimalHof($"a", $"b").as("hof"))
+      .filter($"native" =!= $"hof" || ($"native".isNull =!= $"hof".isNull))
+      .count()
+    assert(dotDiff === 0)
+    val signDiff = df.select(
+        Similarity.signBucketTable($"a", 0, 16, 64).as("fast"),
+        Similarity.signBucketHof($"a", 16, 64).as("ref"))
+      .filter($"fast" =!= $"ref").count()
+    assert(signDiff === 0)
+  }
+
   test("adaptiveSignBits: integer-exact ladder, ceiling 32 (past the old 16-bit cap)") {
     // boundary exactness: a power-of-two corpus must draw the same
     // boundary as the oracle's CASE rungs (cnt > 2^(k-1)·2)
