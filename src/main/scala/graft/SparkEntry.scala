@@ -169,20 +169,25 @@ object SparkEntry {
     // Similarity.pairBudgetSignBits); one stats pass of orchestration
     // metadata decides, and the width is a plan input the static
     // fingerprint can't see — pin it
-    val nBits = Similarity.pairBudgetSignBits(corpusRaw, col("embedding"),
-      dim = 64, nTables = 2)
-    Guards.record("similarity.embedNearDup.width", 2L * emb.count(),
-      s"nb=$nBits")
+    // the guarded corpus size comes out of the SAME stats pass (no
+    // separate count() action), and the two per-table self-joins fold
+    // into ONE exploded (table, bucket) join — identical pair multiset,
+    // identical shuffled bytes, half the join stages (round 14,
+    // guide §2.4; same idiom as Similarity.orLshCandidates)
+    val (nBits, nCorpus) = Similarity.pairBudgetSignBitsWithN(corpusRaw,
+      col("embedding"), dim = 64, nTables = 2)
+    Guards.record("similarity.embedNearDup.width", nCorpus, s"nb=$nBits")
     val corpus = Similarity.withNorm2(corpusRaw, col("embedding"))
-    val cand = (0 until 2).map { tbl =>
-      val bk = Similarity.signBucketWide(col("embedding"), tbl, 2, nBits, 64)
-      corpus.select(col("vec_id").as("id_a"), bk.as("bucket"))
-        .hint("shuffle_hash")
-        .join(corpus.select(col("vec_id").as("id_b"), bk.as("bucket")),
-          Seq("bucket"))
-        .filter(col("id_a") < col("id_b"))
-        .select("id_a", "id_b")
-    }.reduce(_ unionByName _).distinct()
+    def sides(idAs: String) = corpus.select(col("vec_id").as(idAs),
+      posexplode(array((0 until 2).map(tbl =>
+        Similarity.signBucketWide(col("embedding"), tbl, 2, nBits, 64)): _*))
+        .as(Seq("tbl", "bucket")))
+    val cand = sides("id_a")
+      .hint("shuffle_hash")
+      .join(sides("id_b"), Seq("tbl", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
     cand
       .hint("shuffle_hash")
       .join(corpus.select(col("vec_id").as("id_a"), col("embedding").as("va"),
@@ -1896,9 +1901,9 @@ object SparkEntry {
     // back. The oracle replays the same integer-exact width rule.
     "q_knn_graph" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val nb = Similarity.pairBudgetSignBits(emb, col("embedding"),
-        dim = 64, nTables = 4)
-      Guards.record("similarity.knnGraph.width", emb.count(), s"nb=$nb")
+      val (nb, nCorpus) = Similarity.pairBudgetSignBitsWithN(emb,
+        col("embedding"), dim = 64, nTables = 4)
+      Guards.record("similarity.knnGraph.width", nCorpus, s"nb=$nb")
       Similarity.knnGraph(emb, "vec_id", "embedding",
           nBits = nb, dim = 64, k = 3, nTables = 4)
         .select(col("query_id"), col("neighbor_id"), col("cos"),
@@ -1929,9 +1934,9 @@ object SparkEntry {
     // round-3 state (GraphSpec chain fixture).
     "q_label_prop" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val nb = Similarity.pairBudgetSignBits(emb, col("embedding"),
-        dim = 64, nTables = 4)
-      Guards.record("similarity.labelProp.width", emb.count(), s"nb=$nb")
+      val (nb, nCorpus) = Similarity.pairBudgetSignBitsWithN(emb,
+        col("embedding"), dim = 64, nTables = 4)
+      Guards.record("similarity.labelProp.width", nCorpus, s"nb=$nb")
       val kg = Similarity.knnGraph(emb, "vec_id", "embedding",
           nBits = nb, dim = 64, k = 3, nTables = 4)
         .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
@@ -2563,7 +2568,7 @@ object SparkEntry {
         .select((col("vec_id") + lit(100000L) * b).as("vec_id"),
           col("embedding"))
       (1 to 2).foreach(b => Similarity.appendToIvfIndex(s, batch(b),
-        "vec_id", "embedding", scratch))
+        "vec_id", "embedding", scratch, wantIncrements = false))
       val q = emb.filter(col("vec_id") < 10)
       val topk = Similarity.ivfTopKIndexed(s, scratch, q,
         "vec_id", "embedding", nProbe = 2, k = 5)
@@ -2613,7 +2618,8 @@ object SparkEntry {
         Similarity.ensureIvfIndex(emb, "vec_id", "embedding",
           nCentroids = 16, path = pristine)
         restoreMutableCopy(pristine, stage)
-        Similarity.appendToIvfIndex(s, copies, "vec_id", "embedding", stage)
+        Similarity.appendToIvfIndex(s, copies, "vec_id", "embedding", stage,
+          wantIncrements = false)
         // integer-exact oversize rule (n > 1.5× mean): n > 3·total DIV
         // (2·lists) — 1-row orchestration read, mirrored by the oracle
         val st = s.read.parquet(s"$stage/postings")

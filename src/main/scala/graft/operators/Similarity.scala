@@ -244,7 +244,16 @@ object Similarity {
     * rows; ≤ (maxBits − 7) longs of orchestration metadata reach the
     * driver. */
   def pairBudgetSignBits(corpus: DataFrame, vec: Column, dim: Int,
-      nTables: Int, pairBudget: Long = 32L, maxBits: Int = 32): Int = {
+      nTables: Int, pairBudget: Long = 32L, maxBits: Int = 32): Int =
+    pairBudgetSignBitsWithN(corpus, vec, dim, nTables, pairBudget, maxBits)._1
+
+  /** [[pairBudgetSignBits]] plus the corpus row count the SAME stats
+    * pass already aggregated (n = Σ bucket counts at any width) —
+    * callers that record the guarded corpus size no longer pay a
+    * separate count() scan + action for it (round-14 measurement: the
+    * extra action was pure overhead on every embedding-family query). */
+  def pairBudgetSignBitsWithN(corpus: DataFrame, vec: Column, dim: Int,
+      nTables: Int, pairBudget: Long = 32L, maxBits: Int = 32): (Int, Long) = {
     require(pairBudget >= 1, s"pairBudgetSignBits: pairBudget ≥ 1, got $pairBudget")
     require(maxBits >= 8, s"pairBudgetSignBits: maxBits ≥ 8, got $maxBits")
     registerNative(corpus.sparkSession)
@@ -265,7 +274,7 @@ object Similarity {
     val n = stats.head._3
     var wOcc = 8
     while (wOcc < maxBits && (1L << wOcc) * 2 < n) wOcc += 1
-    math.max(wOcc, wBudget)
+    (math.max(wOcc, wBudget), n)
   }
 
   /** OR-amplified sign-LSH top-k: `nTables` INDEPENDENT hyperplane
@@ -591,7 +600,7 @@ object Similarity {
     * stream length. */
   def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession,
       batch: DataFrame, idCol: String, vecCol: String,
-      path: String): Map[Long, Long] = {
+      path: String, wantIncrements: Boolean = true): Map[Long, Long] = {
     val cWithN2 = spark.read.parquet(s"$path/centroids")
       .withColumn("cent_id", col("cent_id").cast("long"))
     val assigned = ivfAssign(cWithN2,
@@ -599,14 +608,24 @@ object Similarity {
           .select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"),
             col("n2").as("nn2")),
         "neighbor_id", "nv", "nn2", keep = 1)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
+    // a caller that discards the increments (the batch append-audit
+    // path) skips the persist + second action entirely — round-14
+    // measurement: the persist materialization plus increment collect
+    // cost more than the whole r13 append on small batches
+    if (!wantIncrements) {
       assigned.write.mode("append").partitionBy("cent_id")
         .parquet(s"$path/postings")
-      assigned.groupBy("cent_id").agg(count(lit(1)).as("n"))
+      return Map.empty
+    }
+    val persisted =
+      assigned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      persisted.write.mode("append").partitionBy("cent_id")
+        .parquet(s"$path/postings")
+      persisted.groupBy("cent_id").agg(count(lit(1)).as("n"))
         .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     } finally {
-      assigned.unpersist(); ()
+      persisted.unpersist(); ()
     }
   }
 
@@ -822,19 +841,29 @@ object Similarity {
       nBits: Int, dim: Int, k: Int, nTables: Int = 1): DataFrame = {
     require(nTables >= 1, s"knnGraph: nTables must be ≥ 1, got $nTables")
     val base = withNorm2(corpus, col(vecCol))
-    val cand = (0 until nTables).map { tbl =>
-      // fixed plane stride 16, table-major interleaved blocks: an
-      // adaptive nBits is a PREFIX of each table's (possibly
-      // multi-block) plane string, oracle-replayable as substr-concat;
-      // widths ≤ 16 are byte-identical to the round-13 one-block form
-      val bk = signBucketWide(col(vecCol), tbl, nTables, nBits, dim)
-      base.select(col(idCol).as("query_id"), bk.as("bucket"))
-        .hint("shuffle_hash")
-        .join(base.select(col(idCol).as("neighbor_id"), bk.as("bucket")),
-          Seq("bucket"))
-        .filter(col("query_id") =!= col("neighbor_id"))
-        .select("query_id", "neighbor_id")
-    }.reduce(_ unionByName _).distinct()
+    // fixed plane stride 16, table-major interleaved blocks: an
+    // adaptive nBits is a PREFIX of each table's (possibly
+    // multi-block) plane string, oracle-replayable as substr-concat;
+    // widths ≤ 16 are byte-identical to the round-13 one-block form.
+    //
+    // ONE exploded (table, bucket) self-join instead of one join per
+    // table + union (round 14, guide §2.4 — same idiom as
+    // [[orLshCandidates]]): the joined row multiset is identical (the
+    // table id is part of the key, so cross-table bucket collisions
+    // never pair), the shuffled bytes are identical (each side still
+    // ships n·nTables bucket rows), but nTables join stages collapse
+    // into one — 2·nTables exchanges → 2 (measured plan diff: 6
+    // ShuffledHashJoins → 3 at nTables = 4).
+    def sides(idAs: String) = base.select(col(idCol).as(idAs),
+      posexplode(array((0 until nTables).map(tbl =>
+        signBucketWide(col(vecCol), tbl, nTables, nBits, dim)): _*))
+        .as(Seq("tbl", "bucket")))
+    val cand = sides("query_id")
+      .hint("shuffle_hash")
+      .join(sides("neighbor_id"), Seq("tbl", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id")
+      .distinct()
     val scored = cand
       .hint("shuffle_hash")
       .join(base.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
